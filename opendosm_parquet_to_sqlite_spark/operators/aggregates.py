@@ -1,0 +1,96 @@
+"""Aggregations: the consumer group-bys implied by the reference's indexes.
+
+/root/reference/src/main.rs:199-206 creates filter/group indexes on
+premise_type/state/district/item_group/item_category — the columns consumers
+aggregate on. These map to plain hash aggregates; Spark gives map-side
+partial aggregation automatically, so at 100 TB the shuffle carries one
+partial row per (mapper, group), not the fact rows.
+
+Float determinism note: SUM/AVG over doubles is order-sensitive; results are
+rounded at the query surface (bounded decimals) so oracle comparison is
+stable. The physical plan is unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """count/avg/min/max/sum of value_col per group (SURVEY §2.4 implied)."""
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(v), round_dp).alias("avg_value"),
+        F.round(F.min(v), round_dp).alias("min_value"),
+        F.round(F.max(v), round_dp).alias("max_value"),
+        F.round(F.sum(v), round_dp).alias("sum_value"),
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem — the bench headline.
+
+    Pure hash aggregate with partial aggregation; the heaviest scan in the
+    fixture set, so it is the throughput yardstick for the 100 TB story.
+    """
+    li = lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def uniqueness_report(df: DataFrame, key_col: str) -> DataFrame:
+    """count(*) vs count(distinct key) — the reference's UNIQUE INDEX as a
+    query (src/main.rs:198,204)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(key_col)).alias("n_keys"),
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: str = "1 hour",
+    extra_group: list[str] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window aggregate (batch form; streaming shares it).
+
+    Emits window_start as a string so the same result is expressible in the
+    DuckDB oracle via date_trunc.
+    """
+    w = F.window(F.col(ts_col), width)
+    return (
+        df.groupBy(w.alias("__w"), *(extra_group or []))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("__w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *(extra_group or []),
+            "n_events",
+            "avg_value",
+        )
+    )

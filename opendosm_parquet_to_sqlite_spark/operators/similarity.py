@@ -1,0 +1,203 @@
+"""Vector similarity search over embedding columns (north-star M5).
+
+Embeddings are `array<float>` (testdata: embeddings.embedding, dim 64). All
+arithmetic is native Column expressions — zip_with/aggregate run inside the
+JVM; no Python in the hot path. Floats are promoted to double before any
+arithmetic so results match a double-precision oracle bit-for-bit modulo
+rounding (scores are rounded to 6 dp *before* ranking, with id tie-breaks,
+making top-k deterministic across engines).
+
+Scale paths:
+- brute_force_topk: broadcast the (small) query set, stream the corpus once.
+  Per-row cost O(Q·D). Right answer for Q ≤ a few thousand at any corpus size
+  — the corpus is never shuffled.
+- lsh_topk: random-hyperplane (sign-LSH) bucketing — corpus hashed once into
+  2^H buckets; queries probe only their own bucket. Approximate; recall
+  improves with multiple tables. The 100 TB shape: shuffle is limited to
+  bucket co-location, candidate sets shrink ~2^H-fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Deterministic hyperplanes for sign-LSH (fixed seed → stable across runs).
+_LSH_SEED = 42
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision (left-to-right, same as the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries must carry (query_id_col, vec_col). The query side is broadcast;
+    the corpus is scanned exactly once with no shuffle of the vectors —
+    the only exchange is the final per-query top-k (tiny: Q·k rows after
+    per-partition pruning by the window's rank pushdown under AQE).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    scored = scored.filter(F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    rng = np.random.RandomState(_LSH_SEED)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: H sign bits from fixed random hyperplanes → int."""
+    v = _as_double(vec_col)
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + bit * F.lit(2**i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    Equi-join on bucket id instead of a crossJoin: candidate volume drops
+    ~2^n_planes-fold, at the cost of recall (a neighbor across a hyperplane
+    is missed). Increase recall with fewer planes or multiple tables; this
+    single-table variant is the scale skeleton.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "__bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs by embedding cosine ≥ threshold.
+
+    O(n²) self-join — correct baseline; at corpus scale use
+    lsh_cosine_pairs (bucketed) instead. Left side broadcast only when the
+    caller knows it is small; default is a plain self-join so Catalyst/AQE
+    decide.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs with sign-LSH blocking: only intra-bucket pairs are
+    scored. The shuffle partitions by bucket (balanced for random planes);
+    the quadratic blowup is confined to bucket size."""
+    withb = df.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    )
+    a = withb.select(
+        F.col("__bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = withb.select(
+        F.col("__bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = a.join(b, ["__bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

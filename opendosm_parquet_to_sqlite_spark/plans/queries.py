@@ -1,0 +1,642 @@
+"""Named query registry: every operator from SURVEY §2 as a (Spark, oracle)
+pair, plus the LLM-pipeline extensions (M5).
+
+Contract (driver t2): for each name, QUERIES[name](spark, sf_dir) returns a
+DataFrame whose sorted-by-name columns + order-insensitive value hash match
+ORACLES[name] executed by DuckDB over the same parquet. Column names are
+aliased identically on both sides; computed doubles are rounded on both
+sides; Spark int32 artifacts (size(), row_number()) are cast to long to
+match DuckDB's BIGINT defaults.
+
+Names with no ORACLES entry are hash-dependent ops (MinHash/SimHash/LSH):
+the driver records rows-only checks for those; their semantics are covered
+by pytest property tests instead (tests/test_neardup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import aggregates, cleanse, dedup, joins, neardup, similarity, text
+from ..sources.parquet import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- §2.1 sources / scans -----------------------------------------------------
+
+
+@query("scan_parquet", "SELECT r_regionkey, r_name FROM region")
+def q_scan_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """Full scan (reference: src/main.rs:60-66, row-at-a-time; here vectorized)."""
+    return load_table(spark, sf, "region").select("r_regionkey", "r_name")
+
+
+@query(
+    "union_months",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+    FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'
+    UNION ALL
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+    FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-02'
+    """,
+)
+def q_union_months(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly-partition union (SURVEY §2.6; reference picks one month per
+    run, src/main.rs:233-238 — multi-month is the natural extension)."""
+    orders = load_table(spark, sf, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    base = orders.select("o_orderkey", month.alias("o_month"), "o_totalprice")
+    return base.filter(F.col("o_month") == "1995-01").unionAll(
+        base.filter(F.col("o_month") == "1995-02")
+    )
+
+
+# --- §2.2 cleanse / per-row transforms ---------------------------------------
+
+
+@query(
+    "date_trunc10",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d') AS day FROM events",
+)
+def q_date_trunc10(spark: SparkSession, sf: str) -> DataFrame:
+    """Timestamp → 'YYYY-MM-DD' (reference byte-slice, src/main.rs:23)."""
+    ev = load_table(spark, sf, "events")
+    return ev.select("event_id", cleanse.date_trunc10("ts").alias("day"))
+
+
+@query(
+    "cast_strict_i64",
+    """
+    SELECT event_id, CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS user_id_rt
+    FROM events
+    """,
+)
+def q_cast_strict(spark: SparkSession, sf: str) -> DataFrame:
+    """String→i64 strict parse round-trip (src/main.rs:24-25,52)."""
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        cleanse.cast_strict_long(F.col("user_id").cast("string")).alias("user_id_rt"),
+    )
+
+
+@query(
+    "round_f64_to_i64",
+    """
+    SELECT c_custkey, CAST(round(c_acctbal) AS BIGINT) AS acct_rounded
+    FROM customer
+    """,
+)
+def q_round(spark: SparkSession, sf: str) -> DataFrame:
+    """Float→rounded-i64 code normalization (src/main.rs:33-36; both engines
+    round half-away-from-zero)."""
+    cust = load_table(spark, sf, "customer")
+    return cust.select(
+        "c_custkey", cleanse.round_f64_to_i64("c_acctbal").alias("acct_rounded")
+    )
+
+
+@query(
+    "filter_parse_ok",
+    """
+    SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+)
+def q_filter_parse_ok(spark: SparkSession, sf: str) -> DataFrame:
+    """Permissive parse-or-drop (premises path, src/main.rs:33,44)."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k").isNotNull())
+
+
+@query(
+    "null_default_unknown",
+    """
+    SELECT p_partkey, trim(coalesce(p_type, 'UNKNOWN')) AS p_type_clean,
+           trim(coalesce(p_brand, 'UNKNOWN')) AS p_brand_clean
+    FROM part
+    """,
+)
+def q_clean_string(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL→'UNKNOWN' + trim, the reference's string treatment
+    (src/main.rs:32,37-41,50,53-56)."""
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        cleanse.clean_string("p_type").alias("p_type_clean"),
+        cleanse.clean_string("p_brand").alias("p_brand_clean"),
+    )
+
+
+# --- §2.4 flagship dedup ------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+    SELECT user_id, event_type, event_id, value,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+"""
+
+
+def _format_flagship(df: DataFrame) -> DataFrame:
+    return df.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+    )
+
+
+@query("latest_per_group", _FLAGSHIP_ORACLE)
+def q_latest_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """THE reference query (src/main.rs:252-278) with pinned deterministic
+    semantics: latest row per (user_id, event_type) by ts, tie-break
+    event_id. Window row_number variant."""
+    ev = load_table(spark, sf, "events")
+    latest = dedup.latest_per_group(
+        ev, ["user_id", "event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    return _format_flagship(latest)
+
+
+@query("latest_per_group_maxby", _FLAGSHIP_ORACLE)
+def q_latest_per_group_maxby(spark: SparkSession, sf: str) -> DataFrame:
+    """Same semantics as latest_per_group, executed as a partial-aggregating
+    max_by hash agg — the preferred physical shape at 100 TB (shuffles one
+    candidate per group per mapper instead of every row)."""
+    ev = load_table(spark, sf, "events")
+    latest = dedup.latest_per_group_maxby(
+        ev, ["user_id", "event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    return _format_flagship(latest)
+
+
+@query(
+    "unique_key_enforce",
+    "SELECT count(*) AS n_rows, count(DISTINCT p_partkey) AS n_keys FROM part",
+)
+def q_unique_key(spark: SparkSession, sf: str) -> DataFrame:
+    """UNIQUE-INDEX analog as a query (src/main.rs:198,204)."""
+    part = load_table(spark, sf, "part")
+    return aggregates.uniqueness_report(part, "p_partkey")
+
+
+# --- §2.3 joins ---------------------------------------------------------------
+
+
+@query(
+    "join_prices_items",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_join_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact⋈dim on item key (implied by indexes src/main.rs:195,204);
+    broadcast hash join — zero fact shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    return joins.join_fact_dim(li, part, li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "p_name", "p_brand",
+        "l_extendedprice",
+    )
+
+
+@query(
+    "join_prices_premises",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey, s_name, s_acctbal
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def q_join_premises(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact⋈dim on premise key (src/main.rs:194,198)."""
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    return joins.join_fact_dim(li, supp, li["l_suppkey"] == supp["s_suppkey"]).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "s_name", "s_acctbal"
+    )
+
+
+@query(
+    "join_star_denorm",
+    """
+    SELECT l_orderkey, l_linenumber, p_brand, s_name, n_name, r_name
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_star_denorm(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's raison d'être ('merge into single db file',
+    README.md:6) as one denormalizing plan: fact streams through four
+    broadcast hash probes in a single codegen stage."""
+    t = {n: load_table(spark, sf, n) for n in
+         ("lineitem", "part", "supplier", "nation", "region")}
+    out = joins.star_denorm(
+        t["lineitem"],
+        [
+            (t["part"], t["lineitem"]["l_partkey"] == t["part"]["p_partkey"]),
+            (t["supplier"], t["lineitem"]["l_suppkey"] == t["supplier"]["s_suppkey"]),
+            (t["nation"], t["supplier"]["s_nationkey"] == t["nation"]["n_nationkey"]),
+            (t["region"], t["nation"]["n_regionkey"] == t["region"]["r_regionkey"]),
+        ],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "p_brand", "s_name", "n_name", "r_name"
+    )
+
+
+# --- §2.4/§2.5 aggregations & sorts ------------------------------------------
+
+
+@query(
+    "agg_metrics_by_brand",
+    """
+    SELECT p_brand,
+           count(*) AS n_rows,
+           round(avg(l_extendedprice), 4) AS avg_value,
+           round(min(l_extendedprice), 4) AS min_value,
+           round(max(l_extendedprice), 4) AS max_value,
+           round(sum(l_extendedprice), 2) AS sum_value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_agg_by_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """Consumer group-by implied by item_group index (src/main.rs:205)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    joined = joins.join_fact_dim(li, part, li["l_partkey"] == part["p_partkey"])
+    v = F.col("l_extendedprice")
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(v), 4).alias("avg_value"),
+        F.round(F.min(v), 4).alias("min_value"),
+        F.round(F.max(v), 4).alias("max_value"),
+        F.round(F.sum(v), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "agg_count_by_nation",
+    """
+    SELECT n_name, count(*) AS n_suppliers, round(avg(s_acctbal), 4) AS avg_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_agg_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Consumer group-by implied by the state index (src/main.rs:200)."""
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    return (
+        joins.join_fact_dim(supp, nat, supp["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg — the bench headline query."""
+    return aggregates.pricing_summary(load_table(spark, sf, "lineitem"))
+
+
+@query(
+    "sort_date_desc",
+    f"""
+    SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, value
+    FROM events ORDER BY ts DESC, event_id
+    """,
+)
+def q_sort(spark: SparkSession, sf: str) -> DataFrame:
+    """Total sort (src/main.rs:255). Range-partitioned exchange in Spark —
+    scales where SQLite's single-node sort would not."""
+    ev = load_table(spark, sf, "events")
+    return ev.orderBy(F.col("ts").desc(), "event_id").select(
+        "event_id", F.date_format("ts", TS_FMT_SPARK).alias("ts_str"), "value"
+    )
+
+
+@query(
+    "window_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time window agg (batch form; streaming/ shares it)."""
+    ev = load_table(spark, sf, "events")
+    return aggregates.tumbling_window_agg(
+        ev, "ts", "value", "1 hour", extra_group=["event_type"]
+    )
+
+
+@query(
+    "json_extract",
+    """
+    SELECT event_type,
+           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction over the events.props JSON column."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(F.round(F.avg(k), 4).alias("avg_k"))
+
+
+# --- M5: dedup family ---------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup via md5 digest — shuffle carries digests only."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH posts AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM documents)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM posts a JOIN posts b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(c / (sa.n + sb.n - c), 6) >= 0.3
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join (never a
+    crossJoin; see operators.neardup for the hot-shingle cap at scale)."""
+    docs = load_table(spark, sf, "documents")
+    return neardup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+
+
+@query("dedup_minhash_lsh")  # rows-only: output depends on xxhash64
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidates, exact-Jaccard-verified ≥0.3 —
+    the 100 TB near-dup path (signatures shuffle, not text)."""
+    docs = load_table(spark, sf, "documents")
+    return neardup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.3
+    )
+
+
+@query("dedup_simhash")  # rows-only: output depends on xxhash64
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-63bit near-dup pairs at hamming ≤ 8 via chunk banding."""
+    docs = load_table(spark, sf, "documents")
+    return neardup.simhash_pairs(docs, "text", "doc_id", max_hamming=8, n=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+                6) >= 0.4
+    """,
+)
+def q_dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.4 (exact O(n²) baseline;
+    lsh_cosine_pairs is the blocked scale path)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.4)
+
+
+# --- M5: similarity search ----------------------------------------------------
+
+_ANN_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(e.v, qv)
+                     / sqrt(list_dot_product(e.v, e.v) * list_dot_product(qv, qv)),
+                     6) AS cosine
+        FROM e, q WHERE e.vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query("ann_bruteforce", _ANN_ORACLE)
+def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for queries vec_id<10: broadcast the
+    query set, single corpus scan, no vector shuffle."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("ann_lsh")  # rows-only: approximate by design
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH bucketed top-k — the sublinear scale path."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- M5: text analysis --------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                                x -> x != '')) +
+                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish unit estimate."""
+    docs = load_table(spark, sf, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.char_count(c).cast("long").alias("n_chars_calc"),
+        text.token_count(c).cast("long").alias("n_tokens"),
+        text.bpe_token_estimate(c).cast("long").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> list_contains(['the','a','of','and','to','in','is'],
+                                            lower(x))))
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     6) AS stopword_ratio
+        FROM documents
+    )
+    SELECT doc_id, punct_ratio, stopword_ratio,
+           round((least(len(toks) / 64.0, 1.0)
+                  + (1.0 - least(punct_ratio * 4, 1.0))
+                  + (1.0 - least(abs(stopword_ratio - 0.4), 1.0))) / 3.0,
+                 6) AS quality
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: punct/stopword ratios + composite score."""
+    docs = load_table(spark, sf, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.punct_ratio(c).alias("punct_ratio"),
+        text.stopword_ratio(c).alias("stopword_ratio"),
+        text.quality_score(c).alias("quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              x -> lower(x)) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> list_contains(['the','and','of'], x))) AS s_en,
+               len(list_filter(toks, x -> list_contains(['le','la','et'], x))) AS s_fr,
+               len(list_filter(toks, x -> list_contains(['el','los','que'], x))) AS s_es,
+               len(list_filter(toks, x -> list_contains(['der','und','die'], x))) AS s_de
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+                WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+                ELSE 'de'
+           END AS lang_pred
+    FROM s
+    """,
+)
+def q_text_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-marker language ID heuristic."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              x -> lower(x)), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace-insensitive document fingerprint (md5 of normalized
+    token stream)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))

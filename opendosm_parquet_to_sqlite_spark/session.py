@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference runs single-threaded with everything in RAM
+(/root/reference/src/main.rs:191,253). Here every default is chosen for a
+multi-executor cluster and merely *tested* on local[N]:
+
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting,
+  so the same plan survives sf0.001 and 100 TB.
+- shuffle.partitions sized by env (32 locally; a real cluster overrides —
+  AQE coalesces down, so oversizing is safe, undersizing is not).
+- Arrow enabled for the (rare) pandas-UDF paths and driver interchange.
+- Session timezone pinned to UTC so date formatting is deterministic and
+  matches the DuckDB oracle byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "opendosm-parquet-to-sqlite-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Any already-active session is reused as-is (the driver owns the session
+    in verify runs); defaults only apply when we create the session.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # 100 TB stance: bound per-task input so scans parallelize evenly.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Dimensions in this workload are tiny; keep default 10m threshold,
+        # broadcast() hints are applied explicitly at join sites anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
