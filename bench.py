@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is measured with a noop sink (df.write.format('noop')) so timings
+cover the full distributed plan — scan → shuffle → agg — without
+driver-collect overhead polluting the number (the reference's own anti-
+pattern, /root/reference/src/main.rs:253-277, is exactly that collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opendosm_parquet_to_sqlite_spark.plans.queries import QUERIES  # noqa: E402
+from opendosm_parquet_to_sqlite_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",        # scan+agg throughput yardstick (TPC-H Q1-ish)
+    "latest_per_group",       # flagship window dedup
+    "latest_per_group_maxby", # flagship as partial-agg (the at-scale shape)
+    "join_star_denorm",       # 4-way broadcast star join
+    "agg_metrics_by_brand",   # join + group-by
+    "window_hourly",          # event-time windowed agg
+    "sort_date_desc",         # total sort (range exchange)
+    "dedup_exact",            # digest dedup
+    "dedup_ngram_jaccard",    # inverted-index near-dup join
+    "dedup_minhash_lsh",      # signature/banding near-dup (scale path)
+    "ann_bruteforce",         # broadcast top-k similarity
+    "text_stats",             # text profiling scan
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session once (tiny action, not counted per-query)
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -2,11 +2,12 @@
 SimHash (north-star M5 dedup family).
 
 Design for 100 TB:
-- The exact path (ngram_jaccard_pairs) uses an inverted-index self-join —
-  pairs are generated ONLY for documents sharing at least one shingle,
-  never a crossJoin. Hot shingles (stopword n-grams) are the quadratic
-  hazard; `max_doc_freq` drops shingles whose posting list exceeds a cap,
-  which bounds join fanout (standard prefix-filtering trade-off).
+- The exact path (ngram_jaccard_pairs) is an inverted index with in-bucket
+  pair explosion — pairs are generated ONLY for documents sharing at least
+  one shingle, never a crossJoin, and never a self-join (which would compute
+  the shingling pipeline once per side). Hot shingles (stopword n-grams) are
+  the quadratic hazard; `max_doc_freq` drops shingles whose posting list
+  exceeds a cap, which bounds fanout (standard prefix-filtering trade-off).
 - MinHash compresses each document to a k-int signature (k·8 bytes vs the
   full text) before any shuffle; LSH banding turns near-dup search into an
   equi-join on (band, band_hash). This is the scale path: shuffle volume is
@@ -27,21 +28,69 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def word_shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams per document as array<string> (n=1 → word set).
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-grams from a token-array column.
 
-    Built-ins only: split → slide a window via transform over index range →
-    array_distinct. Empty/short docs yield an empty array.
+    PERF: `toks` must be a materialized column attribute, not a nested
+    expression — Spark evaluates the outer expression once per lambda
+    invocation inside higher-order functions (no CSE across the lambda
+    boundary), which turns an O(tokens) shingle pass into O(tokens²)
+    re-splitting. Callers project the split into a column first.
     """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.trim(c), r"\s+")
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    # Guard BEFORE building idx's sequence: sequence(0, negative) counts
+    # DOWNWARD ([0,-1,...]), which would feed slice() an illegal start of 0
+    # for any document shorter than n tokens.
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.array_distinct(grams)
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(doc_id, sh: array<string>) — tokens materialized before shingling."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    return toked.select(
+        "doc_id", shingles_from_tokens(F.col("__toks"), n).alias("sh")
+    )
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Single-expression form (convenient, but see shingles_from_tokens PERF
+    note — prefer with_shingles for anything hot)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return shingles_from_tokens(F.split(F.trim(c), r"\s+"), n)
+
+
+def intra_bucket_pairs(
+    grouped: DataFrame, list_col: str = "ds", pair_col: str = "p"
+) -> DataFrame:
+    """Explode each bucket's sorted member list into ordered (a, b) pairs.
+
+    One-sided pair generation replaces the classic posting-list SELF-JOIN:
+    the upstream pipeline (shingling, hashing) is computed ONCE instead of
+    once per join side, and no join at all is executed — pairs come from a
+    nested transform over the in-bucket array. Buckets must be pre-sorted so
+    a < b holds.
+    """
+    ds = F.col(list_col)
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias(pair_col))
 
 
 def shingle_postings(
@@ -56,9 +105,8 @@ def shingle_postings(
     max_doc_freq bounds the self-join fanout at scale: a shingle appearing
     in f docs contributes f² candidate pairs.
     """
-    posts = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    posts = with_shingles(df, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
     if max_doc_freq is not None:
         hot = (
@@ -81,27 +129,33 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets.
 
-    Inverted-index join: |A∩B| from the posting self-join, |A|,|B| from a
-    per-doc shingle count, J = inter/(|A|+|B|-inter). Output:
-    (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    """
-    posts = shingle_postings(df, text_col, id_col, n, max_doc_freq)
-    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    Inverted-index formulation with NO self-join: postings group by shingle
+    into sorted member lists; in-bucket pair explosion yields |A∩B| counts
+    directly (pairs appear once per shared shingle). Set sizes ride along in
+    the bucket structs, so J = inter/(|A|+|B|-inter) needs zero extra joins.
+    Two shuffles total (by shingle, by pair), single shingle computation.
 
-    a = posts.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
-    b = posts.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    max_doc_freq drops hot shingles (posting list > cap) — the quadratic
+    fanout control at corpus scale.
+    """
+    docs_sh = with_shingles(df, text_col, id_col, n).select(
+        "doc_id", "sh", F.size("sh").alias("n_sh")
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    posts = docs_sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    buckets = posts.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+    )
+    if max_doc_freq is not None:
+        buckets = buckets.filter(F.size("ds") <= max_doc_freq)
+    pairs = intra_bucket_pairs(buckets.select("ds"))
+    inter = pairs.groupBy(
+        F.col("p.a.doc_id").alias("id_a"),
+        F.col("p.a.n_sh").alias("na"),
+        F.col("p.b.doc_id").alias("id_b"),
+        F.col("p.b.n_sh").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("inter"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             F.round(
@@ -112,9 +166,20 @@ def ngram_jaccard_pairs(
     )
 
 
-def _seeded_hash(col: Column, seed: int) -> Column:
-    """Portable-enough seeded 64-bit hash: xxhash64 with a seed prefix."""
-    return F.xxhash64(F.concat(F.lit(f"s{seed}:"), col))
+def with_hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(doc_id, sh: array<long>) — each shingle collapsed to a 64-bit hash.
+
+    Downstream set algebra (minhash, intersection) runs on longs instead of
+    n-gram strings: ~8 bytes per element in every shuffle and O(1) compares.
+    64-bit collisions are negligible at any realistic shingle cardinality
+    (p ≈ k²/2⁶⁵).
+    """
+    sh = with_shingles(df, text_col, id_col, n)
+    return sh.select(
+        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
 
 
 def minhash_signatures(
@@ -126,15 +191,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of h_i(shingle).
 
-    One explode + one groupBy with num_hashes min() partial aggregates —
+    Each shingle is string-hashed ONCE (xxhash64), then the i-th hash family
+    member is xxhash64(i, base_hash) — long-only mixing, no per-family string
+    work. One explode + one groupBy with num_hashes min() partial aggregates;
     map-side combine keeps the shuffle at O(docs · num_hashes).
     """
-    posts = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    posts = with_hashed_shingles(df, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("h")
     )
     aggs = [
-        F.min(_seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = posts.groupBy("doc_id").agg(*aggs)
@@ -172,18 +238,15 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # variadic xxhash64 over the band's signature slots —
+                        # long-only, no string building
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(
-                                        F.col("signature"),
-                                        b * rows_per_band + 1,
-                                        rows_per_band,
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[
+                                F.element_at(
+                                    F.col("signature"), b * rows_per_band + j + 1
+                                )
+                                for j in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -192,23 +255,37 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
-    left = band_rows.select("band", "bucket", F.col("doc_id").alias("id_a"))
-    right = band_rows.select("band", "bucket", F.col("doc_id").alias("id_b"))
+    cand_buckets = band_rows.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        intra_bucket_pairs(cand_buckets.select("ds"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
     if not verify_exact:
         return candidates
 
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
-    return (
-        candidates.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # Verify ONLY the candidate pairs: join each side to its (hashed) shingle
+    # set and compute exact Jaccard with array_intersect — O(candidates), not
+    # the full inverted-index pass (which would defeat the point of LSH).
+    sets = with_hashed_shingles(df, text_col, id_col, n)
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
     )
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
@@ -218,9 +295,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
     64 conditional-sum aggregates over the exploded token hashes — all
     JVM-side, one shuffle of (doc_id, token_hash).
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n)).alias("tok"),
+    toks = with_shingles(df, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("tok")
     ).withColumn("h", F.xxhash64(F.col("tok")))
     aggs = [
         F.sum(
@@ -268,19 +344,17 @@ def simhash_pairs(
             )
         ).alias("cb"),
     ).select("doc_id", "simhash", "cb.chunk", "cb.key")
-    a = banded.select(
-        "chunk", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
-    )
-    b = banded.select(
-        "chunk", "key", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
+    hash_buckets = banded.groupBy("chunk", "key").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
     )
     return (
-        a.join(b, ["chunk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        intra_bucket_pairs(hash_buckets.select("ds"))
         .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.col("p.a.doc_id").alias("id_a"),
+            F.col("p.b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
