@@ -9,9 +9,11 @@ would be ~100x slower and break pushdown.
 
 Strictness semantics (SURVEY §7.2.3): the reference has two failure modes —
 panic (prices/items, src/main.rs:24-26,52) and skip-with-log (premises,
-src/main.rs:33,44). Spark's cast is permissive (null on failure), so:
-  - strict  = cast + post-hoc assertion that no nulls were introduced
-  - permissive = cast + filter(isNotNull)  [filter_parse_ok]
+src/main.rs:33,44). Spark 4 runs ANSI mode by default, which maps exactly:
+  - strict     = plain cast — ANSI cast THROWS on malformed input, the
+                 precise analog of the reference's unwrap-panic
+  - permissive = try_cast (null on failure) + filter(isNotNull)
+                 [filter_parse_ok / round_f64_to_i64]
 """
 
 from __future__ import annotations
@@ -62,9 +64,11 @@ def round_f64_to_i64(col: Column | str) -> Column:
 
     Rust f64::round is half-away-from-zero; Spark F.round uses HALF_UP which
     also rounds away from zero on .5 for both signs — semantics match.
+    Permissive (try_cast): unparsable codes become null, to be dropped by
+    filter_parse_ok — the reference skips these rows (src/main.rs:44).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c.cast("double"), 0).cast("long")
+    return F.round(c.try_cast("double"), 0).try_cast("long")
 
 
 def filter_parse_ok(df: DataFrame, col: str, target_type: str = "long") -> DataFrame:
@@ -73,7 +77,7 @@ def filter_parse_ok(df: DataFrame, col: str, target_type: str = "long") -> DataF
     Oracle equivalent: TRY_CAST(col AS t) IS NOT NULL. The filter sits directly
     on the scan so Catalyst can push the non-null part down to parquet.
     """
-    casted = F.col(col).cast(target_type)
+    casted = F.col(col).try_cast(target_type)
     return df.filter(casted.isNotNull())
 
 

@@ -325,7 +325,7 @@ def simhash_pairs(
     then exact hamming verify with bit_count(xor).
     """
     chunks = max_hamming + 1
-    width = 63 // chunks + 1
+    width = (63 + chunks - 1) // chunks  # ceil; width=63 when chunks=1 (fits a long mask)
     sh = simhash(df, text_col, id_col, n)
     banded = sh.select(
         "doc_id",

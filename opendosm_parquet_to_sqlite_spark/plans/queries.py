@@ -127,7 +127,7 @@ def q_round(spark: SparkSession, sf: str) -> DataFrame:
 def q_filter_parse_ok(spark: SparkSession, sf: str) -> DataFrame:
     """Permissive parse-or-drop (premises path, src/main.rs:33,44)."""
     ev = load_table(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return ev.select("event_id", k.alias("k")).filter(F.col("k").isNotNull())
 
 
@@ -397,7 +397,7 @@ def q_window_hourly(spark: SparkSession, sf: str) -> DataFrame:
 def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured extraction over the events.props JSON column."""
     ev = load_table(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return ev.groupBy("event_type").agg(F.round(F.avg(k), 4).alias("avg_k"))
 
 

@@ -1,0 +1,74 @@
+"""Property tests for the flagship latest_per_group (FIXTURES A.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import dedup
+from opendosm_parquet_to_sqlite_spark.sources.parquet import load_table
+
+from .conftest import SF0001
+
+
+def _events(spark):
+    return load_table(spark, SF0001, "events")
+
+
+def test_unique_keys(spark):
+    ev = _events(spark)
+    out = dedup.latest_per_group(ev, ["user_id", "event_type"], "ts", ["event_id"])
+    n = out.count()
+    d = out.select("user_id", "event_type").distinct().count()
+    assert n == d
+
+
+def test_every_output_row_exists_in_input(spark):
+    ev = _events(spark)
+    out = dedup.latest_per_group(ev, ["user_id", "event_type"], "ts", ["event_id"])
+    missing = out.join(ev, on=list(ev.columns), how="left_anti")
+    assert missing.count() == 0
+
+
+def test_date_is_max_per_key(spark):
+    ev = _events(spark)
+    out = dedup.latest_per_group(ev, ["user_id", "event_type"], "ts", ["event_id"])
+    maxes = ev.groupBy("user_id", "event_type").agg(F.max("ts").alias("max_ts"))
+    bad = out.join(maxes, ["user_id", "event_type"]).filter(
+        F.col("ts") != F.col("max_ts")
+    )
+    assert bad.count() == 0
+
+
+def test_window_and_maxby_agree(spark):
+    ev = _events(spark)
+    a = dedup.latest_per_group(ev, ["user_id", "event_type"], "ts", ["event_id"])
+    b = dedup.latest_per_group_maxby(ev, ["user_id", "event_type"], "ts", ["event_id"])
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01", 10.0), (1, "a", "2024-01-01", 20.0)],
+        ["k", "g", "d", "v"],
+    )
+    out = dedup.latest_per_group(df, ["k", "g"], "d", tiebreak_cols=["v"])
+    assert out.first()["v"] == 20.0  # highest tiebreak wins
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in
+           dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+    kept = dedup.exact_dedup_keep_first(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_assert_unique_key(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,), (1,)], ["k"])
+    with pytest.raises(ValueError, match="unique key"):
+        dedup.assert_unique_key(df, ["k"])

