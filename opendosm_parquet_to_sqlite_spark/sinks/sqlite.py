@@ -1,0 +1,179 @@
+"""SQLite artifact sink.
+
+Reference: the in-memory DB is exported to a file via the C-level
+sqlite3_backup API, 1000 pages/step (/root/reference/src/main.rs:284-311),
+after per-row prepared-statement inserts (src/main.rs:22-27). Here the
+artifact is written directly:
+
+- write_sqlite: Arrow-batched driver write. Correct for dimension-scale
+  outputs (SQLite is a single-writer format — a distributed writer cannot
+  append to one .db). Batches stream via toLocalIterator-equivalent Arrow
+  batches, so the driver never holds the full table.
+- write_sqlite_sharded: the 100 TB story — each Spark partition writes its
+  OWN .db shard via foreachPartition (executor-local sqlite3), giving
+  embarrassingly-parallel export; consumers ATTACH shards or query the union.
+
+Index DDL mirrors src/main.rs:192-207 and is applied AFTER load (the
+reference creates indexes before inserting — strictly slower).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+_SPARK_TO_SQLITE = {
+    "long": "INTEGER",
+    "int": "INTEGER",
+    "short": "INTEGER",
+    "byte": "INTEGER",
+    "double": "REAL",
+    "float": "REAL",
+    "string": "TEXT",
+    "boolean": "INTEGER",
+    "date": "TEXT",
+    "timestamp": "TEXT",
+    "timestamp_ntz": "TEXT",
+    "binary": "BLOB",
+}
+
+
+def _ddl_type(spark_type: str) -> str:
+    return _SPARK_TO_SQLITE.get(spark_type, "TEXT")
+
+
+def _create_table(con: sqlite3.Connection, table: str, df: DataFrame) -> None:
+    cols = ", ".join(
+        f'"{f.name}" {_ddl_type(f.dataType.typeName())}' for f in df.schema.fields
+    )
+    con.execute(f'DROP TABLE IF EXISTS "{table}"')
+    con.execute(f'CREATE TABLE "{table}" ({cols})')
+
+
+def _rows_from_arrow(batch) -> list[tuple]:
+    cols = [c.to_pylist() for c in batch.columns]
+    return list(zip(*cols)) if cols else []
+
+
+def write_sqlite(
+    tables: dict[str, DataFrame],
+    db_path: str | Path,
+    indexes: dict[str, list[tuple[str, bool]]] | None = None,
+    batch_rows: int = 10_000,
+) -> Path:
+    """Write DataFrames into one SQLite file (driver-side, Arrow-batched).
+
+    indexes: table -> [(column, unique)] applied after load; mirrors the
+    reference DDL (src/main.rs:194-206) where the caller passes it.
+    """
+    db_path = Path(db_path)
+    db_path.parent.mkdir(parents=True, exist_ok=True)
+    if db_path.exists():
+        db_path.unlink()
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute("PRAGMA journal_mode=OFF")  # fresh artifact, no readers
+        con.execute("PRAGMA synchronous=OFF")
+        for table, df in tables.items():
+            _create_table(con, table, df)
+            placeholders = ", ".join("?" for _ in df.schema.fields)
+            insert = f'INSERT INTO "{table}" VALUES ({placeholders})'
+            # Stream Arrow batches: timestamps/dates become ISO strings to
+            # honor the TEXT affinity (the reference stores dates as strings,
+            # src/main.rs:23).
+            str_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("date", "timestamp", "timestamp_ntz")
+            ]
+            out = df
+            if str_cols:
+                from pyspark.sql import functions as F
+
+                out = df.withColumns(
+                    {c: F.col(c).cast("string") for c in str_cols}
+                )
+            for batch in out.toArrow().to_batches(max_chunksize=batch_rows):
+                con.executemany(insert, _rows_from_arrow(batch))
+            con.commit()
+        for table, specs in (indexes or {}).items():
+            for col, unique in specs:
+                uq = "UNIQUE " if unique else ""
+                con.execute(
+                    f'CREATE {uq}INDEX "idx_{table}_{col}" ON "{table}" ("{col}")'
+                )
+        con.commit()
+        con.execute("VACUUM")  # src/main.rs:281
+    finally:
+        con.close()
+    return db_path
+
+
+def write_sqlite_sharded(
+    df: DataFrame,
+    out_dir: str | Path,
+    table: str,
+    num_shards: int | None = None,
+) -> list[Path]:
+    """Each partition writes its own .db shard — distributed SQLite export.
+
+    foreachPartition runs executor-side: no data crosses the driver. Shards
+    are named by partition id; at 1000 executors this is 1000 concurrent
+    local writes instead of one serialized driver write.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if num_shards is not None:
+        df = df.repartition(num_shards)
+    schema = df.schema
+    col_names = [f.name for f in schema.fields]
+    ddl_cols = ", ".join(
+        f'"{f.name}" {_ddl_type(f.dataType.typeName())}' for f in schema.fields
+    )
+    insert = f'INSERT INTO "{table}" VALUES ({", ".join("?" for _ in col_names)})'
+    out_str = str(out)
+
+    def write_partition(rows) -> None:
+        import sqlite3 as _sqlite3
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_str, f"{table}_shard_{pid:05d}.db")
+        c = _sqlite3.connect(path)
+        c.execute("PRAGMA journal_mode=OFF")
+        c.execute("PRAGMA synchronous=OFF")
+        c.execute(f'DROP TABLE IF EXISTS "{table}"')
+        c.execute(f'CREATE TABLE "{table}" ({ddl_cols})')
+        buf = []
+        for row in rows:
+            buf.append(tuple(row[n] for n in col_names))
+            if len(buf) >= 10_000:
+                c.executemany(insert, buf)
+                buf.clear()
+        if buf:
+            c.executemany(insert, buf)
+        c.commit()
+        c.close()
+
+    df.foreachPartition(write_partition)
+    return sorted(out.glob(f"{table}_shard_*.db"))
+
+
+# The reference's index set (src/main.rs:192-207), keyed by its table names.
+REFERENCE_INDEXES: dict[str, list[tuple[str, bool]]] = {
+    "prices": [("premise_code", False), ("item_code", False)],
+    "premises": [
+        ("premise_code", True),
+        ("premise_type", False),
+        ("state", False),
+        ("district", False),
+    ],
+    "items": [
+        ("item_code", True),
+        ("item_group", False),
+        ("item_category", False),
+    ],
+}
