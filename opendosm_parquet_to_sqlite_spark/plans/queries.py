@@ -101,6 +101,22 @@ def q_cast_strict(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "cast_strict_f64",
+    """
+    SELECT event_id, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_rt
+    FROM events
+    """,
+)
+def q_cast_strict_f64(spark: SparkSession, sf: str) -> DataFrame:
+    """String→f64 strict parse round-trip (src/main.rs:26)."""
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        cleanse.cast_strict_double(F.col("value").cast("string")).alias("value_rt"),
+    )
+
+
+@query(
     "round_f64_to_i64",
     """
     SELECT c_custkey, CAST(round(c_acctbal) AS BIGINT) AS acct_rounded

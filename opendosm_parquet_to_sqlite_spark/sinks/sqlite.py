@@ -5,10 +5,10 @@ sqlite3_backup API, 1000 pages/step (/root/reference/src/main.rs:284-311),
 after per-row prepared-statement inserts (src/main.rs:22-27). Here the
 artifact is written directly:
 
-- write_sqlite: Arrow-batched driver write. Correct for dimension-scale
-  outputs (SQLite is a single-writer format — a distributed writer cannot
-  append to one .db). Batches stream via toLocalIterator-equivalent Arrow
-  batches, so the driver never holds the full table.
+- write_sqlite: driver write streamed via toLocalIterator — the driver
+  holds at most one Spark partition at a time, never the full table.
+  (SQLite is a single-writer format — a distributed writer cannot append
+  to one .db.) Route truly fact-scale exports to write_sqlite_sharded.
 - write_sqlite_sharded: the 100 TB story — each Spark partition writes its
   OWN .db shard via foreachPartition (executor-local sqlite3), giving
   embarrassingly-parallel export; consumers ATTACH shards or query the union.
@@ -53,9 +53,20 @@ def _create_table(con: sqlite3.Connection, table: str, df: DataFrame) -> None:
     con.execute(f'CREATE TABLE "{table}" ({cols})')
 
 
-def _rows_from_arrow(batch) -> list[tuple]:
-    cols = [c.to_pylist() for c in batch.columns]
-    return list(zip(*cols)) if cols else []
+def _stringify_temporals(df: DataFrame) -> DataFrame:
+    """Date/timestamp columns → ISO strings, honoring SQLite TEXT affinity
+    (the reference stores dates as strings, src/main.rs:23) and avoiding
+    Python's deprecated sqlite3 datetime adapters."""
+    temporal = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("date", "timestamp", "timestamp_ntz")
+    ]
+    if not temporal:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumns({c: F.col(c).cast("string") for c in temporal})
 
 
 def write_sqlite(
@@ -64,7 +75,11 @@ def write_sqlite(
     indexes: dict[str, list[tuple[str, bool]]] | None = None,
     batch_rows: int = 10_000,
 ) -> Path:
-    """Write DataFrames into one SQLite file (driver-side, Arrow-batched).
+    """Write DataFrames into one SQLite file, streaming via toLocalIterator.
+
+    The driver materializes at most one Spark partition at a time
+    (prefetch keeps the executors one partition ahead) — never the full
+    table, so memory is bounded by partition size, not table size.
 
     indexes: table -> [(column, unique)] applied after load; mirrors the
     reference DDL (src/main.rs:194-206) where the caller passes it.
@@ -81,23 +96,15 @@ def write_sqlite(
             _create_table(con, table, df)
             placeholders = ", ".join("?" for _ in df.schema.fields)
             insert = f'INSERT INTO "{table}" VALUES ({placeholders})'
-            # Stream Arrow batches: timestamps/dates become ISO strings to
-            # honor the TEXT affinity (the reference stores dates as strings,
-            # src/main.rs:23).
-            str_cols = [
-                f.name
-                for f in df.schema.fields
-                if f.dataType.typeName() in ("date", "timestamp", "timestamp_ntz")
-            ]
-            out = df
-            if str_cols:
-                from pyspark.sql import functions as F
-
-                out = df.withColumns(
-                    {c: F.col(c).cast("string") for c in str_cols}
-                )
-            for batch in out.toArrow().to_batches(max_chunksize=batch_rows):
-                con.executemany(insert, _rows_from_arrow(batch))
+            out = _stringify_temporals(df)
+            buf: list[tuple] = []
+            for row in out.toLocalIterator(prefetchPartitions=True):
+                buf.append(tuple(row))
+                if len(buf) >= batch_rows:
+                    con.executemany(insert, buf)
+                    buf.clear()
+            if buf:
+                con.executemany(insert, buf)
             con.commit()
         for table, specs in (indexes or {}).items():
             for col, unique in specs:
@@ -126,6 +133,7 @@ def write_sqlite_sharded(
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    df = _stringify_temporals(df)  # no datetime objects through sqlite3 binds
     if num_shards is not None:
         df = df.repartition(num_shards)
     schema = df.schema

@@ -17,10 +17,13 @@ src/main.rs:243).
 from __future__ import annotations
 
 import json
+import logging
 import shutil
 import urllib.request
 from dataclasses import dataclass
 from pathlib import Path
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -35,12 +38,17 @@ def _head(url: str, timeout: float) -> dict[str, str]:
         return {k.lower(): v for k, v in r.headers.items()}
 
 
-def _download(url: str, dest: Path, timeout: float) -> None:
+def _download(url: str, dest: Path, timeout: float) -> dict[str, str]:
+    """Stream to <dest>.part then atomically publish; returns the GET
+    response headers so validators describe the bytes actually written
+    (a HEAD taken earlier could describe a different remote revision)."""
     tmp = dest.with_suffix(dest.suffix + ".part")
     with urllib.request.urlopen(url, timeout=timeout) as r:  # noqa: S310
+        headers = {k.lower(): v for k, v in r.headers.items()}
         with open(tmp, "wb") as f:
             shutil.copyfileobj(r, f)
     tmp.replace(dest)  # atomic publish — no torn files on crash
+    return headers
 
 
 class SourceCache:
@@ -88,13 +96,26 @@ class SourceCache:
         return True  # no validator at all → trust the cache
 
     def get(self, name: str, url: str) -> FetchResult:
-        """Cache-or-download one file (src/main.rs:114-149)."""
+        """Cache-or-download one file (src/main.rs:114-149).
+
+        A transient HEAD failure degrades to the cached copy (with a
+        warning) instead of failing the run — the reference would abort
+        even with a perfectly good local file on disk.
+        """
         local = self.dir / name
-        headers = _head(url, self.timeout)
+        try:
+            headers = _head(url, self.timeout)
+        except OSError as e:
+            if local.exists():
+                log.warning("HEAD %s failed (%s); using cached %s", url, e, local)
+                return FetchResult(local, cache_hit=True)
+            raise
         if self._is_fresh(local, name, headers):
             return FetchResult(local, cache_hit=True)
-        _download(url, local, self.timeout)
-        self._save_meta(name, headers)
+        got = _download(url, local, self.timeout)
+        # persist validators from the GET response (the bytes we actually
+        # stored), falling back to HEAD's for any the GET omitted
+        self._save_meta(name, {**headers, **got})
         return FetchResult(local, cache_hit=False)
 
     def get_all(self, sources: dict[str, str]) -> tuple[dict[str, Path], bool]:
@@ -105,8 +126,8 @@ class SourceCache:
         return {n: r.path for n, r in results.items()}, all_fresh
 
 
-def pricecatcher_urls(month: str, base: str = "https://storage.dosm.gov.my") -> dict[str, str]:
-    """The reference's three source URLs for one month (src/main.rs:214-238)."""
+def pricecatcher_urls(month: str, base: str = "https://storage.data.gov.my") -> dict[str, str]:
+    """The reference's three source URLs for one month (src/main.rs:219,226,233)."""
     return {
         "lookup_item.parquet": f"{base}/pricecatcher/lookup_item.parquet",
         "lookup_premise.parquet": f"{base}/pricecatcher/lookup_premise.parquet",

@@ -100,11 +100,15 @@ def discover_months(
     return months
 
 
-def pick_month(months: list[str], latest: bool = True, choice: int | None = None) -> str:
+def pick_month(months: list[str], latest: bool = False, choice: int | None = None) -> str:
     """Dataset selection (src/main.rs:169-189). The reference's interactive
     loop has an off-by-one (`num > len - 1` rejects the last valid index,
-    src/main.rs:178); here any 0 <= choice < len is accepted."""
-    if latest or choice is None:
+    src/main.rs:178); here any 0 <= choice < len is accepted. An explicit
+    `choice` always wins; passing both latest=True and a choice is a caller
+    bug and raises."""
+    if latest and choice is not None:
+        raise ValueError("pass either latest=True or choice, not both")
+    if choice is None:
         return months[-1]
     if not 0 <= choice < len(months):
         raise IndexError(f"choice {choice} out of range 0..{len(months) - 1}")
