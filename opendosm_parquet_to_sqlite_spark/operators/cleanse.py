@@ -47,11 +47,21 @@ def cast_strict_double(col: Column | str) -> Column:
 def assert_no_null_introduced(df: DataFrame, raw: str, casted_df: DataFrame, casted: str) -> None:
     """Strict-mode check: a cast may not turn a non-null into a null.
 
-    Distributed (one aggregate, no collect of data): counts nulls on both
-    sides and raises, mirroring the reference's panic-on-parse-failure.
+    Distributed (no collect of data): when the raw column survives in
+    casted_df (the common withColumn case) both null counts come from ONE
+    aggregate over one scan; otherwise falls back to a count per frame.
+    Raises to mirror the reference's panic-on-parse-failure.
     """
-    raw_nulls = df.filter(F.col(raw).isNull()).count()
-    new_nulls = casted_df.filter(F.col(casted).isNull()).count()
+    if raw in casted_df.columns:
+        row = casted_df.agg(
+            F.sum(F.col(raw).isNull().cast("long")).alias("raw_nulls"),
+            F.sum(F.col(casted).isNull().cast("long")).alias("new_nulls"),
+        ).first()
+        raw_nulls = row["raw_nulls"] or 0
+        new_nulls = row["new_nulls"] or 0
+    else:
+        raw_nulls = df.filter(F.col(raw).isNull()).count()
+        new_nulls = casted_df.filter(F.col(casted).isNull()).count()
     if new_nulls > raw_nulls:
         raise ValueError(
             f"strict cast of {raw!r}: {new_nulls - raw_nulls} unparsable values "

@@ -136,26 +136,69 @@ def ngram_jaccard_pairs(
     Two shuffles total (by shingle, by pair), single shingle computation.
 
     max_doc_freq drops hot shingles (posting list > cap) — the quadratic
-    fanout control at corpus scale.
+    fanout control at corpus scale. Semantics with a cap: Jaccard over the
+    FILTERED shingle universe (hot shingles leave both the intersections and
+    the set sizes), i.e. exact Jaccard of the filtered sets — well-defined,
+    cap-parameterized, and oracle-expressible (HAVING count(*) <= cap).
+    A shingle in f docs contributes f² candidate pairs, so one stopword
+    trigram appearing in 10⁶ docs would otherwise emit 10¹² pairs from a
+    single reducer key.
     """
-    docs_sh = with_shingles(df, text_col, id_col, n).select(
-        "doc_id", "sh", F.size("sh").alias("n_sh")
+    if max_doc_freq is None:
+        # single-pass shape: per-doc set sizes ride inside the bucket structs,
+        # so Jaccard needs zero extra joins after the pair aggregation
+        docs_sh = with_shingles(df, text_col, id_col, n).select(
+            "doc_id", "sh", F.size("sh").alias("n_sh")
+        )
+        posts = docs_sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+        buckets = posts.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+        )
+        pairs = intra_bucket_pairs(buckets.select("ds"))
+        inter = pairs.groupBy(
+            F.col("p.a.doc_id").alias("id_a"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.doc_id").alias("id_b"),
+            F.col("p.b.n_sh").alias("nb"),
+        ).agg(F.count(F.lit(1)).alias("inter"))
+        return (
+            inter.select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    # Capped path: doc frequency is only known after grouping by shingle, so
+    # set sizes are recomputed from the surviving buckets (one extra shuffle
+    # of (doc_id) ints) and joined back onto the candidate pairs. The pair
+    # table is already candidate-pruned when those joins run.
+    posts = with_shingles(df, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
-    posts = docs_sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-    buckets = posts.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+    kept = (
+        posts.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= max_doc_freq)
     )
-    if max_doc_freq is not None:
-        buckets = buckets.filter(F.size("ds") <= max_doc_freq)
-    pairs = intra_bucket_pairs(buckets.select("ds"))
+    sizes = (
+        kept.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pairs = intra_bucket_pairs(kept.select("ds"))
     inter = pairs.groupBy(
-        F.col("p.a.doc_id").alias("id_a"),
-        F.col("p.a.n_sh").alias("na"),
-        F.col("p.b.doc_id").alias("id_b"),
-        F.col("p.b.n_sh").alias("nb"),
+        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
     ).agg(F.count(F.lit(1)).alias("inter"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.select(
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(

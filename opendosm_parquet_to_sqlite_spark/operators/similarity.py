@@ -11,10 +11,16 @@ Scale paths:
 - brute_force_topk: broadcast the (small) query set, stream the corpus once.
   Per-row cost O(Q·D). Right answer for Q ≤ a few thousand at any corpus size
   — the corpus is never shuffled.
-- lsh_topk: random-hyperplane (sign-LSH) bucketing — corpus hashed once into
-  2^H buckets; queries probe only their own bucket. Approximate; recall
-  improves with multiple tables. The 100 TB shape: shuffle is limited to
-  bucket co-location, candidate sets shrink ~2^H-fold.
+- lsh_topk: random-hyperplane (sign-LSH) bucketing with MULTI-TABLE OR'd
+  probing — L independent hyperplane tables; a candidate survives if it
+  collides with the query in ANY table. Per-neighbor recall at angle θ is
+  1-(1-(1-θ/π)^H)^L, so the (H, L) pair is the recall knob: fewer planes
+  or more tables → higher recall, larger candidate fraction. For far
+  neighbors (cosine ≈ 0.3, θ ≈ 72°) H must be small (2) and L several (6)
+  to clear 0.9 recall; for tight near-dup regimes (cosine ≥ 0.9) H=8-16
+  with L=4 prunes aggressively at the same recall. At 100 TB the candidate
+  generation is a bucket equi-join (pairs) or a broadcast overlap probe
+  (top-k) — never an all-pairs scan.
 """
 
 from __future__ import annotations
@@ -84,20 +90,45 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    rng = np.random.RandomState(_LSH_SEED)
+def _hyperplanes(dim: int, n_planes: int, seed: int = _LSH_SEED) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()
 
 
-def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+def lsh_bucket(
+    vec_col: Column, dim: int, n_planes: int = 8, seed: int = _LSH_SEED
+) -> Column:
     """Sign-LSH bucket id: H sign bits from fixed random hyperplanes → int."""
     v = _as_double(vec_col)
     bucket = F.lit(0)
-    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
         p = F.array(*[F.lit(float(x)) for x in plane])
         bit = F.when(dot(v, p) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + bit * F.lit(2**i)
     return bucket
+
+
+def multi_lsh_buckets(
+    vec_col: Column,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = _LSH_SEED,
+) -> Column:
+    """array<long> of table-tagged bucket ids, one per hash table.
+
+    Entry t is t·2^H + bucket_t (tables use disjoint id ranges, so a match
+    in the array means 'same bucket in the same table'). OR'd probing =
+    non-empty intersection of two such arrays."""
+    return F.array(
+        *[
+            (
+                F.lit(t * (1 << n_planes))
+                + lsh_bucket(vec_col, dim, n_planes, seed=seed + 7919 * t)
+            ).cast("long")
+            for t in range(n_tables)
+        ]
+    )
 
 
 def lsh_topk(
@@ -105,31 +136,41 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int = 2,
+    n_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k with multi-table OR'd probing.
 
-    Equi-join on bucket id instead of a crossJoin: candidate volume drops
-    ~2^n_planes-fold, at the cost of recall (a neighbor across a hyperplane
-    is missed). Increase recall with fewer planes or multiple tables; this
-    single-table variant is the scale skeleton.
+    A corpus row is a candidate for a query iff they share a bucket in ANY
+    of the L tables (arrays_overlap on table-tagged bucket arrays). The
+    query side is broadcast, so the corpus is scanned once with no shuffle
+    of the vectors; the overlap test (L-long int arrays) is evaluated
+    BEFORE the O(D) cosine, so pruned rows never pay the dot product.
+    Candidates arrive naturally deduplicated (one row per (query, corpus)
+    pair regardless of how many tables collide).
+
+    Defaults (H=2, L=6) target ≥0.9 recall for far neighbors (cosine ≈ 0.3,
+    the regime of the test embeddings); tighten H upward when the neighbor
+    regime is closer (near-dup cosine ≥ 0.9 → H=8-16).
     """
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        multi_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables).alias("__b"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+            multi_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables).alias(
+                "__qb"
+            ),
         )
     )
     scored = (
-        c.join(q, "__bucket")
+        c.join(q, F.arrays_overlap("__b", "__qb"))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
@@ -178,16 +219,28 @@ def lsh_cosine_pairs(
     df: DataFrame,
     threshold: float,
     dim: int,
-    n_planes: int = 6,
+    n_planes: int = 2,
+    n_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup pairs with sign-LSH blocking: only intra-bucket pairs are
-    scored. The shuffle partitions by bucket (balanced for random planes);
-    the quadratic blowup is confined to bucket size."""
+    """Near-dup pairs with multi-table sign-LSH blocking — the scale path
+    replacing cosine_pairs' all-pairs BroadcastNestedLoopJoin.
+
+    Each vector lands in L table-tagged buckets; pairs are generated per
+    bucket via an equi-join (shuffle partitioned by bucket id — balanced
+    for random hyperplanes), scored, threshold-filtered, then distinct()
+    collapses multi-table duplicates. The quadratic blowup is confined to
+    bucket size; candidate volume ≈ L · Σ_buckets |bucket|², never n².
+    At petabyte scale, trade the L× vector shuffle for an id-only pair
+    dedup followed by a re-join if vectors are wide.
+    """
     withb = df.select(
-        F.col(id_col), F.col(vec_col),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            multi_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)
+        ).alias("__bucket"),
     )
     a = withb.select(
         F.col("__bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
@@ -196,8 +249,12 @@ def lsh_cosine_pairs(
         F.col("__bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     )
     pairs = a.join(b, ["__bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

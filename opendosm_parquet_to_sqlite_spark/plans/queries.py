@@ -433,20 +433,28 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup(docs, "text", "doc_id")
 
 
+_JACCARD_MAX_DF = 50  # hot-shingle cap: a shingle in f docs emits f² pairs
+
+
 @query(
     "dedup_ngram_jaccard",
-    """
+    f"""
     WITH posts AS (
         SELECT doc_id, unnest(list_distinct(
             [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]
         )) AS shingle
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
               FROM documents)
+    ), keep AS (
+        SELECT shingle FROM posts GROUP BY shingle
+        HAVING count(*) <= {_JACCARD_MAX_DF}
+    ), pf AS (
+        SELECT doc_id, shingle FROM posts JOIN keep USING (shingle)
     ), sizes AS (
-        SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id
+        SELECT doc_id, count(*) AS n FROM pf GROUP BY doc_id
     ), inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        FROM posts a JOIN posts b USING (shingle)
+        FROM pf a JOIN pf b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -459,9 +467,14 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index join (never a
-    crossJoin; see operators.neardup for the hot-shingle cap at scale)."""
+    crossJoin). The hot-shingle cap is WIRED here: Jaccard over the shingle
+    universe with doc-freq <= cap, the bounded-fanout semantics that survive
+    a stopword trigram appearing in 10⁶ documents. Oracle mirrors the cap
+    with HAVING count(*) <= cap."""
     docs = load_table(spark, sf, "documents")
-    return neardup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    return neardup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, max_doc_freq=_JACCARD_MAX_DF
+    )
 
 
 @query("dedup_minhash_lsh")  # rows-only: output depends on xxhash64
@@ -496,10 +509,22 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.4 (exact O(n²) baseline;
-    lsh_cosine_pairs is the blocked scale path)."""
+    """Embedding-cosine near-dup pairs ≥ 0.4 (exact O(n²) baseline — the
+    oracle for dedup_embedding_cosine_lsh, which is the scale path)."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.cosine_pairs(emb, threshold=0.4)
+
+
+@query("dedup_embedding_cosine_lsh")  # rows-only: approximate by design
+def q_dedup_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs — the 100 TB path (bucket
+    equi-join, no all-pairs BNLJ). Every emitted pair is exactly scored and
+    ≥ threshold; recall vs the exact query is pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.lsh_cosine_pairs(
+        emb, threshold=0.4, dim=64, n_planes=2, n_tables=6
+    )
 
 
 # --- M5: similarity search ----------------------------------------------------
@@ -537,12 +562,14 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("ann_lsh")  # rows-only: approximate by design
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Sign-LSH bucketed top-k — the sublinear scale path."""
+    """Multi-table sign-LSH top-k (H=2 planes × L=8 OR'd tables — measured
+    0.96 recall vs brute force on this corpus's far-neighbor regime,
+    cosine ≈ 0.3; see tests/test_similarity.py for the pinned floor)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    out = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=2, n_tables=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -76,6 +76,29 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
 
 
+def test_cap_semantics_filtered_universe(spark):
+    """With a cap, Jaccard is exact over the filtered shingle universe:
+    hot shingles leave the intersections AND the set sizes."""
+    df = spark.createDataFrame(
+        [(0, "hot x y"), (1, "hot x y"), (2, "hot z w")], ["doc_id", "text"]
+    )
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neardup.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=1, threshold=0.1, max_doc_freq=2
+        ).collect()
+    }
+    # 'hot' (df=3 > 2) is dropped: sets become {x,y},{x,y},{z,w}
+    assert capped == {(0, 1): 1.0}
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neardup.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=1, threshold=0.1
+        ).collect()
+    }
+    assert uncapped == {(0, 1): 1.0, (0, 2): 0.2, (1, 2): 0.2}
+
+
 def test_hot_shingle_cap_drops_pairs(spark):
     # 4 docs all sharing one hot shingle; cap at 3 removes it entirely
     df = spark.createDataFrame(

@@ -78,3 +78,40 @@ def test_lsh_cosine_pairs_subset_of_exact(spark, emb):
         similarity.lsh_cosine_pairs(emb, threshold=0.35, dim=64, n_planes=4).collect()
     }
     assert blocked <= exact
+
+
+def test_lsh_cosine_pairs_recall_vs_exact(spark, emb):
+    """The registered dedup_embedding_cosine_lsh config (H=2, L=6) must hold
+    ≥0.9 recall against the exact all-pairs oracle (measured 0.955 on this
+    fixture — deterministic, fixed hyperplane seed)."""
+    exact = {
+        (r["id_a"], r["id_b"]) for r in
+        similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in
+        similarity.lsh_cosine_pairs(
+            emb, threshold=0.4, dim=64, n_planes=2, n_tables=6
+        ).collect()
+    }
+    assert lsh <= exact  # every emitted pair is exactly scored
+    assert len(lsh & exact) >= 0.9 * len(exact)
+
+
+def test_lsh_topk_multitable_recall(spark, emb):
+    """The registered ann_lsh config (H=2, L=8) must hold ≥0.9 recall of the
+    exact top-5 (measured 0.96 — deterministic, fixed hyperplane seed)."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(
+            emb, queries, dim=64, k=5, n_planes=2, n_tables=8
+        ).collect()
+    }
+    assert len(lsh & bf) >= 0.9 * len(bf)
