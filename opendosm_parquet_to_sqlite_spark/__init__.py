@@ -13,10 +13,13 @@ Layout:
   schemas    — explicit StructType per table (reference declares schemas as
                comments + DDL, src/main.rs:20,30,48,192-207)
   sources/   — parquet scan helpers, remote catalog discovery, caching ingest
-  operators/ — cleanse, dedup, joins, aggregates, similarity, text, multimodal
-  plans/     — end-to-end pipelines (the reference's main(), re-expressed lazily)
+  operators/ — cleanse, dedup, neardup, joins, aggregates, similarity, text,
+               multimodal (binary payload metadata + mapInPandas decode)
+  plans/     — queries registry + the end-to-end PriceCatcher pipeline
+               (the reference's main(), re-expressed lazily; plans.pipeline)
   sinks/     — SQLite + zip artifact writers (src/main.rs:284-325)
-  streaming/ — Structured Streaming latest-per-key (incremental analog)
+  streaming/ — Structured Streaming incremental analogs (stateful
+               latest-per-key, watermarked dedup, event-time windows)
 """
 
 __version__ = "0.1.0"

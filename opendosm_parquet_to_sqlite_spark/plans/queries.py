@@ -21,7 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators import aggregates, cleanse, dedup, joins, neardup, similarity, text
+from ..operators import (
+    aggregates,
+    cleanse,
+    dedup,
+    joins,
+    multimodal,
+    neardup,
+    similarity,
+    text,
+)
 from ..sources.parquet import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -571,6 +580,54 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=2, n_tables=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- M5: multimodal binary columns --------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    r"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE
+                   WHEN doc_id % 3 = 0
+                       THEN '\x89\x50\x4E\x47'::BLOB || encode(text)
+                   WHEN doc_id % 3 = 1
+                       THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+                   ELSE encode(text)
+               END AS payload
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           md5(hex(payload)) AS digest,
+           CASE
+               WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
+               WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+               ELSE 'application/octet-stream'
+           END AS media_type
+    FROM p
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column metadata: size + digest + magic-byte container sniff,
+    all native expressions over synthetic payloads (text bytes + rotating
+    PNG/JPEG magic) so the op is exercisable on the text fixtures."""
+    docs = load_table(spark, sf, "documents")
+    withp = multimodal.binary_from_text(docs, "text", "doc_id")
+    out = multimodal.payload_metadata(withp, "payload", hex_digest=True)
+    return out.select("doc_id", "n_bytes", "digest", "media_type")
+
+
+@query("multimodal_decode")  # rows-only: fake decoder, not SQL-expressible
+def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing over binary payloads (the
+    codec is a deterministic fake — this container has no image libs; the
+    batch shape/schema/partitioning are the real thing)."""
+    docs = load_table(spark, sf, "documents")
+    withp = multimodal.binary_from_text(docs, "text", "doc_id")
+    return multimodal.decode_media_features(withp, "payload", "doc_id")
 
 
 # --- M5: text analysis --------------------------------------------------------
