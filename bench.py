@@ -36,8 +36,10 @@ HEADLINE = [
     "dedup_exact",            # digest dedup
     "dedup_ngram_jaccard",    # inverted-index near-dup join
     "dedup_minhash_lsh",      # signature/banding near-dup (scale path)
+    "dedup_embedding_cosine_lsh",  # bucketed vector near-dup (scale path)
     "ann_bruteforce",         # broadcast top-k similarity
     "text_stats",             # text profiling scan
+    "multimodal_metadata",    # binary payload metadata (native exprs)
 ]
 
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .text import tokens
+
 
 def shingles_from_tokens(toks: Column, n: int) -> Column:
     """Distinct word n-grams from a token-array column.
@@ -52,10 +54,14 @@ def shingles_from_tokens(toks: Column, n: int) -> Column:
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """(doc_id, sh: array<string>) — tokens materialized before shingling."""
+    """(doc_id, sh: array<string>) — tokens materialized before shingling.
+
+    Uses the guarded tokenizer (text.tokens): empty/whitespace-only docs
+    yield ZERO tokens, so n=1 shingling cannot emit a '' shingle that would
+    pair every empty doc with every other empty doc."""
     toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        tokens(F.col(text_col)).alias("__toks"),
     )
     return toked.select(
         "doc_id", shingles_from_tokens(F.col("__toks"), n).alias("sh")
@@ -144,61 +150,49 @@ def ngram_jaccard_pairs(
     trigram appearing in 10⁶ docs would otherwise emit 10¹² pairs from a
     single reducer key.
     """
-    if max_doc_freq is None:
-        # single-pass shape: per-doc set sizes ride inside the bucket structs,
-        # so Jaccard needs zero extra joins after the pair aggregation
-        docs_sh = with_shingles(df, text_col, id_col, n).select(
-            "doc_id", "sh", F.size("sh").alias("n_sh")
-        )
-        posts = docs_sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-        buckets = posts.groupBy("shingle").agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
-        )
-        pairs = intra_bucket_pairs(buckets.select("ds"))
-        inter = pairs.groupBy(
-            F.col("p.a.doc_id").alias("id_a"),
-            F.col("p.a.n_sh").alias("na"),
-            F.col("p.b.doc_id").alias("id_b"),
-            F.col("p.b.n_sh").alias("nb"),
-        ).agg(F.count(F.lit(1)).alias("inter"))
-        return (
-            inter.select(
-                "id_a",
-                "id_b",
-                F.round(
-                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-                ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
-
-    # Capped path: doc frequency is only known after grouping by shingle, so
-    # set sizes are recomputed from the surviving buckets (one extra shuffle
-    # of (doc_id) ints) and joined back onto the candidate pairs. The pair
-    # table is already candidate-pruned when those joins run.
-    posts = with_shingles(df, text_col, id_col, n).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    # Single-pass shape for both modes: per-doc (uncapped) set sizes ride
+    # inside the bucket structs. With a cap, hot buckets are dropped before
+    # pair generation and the embedded sizes are corrected afterwards by a
+    # per-doc hot-shingle count — a table that is EMPTY whenever the cap
+    # never bites, so the capped plan costs the same as the uncapped one
+    # plus two joins against a (usually tiny, AQE-broadcast) correction.
+    docs_sh = with_shingles(df, text_col, id_col, n).select(
+        "doc_id", "sh", F.size("sh").alias("n_sh")
     )
-    kept = (
-        posts.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") <= max_doc_freq)
+    posts = docs_sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    buckets = posts.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
     )
-    sizes = (
-        kept.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pairs = intra_bucket_pairs(kept.select("ds"))
+    if max_doc_freq is not None:
+        hot_counts = (
+            buckets.filter(F.size("ds") > max_doc_freq)
+            .select(F.explode("ds").alias("d"))
+            .groupBy(F.col("d.doc_id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_hot"))
+        )
+        buckets = buckets.filter(F.size("ds") <= max_doc_freq)
+    pairs = intra_bucket_pairs(buckets.select("ds"))
     inter = pairs.groupBy(
-        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+        F.col("p.a.doc_id").alias("id_a"),
+        F.col("p.a.n_sh").alias("na"),
+        F.col("p.b.doc_id").alias("id_b"),
+        F.col("p.b.n_sh").alias("nb"),
     ).agg(F.count(F.lit(1)).alias("inter"))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    if max_doc_freq is not None:
+        ha = hot_counts.select(
+            F.col("doc_id").alias("id_a"), F.col("n_hot").alias("__hot_a")
+        )
+        hb = hot_counts.select(
+            F.col("doc_id").alias("id_b"), F.col("n_hot").alias("__hot_b")
+        )
+        inter = (
+            inter.join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .withColumn("na", F.col("na") - F.coalesce("__hot_a", F.lit(0)))
+            .withColumn("nb", F.col("nb") - F.coalesce("__hot_b", F.lit(0)))
+        )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             F.round(
@@ -222,6 +216,20 @@ def with_hashed_shingles(
     sh = with_shingles(df, text_col, id_col, n)
     return sh.select(
         "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
+
+
+def _signatures_from_hashed_sets(sets: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, sh: array<long>) → (doc_id, signature: array<long>)."""
+    posts = sets.select("doc_id", F.explode("sh").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = posts.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -272,7 +280,14 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # The hashed shingle sets feed BOTH the signatures and the exact-verify
+    # join; persist so the tokenize→shingle→hash DAG executes once, not
+    # three times (signature pass + two verify sides). MEMORY_AND_DISK by
+    # default, so oversized corpora spill instead of OOMing.
+    sets = with_hashed_shingles(df, text_col, id_col, n)
+    if verify_exact:
+        sets = sets.persist()
+    sig = _signatures_from_hashed_sets(sets, num_hashes)
 
     band_rows = sig.select(
         "doc_id",
@@ -312,7 +327,6 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidate pairs: join each side to its (hashed) shingle
     # set and compute exact Jaccard with array_intersect — O(candidates), not
     # the full inverted-index pass (which would defeat the point of LSH).
-    sets = with_hashed_shingles(df, text_col, id_col, n)
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (

@@ -638,7 +638,8 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x != '')) AS BIGINT) AS n_tokens,
            CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
                                 x -> x != '')) +
                 length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
@@ -663,7 +664,9 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH t AS (
         SELECT doc_id, text,
-               string_split_regex(trim(text), '\\s+') AS toks,
+               -- '' guard: DuckDB split of '' yields [''], Spark tokens() []
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x != '') AS toks,
                round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                      / greatest(length(text), 1), 6) AS punct_ratio,
                round(len(list_filter(string_split_regex(trim(text), '\\s+'),
