@@ -31,10 +31,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import cleanse, dedup
+from ..schemas import (
+    PRICECATCHER_ITEMS,
+    PRICECATCHER_PREMISES,
+    PRICECATCHER_PRICES,
+)
 from ..sinks.sqlite import REFERENCE_INDEXES, write_sqlite
 from ..sinks.zipsink import zip_artifact
 from ..sources.cache import SourceCache, pricecatcher_urls
 from ..sources.catalog import discover_months, pick_month
+from ..sources.parquet import _verify_schema
 
 log = logging.getLogger(__name__)
 
@@ -102,10 +108,24 @@ def build_tables(
     (src/main.rs:198,204); enforcement happens in build_artifact via
     assert_unique_key so a duplicate aborts the run like the reference's
     insert unwrap (src/main.rs:42,57).
+
+    Each file's column names/order are verified against the declared
+    PRICECATCHER_* contract before any transform — the reference reads
+    columns by POSITION with schemas living only in comments
+    (src/main.rs:20,30,48), so an upstream reorder would silently corrupt
+    its output; here it aborts loudly at plan time. Source value types stay
+    file-native (codes often arrive as strings/floats); the cleanse stack
+    owns the casts to the contract types.
     """
-    prices = cleanse_prices(spark.read.parquet(str(prices_path)))
-    premises = cleanse_premises(spark.read.parquet(str(premises_path)))
-    items = cleanse_items(spark.read.parquet(str(items_path)))
+    prices_raw = spark.read.parquet(str(prices_path))
+    premises_raw = spark.read.parquet(str(premises_path))
+    items_raw = spark.read.parquet(str(items_path))
+    _verify_schema(PRICECATCHER_PRICES, prices_raw.schema, "prices")
+    _verify_schema(PRICECATCHER_PREMISES, premises_raw.schema, "premises")
+    _verify_schema(PRICECATCHER_ITEMS, items_raw.schema, "items")
+    prices = cleanse_prices(prices_raw)
+    premises = cleanse_premises(premises_raw)
+    items = cleanse_items(items_raw)
     # Flagship (src/main.rs:252-278), deterministic semantics: max date per
     # (premise_code, item_code), price as the documented tie-break.
     latest = dedup.latest_per_group_maxby(

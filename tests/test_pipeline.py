@@ -204,6 +204,26 @@ def test_run_pipeline_offline_with_early_exit(spark, fixture_trio, tmp_path, mon
     assert not r3.skipped and r3.row_counts == r1.row_counts
 
 
+def test_schema_drift_aborts(spark, fixture_trio, tmp_path):
+    """A column reorder upstream aborts at plan time instead of silently
+    corrupting output (the reference reads by position, src/main.rs:20)."""
+    import pyarrow.parquet as pq2
+    from opendosm_parquet_to_sqlite_spark.sources.parquet import SchemaDriftError
+
+    t = pq2.read_table(fixture_trio / "lookup_item.parquet")
+    drifted = t.select([1, 0, 2, 3, 4])  # swap first two columns
+    d = tmp_path / "drift"
+    d.mkdir()
+    pq2.write_table(drifted, d / "lookup_item.parquet")
+    with pytest.raises(SchemaDriftError, match="positional read"):
+        pipeline.build_tables(
+            spark,
+            prices_path=fixture_trio / "pricecatcher_2024-01.parquet",
+            premises_path=fixture_trio / "lookup_premise.parquet",
+            items_path=d / "lookup_item.parquet",
+        )
+
+
 def test_unique_key_violation_aborts(spark, tmp_path):
     """A duplicate dimension key aborts the build — the reference's unique
     index insert unwrap (src/main.rs:42,57)."""
