@@ -15,7 +15,14 @@ from ..operators.cleanse import (  # noqa: F401
     round_f64_to_i64,
     trim_str,
 )
-from ..operators.similarity import cosine, dot, l2_norm, lsh_bucket  # noqa: F401
+from ..operators.multimodal import sniff_media_type  # noqa: F401
+from ..operators.similarity import (  # noqa: F401
+    cosine,
+    dot,
+    l2_norm,
+    lsh_bucket,
+    multi_lsh_buckets,
+)
 from ..operators.text import (  # noqa: F401
     bpe_token_estimate,
     char_count,
