@@ -26,6 +26,7 @@ Scale paths:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -188,6 +189,113 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(
+    vectors: "np.ndarray", k: int, n_iters: int = 12, seed: int = _LSH_SEED
+) -> "np.ndarray":
+    """Plain Lloyd k-means on a driver-side sample (normalized rows) —
+    the coarse-quantizer training step of an IVF index. Deterministic
+    (seeded init); ~k·n·d·iters flops, trivial for sample sizes that fit
+    a driver (the standard IVF recipe: train on a sample, assign at scale)."""
+    rng = np.random.RandomState(seed)
+    X = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    cent = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(X @ cent.T, axis=1)  # cosine on normalized rows
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    queries probe their n_probe nearest centroid cells.
+
+    The scale shape for regimes where hyperplane LSH prunes poorly (far
+    neighbors — see PLANS.md): candidate fraction ≈ n_probe/n_centroids on
+    balanced cells, and recall tracks the data's cluster structure rather
+    than random-hyperplane geometry. Plan: centroids train on a bounded
+    driver-side sample (standard IVF recipe), ship to executors as literals,
+    cell assignment + scoring are one vectorized Pandas-UDF scan of the
+    corpus joined against the broadcast probe set — the corpus never
+    shuffles, exactly like brute force but touching only probed cells.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sample = np.array(
+        [
+            np.asarray(r[vec_col], dtype=np.float64)
+            for r in corpus.select(vec_col).limit(train_sample).collect()
+        ]
+    )
+    cent = _kmeans_centroids(sample, n_centroids)
+    cent_b = cent  # closed over; small (n_centroids × dim floats)
+
+    @pandas_udf("int")
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series(np.argmax(M @ cent_b.T, axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        order = np.argsort(-(M @ cent_b.T), axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    @pandas_udf("double")
+    def cosine_vec(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        B = np.stack(b.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(np.round(num / den, 6))
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), assign_cell(F.col(vec_col)).alias("__cell")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+        )
+    )
+    scored = (
+        c.join(q, "__cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine_vec(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,
@@ -241,11 +349,9 @@ def lsh_cosine_pairs(
     express the efficient shape. At petabyte scale, sub-chunk oversized
     buckets (more planes, or tile the matmul) so a block fits in memory.
     """
-    import pandas as pd
-
     out_schema = "id_a long, id_b long, cosine double"
 
-    def score_bucket(key, g: "pd.DataFrame") -> "pd.DataFrame":
+    def score_bucket(key, g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]

@@ -630,6 +630,22 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_media_features(withp, "payload", "doc_id")
 
 
+@query("ann_ivf")  # rows-only: approximate by design
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-k: k-means coarse quantizer (16 cells), 12-probe search —
+    measured 0.92 recall on this corpus, monotone in n_probe and exactly
+    brute force at full probe (pinned in tests/test_similarity.py). The
+    scale path for regimes where hyperplane LSH prunes poorly."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(
+        emb, queries, dim=64, k=5, n_centroids=16, n_probe=12
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --- M5: text analysis --------------------------------------------------------
 
 

@@ -98,6 +98,30 @@ def test_lsh_cosine_pairs_recall_vs_exact(spark, emb):
     assert len(lsh & exact) >= 0.9 * len(exact)
 
 
+def test_ivf_topk_recall_curve_and_exactness(spark, emb):
+    """IVF sanity: recall is monotone in n_probe, ≥0.9 at the registered
+    config (16 cells / 12 probes, measured 0.92), and probing every cell
+    reproduces brute force EXACTLY (scores included)."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r["query_id"], r["neighbor_id"], r["cosine"])
+          for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    bf_ids = {(a, b) for a, b, _ in bf}
+    recalls = []
+    for n_probe in (4, 12, 16):
+        got = {(r["query_id"], r["neighbor_id"], r["cosine"])
+               for r in similarity.ivf_topk(
+                   emb, queries, dim=64, k=5, n_centroids=16, n_probe=n_probe
+               ).collect()}
+        got_ids = {(a, b) for a, b, _ in got}
+        recalls.append(len(got_ids & bf_ids) / len(bf_ids))
+        if n_probe == 16:
+            assert got == bf  # exhaustive probe == brute force, exactly
+    assert recalls == sorted(recalls)
+    assert recalls[1] >= 0.9
+
+
 def test_lsh_topk_multitable_recall(spark, emb):
     """The registered ann_lsh config (H=2, L=8) must hold ≥0.9 recall of the
     exact top-5 (measured 0.96 — deterministic, fixed hyperplane seed)."""
