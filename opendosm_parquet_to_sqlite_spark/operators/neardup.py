@@ -68,13 +68,6 @@ def with_shingles(
     )
 
 
-def word_shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Single-expression form (convenient, but see shingles_from_tokens PERF
-    note — prefer with_shingles for anything hot)."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return shingles_from_tokens(F.split(F.trim(c), r"\s+"), n)
-
-
 def intra_bucket_pairs(
     grouped: DataFrame, list_col: str = "ds", pair_col: str = "p"
 ) -> DataFrame:
@@ -97,32 +90,6 @@ def intra_bucket_pairs(
         )
     )
     return grouped.select(F.explode(pairs).alias(pair_col))
-
-
-def shingle_postings(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    max_doc_freq: int | None = None,
-) -> DataFrame:
-    """(shingle, doc_id) posting pairs; optionally drop hot shingles.
-
-    max_doc_freq bounds the self-join fanout at scale: a shingle appearing
-    in f docs contributes f² candidate pairs.
-    """
-    posts = with_shingles(df, text_col, id_col, n).select(
-        "doc_id", F.explode("sh").alias("shingle")
-    )
-    if max_doc_freq is not None:
-        hot = (
-            posts.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
-    return posts
 
 
 def ngram_jaccard_pairs(

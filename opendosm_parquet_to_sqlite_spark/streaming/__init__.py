@@ -26,11 +26,13 @@ from .incremental import (
     run_available_now,
     tumbling_window_agg_stream,
 )
+from .pipeline import stream_prices_to_sqlite
 
 __all__ = [
     "dedup_within_watermark",
     "latest_per_key_stream",
     "read_stream_parquet",
     "run_available_now",
+    "stream_prices_to_sqlite",
     "tumbling_window_agg_stream",
 ]
