@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the *shape* of the headline plans is an
+engineered artifact (see PLANS.md) — these tests fail if a future change
+silently degrades a broadcast to a sort-merge join, breaks column pruning,
+or adds an exchange to the flagship aggregate."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from opendosm_parquet_to_sqlite_spark.plans.queries import QUERIES
+
+from .conftest import SF0001
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF0001)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_denorm_all_broadcast_no_fact_shuffle(spark):
+    plan = _plan(spark, "join_star_denorm")
+    # tree lines read "BroadcastHashJoin Inner BuildRight" (the numbered
+    # detail section repeats the operator name, so count the tree form)
+    assert plan.count("BroadcastHashJoin Inner") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only exchanges are the four dimension broadcasts — the fact table
+    # itself is never hash-partitioned
+    assert "Arguments: hashpartitioning" not in plan
+
+
+def test_star_denorm_column_pruning(spark):
+    plan = _plan(spark, "join_star_denorm")
+    # lineitem scan must read only the join keys + projected columns
+    for unused in ("l_quantity", "l_extendedprice", "l_tax", "l_shipdate"):
+        assert unused not in plan
+
+
+def test_flagship_maxby_single_exchange_partial_agg(spark):
+    plan = _plan(spark, "latest_per_group_maxby")
+    # exactly one shuffle, with partial aggregation on the map side
+    # (max_by over a struct compiles to a sort-based aggregate — still
+    # partial+final, so the exchange carries one champion per local group)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("SortAggregate") >= 2  # partial + final
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(spark, "pricing_summary")
+    # one shuffle between partial and final hash aggregates
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+    # unreferenced lineitem columns must not be read
+    assert "l_shipdate" not in plan
+
+
+def test_ann_bruteforce_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, "ann_bruteforce")
+    assert "BroadcastExchange" in plan
+    # query-side predicate pushed to the parquet scan
+    assert "LessThan(vec_id,10)" in plan.replace(" ", "").replace("\n", "") or \
+        "LessThan(vec_id, 10)" in plan
+    # corpus is never hash-shuffled; only the tiny top-k rows exchange
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark):
+    plan = _plan(spark, "dedup_exact")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2  # partial md5-group map-side
