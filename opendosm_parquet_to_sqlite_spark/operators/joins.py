@@ -52,3 +52,32 @@ def star_denorm(
     for dim, key in dims:
         out = join_fact_dim(out, dim, key, how=how)
     return out
+
+
+def salted_join(
+    fact: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the fact key, replicate the right side.
+
+    For a right side too big to broadcast joined on a key where a handful
+    of values dominate the fact (the celebrity-user / null-bucket problem):
+    a plain shuffle join lands a hot key's entire fact volume on ONE
+    reducer. Salting splits each fact key into `salt_factor` sub-keys
+    (random salt) and replicates each right row across all sub-keys
+    (explode), so a hot key's rows spread over `salt_factor` reducers at
+    the cost of a `salt_factor`× right-side shuffle. AQE's skew-join
+    splitting handles moderate skew automatically; explicit salting is for
+    the pathological keys AQE can't subdivide (single-key hash buckets).
+
+    Same result set as `fact.join(right, key)` — pinned by test.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed=7) * salt_factor).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    return salted_fact.join(salted_right, on=[key, "__salt"]).drop("__salt")
