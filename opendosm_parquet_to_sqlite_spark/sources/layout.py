@@ -1,0 +1,67 @@
+"""Physical data layout for scale: partitioned writes + bucketed tables.
+
+The reference's 'layout' is one parquet file per month selected by URL
+template (/root/reference/src/main.rs:233-238) — partition pruning done by
+hand in string formatting. The engine equivalents:
+
+- write_partitioned_by_month / read_months: hive-style month=YYYY-MM
+  directory layout. A month filter becomes a PartitionFilter at plan time:
+  non-selected months are never listed, opened, or read. At 100 TB x
+  years-of-months this is the difference between scanning one month and
+  scanning everything (the reference's manual URL selection, generalized
+  and pushed into the planner).
+- write_bucketed / bucketed tables: pre-shuffle both sides of a recurring
+  equi-join ONCE at write time (hash-bucketed by join key). Joins between
+  tables bucketed on the same key with the same bucket count execute with
+  ZERO exchanges — the shuffle is amortized into the layout. This is the
+  at-scale answer when a dimension outgrows broadcast (SURVEY §2.3 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MONTH_COL = "month"
+
+
+def write_partitioned_by_month(
+    df: DataFrame, path: str, ts_col: str, mode: str = "overwrite"
+) -> None:
+    """Write parquet hive-partitioned by month=YYYY-MM derived from ts_col."""
+    (
+        df.withColumn(MONTH_COL, F.date_format(F.col(ts_col), "yyyy-MM"))
+        .write.mode(mode)
+        .partitionBy(MONTH_COL)
+        .parquet(path)
+    )
+
+
+def read_months(spark: SparkSession, path: str, months: list[str]) -> DataFrame:
+    """Read only the named months — the filter lands as a PartitionFilter
+    (verify with .explain: 'PartitionFilters: [month IN (...)]'), so
+    unselected months cost zero IO and zero file listings beyond pruning."""
+    df = spark.read.parquet(path)
+    return df.filter(F.col(MONTH_COL).isin(months))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist df as a bucketed (and optionally sorted) table on `key`.
+
+    Subsequent equi-joins/aggregations on `key` between tables bucketed
+    with the SAME key and bucket count need no exchange (and no sort, when
+    sorted): the write paid the shuffle once for every future query.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -1,0 +1,80 @@
+"""Layout tests: partition pruning and bucketed zero-exchange joins —
+asserted on the PHYSICAL PLAN, not just results."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.sources.layout import (
+    read_months,
+    write_bucketed,
+    write_partitioned_by_month,
+)
+from opendosm_parquet_to_sqlite_spark.sources.parquet import load_table
+
+from .conftest import SF0001
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partition_pruning_reads_only_selected_months(spark, tmp_path):
+    ev = load_table(spark, SF0001, "events")
+    path = str(tmp_path / "events_by_month")
+    write_partitioned_by_month(ev, path, "ts")
+
+    one = read_months(spark, path, ["2024-01"])
+    plan = _plan(one)
+    assert "PartitionFilters" in plan and "month" in plan
+
+    # pruned result equals a full-scan filter (correctness), and the month
+    # count matches the raw data (completeness)
+    expected = ev.filter(F.date_format("ts", "yyyy-MM") == "2024-01").count()
+    assert expected > 0
+    assert one.count() == expected
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """Two tables bucketed on the same key join with no shuffle at all —
+    the layout paid it once at write time."""
+    li = load_table(spark, SF0001, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    ords = load_table(spark, SF0001, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    # the fixture tables are small enough to auto-broadcast, which would
+    # bypass the bucketed path entirely — disable broadcast to exercise the
+    # layout the way a fact-fact join at scale would hit it
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(li, "b_lineitem", "l_orderkey", 8,
+                       path=str(tmp_path / "b_li"))
+        write_bucketed(ords, "b_orders", "l_orderkey", 8,
+                       path=str(tmp_path / "b_ord"))
+        a = spark.table("b_lineitem")
+        b = spark.table("b_orders")
+        joined = a.join(b, "l_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither side shuffles
+        assert "Bucketed: true" in plan
+        # correctness vs the unbucketed join
+        assert joined.count() == li.join(ords, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
