@@ -68,6 +68,43 @@ def uniqueness_report(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def profile_nulls(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Data-quality profile: null count per column in ONE scan (one agg, no
+    per-column jobs). The training-pipeline pre-flight check — at 100 TB a
+    per-column loop would re-scan the table N times; this is a single pass
+    with partial aggregation."""
+    use = cols or df.columns
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in use
+    ] + [F.count(F.lit(1)).alias("n_rows")]
+    return df.agg(*aggs)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic top-k rows per group (the flagship's k=1 generalized).
+
+    row_number over (group, order DESC): Spark's WindowGroupLimit prunes to
+    k rows per group BEFORE the exchange, so the shuffle carries at most
+    k·groups rows per partition."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(order_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,

@@ -412,6 +412,71 @@ def q_window_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "profile_nulls",
+    """
+    SELECT CAST(sum(CASE WHEN premise IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_premise,
+           CAST(sum(CASE WHEN address IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_address,
+           CAST(sum(CASE WHEN state IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_state,
+           count(*) AS n_rows
+    FROM (SELECT p_name AS premise, p_type AS address, p_brand AS state
+          FROM part)
+    """,
+)
+def q_profile_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass per-column null profile (data-quality pre-flight)."""
+    part = load_table(spark, sf, "part").select(
+        F.col("p_name").alias("premise"),
+        F.col("p_type").alias("address"),
+        F.col("p_brand").alias("state"),
+    )
+    return aggregates.profile_nulls(part)
+
+
+@query(
+    "topk_per_group",
+    f"""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_str, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC
+        ) AS BIGINT) AS rank
+        FROM events
+    ) WHERE rank <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 most recent events per (user, type) — the flagship generalized
+    to k rows; WindowGroupLimit prunes pre-shuffle."""
+    ev = load_table(spark, sf, "events")
+    out = aggregates.top_k_per_group(
+        ev, ["user_id", "event_type"], "ts", k=3, tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"), "rank",
+    )
+
+
+@query(
+    "dedup_keep_first",
+    """
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+      USING (doc_id)
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Surviving rows after exact dedup (min doc_id per content digest) —
+    a left-semi join against the digest winners, full payload preserved."""
+    docs = load_table(spark, sf, "documents")
+    kept = dedup.exact_dedup_keep_first(docs, "text", "doc_id")
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+@query(
     "json_extract",
     """
     SELECT event_type,
