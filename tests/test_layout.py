@@ -6,7 +6,6 @@ from __future__ import annotations
 import contextlib
 import io
 
-import pytest
 from pyspark.sql import functions as F
 
 from opendosm_parquet_to_sqlite_spark.sources.layout import (

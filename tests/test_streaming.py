@@ -102,6 +102,29 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(ids) == len(set(ids)) == 200
 
 
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """A duplicate key arriving in a LATER microbatch (within the watermark
+    horizon) is dropped — the state store carries dedup keys across
+    batches, not just within one."""
+    ev = load_table(spark, SF0001, "events").limit(50)
+    src = str(tmp_path / "xbatch_src")
+    ev.coalesce(1).write.parquet(src)                      # batch 1
+    ev.limit(20).coalesce(1).write.mode("append").parquet(src)  # batch 2: dups
+    sdf = read_stream_parquet(spark, src, ev.schema, max_files_per_trigger=1)
+    out = dedup_within_watermark(sdf, ["event_id"], "ts", delay="30 days")
+    rows, batches = [], []
+
+    def sink(df, bid):
+        got = df.collect()
+        batches.append(len(got))
+        rows.extend(got)
+
+    run_available_now(out, str(tmp_path / "ckpt5"), sink, output_mode="append")
+    ids = [r["event_id"] for r in rows]
+    assert len(batches) >= 2          # the files really were separate batches
+    assert sorted(ids) == sorted({r["event_id"] for r in ev.collect()})
+
+
 def test_streaming_window_agg_matches_batch(spark, tmp_path):
     src, schema = _events_dir(spark, tmp_path, n_files=2)
     sdf = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
