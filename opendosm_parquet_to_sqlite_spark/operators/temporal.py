@@ -1,0 +1,106 @@
+"""Temporal joins Spark lacks as primitives: as-of join and range join.
+
+Neither exists in the reference (its only temporal logic is the date-string
+truncation, src/main.rs:23) nor as a Spark SQL primitive — but both are
+bread-and-butter for event/price analytics, so the engine provides them as
+COMPOSITIONS of built-in operators (SURVEY §7-style: composition first,
+Pandas fallback never needed here).
+
+- asof_join: for each probe row, the latest right row with ts <= probe ts
+  per key. Implemented as the union-and-carry-forward trick: tag both
+  sides, union, one hash shuffle on the key, in-partition sort by
+  (ts, side), then last(ignorenulls) carries each right payload forward to
+  the probes that follow it. ONE exchange + one sort — same cost shape as
+  the flagship window dedup, scales identically. (A join formulation would
+  need a non-equi theta join → BNLJ, O(n·m).)
+- range_join_bins: pair ranges [start, end] with points ts where
+  start <= ts <= end, WITHOUT a cartesian product: ranges explode to the
+  fixed-width time bins they span, points map to their single bin, and the
+  pairing is a plain equi-join on bin + exact boundary filter. Each
+  (range, point) candidate appears exactly once (the point's own bin), so
+  no dedup pass. Candidate volume is |points| + Σ range_spans/bin_width,
+  and the shuffle partitions by bin — time-local, skew-resistant for
+  roughly uniform event rates. Pick bin_width ≈ typical range length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    probes: DataFrame,
+    events: DataFrame,
+    on: list[str],
+    probe_ts: str,
+    event_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join (probe matches latest event at-or-before its ts).
+
+    probes keeps all its columns; payload_cols from events arrive as
+    `asof_<col>` (null when no event precedes the probe). Events sharing an
+    exact (key, ts) must be pre-deduplicated by the caller for determinism
+    (e.g. latest_per_group on (key, ts)).
+    """
+    probe_cols = probes.columns
+    l = probes.select(
+        *probe_cols,
+        F.col(probe_ts).alias("__t"),
+        F.lit(1).alias("__probe"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(f"asof_{c}")
+          for c in payload_cols],
+    )
+    r = events.select(
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c)
+          if c not in on else F.col(c)
+          for c in probe_cols],
+        F.col(event_ts).alias("__t"),
+        F.lit(0).alias("__probe"),
+        *[F.col(c).alias(f"asof_{c}") for c in payload_cols],
+    )
+    u = l.unionByName(r)
+    # events sort before probes at equal ts → ties count as "at-or-before"
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u
+    for c in payload_cols:
+        filled = filled.withColumn(
+            f"asof_{c}", F.last(F.col(f"asof_{c}"), ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("__probe") == 1).drop("__t", "__probe")
+
+
+def range_join_bins(
+    ranges: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bin_width_seconds: int = 86_400,
+) -> DataFrame:
+    """Equi-join re-formulation of `start <= ts <= end` (see module doc).
+
+    Returns ranges ⋈ points rows (inner); callers project/aggregate. Both
+    inputs keep all their columns; name collisions must be resolved by the
+    caller beforehand.
+    """
+    w = F.lit(bin_width_seconds).cast("long")
+
+    def to_bin(c: Column) -> Column:
+        return (c.cast("timestamp").cast("long") / w).cast("long")
+
+    r = ranges.withColumn(
+        "__bin",
+        F.explode(F.sequence(to_bin(F.col(start_col)), to_bin(F.col(end_col)))),
+    )
+    p = points.withColumn("__bin", to_bin(F.col(ts_col)))
+    joined = r.join(p, "__bin").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("__bin")

@@ -28,6 +28,7 @@ from ..operators import (
     multimodal,
     neardup,
     similarity,
+    temporal,
     text,
 )
 from ..sources.parquet import load_table
@@ -488,6 +489,86 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     k = F.get_json_object("props", "$.k").try_cast("long")
     return ev.groupBy("event_type").agg(F.round(F.avg(k), 4).alias("avg_k"))
+
+
+# --- temporal joins (no Spark primitive; composed — operators/temporal.py) ----
+
+
+@query(
+    "asof_join",
+    f"""
+    WITH r AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC
+            ) AS rn FROM events
+        ) WHERE rn = 1
+    ), p AS (
+        SELECT event_id AS probe_id, user_id,
+               ts + INTERVAL 30 MINUTE AS pts
+        FROM events WHERE event_id % 7 = 0
+    )
+    SELECT p.probe_id, p.user_id,
+           strftime(p.pts, '{TS_FMT_DUCK}') AS pts_str,
+           r.event_id AS asof_event_id, r.value AS asof_value
+    FROM p ASOF LEFT JOIN r
+      ON p.user_id = r.user_id AND p.pts >= r.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join: for each probe (event ts + 30 min), the latest
+    event at-or-before it per user. Union-and-carry-forward composition —
+    one exchange + one sort; oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf, "events")
+    right = dedup.latest_per_group_maxby(ev, ["user_id", "ts"], "event_id")
+    probes = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        F.expr("ts + INTERVAL 30 MINUTES").alias("pts"),
+    )
+    out = temporal.asof_join(
+        probes, right.select("user_id", "ts", "event_id", "value"),
+        on=["user_id"], probe_ts="pts", event_ts="ts",
+        payload_cols=["event_id", "value"],
+    )
+    return out.select(
+        "probe_id",
+        "user_id",
+        F.date_format("pts", TS_FMT_SPARK).alias("pts_str"),
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+    )
+
+
+@query(
+    "range_join",
+    """
+    WITH ranges AS (
+        SELECT event_id AS range_id, ts AS start_ts,
+               ts + INTERVAL 1 HOUR AS end_ts
+        FROM events WHERE event_id % 101 = 0
+    )
+    SELECT range_id, count(*) AS n_in_range
+    FROM ranges r JOIN events e
+      ON e.ts >= r.start_ts AND e.ts <= r.end_ts
+    GROUP BY range_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-containment join via time-bin equi-join (no cartesian/BNLJ):
+    events in the hour following each sampled event. Oracle is the naive
+    inequality join."""
+    ev = load_table(spark, sf, "events")
+    ranges = ev.filter(F.col("event_id") % 101 == 0).select(
+        F.col("event_id").alias("range_id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 1 HOUR").alias("end_ts"),
+    )
+    joined = temporal.range_join_bins(
+        ranges, ev.select("ts"), "start_ts", "end_ts", "ts",
+        bin_width_seconds=3600,
+    )
+    return joined.groupBy("range_id").agg(F.count(F.lit(1)).alias("n_in_range"))
 
 
 # --- M5: dedup family ---------------------------------------------------------

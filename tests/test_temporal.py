@@ -1,0 +1,100 @@
+"""Unit tests for the composed temporal joins (as-of, range-bin)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import temporal
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_no_match(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T12:00:00"), 120.0),
+            (2, _ts("2024-01-01T11:00:00"), 200.0),
+        ],
+        ["key", "ts", "price"],
+    )
+    probes = spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-01T11:30:00")),  # between → 10:00 row
+            (11, 1, _ts("2024-01-01T12:00:00")),  # exact tie → 12:00 row
+            (12, 2, _ts("2024-01-01T09:00:00")),  # before any → null
+            (13, 3, _ts("2024-01-01T12:00:00")),  # unseen key → null
+        ],
+        ["probe_id", "key", "pts"],
+    )
+    out = {
+        r["probe_id"]: r["asof_price"]
+        for r in temporal.asof_join(
+            probes, events, on=["key"], probe_ts="pts", event_ts="ts",
+            payload_cols=["price"],
+        ).collect()
+    }
+    assert out == {10: 100.0, 11: 120.0, 12: None, 13: None}
+
+
+def test_asof_join_keeps_probe_payload_and_count(spark):
+    events = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 1.0)], ["key", "ts", "price"]
+    )
+    probes = spark.createDataFrame(
+        [(i, 1, _ts(f"2024-01-0{1 + i % 3}T05:00:00"), f"p{i}") for i in range(9)],
+        ["probe_id", "key", "pts", "tag"],
+    )
+    out = temporal.asof_join(
+        probes, events, ["key"], "pts", "ts", ["price"]
+    )
+    assert out.count() == 9  # exactly one row per probe, never duplicated
+    assert set(out.columns) == {"probe_id", "key", "pts", "tag", "asof_price"}
+
+
+def test_range_join_bins_boundaries_inclusive(spark):
+    ranges = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
+        ["range_id", "start_ts", "end_ts"],
+    )
+    points = spark.createDataFrame(
+        [
+            (_ts("2024-01-01T09:59:59"),),  # out (before)
+            (_ts("2024-01-01T10:00:00"),),  # in (start boundary)
+            (_ts("2024-01-01T10:30:00"),),  # in
+            (_ts("2024-01-01T11:00:00"),),  # in (end boundary)
+            (_ts("2024-01-01T11:00:01"),),  # out (after)
+        ],
+        ["ts"],
+    )
+    out = temporal.range_join_bins(
+        ranges, points, "start_ts", "end_ts", "ts", bin_width_seconds=600
+    )
+    assert out.count() == 3
+
+
+def test_range_join_result_independent_of_bin_width(spark):
+    """Bin width is a perf knob, never a semantics knob: each candidate
+    pair appears in exactly one bin for any width."""
+    ranges = spark.createDataFrame(
+        [(i, _ts(f"2024-01-01T{8 + i:02d}:00:00"),
+          _ts(f"2024-01-01T{10 + i:02d}:30:00")) for i in range(5)],
+        ["range_id", "start_ts", "end_ts"],
+    )
+    points = spark.createDataFrame(
+        [(_ts(f"2024-01-01T{h:02d}:{m:02d}:00"),)
+         for h in range(6, 20) for m in (0, 17, 45)],
+        ["ts"],
+    )
+    results = []
+    for width in (60, 3600, 86_400):
+        out = temporal.range_join_bins(
+            ranges, points, "start_ts", "end_ts", "ts", bin_width_seconds=width
+        )
+        results.append(sorted((r["range_id"], r["ts"]) for r in out.collect()))
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
