@@ -105,6 +105,71 @@ def top_k_per_group(
     )
 
 
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Session-window aggregate: events per key merge while consecutive
+    gaps are <= `gap` (Spark merges at exactly the gap; strictly greater
+    starts a new session). Emits (keys, session_start, n_events[, avg]).
+
+    Scale shape: session_window is a single hash exchange on the keys with
+    in-partition session merging — state is bounded per key, and the same
+    expression runs under Structured Streaming with a watermark for the
+    live path. Oracle-expressible via gaps-and-islands SQL.
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.avg(value_col), 4).alias("avg_value"))
+    return (
+        df.groupBy(w, *key_cols)
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            *(["avg_value"] if value_col is not None else []),
+        )
+    )
+
+
+def sketch_distinct(
+    df: DataFrame, group_cols: list[str], target_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Approximate distinct count per group via HyperLogLog++
+    (approx_count_distinct). The sketch is fixed-size (~1.5/rsd² bytes) and
+    merges associatively, so the shuffle carries one small sketch per
+    (mapper, group) regardless of cardinality — the 100 TB answer when an
+    exact count_distinct would shuffle every distinct value. Error bound
+    is pinned by test (|approx-exact|/exact within ~3·rsd)."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(target_col, rsd=rsd).alias("approx_distinct")
+    )
+
+
+def sketch_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float] = (0.5, 0.95, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Approximate quantiles per group (percentile_approx / KLL-style
+    sketch): mergeable fixed-size state instead of a full sort. Rank error
+    <= 1/accuracy — test-pinned against exact percentiles."""
+    return df.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probs]), accuracy
+        ).alias("quantiles")
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,

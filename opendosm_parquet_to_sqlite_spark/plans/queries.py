@@ -477,6 +477,52 @@ def q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "session_window",
+    """
+    WITH flag AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flag
+    )
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — merged-gap
+    semantics match the gaps-and-islands oracle exactly; the same
+    expression runs under Structured Streaming with a watermark."""
+    ev = load_table(spark, sf, "events")
+    return aggregates.session_agg(ev, "ts", ["user_id"], gap="30 minutes")
+
+
+@query("sketch_distinct")  # rows-only: HLL sketch is implementation-defined
+def q_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — fixed-size mergeable
+    sketch instead of shuffling every distinct value; error bound pinned
+    in tests/test_sketches.py."""
+    ev = load_table(spark, sf, "events")
+    return aggregates.sketch_distinct(ev, ["event_type"], "user_id")
+
+
+@query("sketch_quantiles")  # rows-only: approx sketch, engine-specific
+def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate p50/p95/p99 of value per event type via a mergeable
+    quantile sketch (no global sort); rank-error bound pinned in tests."""
+    ev = load_table(spark, sf, "events")
+    return aggregates.sketch_quantiles(ev, ["event_type"], "value")
+
+
+@query(
     "json_extract",
     """
     SELECT event_type,

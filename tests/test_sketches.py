@@ -1,0 +1,67 @@
+"""Error-bound tests for the sketch aggregates (rows-only in the driver
+gate — their accuracy contract is pinned here instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import aggregates
+from opendosm_parquet_to_sqlite_spark.sources.parquet import load_table
+
+from .conftest import SF0001
+
+
+def test_sketch_distinct_within_error_bound(spark):
+    ev = load_table(spark, SF0001, "events")
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in aggregates.sketch_distinct(ev, ["event_type"], "user_id",
+                                            rsd=0.02).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.06 * exact[k], 2)  # ~3·rsd
+
+
+def test_sketch_quantiles_rank_error(spark):
+    ev = load_table(spark, SF0001, "events")
+    approx = {
+        r["event_type"]: r["quantiles"]
+        for r in aggregates.sketch_quantiles(
+            ev, ["event_type"], "value", probs=(0.5, 0.95), accuracy=10_000
+        ).collect()
+    }
+    # verify each approx quantile's actual rank is within 1% of its target
+    for etype, (q50, q95) in approx.items():
+        sub = ev.filter(F.col("event_type") == etype)
+        n = sub.count()
+        for target, q in ((0.5, q50), (0.95, q95)):
+            rank = sub.filter(F.col("value") <= q).count() / n
+            assert abs(rank - target) <= 0.01 + 1.0 / n
+
+
+def test_session_agg_merges_at_gap_boundary(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0)),
+        (1, datetime(2024, 1, 1, 10, 30, 0)),   # exactly the gap → merges
+        (1, datetime(2024, 1, 1, 11, 0, 1)),    # 1s past the gap → new
+        (2, datetime(2024, 1, 1, 9, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in aggregates.session_agg(df, "ts", ["user_id"], "30 minutes").collect()
+    )
+    assert out == [
+        (1, "2024-01-01 10:00:00", 2),
+        (1, "2024-01-01 11:00:01", 1),
+        (2, "2024-01-01 09:00:00", 1),
+    ]
