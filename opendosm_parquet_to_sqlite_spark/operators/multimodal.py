@@ -60,6 +60,41 @@ def sniff_media_type(payload: Column) -> Column:
     )
 
 
+def _le_uint(payload: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned int from payload bytes [pos, pos+nbytes)
+    (1-based pos), as a native expression: hex the slice, reverse the byte
+    pairs, parse base-16. No Python, runs in codegen."""
+    h = F.hex(F.substring(payload, pos, nbytes))
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+
+def wav_metadata(df: DataFrame, payload_col: str) -> DataFrame:
+    """Typed audio metadata from a canonical RIFF/WAVE header — entirely
+    native expressions (the header is a fixed-layout struct, so 'decoding'
+    it needs byte surgery, not a codec): channels, sample rate, bits per
+    sample, and duration derived from the data-chunk size. Non-WAV payloads
+    yield nulls. Assumes the canonical 44-byte header (fmt chunk first) —
+    exotic chunk orders belong to the mapInPandas decoder path."""
+    p = F.col(payload_col)
+    is_wav = sniff_media_type(p) == "audio/wav"
+    channels = _le_uint(p, 23, 2)
+    rate = _le_uint(p, 25, 4)
+    bits = _le_uint(p, 35, 2)
+    data_size = _le_uint(p, 41, 4)
+    bytes_per_sec = rate * channels * (bits / F.lit(8))
+    duration_ms = F.round(data_size * 1000 / bytes_per_sec).cast("long")
+    null_l = F.lit(None).cast("long")
+    return df.withColumns(
+        {
+            "wav_channels": F.when(is_wav, channels).otherwise(null_l),
+            "wav_sample_rate": F.when(is_wav, rate).otherwise(null_l),
+            "wav_bits": F.when(is_wav, bits).otherwise(null_l),
+            "wav_duration_ms": F.when(is_wav, duration_ms).otherwise(null_l),
+        }
+    )
+
+
 def payload_metadata(
     df: DataFrame, payload_col: str, hex_digest: bool = False
 ) -> DataFrame:

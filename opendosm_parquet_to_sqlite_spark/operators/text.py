@@ -121,6 +121,25 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def term_stats(
+    df: DataFrame, text_col: str, id_col: str, min_term_freq: int = 1
+) -> DataFrame:
+    """Corpus vocabulary statistics: (term, term_freq, doc_freq) for
+    lowercased whitespace tokens — the tokenizer-training / stopword-mining
+    pre-pass. One explode + one hash aggregate; doc_freq via
+    count(DISTINCT id) per term. min_term_freq prunes the long tail
+    DETERMINISTICALLY (a top-k cut would tie-break arbitrarily)."""
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+    )
+    out = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    return out.filter(F.col("term_freq") >= min_term_freq)
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-pass per-document profile: all metrics as a narrow projection."""
     c = F.col(text_col)

@@ -936,6 +936,29 @@ def q_text_lang(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_top_terms",
+    """
+    SELECT term, count(*) AS term_freq,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x != ''),
+                   x -> lower(x))) AS term
+        FROM documents
+    )
+    GROUP BY term HAVING count(*) >= 50
+    """,
+)
+def q_text_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary statistics (term freq + doc freq, min-freq pruned) — the
+    tokenizer-training / stopword-mining pre-pass."""
+    docs = load_table(spark, sf, "documents")
+    return text.term_stats(docs, "text", "doc_id", min_term_freq=50)
+
+
+@query(
     "text_fingerprint",
     """
     SELECT doc_id,

@@ -89,6 +89,37 @@ def test_resize_image_deterministic(spark, media):
     assert all(len(bytes(r["resized"])) == 32 * 32 for r in a)
 
 
+def _wav_bytes(channels=2, rate=44100, bits=16, n_frames=44100) -> bytes:
+    """Canonical 44-byte PCM WAV header + silent data."""
+    import struct
+
+    data_size = n_frames * channels * bits // 8
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * channels * bits // 8,
+                                channels * bits // 8, bits)
+        + b"data" + struct.pack("<I", data_size) + b"\x00" * min(data_size, 64)
+    )
+
+
+def test_wav_metadata_native_parse(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _wav_bytes(channels=2, rate=44100, bits=16, n_frames=44100)),
+            (2, _wav_bytes(channels=1, rate=16000, bits=8, n_frames=8000)),
+            (3, b"not a wav at all"),
+        ],
+        ["id", "payload"],
+    )
+    out = {r["id"]: r for r in multimodal.wav_metadata(df, "payload").collect()}
+    assert (out[1]["wav_channels"], out[1]["wav_sample_rate"],
+            out[1]["wav_bits"], out[1]["wav_duration_ms"]) == (2, 44100, 16, 1000)
+    assert (out[2]["wav_channels"], out[2]["wav_sample_rate"],
+            out[2]["wav_bits"], out[2]["wav_duration_ms"]) == (1, 16000, 8, 500)
+    assert out[3]["wav_channels"] is None and out[3]["wav_duration_ms"] is None
+
+
 def test_binary_from_text_rotating_magic(spark):
     df = spark.createDataFrame(
         [(0, "zero"), (1, "one"), (2, "two")], ["doc_id", "text"]
