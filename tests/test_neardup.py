@@ -76,6 +76,27 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
 
 
+def test_simhash_banding_pigeonhole_complete(spark, docs):
+    """Pigeonhole guarantee: EVERY pair within max_hamming shares at least
+    one identical chunk, so the banded join must find exactly the pairs a
+    brute-force fingerprint comparison finds."""
+    sub = docs.limit(120)
+    fps = {r["doc_id"]: r["simhash"]
+           for r in neardup.simhash(sub, "text", "doc_id", n=1).collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 8
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.simhash_pairs(sub, "text", "doc_id",
+                                       max_hamming=8, n=1).collect()
+    }
+    assert banded == brute
+
+
 def test_cap_semantics_filtered_universe(spark):
     """With a cap, Jaccard is exact over the filtered shingle universe:
     hot shingles leave the intersections AND the set sizes."""
