@@ -302,6 +302,25 @@ def q_star_denorm(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "join_salted",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted equi-join — same result set as the plain join (the salt
+    cancels out), but a pathologically hot key spreads over salt_factor
+    reducers. Oracle is the unsalted join."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").withColumnRenamed("p_partkey", "l_partkey")
+    out = joins.salted_join(li, part.select("l_partkey", "p_name", "p_brand"),
+                            "l_partkey", salt_factor=8)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.col("l_partkey"), "p_name", "p_brand")
+
+
 # --- §2.4/§2.5 aggregations & sorts ------------------------------------------
 
 
