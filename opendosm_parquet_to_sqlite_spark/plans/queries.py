@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     aggregates,
     cleanse,
+    corpus,
     dedup,
     joins,
     multimodal,
@@ -744,6 +745,70 @@ def q_dedup_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_cosine_pairs(
         emb, threshold=0.4, dim=64, n_planes=2, n_tables=6
     )
+
+
+@query(
+    "corpus_clean",
+    f"""
+    WITH q AS (
+        SELECT doc_id, text, lang, n_chars,
+               round((least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                            x -> x != '')) / 64.0, 1.0)
+                  + (1.0 - least(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                                       / greatest(length(text), 1), 6) * 4, 1.0))
+                  + (1.0 - least(abs(round(len(list_filter(
+                          list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''),
+                          x -> list_contains(['the','a','of','and','to','in','is'], lower(x))))
+                          / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                     x -> x != '')), 1), 6) - 0.4), 1.0)))
+                 / 3.0, 6) AS quality
+        FROM documents
+    ), gated AS (
+        SELECT * FROM q WHERE quality >= 0.5
+    ), exact_kept AS (
+        SELECT g.* FROM gated g
+        JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)) k
+          USING (doc_id)
+    ), posts AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM exact_kept)
+    ), keep AS (
+        SELECT shingle FROM posts GROUP BY shingle
+        HAVING count(*) <= {_JACCARD_MAX_DF}
+    ), pf AS (
+        SELECT doc_id, shingle FROM posts JOIN keep USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM pf GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM pf a JOIN pf b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), losers AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.3
+    )
+    SELECT doc_id, lang, n_chars FROM exact_kept
+    ANTI JOIN losers USING (doc_id)
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPOSED training-data cleaning pipeline (quality gate → exact
+    dedup → capped near-dup sweep) verified end-to-end against a DuckDB
+    re-statement of the whole composition — the property that matters for
+    a pipeline is that the composition is right, not just each stage."""
+    docs = load_table(spark, sf, "documents")
+    out = corpus.clean_corpus(
+        docs, "text", "doc_id",
+        min_quality=0.5, ngram_n=3, jaccard_threshold=0.3,
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
+    return out.select("doc_id", "lang", "n_chars")
 
 
 # --- M5: similarity search ----------------------------------------------------

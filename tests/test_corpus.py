@@ -1,0 +1,45 @@
+"""Corpus-cleaning composition properties (the oracle hash check runs in
+the driver gate; these pin the invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import corpus, neardup, text
+from opendosm_parquet_to_sqlite_spark.sources.parquet import load_table
+
+from .conftest import SF0001
+
+
+def test_clean_corpus_invariants(spark):
+    docs = load_table(spark, SF0001, "documents")
+    out = corpus.clean_corpus(docs, "text", "doc_id", min_quality=0.5)
+    out.cache()
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+    # survivors are a subset of the input, payload intact
+    assert out.join(docs, on=list(docs.columns), how="left_anti").count() == 0
+    # every survivor clears the quality gate
+    assert out.filter(text.quality_score(F.col("text")) < 0.5).count() == 0
+    # no exact duplicates remain
+    assert out.select(F.md5("text")).distinct().count() == n_out
+    # no near-dup pair above threshold remains among survivors
+    remaining_pairs = neardup.ngram_jaccard_pairs(
+        out, "text", "doc_id", n=3, threshold=0.3, max_doc_freq=50
+    )
+    assert remaining_pairs.count() == 0
+    out.unpersist()
+
+
+def test_clean_corpus_keeps_min_id_of_dup_group(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    df = spark.createDataFrame(
+        [(5, base), (2, base), (9, base + " extra"), (1, "a completely different "
+          "document about the weather and the sea and the sky today")],
+        ["doc_id", "text"],
+    )
+    out = sorted(r["doc_id"] for r in
+                 corpus.clean_corpus(df, "text", "doc_id",
+                                     min_quality=0.0).collect())
+    # 2 survives its exact-dup group {2,5}; 9 (near-dup of 2) removed; 1 kept
+    assert out == [1, 2]
