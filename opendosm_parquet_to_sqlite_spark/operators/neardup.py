@@ -234,6 +234,109 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) — each signature split into `bands` hashed
+    band keys (variadic xxhash64 over the band's slots, long-only)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(
+                                    F.col("signature"), b * rows_per_band + j + 1
+                                )
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def build_neardup_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable MinHash dedup index: (band_table, shingle_sets).
+
+    band_table: (doc_id, band, bucket) — the LSH postings; write it
+    partitioned/bucketed by (band, bucket) and new data probes it with an
+    equi-join, never touching the corpus text again. shingle_sets:
+    (doc_id, sh array<long>) for the exact-verify stage. Both are plain
+    DataFrames — save as parquet, reload anywhere. This is the
+    incremental-ingest shape: indexing N new docs costs O(N), not
+    O(corpus), per batch.
+    """
+    sets = with_hashed_shingles(df, text_col, id_col, n)
+    sig = _signatures_from_hashed_sets(sets, num_hashes)
+    assert num_hashes % bands == 0
+    return _band_rows(sig, bands, num_hashes // bands), sets
+
+
+def probe_neardup_index(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dups of new_docs AGAINST the index: (new_id, index_id, jaccard).
+
+    New docs are shingled/hashed/banded with the SAME parameters, band
+    rows equi-join the index postings, and only colliding pairs are
+    exact-verified against the stored shingle sets. Cost scales with the
+    probe batch + collisions — the indexed corpus is never rescanned.
+    """
+    assert num_hashes % bands == 0
+    new_sets = with_hashed_shingles(new_docs, text_col, id_col, n).persist()
+    new_sig = _signatures_from_hashed_sets(new_sets, num_hashes)
+    new_bands = _band_rows(new_sig, bands, num_hashes // bands)
+    candidates = (
+        new_bands.select(F.col("doc_id").alias("new_id"), "band", "bucket")
+        .join(
+            index_bands.select(
+                F.col("doc_id").alias("index_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    na = new_sets.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a"))
+    ib = index_sets.select(
+        F.col("doc_id").alias("index_id"), F.col("sh").alias("sh_b")
+    )
+    return (
+        candidates.join(na, "new_id")
+        .join(ib, "index_id")
+        .select(
+            "new_id",
+            "index_id",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -261,30 +364,7 @@ def minhash_lsh_pairs(
     if verify_exact:
         sets = sets.persist()
     sig = _signatures_from_hashed_sets(sets, num_hashes)
-
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # variadic xxhash64 over the band's signature slots —
-                        # long-only, no string building
-                        F.xxhash64(
-                            *[
-                                F.element_at(
-                                    F.col("signature"), b * rows_per_band + j + 1
-                                )
-                                for j in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    band_rows = _band_rows(sig, bands, rows_per_band)
 
     cand_buckets = band_rows.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")

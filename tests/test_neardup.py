@@ -76,6 +76,40 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
 
 
+def test_neardup_index_probe_roundtrip(spark, docs, tmp_path):
+    """Index the corpus once; probing perturbed copies finds their sources
+    (and unrelated probes find nothing) — including through a parquet
+    save/reload of the index, the incremental-ingest deployment shape."""
+    bands_df, sets_df = neardup.build_neardup_index(docs, "text", "doc_id")
+    bands_df.write.parquet(str(tmp_path / "bands"))
+    sets_df.write.parquet(str(tmp_path / "sets"))
+    bands_r = spark.read.parquet(str(tmp_path / "bands"))
+    sets_r = spark.read.parquet(str(tmp_path / "sets"))
+
+    base = {r["doc_id"]: r["text"] for r in docs.limit(8).collect()}
+    probes = [(10_000 + i, t + " tiny suffix")
+              for i, t in enumerate(base.values())]
+    probes.append((99_999, "completely unrelated probe text about nothing "
+                   "that matches the corpus vocabulary whatsoever xyzzy"))
+    new_docs = spark.createDataFrame(probes, ["doc_id", "text"])
+
+    hits = neardup.probe_neardup_index(
+        new_docs, bands_r, sets_r, "text", "doc_id", threshold=0.3
+    ).collect()
+    matched_new = {r["new_id"] for r in hits}
+    by_new = {r["new_id"]: r for r in hits}
+    src_ids = list(base)
+    # most perturbed probes find their source (LSH recall on ~identical
+    # docs is near 1); the unrelated probe finds nothing
+    assert 99_999 not in matched_new
+    found = [10_000 + i for i in range(len(src_ids)) if 10_000 + i in matched_new]
+    assert len(found) >= 7
+    for nid in found:
+        assert by_new[nid]["jaccard"] >= 0.3
+    # every hit pairs a probe with an INDEXED doc, never probe-vs-probe
+    assert all(r["index_id"] < 10_000 for r in hits)
+
+
 def test_simhash_banding_pigeonhole_complete(spark, docs):
     """Pigeonhole guarantee: EVERY pair within max_hamming shares at least
     one identical chunk, so the banded join must find exactly the pairs a
