@@ -296,6 +296,69 @@ def ivf_topk(
     )
 
 
+def normalize_vectors(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Unit-normalize an embedding column (vectorized Pandas UDF — one
+    numpy matrix op per Arrow batch). Normalizing at WRITE time turns
+    every downstream cosine into a dot product and makes quantization
+    scales uniform."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def norm(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series(list(M.astype(np.float32)))
+
+    return df.withColumn(out_col or vec_col, norm(F.col(vec_col)))
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", prefix: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: 4× smaller storage/shuffle
+    for the embedding column at a ~0.3% cosine error (test-pinned).
+
+    Emits `{prefix}_codes` (array<tinyint>, v_i ≈ code_i · scale) and
+    `{prefix}_scale` (float). Per-vector scales make the codes robust to
+    heterogeneous norms; on unit-normalized inputs they are ~constant.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<codes: array<tinyint>, scale: float>")
+    def q(vs: pd.Series) -> pd.DataFrame:
+        M = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        scale = np.abs(M).max(axis=1) / 127.0
+        scale[scale == 0] = 1.0
+        codes = np.rint(M / scale[:, None]).astype(np.int8)
+        return pd.DataFrame({"codes": list(codes), "scale": scale.astype(np.float32)})
+
+    out = df.withColumn("__q", q(F.col(vec_col)))
+    return (
+        out.withColumn(f"{prefix}_codes", F.col("__q.codes"))
+        .withColumn(f"{prefix}_scale", F.col("__q.scale"))
+        .drop("__q")
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, prefix: str = "q", out_col: str = "embedding_deq"
+) -> DataFrame:
+    """Inverse of quantize_int8: codes · scale → array<float>."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def dq(codes: pd.Series, scale: pd.Series) -> pd.Series:
+        C = np.stack(codes.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        S = scale.to_numpy(dtype=np.float64)[:, None]
+        return pd.Series(list((C * S).astype(np.float32)))
+
+    return df.withColumn(
+        out_col, dq(F.col(f"{prefix}_codes"), F.col(f"{prefix}_scale"))
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

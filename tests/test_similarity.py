@@ -62,6 +62,27 @@ def test_lsh_topk_is_subset_of_bruteforce_candidates(spark, emb):
     assert lsh.count() > 0
 
 
+def test_normalize_and_int8_quantization_roundtrip(spark, emb):
+    """Quantized embeddings preserve geometry: unit norms after normalize,
+    and int8 round-trip keeps cosine error under 0.5%."""
+    import numpy as np
+
+    normed = similarity.normalize_vectors(emb.limit(200))
+    q = similarity.quantize_int8(normed)
+    back = similarity.dequantize_int8(q)
+    rows = back.select("embedding", "embedding_deq", "q_codes").collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d = np.asarray(r["embedding_deq"], dtype=np.float64)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5          # unit-normalized
+        cos = v @ d / (np.linalg.norm(v) * np.linalg.norm(d))
+        assert cos > 0.995                                   # geometry kept
+        codes = np.asarray(r["q_codes"])
+        assert np.abs(codes).max() <= 127
+    # storage type is genuinely tinyint (1 byte/dim on disk + shuffle)
+    assert q.schema["q_codes"].dataType.simpleString() == "array<tinyint>"
+
+
 def test_cosine_pairs_threshold_and_order(spark, emb):
     out = similarity.cosine_pairs(emb, threshold=0.4)
     assert out.filter(F.col("id_a") >= F.col("id_b")).count() == 0
