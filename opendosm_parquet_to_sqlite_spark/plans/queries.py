@@ -398,6 +398,56 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "rollup_metrics",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — one pass produces (flag, status),
+    (flag), and grand-total rows; Spark expands the grouping sets inside a
+    single hash aggregate, no re-scan per level."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (expand + two-phase agg in
+    Spark; the approximate path for 100 TB is sketch_distinct)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@query(
     "sort_date_desc",
     f"""
     SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, value
