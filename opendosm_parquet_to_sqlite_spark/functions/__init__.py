@@ -15,7 +15,7 @@ from ..operators.cleanse import (  # noqa: F401
     round_f64_to_i64,
     trim_str,
 )
-from ..operators.multimodal import sniff_media_type  # noqa: F401
+from ..operators.multimodal import sniff_media_type, wav_metadata  # noqa: F401
 from ..operators.similarity import (  # noqa: F401
     cosine,
     dot,
