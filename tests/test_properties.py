@@ -8,7 +8,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from opendosm_parquet_to_sqlite_spark.operators import dedup, neardup
+from opendosm_parquet_to_sqlite_spark.operators import dedup, neardup, temporal
 
 rows_strategy = st.lists(
     st.tuples(
@@ -55,6 +55,42 @@ def test_latest_per_group_matches_python_oracle(spark, rows):
         df, ["user_id", "event_type"], "ts", ["event_id"]).collect()}
     assert window == expected
     assert maxby == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0, max_size=25, unique_by=lambda t: (t[0], t[1]),
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=15,
+    ),
+)
+def test_asof_join_matches_python_oracle(spark, events, probes):
+    """asof_join == brute-force 'latest event with ts <= probe ts per key'
+    for arbitrary inputs, including unseen keys and empty event sets.
+    Events are unique per (key, ts) — the operator's documented contract."""
+    ev = spark.createDataFrame(events, "key int, ts int, payload int") \
+        if events else spark.createDataFrame([], "key int, ts int, payload int")
+    pr = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(probes)],
+        "probe_id int, key int, pts int",
+    )
+    got = {
+        r["probe_id"]: r["asof_payload"]
+        for r in temporal.asof_join(
+            pr, ev, on=["key"], probe_ts="pts", event_ts="ts",
+            payload_cols=["payload"],
+        ).collect()
+    }
+    expected = {}
+    for i, (k, t) in enumerate(probes):
+        best = [e for e in events if e[0] == k and e[1] <= t]
+        expected[i] = max(best, key=lambda e: e[1])[2] if best else None
+    assert got == expected
 
 
 @settings(max_examples=8, deadline=None,
