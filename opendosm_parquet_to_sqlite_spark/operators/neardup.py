@@ -137,6 +137,11 @@ def ngram_jaccard_pairs(
         F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
     )
     if max_doc_freq is not None:
+        # hot-count and pair branches both consume buckets; persist so the
+        # shingle→posting→bucket pipeline executes once (exchange reuse
+        # does NOT fire across the two aggregates — measured 2s at sf0.1).
+        # MEMORY_AND_DISK + LRU eviction bounds the cache footprint.
+        buckets = buckets.persist()
         hot_counts = (
             buckets.filter(F.size("ds") > max_doc_freq)
             .select(F.explode("ds").alias("d"))
