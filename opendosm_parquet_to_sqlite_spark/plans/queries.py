@@ -398,6 +398,70 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "cumulative_window",
+    f"""
+    SELECT event_id, user_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ), 4) AS running_value,
+           lag(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_event_id
+    FROM events
+    """,
+)
+def q_cumulative_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Running sum + lag per user over event time — the sessionless
+    cumulative analytics shape: one exchange on the key, a bounded
+    in-partition sort, streaming frame evaluation (no whole-partition
+    buffering for UNBOUNDED PRECEDING..CURRENT)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+@query(
+    "pivot_metrics",
+    """
+    SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot event types into columns with an EXPLICIT value list — at
+    scale, never let pivot infer values (that is an extra distinct pass
+    over the data); Catalyst lowers this to one conditional aggregate."""
+    ev = load_table(spark, sf, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id",
+        F.col("click").alias("n_click"),
+        F.col("view").alias("n_view"),
+        F.col("purchase").alias("n_purchase"),
+    )
+
+
+@query(
     "rollup_metrics",
     """
     SELECT coalesce(l_returnflag, '<all>') AS returnflag,
