@@ -81,6 +81,46 @@ def q_union_months(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct set difference (customers who never ordered) — subtract is
+    SQL EXCEPT (exceptAll would be multiset semantics) and compiles to a
+    left-anti hash join after dedup (SURVEY §2.6: the reference has no set
+    ops beyond the implied monthly union)."""
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    ords = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.subtract(ords)
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT s_nationkey AS nationkey FROM supplier
+    INTERSECT
+    SELECT c_nationkey AS nationkey FROM customer
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct set intersection (nations with both suppliers and
+    customers) — left-semi join after dedup."""
+    supp = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return supp.intersect(cust)
+
+
 # --- §2.2 cleanse / per-row transforms ---------------------------------------
 
 

@@ -35,6 +35,19 @@ def test_salted_join_equals_plain_join_under_skew(spark):
     assert salted.columns == ["k", "fv", "rv"]
 
 
+def test_set_ops_non_empty_semantics(spark):
+    """EXCEPT/INTERSECT distinct semantics on data where both are non-empty
+    (the registered set_except is 0-row at sf0.01 because the fixture's
+    referential integrity is total — this pins the interesting cases)."""
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(2,), (4,)], ["k"])
+    # subtract == SQL EXCEPT (distinct); exceptAll would keep one of the 2s
+    assert sorted(r["k"] for r in a.subtract(b).collect()) == [1, 3]
+    assert sorted(r["k"] for r in a.intersect(b).collect()) == [2]
+    assert sorted(r["k"] for r in b.subtract(a).collect()) == [4]
+    assert sorted(r["k"] for r in a.exceptAll(b.distinct()).collect()) == [1, 2, 3]
+
+
 def test_salted_join_spreads_hot_key(spark):
     """The hot key's rows occupy multiple salt sub-keys (the whole point)."""
     fact = spark.createDataFrame([(1, i) for i in range(500)], ["k", "v"])
