@@ -28,8 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 + M5 extensions."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 + M5 extensions.
+
+    Oracle-backed queries are listed first: the driver checks entries in
+    registry order with a cap (50 in round 2), so hash-checked queries must
+    never fall off the end behind rows-only (no-oracle) ones.
+    """
+    ordered = {n: f for n, f in QUERIES.items() if n in ORACLES}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ORACLES})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

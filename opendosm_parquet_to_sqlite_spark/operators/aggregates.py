@@ -162,11 +162,24 @@ def sketch_quantiles(
 ) -> DataFrame:
     """Approximate quantiles per group (percentile_approx / KLL-style
     sketch): mergeable fixed-size state instead of a full sort. Rank error
-    <= 1/accuracy — test-pinned against exact percentiles."""
-    return df.groupBy(*group_cols).agg(
+    <= 1/accuracy — test-pinned against exact percentiles.
+
+    Emits one row per probability — (group_cols..., prob, value) — rather
+    than an array column, so the result is directly queryable (and hashable
+    by downstream tabular tooling)."""
+    agg = df.groupBy(*group_cols).agg(
         F.percentile_approx(
             value_col, F.array(*[F.lit(p) for p in probs]), accuracy
-        ).alias("quantiles")
+        ).alias("__quantiles")
+    )
+    prob_arr = F.array(*[F.lit(float(p)) for p in probs])
+    return agg.select(
+        *group_cols,
+        F.posexplode("__quantiles").alias("__pos", "value"),
+    ).select(
+        *group_cols,
+        prob_arr.getItem(F.col("__pos")).cast("double").alias("prob"),
+        F.round("value", 6).alias("value"),
     )
 
 

@@ -31,19 +31,19 @@ def test_sketch_distinct_within_error_bound(spark):
 
 def test_sketch_quantiles_rank_error(spark):
     ev = load_table(spark, SF0001, "events")
-    approx = {
-        r["event_type"]: r["quantiles"]
-        for r in aggregates.sketch_quantiles(
-            ev, ["event_type"], "value", probs=(0.5, 0.95), accuracy=10_000
-        ).collect()
-    }
+    rows = aggregates.sketch_quantiles(
+        ev, ["event_type"], "value", probs=(0.5, 0.95), accuracy=10_000
+    ).collect()
+    # one row per (group, prob) — no array columns in the output
+    approx = {(r["event_type"], r["prob"]): r["value"] for r in rows}
+    etypes = {k[0] for k in approx}
+    assert all((e, p) in approx for e in etypes for p in (0.5, 0.95))
     # verify each approx quantile's actual rank is within 1% of its target
-    for etype, (q50, q95) in approx.items():
+    for (etype, target), q in approx.items():
         sub = ev.filter(F.col("event_type") == etype)
         n = sub.count()
-        for target, q in ((0.5, q50), (0.95, q95)):
-            rank = sub.filter(F.col("value") <= q).count() / n
-            assert abs(rank - target) <= 0.01 + 1.0 / n
+        rank = sub.filter(F.col("value") <= q).count() / n
+        assert abs(rank - target) <= 0.01 + 1.0 / n
 
 
 def test_session_agg_merges_at_gap_boundary(spark):
