@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -44,14 +45,22 @@ def asof_join(
     `asof_<col>` (null when no event precedes the probe). Events sharing an
     exact (key, ts) must be pre-deduplicated by the caller for determinism
     (e.g. latest_per_group on (key, ts)).
+
+    All payload columns are carried forward as ONE struct with a single
+    last(ignorenulls) — the struct is null only for probe rows, so every
+    asof_* value comes from the same latest event and a legitimately-NULL
+    payload field in that event survives as NULL (matching SQL ASOF JOIN
+    semantics) instead of being back-filled from an older event.
     """
     probe_cols = probes.columns
+    payload_t = StructType(
+        [StructField(c, events.schema[c].dataType, True) for c in payload_cols]
+    )
     l = probes.select(
         *probe_cols,
         F.col(probe_ts).alias("__t"),
         F.lit(1).alias("__probe"),
-        *[F.lit(None).cast(events.schema[c].dataType).alias(f"asof_{c}")
-          for c in payload_cols],
+        F.lit(None).cast(payload_t).alias("__payload"),
     )
     r = events.select(
         *[F.lit(None).cast(probes.schema[c].dataType).alias(c)
@@ -59,7 +68,7 @@ def asof_join(
           for c in probe_cols],
         F.col(event_ts).alias("__t"),
         F.lit(0).alias("__probe"),
-        *[F.col(c).alias(f"asof_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("__payload"),
     )
     u = l.unionByName(r)
     # events sort before probes at equal ts → ties count as "at-or-before"
@@ -68,12 +77,16 @@ def asof_join(
         .orderBy("__t", "__probe")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u
-    for c in payload_cols:
-        filled = filled.withColumn(
-            f"asof_{c}", F.last(F.col(f"asof_{c}"), ignorenulls=True).over(w)
+    filled = u.withColumn(
+        "__payload", F.last(F.col("__payload"), ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("__probe") == 1)
+        .select(
+            *probe_cols,
+            *[F.col(f"__payload.{c}").alias(f"asof_{c}") for c in payload_cols],
         )
-    return filled.filter(F.col("__probe") == 1).drop("__t", "__probe")
+    )
 
 
 def range_join_bins(

@@ -56,6 +56,35 @@ def test_asof_join_keeps_probe_payload_and_count(spark):
     assert set(out.columns) == {"probe_id", "key", "pts", "tag", "asof_price"}
 
 
+def test_asof_join_null_payload_not_backfilled(spark):
+    """A NULL payload field in the latest matching event must survive as
+    NULL (true ASOF semantics) — not be back-filled from an older event —
+    and every asof_* column must come from the same latest event."""
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0, "old"),
+            (1, _ts("2024-01-01T12:00:00"), None, "new"),   # latest: null price
+            (2, _ts("2024-01-01T10:00:00"), 5.0, None),     # latest: null tag
+        ],
+        ["key", "ts", "price", "etag"],
+    )
+    probes = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01T13:00:00")),
+         (11, 2, _ts("2024-01-01T13:00:00"))],
+        ["probe_id", "key", "pts"],
+    )
+    out = {
+        r["probe_id"]: (r["asof_price"], r["asof_etag"])
+        for r in temporal.asof_join(
+            probes, events, ["key"], "pts", "ts", ["price", "etag"]
+        ).collect()
+    }
+    # probe 10: latest event is 12:00 with price=NULL — must NOT see 100.0
+    assert out[10] == (None, "new")
+    # probe 11: both fields from its single latest event
+    assert out[11] == (5.0, None)
+
+
 def test_range_join_bins_boundaries_inclusive(spark):
     ranges = spark.createDataFrame(
         [(1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
