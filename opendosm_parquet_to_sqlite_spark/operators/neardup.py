@@ -117,12 +117,16 @@ def ngram_jaccard_pairs(
     trigram appearing in 10⁶ docs would otherwise emit 10¹² pairs from a
     single reducer key.
     """
-    # Single-pass shape for both modes: per-doc (uncapped) set sizes ride
-    # inside the bucket structs. With a cap, hot buckets are dropped before
-    # pair generation and the embedded sizes are corrected afterwards by a
-    # per-doc hot-shingle count — a table that is EMPTY whenever the cap
-    # never bites, so the capped plan costs the same as the uncapped one
-    # plus two joins against a (usually tiny, AQE-broadcast) correction.
+    # Per-doc (uncapped) set sizes ride inside the bucket structs. With a
+    # cap, hot shingles are identified by a doc-frequency COUNT first (a
+    # partial-aggregated exchange of (shingle, count) — bytes, not posting
+    # lists), and posts are anti-joined against the hot set BEFORE any
+    # collect_list, so no aggregation buffer ever holds more than
+    # max_doc_freq structs. The previous shape collected the FULL posting
+    # list per shingle and dropped hot ones afterwards — a 10⁶-doc stopword
+    # shingle still built a 10⁶-struct array in a single task. The embedded
+    # per-doc sizes are corrected by a per-doc hot-shingle count — EMPTY
+    # whenever the cap never bites.
     #
     # Shingles are collapsed to 64-bit hashes BEFORE the bucket shuffle:
     # 8-byte keys instead of n-gram strings halve the exchange and make the
@@ -132,23 +136,33 @@ def ngram_jaccard_pairs(
     docs_sh = with_hashed_shingles(df, text_col, id_col, n).select(
         "doc_id", "sh", F.size("sh").alias("n_sh")
     )
+    if max_doc_freq is not None:
+        # Three consumers (freq, hot_counts, buckets) share the tokenize+
+        # shingle+hash pipeline; persist the COMPACT pre-explode form so it
+        # runs once. MEMORY_AND_DISK + LRU eviction bounds the footprint;
+        # long-lived sessions can release via spark.catalog.clearCache().
+        docs_sh = docs_sh.persist()
     posts = docs_sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        # Doc-freq per shingle: map-side combine means the exchange carries
+        # one (shingle, partial_count) per mapper, never a posting list.
+        # The hot set (freq > cap) is tiny by construction → broadcast to
+        # both the per-doc correction count and the posting anti-join.
+        hot = (
+            posts.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        hot_counts = (
+            posts.join(F.broadcast(hot), "shingle", "leftsemi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hot"))
+        )
+        posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
     buckets = posts.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
     )
-    if max_doc_freq is not None:
-        # hot-count and pair branches both consume buckets; persist so the
-        # shingle→posting→bucket pipeline executes once (exchange reuse
-        # does NOT fire across the two aggregates — measured 2s at sf0.1).
-        # MEMORY_AND_DISK + LRU eviction bounds the cache footprint.
-        buckets = buckets.persist()
-        hot_counts = (
-            buckets.filter(F.size("ds") > max_doc_freq)
-            .select(F.explode("ds").alias("d"))
-            .groupBy(F.col("d.doc_id").alias("doc_id"))
-            .agg(F.count(F.lit(1)).alias("n_hot"))
-        )
-        buckets = buckets.filter(F.size("ds") <= max_doc_freq)
     pairs = intra_bucket_pairs(buckets.select("ds"))
     inter = pairs.groupBy(
         F.col("p.a.doc_id").alias("id_a"),
