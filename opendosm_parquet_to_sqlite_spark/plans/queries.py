@@ -25,6 +25,7 @@ from ..operators import (
     cleanse,
     corpus,
     dedup,
+    graph,
     joins,
     multimodal,
     neardup,
@@ -961,6 +962,140 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
         docs, "text", "doc_id",
         min_quality=0.5, ngram_n=3, jaccard_threshold=0.3,
         max_doc_freq=_JACCARD_MAX_DF,
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+# Near-dup pair edges over documents (the dedup_ngram_jaccard CTE chain),
+# shared by the connected-components oracles below.
+_JACCARD_EDGE_CTES = f"""
+    posts AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM documents)
+    ), keep AS (
+        SELECT shingle FROM posts GROUP BY shingle
+        HAVING count(*) <= {_JACCARD_MAX_DF}
+    ), pf AS (
+        SELECT doc_id, shingle FROM posts JOIN keep USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM pf GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM pf a JOIN pf b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.3
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    )
+"""
+
+
+@query(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGE_CTES}
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (distributed
+    union-find: min-label propagation + pointer jumping — operators/graph).
+    cluster_id = min member id, so the output is deterministic and fully
+    oracle-checkable: DuckDB computes the same components via a recursive
+    transitive-closure CTE. Docs in no pair are implicit singletons (absent
+    here), matching both sides."""
+    docs = load_table(spark, sf, "documents")
+    pairs = neardup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, max_doc_freq=_JACCARD_MAX_DF
+    )
+    return graph.connected_components(pairs, "id_a", "id_b")
+
+
+@query(
+    "corpus_clean_clustered",
+    f"""
+    WITH RECURSIVE q AS (
+        SELECT doc_id, text, lang, n_chars,
+               round((least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                            x -> x != '')) / 64.0, 1.0)
+                  + (1.0 - least(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                                       / greatest(length(text), 1), 6) * 4, 1.0))
+                  + (1.0 - least(abs(round(len(list_filter(
+                          list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''),
+                          x -> list_contains(['the','a','of','and','to','in','is'], lower(x))))
+                          / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                     x -> x != '')), 1), 6) - 0.4), 1.0)))
+                 / 3.0, 6) AS quality
+        FROM documents
+    ), gated AS (
+        SELECT * FROM q WHERE quality >= 0.5
+    ), exact_kept AS (
+        SELECT g.* FROM gated g
+        JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)) k
+          USING (doc_id)
+    ), posts AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM exact_kept)
+    ), keep AS (
+        SELECT shingle FROM posts GROUP BY shingle
+        HAVING count(*) <= {_JACCARD_MAX_DF}
+    ), pf AS (
+        SELECT doc_id, shingle FROM posts JOIN keep USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM pf GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM pf a JOIN pf b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.3
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ), losers AS (
+        SELECT u AS doc_id FROM reach
+        GROUP BY u HAVING u != least(u, min(v))
+    )
+    SELECT doc_id, lang, n_chars FROM exact_kept
+    ANTI JOIN losers USING (doc_id)
+    """,
+)
+def q_corpus_clean_clustered(spark: SparkSession, sf: str) -> DataFrame:
+    """corpus_clean with connected-component dedup semantics: one survivor
+    (the min id) per near-dup CLUSTER, instead of the greedy per-pair drop.
+    The full composition — quality gate, exact dedup, capped Jaccard pairs,
+    union-find, anti-join — hash-matches a DuckDB restatement whose
+    clustering is a recursive transitive-closure CTE."""
+    docs = load_table(spark, sf, "documents")
+    out = corpus.clean_corpus(
+        docs, "text", "doc_id",
+        min_quality=0.5, ngram_n=3, jaccard_threshold=0.3,
+        max_doc_freq=_JACCARD_MAX_DF, cluster=True,
     )
     return out.select("doc_id", "lang", "n_chars")
 

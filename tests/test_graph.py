@@ -1,0 +1,124 @@
+"""Tests for distributed connected components (operators/graph.py) and the
+clustered corpus_clean mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import corpus, graph
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {
+        r["doc_id"]: r["cluster_id"]
+        for r in graph.connected_components(df, **kw).collect()
+    }
+
+
+def test_chain_topology_single_component(spark):
+    # A~B, B~C but A≁C: component semantics put all three in ONE cluster
+    # labelled by the min id — exactly one survivor.
+    out = _cc(spark, [(1, 2), (2, 3)])
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_multiple_components_and_min_labels(spark):
+    out = _cc(spark, [(5, 9), (9, 7), (20, 30), (41, 40)])
+    assert out == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20, 40: 40, 41: 40}
+
+
+def test_long_path_converges_via_pointer_jumping(spark):
+    # a 64-node path: plain propagation needs 63 rounds; pointer jumping
+    # must land it well inside the max_iter=20 default.
+    edges = [(i, i + 1) for i in range(64)]
+    out = _cc(spark, edges)
+    assert set(out.values()) == {0}
+    assert len(out) == 65
+
+
+def test_cycle_and_star(spark):
+    out = _cc(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (10, 12), (10, 13)])
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_partitioning_independence(spark):
+    """Cluster assignment depends only on the edge set — never on input
+    order or partitioning."""
+    import random
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(0, 2), (4, 6), (13, 21)]
+    rng = random.Random(7)
+    baseline = None
+    for nparts in (1, 3, 16):
+        shuffled = edges[:]
+        rng.shuffle(shuffled)
+        df = spark.createDataFrame(shuffled, ["id_a", "id_b"]).repartition(nparts)
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in graph.connected_components(df).collect()
+        }
+        if baseline is None:
+            baseline = out
+        assert out == baseline
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components(df, max_iter=1)
+
+
+def test_cluster_representatives(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"])
+    comp = graph.connected_components(df)
+    reps = sorted(
+        r["doc_id"] for r in graph.cluster_representatives(comp).collect()
+    )
+    assert reps == [1, 7]
+
+
+def test_corpus_clean_clustered_keeps_one_per_chain(spark):
+    """Chain of three near-identical docs (A~B, B~C, A≁C by threshold):
+    greedy keeps only A (B and C are each id_b of some pair), while
+    cluster=True also keeps exactly A — but on a topology where pairs are
+    (A,B) and (C,B) arriving with C>B, greedy drops B and C keeping A
+    only if A<B; cluster semantics always keep exactly min per component.
+    Both modes are exercised; cluster mode must keep exactly one doc of
+    the connected trio."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "to the old stone bridge in the quiet green valley near the river"
+    )
+    words = base.split()
+    mid = words[:]
+    mid[3] = "red"
+    mid[10] = "walks"
+    far = mid[:]
+    far[0] = "a"
+    far[7] = "under"
+    far[15] = "cold"
+    rows = [
+        (1, " ".join(words), "en", 100),
+        (2, " ".join(mid), "en", 100),
+        (3, " ".join(far), "en", 100),
+        (50, "completely different text about spark engines " * 3, "en", 100),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    kept = corpus.clean_corpus(
+        docs, "text", "doc_id", min_quality=0.0, ngram_n=3,
+        jaccard_threshold=0.5, max_doc_freq=None, cluster=True,
+    )
+    kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # sanity: the trio must actually chain (1~2, 2~3) at this threshold
+    from opendosm_parquet_to_sqlite_spark.operators import neardup
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    assert kept_ids == [1, 50]
