@@ -189,6 +189,13 @@ def lsh_topk(
     )
 
 
+def _safe_normalize(M: "np.ndarray") -> "np.ndarray":
+    """Row-normalize, mapping zero-norm rows to zero vectors (never NaN)."""
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return M / norms
+
+
 def _kmeans_centroids(
     vectors: "np.ndarray", k: int, n_iters: int = 12, seed: int = _LSH_SEED
 ) -> "np.ndarray":
@@ -197,7 +204,7 @@ def _kmeans_centroids(
     (seeded init); ~k·n·d·iters flops, trivial for sample sizes that fit
     a driver (the standard IVF recipe: train on a sample, assign at scale)."""
     rng = np.random.RandomState(seed)
-    X = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    X = _safe_normalize(vectors)
     cent = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     for _ in range(n_iters):
         assign = np.argmax(X @ cent.T, axis=1)  # cosine on normalized rows
@@ -235,29 +242,76 @@ def ivf_topk(
     corpus joined against the broadcast probe set — the corpus never
     shuffles, exactly like brute force but touching only probed cells.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    sample = np.array(
-        [
-            np.asarray(r[vec_col], dtype=np.float64)
-            for r in corpus.select(vec_col).limit(train_sample).collect()
-        ]
+    cent = train_ivf_centroids(
+        corpus, n_centroids, train_sample, id_col=id_col, vec_col=vec_col
     )
-    cent = _kmeans_centroids(sample, n_centroids)
-    cent_b = cent  # closed over; small (n_centroids × dim floats)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign_cell_udf(cent)(F.col(vec_col)).alias("__cell"),
+    )
+    return _ivf_score(
+        c, queries, cent, k, n_probe, id_col, vec_col, query_id_col,
+        cell_col="__cell",
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _LSH_SEED,
+) -> "np.ndarray":
+    """Deterministic coarse-quantizer training: the sample is the first
+    `train_sample` rows by id (an arbitrary-but-stable choice — limit()
+    without ordering is partition-nondeterministic and would make
+    centroids, cells, and recall vary run to run). Zero-norm vectors are
+    dropped from training (they carry no direction)."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    X = X[np.linalg.norm(X, axis=1) > 0]
+    return _kmeans_centroids(X, n_centroids, seed=seed)
+
+
+def _assign_cell_udf(cent: "np.ndarray"):
+    """Vectorized nearest-centroid assignment (one matmul per Arrow batch);
+    centroids ship to executors inside the serialized UDF (small:
+    n_centroids × dim doubles)."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def assign_cell(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        return pd.Series(np.argmax(M @ cent_b.T, axis=1).astype("int32"))
+        M = _safe_normalize(
+            np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        )
+        return pd.Series(np.argmax(M @ cent.T, axis=1).astype("int32"))
+
+    return assign_cell
+
+
+def _probe_cells_udf(cent: "np.ndarray", n_probe: int):
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")
     def probe_cells(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        order = np.argsort(-(M @ cent_b.T), axis=1)[:, :n_probe]
+        M = _safe_normalize(
+            np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        )
+        order = np.argsort(-(M @ cent.T), axis=1)[:, :n_probe]
         return pd.Series(list(order.astype("int32")))
+
+    return probe_cells
+
+
+def _cosine_vec_udf():
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def cosine_vec(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -265,25 +319,44 @@ def ivf_topk(
         B = np.stack(b.apply(lambda v: np.asarray(v, dtype=np.float64)))
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        den[den == 0] = 1.0
         return pd.Series(np.round(num / den, 6))
 
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col), assign_cell(F.col(vec_col)).alias("__cell")
-    )
+    return cosine_vec
+
+
+def _ivf_score(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cent: "np.ndarray",
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Probe-join + score + per-query top-k shared by the ad-hoc and
+    persisted-index IVF paths. The probe set is broadcast, so the join
+    against `assigned` never shuffles the corpus; when `assigned` is a
+    cell-partitioned parquet read, the equi-join key doubles as a
+    partition filter (only probed cells are scanned)."""
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+            F.explode(
+                _probe_cells_udf(cent, n_probe)(F.col(vec_col))
+            ).alias(cell_col),
         )
     )
     scored = (
-        c.join(q, "__cell")
+        assigned.join(q, cell_col)
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            cosine_vec(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+            _cosine_vec_udf()(F.col(vec_col), F.col("__qvec")).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -293,6 +366,107 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _LSH_SEED,
+) -> None:
+    """Train and PERSIST an IVF index: centroids + cell assignments +
+    parameters, all parquet under `path`.
+
+    Layout:
+      path/centroids — (cell, centroid array<double>)
+      path/cells     — (vec_id, embedding, cell) PARTITIONED BY cell, so a
+                       probe reads only n_probe/n_centroids of the data
+                       (real partition pruning, the IVF promise)
+      path/meta      — one row of build parameters, validated on probe
+
+    Incremental ingest: append_ivf_index assigns NEW vectors with the saved
+    centroids and appends their cell partitions — the existing corpus is
+    never rescanned and the quantizer never retrained (mirroring the
+    MinHash build/probe pair, neardup.build_neardup_index)."""
+    spark = corpus.sparkSession
+    cent = train_ivf_centroids(
+        corpus, n_centroids, train_sample, id_col, vec_col, seed
+    )
+    dim = int(cent.shape[1])
+    spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(cent)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(dim, int(cent.shape[0]), train_sample, seed)],
+        "dim int, n_centroids int, train_sample int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign_cell_udf(cent)(F.col(vec_col)).alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def _load_ivf_meta(spark, path: str) -> tuple["np.ndarray", dict]:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    if cent.shape != (meta["n_centroids"], meta["dim"]):
+        raise ValueError(
+            f"IVF index at {path} is corrupt: centroids {cent.shape} != "
+            f"meta ({meta['n_centroids']}, {meta['dim']})"
+        )
+    return cent, meta
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign NEW vectors with the SAVED centroids and append — O(new)
+    work, no retrain, no rescan of the existing index."""
+    cent, _ = _load_ivf_meta(new_vectors.sparkSession, path)
+    assigned = new_vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign_cell_udf(cent)(F.col(vec_col)).alias("cell"),
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k against a PERSISTED IVF index (build_ivf_index) — loads the
+    (small) centroid table to the driver, probes n_probe cells per query,
+    and scans ONLY those cell partitions of the stored corpus. Query dim
+    is validated against the index metadata (a silent mismatch would score
+    garbage)."""
+    cent, meta = _load_ivf_meta(spark, path)
+    qdim = len(queries.select(vec_col).first()[0])
+    if qdim != meta["dim"]:
+        raise ValueError(
+            f"query dim {qdim} != index dim {meta['dim']} (index at {path})"
+        )
+    cells = spark.read.parquet(f"{path}/cells")
+    return _ivf_score(
+        cells, queries, cent, k, n_probe, id_col, vec_col, query_id_col,
+        cell_col="cell",
     )
 
 
@@ -359,6 +533,68 @@ def dequantize_int8(
     )
 
 
+def quantized_topk(
+    corpus_q: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix: str = "q",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact-shape top-k scored DIRECTLY on int8 codes — the search path
+    for a quantized corpus (quantize_int8): 4× less memory/shuffle than
+    dequantize-then-score, because float vectors are never rebuilt outside
+    a transient Arrow batch.
+
+    Asymmetric scoring (ADC): the float query vector scores against int8
+    corpus codes; cosine(v, q) ≈ (codes·q)·scale / (|codes|·scale · |q|)
+    — the per-vector scale cancels in the cosine, so the score needs only
+    the integer code matrix and the float query. Recall vs the float path
+    is test-pinned (≥0.95 on the fixture; ≈1.0 in practice — int8 error is
+    ~0.3% of cosine).
+
+    Plan shape is identical to brute_force_topk: broadcast queries, one
+    corpus scan, no vector shuffle, final per-query top-k window.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adc_cosine(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        C = np.stack(codes.apply(lambda v: np.asarray(v, dtype=np.int32)))
+        Q = np.stack(qv.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        num = np.einsum("ij,ij->i", C.astype(np.float64), Q)
+        den = np.linalg.norm(C, axis=1).astype(np.float64) * np.linalg.norm(
+            Q, axis=1
+        )
+        den[den == 0] = 1.0
+        return pd.Series(np.round(num / den, 6))
+
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    scored = (
+        corpus_q.select(F.col(id_col), F.col(f"{prefix}_codes"))
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            adc_cosine(F.col(f"{prefix}_codes"), F.col("__qvec")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,
@@ -414,7 +650,7 @@ def lsh_cosine_pairs(
     """
     out_schema = "id_a long, id_b long, cosine double"
 
-    def score_bucket(key, g: pd.DataFrame) -> pd.DataFrame:
+    def score_bucket(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]

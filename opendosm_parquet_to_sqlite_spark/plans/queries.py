@@ -1210,6 +1210,21 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query("ann_quantized")  # rows-only: int8 rounding is engine-specific
+def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 cosine scored DIRECTLY on int8-quantized codes (asymmetric
+    ADC — float query vs integer corpus, per-vector scale cancels in the
+    cosine): 4× less search memory than dequantize-then-score; ≥0.95
+    recall vs the float path pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus_q = similarity.quantize_int8(emb)
+    out = similarity.quantized_topk(corpus_q, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --- M5: text analysis --------------------------------------------------------
 
 
