@@ -16,9 +16,10 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="opendosm_parquet_to_sqlite_spark")
-    p.add_argument("--latest", action="store_true", help="pick the newest month")
-    p.add_argument("--month", help="explicit month key, e.g. 2024-01")
-    p.add_argument("--choice", type=int, help="catalog index (0-based)")
+    sel = p.add_mutually_exclusive_group()
+    sel.add_argument("--latest", action="store_true", help="pick the newest month")
+    sel.add_argument("--month", help="explicit month key, e.g. 2024-01")
+    sel.add_argument("--choice", type=int, help="catalog index (0-based)")
     p.add_argument("--out-dir", default="./out")
     p.add_argument("--cache-dir", default="./__cached__")
     p.add_argument("--base-url", default="https://storage.data.gov.my")

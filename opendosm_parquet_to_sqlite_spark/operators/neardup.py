@@ -296,11 +296,24 @@ def build_neardup_index(
     DataFrames — save as parquet, reload anywhere. This is the
     incremental-ingest shape: indexing N new docs costs O(N), not
     O(corpus), per batch.
+
+    The build parameters (n, num_hashes, bands) are stamped into the band
+    column's schema METADATA — Spark field metadata survives a parquet
+    round-trip, so probe_neardup_index can detect a parameter mismatch
+    (which would otherwise silently produce near-empty candidate sets)
+    instead of collapsing recall.
     """
     sets = with_hashed_shingles(df, text_col, id_col, n)
     sig = _signatures_from_hashed_sets(sets, num_hashes)
     assert num_hashes % bands == 0
-    return _band_rows(sig, bands, num_hashes // bands), sets
+    band_table = _band_rows(sig, bands, num_hashes // bands)
+    band_table = band_table.withColumn(
+        "band",
+        F.col("band").alias(
+            "band", metadata={"n": n, "num_hashes": num_hashes, "bands": bands}
+        ),
+    )
+    return band_table, sets
 
 
 def probe_neardup_index(
@@ -320,8 +333,23 @@ def probe_neardup_index(
     rows equi-join the index postings, and only colliding pairs are
     exact-verified against the stored shingle sets. Cost scales with the
     probe batch + collisions — the indexed corpus is never rescanned.
+
+    If the index carries build-parameter metadata (build_neardup_index
+    stamps it; it survives parquet), a mismatch with this call's
+    (n, num_hashes, bands) raises ValueError — a silent mismatch would
+    hash bands differently and return near-empty candidates (recall
+    collapse with no error).
     """
     assert num_hashes % bands == 0
+    meta = index_bands.schema["band"].metadata or {}
+    if meta:
+        got = (meta.get("n"), meta.get("num_hashes"), meta.get("bands"))
+        want = (n, num_hashes, bands)
+        if got != want:
+            raise ValueError(
+                f"index was built with (n, num_hashes, bands)={got}, "
+                f"probe called with {want} — parameters must match"
+            )
     new_sets = with_hashed_shingles(new_docs, text_col, id_col, n).persist()
     new_sig = _signatures_from_hashed_sets(new_sets, num_hashes)
     new_bands = _band_rows(new_sig, bands, num_hashes // bands)

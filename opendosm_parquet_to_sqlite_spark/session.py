@@ -60,3 +60,16 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_cached(spark: SparkSession) -> None:
+    """Drop every cached/persisted block in the session.
+
+    Some lazy operators persist shared sub-plans (hashed shingle sets in
+    operators.neardup, the permissive-parse split in sources.text_formats)
+    that can only be consumed AFTER the function returns, so they cannot
+    unpersist themselves. MEMORY_AND_DISK + LRU keeps the footprint
+    bounded, but a long-lived session that interleaves many such calls
+    with its own cached data should call this between workloads to avoid
+    eviction pressure on its own blocks."""
+    spark.catalog.clearCache()

@@ -124,12 +124,19 @@ def write_sqlite_sharded(
     out_dir: str | Path,
     table: str,
     num_shards: int | None = None,
+    indexes: list[tuple[str, bool]] | None = None,
 ) -> list[Path]:
     """Each partition writes its own .db shard — distributed SQLite export.
 
     foreachPartition runs executor-side: no data crosses the driver. Shards
     are named by partition id; at 1000 executors this is 1000 concurrent
     local writes instead of one serialized driver write.
+
+    indexes: [(column, unique)] applied per shard AFTER its load, so
+    consumers ATTACHing shards get the same index contract as the
+    single-file path (reference DDL, src/main.rs:192-207). A `unique`
+    index is only locally unique — per-shard, which is the only guarantee
+    a sharded export can make.
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -143,6 +150,7 @@ def write_sqlite_sharded(
     )
     insert = f'INSERT INTO "{table}" VALUES ({", ".join("?" for _ in col_names)})'
     out_str = str(out)
+    index_specs = list(indexes or [])
 
     def write_partition(rows) -> None:
         import sqlite3 as _sqlite3
@@ -163,6 +171,11 @@ def write_sqlite_sharded(
                 buf.clear()
         if buf:
             c.executemany(insert, buf)
+        for col, unique in index_specs:
+            uq = "UNIQUE " if unique else ""
+            c.execute(
+                f'CREATE {uq}INDEX "idx_{table}_{col}" ON "{table}" ("{col}")'
+            )
         c.commit()
         c.close()
 

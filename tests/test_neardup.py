@@ -109,6 +109,16 @@ def test_neardup_index_probe_roundtrip(spark, docs, tmp_path):
     # every hit pairs a probe with an INDEXED doc, never probe-vs-probe
     assert all(r["index_id"] < 10_000 for r in hits)
 
+    # parameter mismatch is an ERROR, not a silent recall collapse —
+    # the build params ride the schema metadata through parquet
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parameters must match"):
+        neardup.probe_neardup_index(
+            new_docs, bands_r, sets_r, "text", "doc_id",
+            num_hashes=16, bands=4, threshold=0.3,
+        )
+
 
 def test_simhash_banding_pigeonhole_complete(spark, docs):
     """Pigeonhole guarantee: EVERY pair within max_hamming shares at least

@@ -113,6 +113,41 @@ def test_write_sqlite_sharded_union_equals_input(spark, tmp_path):
     assert isinstance(by_id[3][2], str) and by_id[3][2].startswith("2023-11-14")
 
 
+def test_write_sqlite_sharded_applies_index_ddl(spark, tmp_path):
+    """Every shard carries the same index contract as the single-file
+    driver path: PRAGMA index_list must match for the same index spec."""
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 10).alias("premise_code")
+    )
+    specs = [("premise_code", False), ("id", True)]
+    shards = write_sqlite_sharded(
+        df, tmp_path / "shards", "prices", num_shards=3, indexes=specs
+    )
+    single = write_sqlite(
+        {"prices": df}, tmp_path / "single.db",
+        indexes={"prices": specs},
+    )
+    con = sqlite3.connect(single)
+    try:
+        expect = {
+            (r[1], r[2])  # (index name, unique flag)
+            for r in con.execute("PRAGMA index_list('prices')").fetchall()
+        }
+    finally:
+        con.close()
+    assert expect  # the driver path did create indexes
+    for p in shards:
+        con = sqlite3.connect(p)
+        try:
+            got = {
+                (r[1], r[2])
+                for r in con.execute("PRAGMA index_list('prices')").fetchall()
+            }
+        finally:
+            con.close()
+        assert got == expect
+
+
 def test_zip_artifact_roundtrip(tmp_path):
     src = tmp_path / "pricecatcher.db"
     src.write_bytes(b"sqlite-bytes" * 1000)
