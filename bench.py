@@ -40,6 +40,14 @@ HEADLINE = [
     "ann_bruteforce",         # broadcast top-k similarity
     "text_stats",             # text profiling scan
     "multimodal_metadata",    # binary payload metadata (native exprs)
+    # composed paths (round 3): regressions in the composition layers must
+    # trip the 2x gate, not just the unit queries they are built from
+    "corpus_clean",           # quality gate -> exact dedup -> near-dup sweep
+    "corpus_clean_clustered", # same + connected-component dedup semantics
+    "dup_clusters",           # distributed union-find over near-dup pairs
+    "asof_join",              # union-and-carry-forward temporal join
+    "topk_per_group",         # per-group top-k window
+    "ann_quantized",          # int8 ADC top-k (4x smaller search memory)
 ]
 
 
