@@ -27,15 +27,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["latest_per_group"](spark, SF0001)
 
 
+# Rows-only (no-oracle) queries in decreasing check priority: the driver
+# checks registry order with a cap (50 entries in round 2), so the
+# scale-path flagships with pytest recall pins come first; anything past
+# the cap is still fully covered by tests/ (recall floors, error bounds,
+# plumbing) — the rows-only driver check is the weaker signal of the two.
+_ROWS_ONLY_PRIORITY = [
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine_lsh",
+    "ann_ivf",
+    "ann_lsh",
+    "ann_quantized",
+    "dedup_simhash",
+    "sketch_profile",
+    "multimodal_decode",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + M5 extensions.
 
-    Oracle-backed queries are listed first: the driver checks entries in
-    registry order with a cap (50 in round 2), so hash-checked queries must
-    never fall off the end behind rows-only (no-oracle) ones.
+    Oracle-backed queries are listed first (hash-checked entries must never
+    fall off the end of the driver's fixed-size check window behind
+    rows-only ones), then rows-only queries in explicit priority order.
     """
     ordered = {n: f for n, f in QUERIES.items() if n in ORACLES}
-    ordered.update({n: f for n, f in QUERIES.items() if n not in ORACLES})
+    rows_only = [n for n in QUERIES if n not in ORACLES]
+    prio = {n: i for i, n in enumerate(_ROWS_ONLY_PRIORITY)}
+    for n in sorted(rows_only, key=lambda n: prio.get(n, len(prio))):
+        ordered[n] = QUERIES[n]
     return ordered
 
 

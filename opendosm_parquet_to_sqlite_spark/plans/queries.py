@@ -680,21 +680,25 @@ def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
     return aggregates.session_agg(ev, "ts", ["user_id"], gap="30 minutes")
 
 
-@query("sketch_distinct")  # rows-only: HLL sketch is implementation-defined
-def q_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event type — fixed-size mergeable
-    sketch instead of shuffling every distinct value; error bound pinned
-    in tests/test_sketches.py."""
+@query("sketch_profile")  # rows-only: HLL/quantile sketches are engine-defined
+def q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch profile per event type — HyperLogLog++ distinct
+    users (stat='approx_distinct') plus approximate p50/p95/p99 of value
+    (stat='quantile', one row per prob) in one long-format result. Both
+    sketches are fixed-size mergeable state (the 100 TB answer to exact
+    distinct counts / global sorts); error bounds pinned in
+    tests/test_sketches.py."""
     ev = load_table(spark, sf, "events")
-    return aggregates.sketch_distinct(ev, ["event_type"], "user_id")
-
-
-@query("sketch_quantiles")  # rows-only: approx sketch, engine-specific
-def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate p50/p95/p99 of value per event type via a mergeable
-    quantile sketch (no global sort); rank-error bound pinned in tests."""
-    ev = load_table(spark, sf, "events")
-    return aggregates.sketch_quantiles(ev, ["event_type"], "value")
+    distinct = aggregates.sketch_distinct(ev, ["event_type"], "user_id").select(
+        "event_type",
+        F.lit("approx_distinct").alias("stat"),
+        F.lit(None).cast("double").alias("prob"),
+        F.col("approx_distinct").cast("double").alias("value"),
+    )
+    quant = aggregates.sketch_quantiles(ev, ["event_type"], "value").select(
+        "event_type", F.lit("quantile").alias("stat"), "prob", "value"
+    )
+    return distinct.unionByName(quant)
 
 
 @query(
