@@ -72,3 +72,66 @@ def test_dedup_exact_shuffles_digest_not_text(spark):
     plan = _plan(spark, "dedup_exact")
     assert plan.count("Arguments: hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2  # partial md5-group map-side
+
+
+def test_jaccard_hot_shingles_filtered_before_collect(spark):
+    """The capped Jaccard path must drop hot-shingle postings BEFORE any
+    collect_list: the hot set (a count-aggregate, bytes on the wire) is
+    broadcast into a LeftAnti join against posts, so no aggregation buffer
+    ever materializes a posting list longer than the cap. If this test
+    fails because the LeftAnti join vanished, the plan has regressed to
+    collect-then-filter — a single-task memory bomb at corpus scale."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert plan.count("BroadcastHashJoin LeftAnti") == 1
+    # per-doc hot-count correction rides the same broadcast as a semi join
+    assert plan.count("BroadcastHashJoin LeftSemi") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_quantized_broadcasts_queries_arrow_scoring(spark):
+    plan = _plan(spark, "ann_quantized")
+    # tiny query set broadcast against the int8 corpus — the corpus itself
+    # is scanned once and never hash-shuffled before scoring
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    # ADC scoring runs as Arrow-batched pandas UDFs, never row-at-a-time
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # the only exchange is the per-query top-k window, and WindowGroupLimit
+    # prunes to k rows per query on BOTH sides of it (partial + final), so
+    # the shuffle carries k rows per query, not the scored corpus
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("WindowGroupLimit") >= 2
+    # query-side predicate pushed to the parquet scan
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "LessThan(vec_id,10)" in flat
+
+
+def test_ivf_index_probe_prunes_cell_partitions(spark, tmp_path):
+    """The IVF promise: probing a PERSISTED index reads only the probed
+    cell partitions. The probe set is broadcast and Spark turns the cell
+    equi-join into a dynamic-partition-pruning filter on the cells scan."""
+    from pyspark.sql import functions as F
+
+    from opendosm_parquet_to_sqlite_spark.operators.similarity import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    corpus = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, n_centroids=8)
+    queries = corpus.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = probe_ivf_index(spark, path, queries, k=3, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression(cell" in plan
+    assert "BroadcastHashJoin Inner" in plan
+    assert "SortMergeJoin" not in plan
+    # the stored corpus is never hash-shuffled; the sole exchange is the
+    # per-query top-k window
+    assert plan.count("Arguments: hashpartitioning") == 1
