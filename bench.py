@@ -48,6 +48,8 @@ HEADLINE = [
     "asof_join",              # union-and-carry-forward temporal join
     "topk_per_group",         # per-group top-k window
     "ann_quantized",          # int8 ADC top-k (4x smaller search memory)
+    "text_repetition",        # gram-count aggregation cascade
+    "contamination_check",    # broadcast n-gram collision vs eval set
 ]
 
 

@@ -1,0 +1,142 @@
+"""Deterministic sampling, split assignment, and sequence packing — the
+data-mixing layer of a training pipeline.
+
+Everything here is HASH-deterministic, not RNG-based: a row's fate depends
+only on its key, never on partitioning, task retries, or cluster size —
+the property that makes 100 TB runs reproducible and incremental (a doc
+ingested tomorrow lands in the same split as it would have today). The
+hash is md5 over a namespaced key, compared LEXICOGRAPHICALLY on a hex
+prefix against a rate threshold — portable to any engine with md5 (the
+DuckDB oracles reproduce it byte-for-byte; no engine-specific hash()).
+
+All three operators are narrow maps or block-local windows: zero corpus
+shuffle for sample/split; packing exchanges only within deterministic
+(stratum, block) slices sized to one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX_WIDTH = 8  # 32 bits of the digest: rate resolution 1/2^32
+
+
+def rate_to_hex(rate: float) -> str:
+    """Threshold h such that P[md5_prefix < h] == rate for a uniform
+    digest: h = rate * 16^W zero-padded to exactly W hex digits, compared
+    lexicographically against the W-char digest prefix. rate == 1.0 would
+    need W+1 digits ('1000…'), which sorts BELOW 'f…' lexicographically —
+    returned as 'g' instead, which sorts above every hex digit (keep-all
+    sentinel)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    cut = int(round(rate * 16**HEX_WIDTH))
+    if cut >= 16**HEX_WIDTH:
+        return "g"
+    return format(cut, f"0{HEX_WIDTH}x")
+
+
+def _bucket(namespace: str, key: Column) -> Column:
+    """Lexicographic md5-prefix bucket of namespace:key."""
+    return F.substring(
+        F.md5(F.concat(F.lit(namespace + ":"), key.cast("string"))),
+        1,
+        HEX_WIDTH,
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    namespace: str = "sample",
+) -> DataFrame:
+    """Keep each row with its stratum's rate, decided by hash(id) — the
+    data-mixing primitive (e.g. upweight curated sources, downsample web
+    crawl). Deterministic: the kept set is a pure function of (namespace,
+    id), independent of execution. Narrow filter, no shuffle."""
+    thresh = F.lit(rate_to_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_to_hex(rate))
+        ).otherwise(thresh)
+    return df.filter(_bucket(namespace, F.col(id_col)) < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]] | None = None,
+    namespace: str = "split",
+) -> DataFrame:
+    """Append a `split` column by hash-range: [("train", .9), ("val", .05),
+    ("test", .05)] carves the digest space into contiguous bands. Fractions
+    must sum to 1. Same determinism contract as stratified_sample."""
+    splits = splits or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = _bucket(namespace, F.col(id_col))
+    expr = F.lit(splits[-1][0])  # last band absorbs rounding residue
+    acc = 0.0
+    # build the when-chain from the first band: bucket < cum_1 -> s1, ...
+    conds = []
+    for name, frac in splits[:-1]:
+        acc += frac
+        conds.append((name, rate_to_hex(acc)))
+    for name, cut in reversed(conds):
+        expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    budget: int,
+    strata_col: str | None = None,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Greedy sequential packing of documents into training sequences of at
+    most `budget` tokens (+ at most one overflowing doc — the standard
+    concat-then-chunk tokenizer feed; docs are not split here).
+
+    seq_id is assigned by a running token sum in deterministic id order
+    WITHIN a (stratum, block) slice, where block = id div block_size. The
+    window never spans more than block_size rows, so each packing task is
+    O(block) regardless of corpus size — embarrassingly parallel, at the
+    cost of at most one underfull sequence per block boundary. A single
+    global window (no blocks) would serialize the whole corpus through one
+    partition: the classic unbounded-window scale trap.
+
+    Output: (doc_id[, stratum], block, seq_in_block, n_tokens, cum_tokens)
+    where cum_tokens is the running total within the sequence's block.
+    """
+    strata = [F.col(strata_col)] if strata_col else []
+    block = (F.col(id_col) / F.lit(block_size)).cast("long").alias("block")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *strata,
+        block,
+        token_count_col.cast("long").alias("n_tokens"),
+    )
+    part = ([F.col(strata_col)] if strata_col else []) + [F.col("block")]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        *([F.col(strata_col)] if strata_col else []),
+        "block",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+        .cast("long")
+        .alias("seq_in_block"),
+        "n_tokens",
+        cum.cast("long").alias("cum_tokens"),
+    )

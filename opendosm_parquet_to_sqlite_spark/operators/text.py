@@ -121,6 +121,99 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def ngram_list(toks: Column, n: int) -> Column:
+    """NON-distinct word n-grams in document order (cf. the distinct
+    variant neardup.shingles_from_tokens — repetition metrics need the
+    multiplicities that dedup deliberately throws away). Same guard: docs
+    shorter than n tokens yield an empty list, and `toks` must be a
+    materialized column attribute (no CSE across HOF lambda boundaries)."""
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_top_token_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+    min_distinct_ratio: float = 0.5,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1:
+    excess repetition is the strongest cheap signal of boilerplate/spam):
+
+      distinct_ratio   = distinct tokens / total tokens
+      top_token_frac   = occurrences of the most frequent token / total
+      top_bigram_frac  = occurrences of the most frequent bigram / total
+      repetition_ok    = 1 iff all three are inside their thresholds
+
+    Shape: one explode per doc into (doc, gram) rows, hash-aggregated
+    twice — (doc, gram) counts then per-doc max/sum — all partial-agg
+    (map-side combined) exchanges keyed by doc_id-prefixed keys, so the
+    corpus text itself is never shuffled, only gram counts. Empty docs
+    report 0 ratios and fail the gate (nothing to train on).
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    grams = toked.select(
+        "doc_id",
+        F.explode_outer(ngram_list(F.col("__toks"), 1)).alias("tok"),
+        )
+    bigrams = toked.select(
+        "doc_id", F.explode(ngram_list(F.col("__toks"), 2)).alias("big")
+    )
+
+    def _per_doc(g: DataFrame, unit: str) -> DataFrame:
+        counts = g.groupBy("doc_id", unit).agg(F.count(F.lit(1)).alias("c"))
+        return counts.groupBy("doc_id").agg(
+            F.sum(F.when(F.col(unit).isNotNull(), F.col("c"))).alias(
+                f"__n_{unit}"
+            ),
+            F.count(F.when(F.col(unit).isNotNull(), True)).alias(
+                f"__d_{unit}"
+            ),
+            F.max(F.when(F.col(unit).isNotNull(), F.col("c"))).alias(
+                f"__m_{unit}"
+            ),
+        )
+
+    tok_stats = _per_doc(grams, "tok")
+    big_stats = _per_doc(bigrams, "big")
+    joined = tok_stats.join(big_stats, "doc_id", "left")
+    n = F.coalesce("__n_tok", F.lit(0))
+    nb = F.coalesce("__n_big", F.lit(0))
+    distinct_ratio = F.when(
+        n > 0, F.round(F.col("__d_tok") / n, 6)
+    ).otherwise(F.lit(0.0))
+    top_tok = F.when(n > 0, F.round(F.col("__m_tok") / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+    top_big = F.when(nb > 0, F.round(F.col("__m_big") / nb, 6)).otherwise(
+        F.lit(0.0)
+    )
+    ok = (
+        (n > 0)
+        & (distinct_ratio >= min_distinct_ratio)
+        & (top_tok <= max_top_token_frac)
+        & (top_big <= max_top_bigram_frac)
+    )
+    return joined.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_tok.alias("top_token_frac"),
+        top_big.alias("top_bigram_frac"),
+        ok.cast("int").alias("repetition_ok"),
+    )
+
+
 def term_stats(
     df: DataFrame, text_col: str, id_col: str, min_term_freq: int = 1
 ) -> DataFrame:

@@ -23,12 +23,15 @@ from pyspark.sql import functions as F
 from ..operators import (
     aggregates,
     cleanse,
+    contamination,
     corpus,
     dedup,
     graph,
     joins,
     multimodal,
     neardup,
+    privacy,
+    sampling,
     similarity,
     temporal,
     text,
@@ -83,43 +86,51 @@ def q_union_months(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "set_except",
+    "set_ops",
     """
-    SELECT c_custkey FROM customer
-    EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT 'except' AS op, c_custkey AS key FROM (
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(nationkey AS BIGINT) AS key FROM (
+        SELECT s_nationkey AS nationkey FROM supplier
+        INTERSECT
+        SELECT c_nationkey AS nationkey FROM customer
+    )
     """,
 )
-def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct set difference (customers who never ordered) — subtract is
-    SQL EXCEPT (exceptAll would be multiset semantics) and compiles to a
-    left-anti hash join after dedup (SURVEY §2.6: the reference has no set
-    ops beyond the implied monthly union)."""
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct set-operation closure in one frame (SURVEY §2.6: the
+    reference has no set ops beyond the implied monthly union):
+
+    - EXCEPT (customers who never ordered) — subtract is SQL EXCEPT
+      (exceptAll would be multiset semantics); compiles to a left-anti
+      hash join after dedup.
+    - INTERSECT (nations with both suppliers and customers) — left-semi
+      join after dedup.
+
+    Tagged with an `op` column and unioned — one registry slot, both
+    plans exercised."""
     cust = load_table(spark, sf, "customer").select("c_custkey")
     ords = load_table(spark, sf, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return cust.subtract(ords)
-
-
-@query(
-    "set_intersect",
-    """
-    SELECT s_nationkey AS nationkey FROM supplier
-    INTERSECT
-    SELECT c_nationkey AS nationkey FROM customer
-    """,
-)
-def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct set intersection (nations with both suppliers and
-    customers) — left-semi join after dedup."""
+    ex = cust.subtract(ords).select(
+        F.lit("except").alias("op"), F.col("c_custkey").cast("long").alias("key")
+    )
     supp = load_table(spark, sf, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    cust = load_table(spark, sf, "customer").select(
+    cust_n = load_table(spark, sf, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
-    return supp.intersect(cust)
+    inter = supp.intersect(cust_n).select(
+        F.lit("intersect").alias("op"),
+        F.col("nationkey").cast("long").alias("key"),
+    )
+    return ex.unionByName(inter)
 
 
 # --- §2.2 cleanse / per-row transforms ---------------------------------------
@@ -136,34 +147,28 @@ def q_date_trunc10(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "cast_strict_i64",
+    "cast_strict_roundtrip",
     """
-    SELECT event_id, CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS user_id_rt
+    SELECT event_id,
+           CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS user_id_rt,
+           CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_rt
     FROM events
     """,
 )
-def q_cast_strict(spark: SparkSession, sf: str) -> DataFrame:
-    """String→i64 strict parse round-trip (src/main.rs:24-25,52)."""
+def q_cast_strict_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Strict (panic-on-garbage) parse round-trips in one projection:
+    string→i64 (src/main.rs:24-25,52) and string→f64 (src/main.rs:26).
+    ANSI-mode casts are the Spark analog of the reference's unwrap —
+    malformed input fails the job instead of silently nulling."""
     ev = load_table(spark, sf, "events")
     return ev.select(
         "event_id",
-        cleanse.cast_strict_long(F.col("user_id").cast("string")).alias("user_id_rt"),
-    )
-
-
-@query(
-    "cast_strict_f64",
-    """
-    SELECT event_id, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_rt
-    FROM events
-    """,
-)
-def q_cast_strict_f64(spark: SparkSession, sf: str) -> DataFrame:
-    """String→f64 strict parse round-trip (src/main.rs:26)."""
-    ev = load_table(spark, sf, "events")
-    return ev.select(
-        "event_id",
-        cleanse.cast_strict_double(F.col("value").cast("string")).alias("value_rt"),
+        cleanse.cast_strict_long(F.col("user_id").cast("string")).alias(
+            "user_id_rt"
+        ),
+        cleanse.cast_strict_double(F.col("value").cast("string")).alias(
+            "value_rt"
+        ),
     )
 
 
@@ -1365,3 +1370,242 @@ def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     token stream)."""
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+# --- M5 data-mixing / compliance layer ---------------------------------------
+
+# DuckDB mirror of text.tokens(): '' split guard included
+_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+
+@query(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM toks, LATERAL unnest(t) AS u(tok)
+        GROUP BY doc_id, tok
+    ),
+    uni_stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS d, max(c) AS m
+        FROM uni GROUP BY doc_id
+    ),
+    big AS (
+        SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg, count(*) AS c
+        FROM toks, LATERAL unnest(range(len(t) - 1)) AS u(i)
+        GROUP BY doc_id, array_to_string(t[i+1:i+2], ' ')
+    ),
+    big_stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS mb
+        FROM big GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(u.n, 0) AS n_tokens,
+           CASE WHEN coalesce(u.n, 0) > 0
+                THEN round(u.d / u.n, 6) ELSE 0.0 END AS distinct_ratio,
+           CASE WHEN coalesce(u.n, 0) > 0
+                THEN round(u.m / u.n, 6) ELSE 0.0 END AS top_token_frac,
+           CASE WHEN coalesce(b.nb, 0) > 0
+                THEN round(b.mb / b.nb, 6) ELSE 0.0 END AS top_bigram_frac,
+           CAST(coalesce(u.n, 0) > 0
+                AND round(u.d / u.n, 6) >= 0.5
+                AND round(u.m / u.n, 6) <= 0.2
+                AND coalesce(CASE WHEN b.nb > 0
+                                  THEN round(b.mb / b.nb, 6) END, 0.0) <= 0.18
+                AS INT) AS repetition_ok
+    FROM documents d
+    LEFT JOIN uni_stats u USING (doc_id)
+    LEFT JOIN big_stats b USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition gate: distinct-token ratio, top-token and
+    top-bigram mass fractions, pass/fail flag."""
+    docs = load_table(spark, sf, "documents")
+    return text.repetition_profile(docs, "text", "doc_id")
+
+
+# Deterministic synthetic PII injection (the corpus tables are word-soup):
+# the SAME expression on both sides plants emails / IPs / phone numbers on
+# a doc_id lattice so the scrub path is actually exercised.
+_PII_AUG_DUCK = """
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 3
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 5
+            THEN ' call +60-123-4567' ELSE '' END
+"""
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 3,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 13 == 5, F.lit(" call +60-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_DUCK} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\\+?[0-9][0-9]{{1,2}}-[0-9]{{3,4}}-[0-9]{{4}}'))
+                AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+                '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))
+                AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+              + len(regexp_extract_all(text,
+                '\\+?[0-9][0-9]{{1,2}}-[0-9]{{3,4}}-[0-9]{{4}}'))
+              + len(regexp_extract_all(text,
+                '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))
+                AS BIGINT) AS pii_total,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                '<EMAIL>', 'g'),
+                '\\+?[0-9][0-9]{{1,2}}-[0-9]{{3,4}}-[0-9]{{4}}',
+                '<PHONE>', 'g'),
+                '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
+                '<IP>', 'g')) AS clean_fp
+    FROM aug
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub: per-kind match counts + fingerprint of the redacted
+    text, over deterministically PII-salted documents."""
+    docs = load_table(spark, sf, "documents")
+    return privacy.pii_profile(_pii_augmented(docs), "text", "doc_id")
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(t[i+1:i+5], ' ') AS ng
+        FROM toks, LATERAL unnest(range(len(t) - 4)) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id % 97 = 0),
+    cand AS (SELECT DISTINCT doc_id, ng FROM grams WHERE doc_id % 97 <> 0),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM cand JOIN bench USING (ng) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram collision of every candidate doc
+    against the (broadcast) doc_id % 97 == 0 pseudo-eval-set."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination.ngram_overlap(cand, bench, "text", "doc_id", n=5)
+
+
+# rate_to_hex(0.5)='80000000' rate_to_hex(0.25)='40000000'
+# rate_to_hex(0.1)='1999999a'; split cuts 0.9='e6666666', 0.95='f3333333'
+@query(
+    "sample_stratified",
+    """
+    SELECT doc_id, source,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'f3333333' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE source WHEN 'src0' THEN '80000000'
+                        WHEN 'src1' THEN '40000000'
+                        ELSE '1999999a' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sampling per source stratum (data mixing:
+    upweight src0, downsample the rest) + train/val/test split bands —
+    a row's fate is a pure function of its id, reproducible at any scale
+    and under any partitioning."""
+    docs = load_table(spark, sf, "documents")
+    sampled = sampling.stratified_sample(
+        docs, "source", "doc_id", {"src0": 0.5, "src1": 0.25}, default_rate=0.1
+    )
+    return sampling.split_assign(sampled, "doc_id").select(
+        "doc_id", "source", "split"
+    )
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, CAST(doc_id // 128 AS BIGINT) AS block,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cums AS (
+        SELECT *, CAST(sum(n_tokens) OVER (
+                 PARTITION BY source, block ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM base
+    )
+    SELECT doc_id, source, block,
+           CAST(floor((cum_tokens - n_tokens) / 64.0) AS BIGINT)
+               AS seq_in_block,
+           n_tokens, cum_tokens
+    FROM cums
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy block-local sequence packing: 64-token training sequences
+    assembled in deterministic id order within (source, id//128) blocks —
+    each packing window is O(block), never O(corpus)."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.pack_sequences(
+        docs,
+        "doc_id",
+        text.token_count(F.col("text")),
+        budget=64,
+        strata_col="source",
+        block_size=128,
+    )

@@ -1,0 +1,221 @@
+"""Data-mixing / compliance layer: deterministic sampling + splits,
+sequence packing, contamination, PII scrubbing, repetition gate — the
+semantic properties the SQL oracles can't express (determinism across
+partitionings, rate accuracy, packing invariants, recall guarantees)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import (
+    contamination,
+    privacy,
+    sampling,
+    text,
+)
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet")
+
+
+# --- stratified_sample / split_assign ----------------------------------------
+
+
+def test_sample_rate_accuracy(spark):
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("src")
+    )
+    kept = sampling.stratified_sample(
+        df, "src", "doc_id", {"s": 0.25}
+    ).count()
+    assert abs(kept / n - 0.25) < 0.02  # md5 is uniform; 20k keeps ±2pp
+
+
+def test_sample_deterministic_and_partitioning_independent(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"),
+    )
+    rates = {"0": 0.5, "1": 0.1, "2": 0.9}
+    a = sampling.stratified_sample(df, "src", "doc_id", rates)
+    b = sampling.stratified_sample(df.repartition(17), "src", "doc_id", rates)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+
+
+def test_sample_rate_zero_and_one(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("src")
+    )
+    assert sampling.stratified_sample(df, "src", "doc_id", {"s": 0.0}).count() == 0
+    assert (
+        sampling.stratified_sample(df, "src", "doc_id", {"s": 1.0}).count() == 500
+    )
+
+
+def test_sample_rejects_bad_rate():
+    with pytest.raises(ValueError, match="rate"):
+        sampling.rate_to_hex(1.5)
+
+
+def test_split_assign_covers_all_rows_with_sane_fractions(spark):
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    out = sampling.split_assign(df, "doc_id")
+    frac = {
+        r["split"]: r["c"] / 10_000
+        for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+
+
+def test_split_assign_disjoint_from_sample_namespace(spark):
+    # the same id must not correlate across namespaces: sampling at 50%
+    # then splitting must still give ~90% train within the sample
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("src")
+    )
+    kept = sampling.stratified_sample(df, "src", "doc_id", {"s": 0.5})
+    out = sampling.split_assign(kept, "doc_id")
+    train = out.filter("split = 'train'").count() / out.count()
+    assert abs(train - 0.9) < 0.02
+
+
+def test_split_assign_rejects_non_unit_sum(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum"):
+        sampling.split_assign(df, "doc_id", [("a", 0.5), ("b", 0.2)])
+
+
+# --- pack_sequences ----------------------------------------------------------
+
+
+def test_pack_sequences_budget_invariant(spark):
+    """Every sequence's token total minus its LAST doc is < budget (greedy
+    fill overflows by at most one document), and sequence numbering is
+    contiguous from 0 within each block."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tok"),
+    )
+    out = sampling.pack_sequences(
+        df, "doc_id", F.col("n_tok"), budget=100, block_size=256
+    ).collect()
+    by_seq: dict[tuple, list] = {}
+    for r in out:
+        by_seq.setdefault((r.block, r.seq_in_block), []).append(r)
+    for (block, seq), rows in by_seq.items():
+        rows.sort(key=lambda r: r.doc_id)
+        total = sum(r.n_tokens for r in rows)
+        assert total - rows[-1].n_tokens < 100, (block, seq, total)
+    for block in {b for b, _ in by_seq}:
+        seqs = sorted(s for b, s in by_seq if b == block)
+        assert seqs == list(range(len(seqs)))
+
+
+def test_pack_sequences_block_local(spark):
+    """Packing never crosses a block boundary: cum_tokens restarts."""
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_tok")
+    )
+    out = sampling.pack_sequences(
+        df, "doc_id", F.col("n_tok"), budget=64, block_size=100
+    )
+    firsts = out.filter(F.col("doc_id") % 100 == 0).collect()
+    assert all(r.cum_tokens == 10 and r.seq_in_block == 0 for r in firsts)
+
+
+# --- contamination -----------------------------------------------------------
+
+
+def test_contamination_flags_planted_overlap(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),  # contains benchmark 5-gram
+        (2, "one two three four five six seven"),  # clean
+        (3, "alpha beta gamma"),  # too short for a 5-gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in contamination.ngram_overlap(
+            docs, bench, "text", "doc_id", n=5
+        ).collect()
+    }
+    assert out[1] == (1, 1)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)  # short docs are trivially clean, not dropped
+
+
+def test_contamination_counts_distinct_grams_once(spark):
+    # a doc repeating the same contaminated 5-gram counts it once
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    [r] = contamination.ngram_overlap(docs, bench, "text", "doc_id", n=5).collect()
+    # grams of doc 1: 'a b c d e' (x2, distinct once), 'b c d e a',
+    # 'c d e a b', 'd e a b c', 'e a b c d' — only the first is in bench
+    assert (r.n_overlap, r.contaminated) == (1, 1)
+
+
+# --- privacy -----------------------------------------------------------------
+
+
+def test_pii_redaction_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.10.250 and 10.0.0.1 up"),
+            (3, "call +60-1234-5678 today"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in privacy.pii_profile(docs, "text", "doc_id").collect()}
+    assert (out[1].n_emails, out[1].pii_total) == (1, 1)
+    assert (out[2].n_ips, out[2].pii_total) == (2, 2)
+    assert (out[3].n_phones, out[3].pii_total) == (1, 1)
+    assert out[4].pii_total == 0
+    redacted = docs.select(
+        "doc_id", privacy.redact_pii("text").alias("t")
+    ).collect()
+    txt = {r.doc_id: r.t for r in redacted}
+    assert txt[1] == "mail <EMAIL> now"
+    assert txt[2] == "server <IP> and <IP> up"
+    assert txt[3] == "call <PHONE> today"
+    assert txt[4] == "nothing sensitive here"
+
+
+# --- repetition gate ---------------------------------------------------------
+
+
+def test_repetition_profile_flags_degenerate_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one token repeated
+            (2, "the quick brown fox jumps over lazy dogs tonight maybe"),
+            (3, ""),  # empty: fails the gate, still present
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text.repetition_profile(docs, "text", "doc_id").collect()
+    }
+    assert out[1].repetition_ok == 0
+    assert out[1].top_token_frac == 1.0
+    assert out[1].distinct_ratio == pytest.approx(1 / 6, abs=1e-6)
+    assert out[2].repetition_ok == 1
+    assert out[2].distinct_ratio == 1.0
+    assert out[3].n_tokens == 0 and out[3].repetition_ok == 0
