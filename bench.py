@@ -22,6 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from opendosm_parquet_to_sqlite_spark.caching import release_cached  # noqa: E402
 from opendosm_parquet_to_sqlite_spark.plans.queries import QUERIES  # noqa: E402
 from opendosm_parquet_to_sqlite_spark.session import get_spark  # noqa: E402
 
@@ -73,6 +74,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
+        release_cached()  # operator-internal persists end with their query
 
     total = round(sum(timings.values()), 3)
     print(

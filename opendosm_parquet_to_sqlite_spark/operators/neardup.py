@@ -27,28 +27,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from ..caching import persist_tracked
+from .text import gram_join, spread_small_input, tokens
 
 
 def shingles_from_tokens(toks: Column, n: int) -> Column:
-    """Distinct word n-grams from a token-array column.
-
-    PERF: `toks` must be a materialized column attribute, not a nested
-    expression — Spark evaluates the outer expression once per lambda
-    invocation inside higher-order functions (no CSE across the lambda
-    boundary), which turns an O(tokens) shingle pass into O(tokens²)
-    re-splitting. Callers project the split into a column first.
+    """Distinct word n-grams from a token-array column (set semantics —
+    dedup/minhash; for multiplicity-preserving grams see text.ngram_list).
+    Built with the zip_with chain (text.gram_join) — immune to the
+    CollapseProject/HOF re-tokenization trap documented there.
     """
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    # Guard BEFORE building idx's sequence: sequence(0, negative) counts
-    # DOWNWARD ([0,-1,...]), which would feed slice() an illegal start of 0
-    # for any document shorter than n tokens.
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_distinct(gram_join(toks, n))
 
 
 def with_shingles(
@@ -59,6 +50,7 @@ def with_shingles(
     Uses the guarded tokenizer (text.tokens): empty/whitespace-only docs
     yield ZERO tokens, so n=1 shingling cannot emit a '' shingle that would
     pair every empty doc with every other empty doc."""
+    df = spread_small_input(df)  # gram build is interpreted HOF work
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
@@ -140,8 +132,8 @@ def ngram_jaccard_pairs(
         # Three consumers (freq, hot_counts, buckets) share the tokenize+
         # shingle+hash pipeline; persist the COMPACT pre-explode form so it
         # runs once. MEMORY_AND_DISK + LRU eviction bounds the footprint;
-        # long-lived sessions can release via spark.catalog.clearCache().
-        docs_sh = docs_sh.persist()
+        # long-lived sessions release via caching.release_cached().
+        docs_sh = persist_tracked(docs_sh)
     posts = docs_sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
     if max_doc_freq is not None:
         # Doc-freq per shingle: map-side combine means the exchange carries
@@ -350,7 +342,9 @@ def probe_neardup_index(
                 f"index was built with (n, num_hashes, bands)={got}, "
                 f"probe called with {want} — parameters must match"
             )
-    new_sets = with_hashed_shingles(new_docs, text_col, id_col, n).persist()
+    new_sets = persist_tracked(
+        with_hashed_shingles(new_docs, text_col, id_col, n)
+    )
     new_sig = _signatures_from_hashed_sets(new_sets, num_hashes)
     new_bands = _band_rows(new_sig, bands, num_hashes // bands)
     candidates = (
@@ -409,7 +403,7 @@ def minhash_lsh_pairs(
     # default, so oversized corpora spill instead of OOMing.
     sets = with_hashed_shingles(df, text_col, id_col, n)
     if verify_exact:
-        sets = sets.persist()
+        sets = persist_tracked(sets)
     sig = _signatures_from_hashed_sets(sets, num_hashes)
     band_rows = _band_rows(sig, bands, rows_per_band)
 

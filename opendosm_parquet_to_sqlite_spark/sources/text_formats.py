@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..caching import persist_tracked
 from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
@@ -79,7 +81,7 @@ def split_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     re-run with different column pruning), so both splits read the one
     cached parse — which is also the efficient shape, since clean and
     reject consumers would otherwise each re-parse the input."""
-    df = df.cache()
+    df = persist_tracked(df)
     corrupt = F.col(CORRUPT_COL)
     clean = df.filter(corrupt.isNull()).drop(CORRUPT_COL)
     rejects = df.filter(corrupt.isNotNull())
