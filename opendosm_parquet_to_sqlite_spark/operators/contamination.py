@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .neardup import with_shingles
+from .text import spread_small_input
 
 
 def ngram_overlap(
@@ -34,9 +35,11 @@ def ngram_overlap(
     anywhere in the benchmark; contaminated = 1 iff n_overlap > 0. Docs
     shorter than n tokens have no n-grams and are trivially clean.
     """
-    cand = with_shingles(docs, text_col, id_col, n).select(
-        "doc_id", F.explode("sh").alias("ng")
-    )
+    # pure scan → gram map: spread few-partition sources across cores
+    # (measured 3× at sf0.1 — the gram pass is the whole cost here)
+    cand = with_shingles(
+        spread_small_input(docs), text_col, id_col, n
+    ).select("doc_id", F.explode("sh").alias("ng"))
     bench = (
         with_shingles(benchmark, text_col, id_col, n)
         .select(F.explode("sh").alias("ng"))

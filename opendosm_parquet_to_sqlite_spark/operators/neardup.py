@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
-from .text import gram_join, spread_small_input, tokens
+from .text import gram_join, tokens
 
 
 def shingles_from_tokens(toks: Column, n: int) -> Column:
@@ -49,8 +49,13 @@ def with_shingles(
 
     Uses the guarded tokenizer (text.tokens): empty/whitespace-only docs
     yield ZERO tokens, so n=1 shingling cannot emit a '' shingle that would
-    pair every empty doc with every other empty doc."""
-    df = spread_small_input(df)  # gram build is interpreted HOF work
+    pair every empty doc with every other empty doc.
+
+    Deliberately does NOT spread_small_input here: the dedup pipelines
+    built on this (jaccard/minhash/corpus_clean) shuffle right after the
+    gram pass, and measurement shows the extra exchange + planning cost
+    outweighs the parallelism gain inside composed plans. Pure-scan
+    consumers (contamination, repetition) spread at their own entry."""
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),

@@ -97,7 +97,7 @@ def pack_sequences(
     id_col: str,
     token_count_col: Column,
     budget: int,
-    strata_col: str | None = None,
+    strata_col: str | list[str] | None = None,
     block_size: int = 4096,
 ) -> DataFrame:
     """Greedy sequential packing of documents into training sequences of at
@@ -112,10 +112,19 @@ def pack_sequences(
     global window (no blocks) would serialize the whole corpus through one
     partition: the classic unbounded-window scale trap.
 
-    Output: (doc_id[, stratum], block, seq_in_block, n_tokens, cum_tokens)
+    Output: (doc_id[, *strata], block, seq_in_block, n_tokens, cum_tokens)
     where cum_tokens is the running total within the sequence's block.
+    Multiple strata columns (e.g. [source, split]) keep sequences from
+    mixing rows across a boundary that must stay separate — a train/val
+    leak if packed together.
     """
-    strata = [F.col(strata_col)] if strata_col else []
+    if strata_col is None:
+        strata_names: list[str] = []
+    elif isinstance(strata_col, str):
+        strata_names = [strata_col]
+    else:
+        strata_names = list(strata_col)
+    strata = [F.col(c) for c in strata_names]
     block = (F.col(id_col) / F.lit(block_size)).cast("long").alias("block")
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -123,16 +132,15 @@ def pack_sequences(
         block,
         token_count_col.cast("long").alias("n_tokens"),
     )
-    part = ([F.col(strata_col)] if strata_col else []) + [F.col("block")]
     w = (
-        Window.partitionBy(*part)
+        Window.partitionBy(*strata, F.col("block"))
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
     return base.select(
         "doc_id",
-        *([F.col(strata_col)] if strata_col else []),
+        *strata,
         "block",
         F.floor((cum - F.col("n_tokens")) / F.lit(budget))
         .cast("long")
