@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_quantized",          # int8 ADC top-k (4x smaller search memory)
     "text_repetition",        # gram-count aggregation cascade
     "contamination_check",    # broadcast n-gram collision vs eval set
+    "prepare_training_data",  # flagship end-to-end corpus->sequences plan
 ]
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import dedup, graph, neardup, text
+from . import contamination, dedup, graph, neardup, privacy, sampling, text
 
 
 def clean_corpus(
@@ -73,3 +73,86 @@ def clean_corpus(
         # keeps the minimum id of each similar pair
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return exact_kept.join(losers, id_col, "left_anti")
+
+
+def prepare_training_data(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    min_quality: float = 0.5,
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.3,
+    max_doc_freq: int | None = 50,
+    contamination_n: int = 5,
+    budget: int = 64,
+    block_size: int = 4096,
+) -> DataFrame:
+    """The WHOLE corpus→training-sequences flow, one lazy plan:
+
+    1. PII scrub      — every later stage sees the redacted text
+    2. gates          — quality score ≥ min_quality AND the Gopher-style
+                        repetition gate (operators.text)
+    3. exact dedup    — min-id survivor per content digest
+    4. near-dup sweep — capped n-gram Jaccard, greedy min-id survivor
+    5. decontaminate  — drop docs sharing any contamination_n-gram with
+                        the benchmark set (raw benchmark text)
+    6. mix & split    — deterministic stratified sampling by `strata_col`
+                        + hash-band train/val/test assignment
+    7. pack           — greedy block-local sequences of ≤ budget tokens,
+                        keyed on (stratum, split) so sequences never mix
+                        rows across the train/val boundary
+
+    Output: (doc_id, <strata_col>, split, block, seq_in_block, n_tokens,
+    cum_tokens). Fully deterministic — survivors, splits, and sequence
+    ids are pure functions of the data, independent of partitioning —
+    and, like corpus_clean, SQL-expressible end to end so the COMPOSITION
+    is oracle-verified, not just its stages (plans.queries:
+    prepare_training_data).
+
+    Scale: narrow maps (1, 2-quality, 5-filter, 6), digest/gram-keyed
+    partial-agg shuffles (2-repetition, 3, 4), a broadcast semi-join (5),
+    and O(block) windows (7). Nothing touches the driver.
+    """
+    red = df.withColumn(text_col, privacy.redact_pii(F.col(text_col)))
+    rep_ok = (
+        text.repetition_profile(red, text_col, id_col)
+        .filter(F.col("repetition_ok") == 1)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    gated = red.filter(
+        text.quality_score(F.col(text_col)) >= min_quality
+    ).join(rep_ok, id_col, "leftsemi")
+    exact_kept = dedup.exact_dedup_keep_first(gated, text_col, id_col)
+    pairs = neardup.ngram_jaccard_pairs(
+        exact_kept,
+        text_col,
+        id_col,
+        n=ngram_n,
+        threshold=jaccard_threshold,
+        max_doc_freq=max_doc_freq,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = exact_kept.join(losers, id_col, "left_anti")
+    flagged = contamination.ngram_overlap(
+        survivors, benchmark, text_col, id_col, n=contamination_n
+    )
+    dirty = flagged.filter(F.col("contaminated") == 1).select(
+        F.col("doc_id").alias(id_col)
+    )
+    clean = survivors.join(dirty, id_col, "left_anti")
+    sampled = sampling.stratified_sample(
+        clean, strata_col, id_col, rates, default_rate
+    )
+    split = sampling.split_assign(sampled, id_col)
+    return sampling.pack_sequences(
+        split,
+        id_col,
+        text.token_count(F.col(text_col)),
+        budget=budget,
+        strata_col=[strata_col, "split"],
+        block_size=block_size,
+    )

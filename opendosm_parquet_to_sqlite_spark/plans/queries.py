@@ -1609,3 +1609,155 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         strata_col="source",
         block_size=128,
     )
+
+
+# DuckDB mirror of privacy.redact_pii (patterns in declaration order)
+_DUCK_REDACT = """regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+    '\\+?[0-9][0-9]{1,2}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'),
+    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')"""
+
+# DuckDB mirror of text.quality_score (same expression as the text_quality
+# oracle, parameterized over the current CTE's `text`)
+_DUCK_QUALITY = """round((least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x != '')) / 64.0, 1.0)
+          + (1.0 - least(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / greatest(length(text), 1), 6) * 4, 1.0))
+          + (1.0 - least(abs(round(len(list_filter(
+                  list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''),
+                  x -> list_contains(['the','a','of','and','to','in','is'], lower(x))))
+                  / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                             x -> x != '')), 1), 6) - 0.4), 1.0)))
+         / 3.0, 6)"""
+
+
+@query(
+    "prepare_training_data",
+    f"""
+    WITH red AS (
+        SELECT doc_id, source, {_DUCK_REDACT} AS text
+        FROM documents WHERE doc_id % 97 <> 0
+    ), q AS (
+        SELECT doc_id, {_DUCK_QUALITY} AS quality FROM red
+    ), toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM red
+    ), uni AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM toks, LATERAL unnest(t) AS u(tok) GROUP BY doc_id, tok
+    ), uni_stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS d, max(c) AS m
+        FROM uni GROUP BY doc_id
+    ), big AS (
+        SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg, count(*) AS c
+        FROM toks, LATERAL unnest(range(len(t) - 1)) AS u(i)
+        GROUP BY doc_id, array_to_string(t[i+1:i+2], ' ')
+    ), big_stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS mb
+        FROM big GROUP BY doc_id
+    ), rep_ok AS (
+        SELECT u.doc_id FROM uni_stats u LEFT JOIN big_stats b USING (doc_id)
+        WHERE u.n > 0 AND round(u.d / u.n, 6) >= 0.5
+          AND round(u.m / u.n, 6) <= 0.2
+          AND coalesce(CASE WHEN b.nb > 0
+                            THEN round(b.mb / b.nb, 6) END, 0.0) <= 0.18
+    ), gated AS (
+        SELECT r.* FROM red r
+        JOIN q USING (doc_id) JOIN rep_ok USING (doc_id)
+        WHERE q.quality >= 0.5
+    ), exact_kept AS (
+        SELECT g.* FROM gated g
+        JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)) k
+          USING (doc_id)
+    ), posts AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM exact_kept)
+    ), keep AS (
+        SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= 50
+    ), pf AS (
+        SELECT doc_id, shingle FROM posts JOIN keep USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM pf GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM pf a JOIN pf b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), losers AS (
+        SELECT DISTINCT id_b AS doc_id FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.3
+    ), survivors AS (
+        SELECT * FROM exact_kept ANTI JOIN losers USING (doc_id)
+    ), btoks AS (
+        SELECT {_DUCK_TOKS} AS t FROM documents WHERE doc_id % 97 = 0
+    ), bgrams AS (
+        SELECT DISTINCT array_to_string(t[i+1:i+5], ' ') AS ng
+        FROM btoks, LATERAL unnest(range(len(t) - 4)) AS u(i)
+    ), stoks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM survivors
+    ), sgrams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS ng
+        FROM stoks, LATERAL unnest(range(len(t) - 4)) AS u(i)
+    ), dirty AS (
+        SELECT DISTINCT doc_id FROM sgrams JOIN bgrams USING (ng)
+    ), clean AS (
+        SELECT * FROM survivors ANTI JOIN dirty USING (doc_id)
+    ), sampled AS (
+        SELECT *,
+            CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < 'e6666666' THEN 'train'
+                 WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < 'f3333333' THEN 'val'
+                 ELSE 'test' END AS split
+        FROM clean
+        WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE source WHEN 'src0' THEN '80000000'
+                            WHEN 'src1' THEN '40000000'
+                            ELSE '1999999a' END
+    ), base AS (
+        SELECT doc_id, source, split, CAST(doc_id // 128 AS BIGINT) AS block,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+        FROM sampled
+    ), cums AS (
+        SELECT *, CAST(sum(n_tokens) OVER (
+                 PARTITION BY source, split, block ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM base
+    )
+    SELECT doc_id, source, split, block,
+           CAST(floor((cum_tokens - n_tokens) / 64.0) AS BIGINT)
+               AS seq_in_block,
+           n_tokens, cum_tokens
+    FROM cums
+    """,
+)
+def q_prepare_training_data(spark: SparkSession, sf: str) -> DataFrame:
+    """The FLAGSHIP composition: PII scrub → quality + repetition gates →
+    exact dedup → capped near-dup sweep → benchmark decontamination →
+    deterministic mix/split → sequence packing, one lazy plan verified
+    end-to-end against a single DuckDB re-statement (the pipeline
+    property that matters: the seams, not just the stages)."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", "text"
+    )
+    return corpus.prepare_training_data(
+        cand,
+        bench,
+        "text",
+        "doc_id",
+        "source",
+        rates={"src0": 0.5, "src1": 0.25},
+        default_rate=0.1,
+        min_quality=0.5,
+        ngram_n=3,
+        jaccard_threshold=0.3,
+        max_doc_freq=50,
+        contamination_n=5,
+        budget=64,
+        block_size=128,
+    )

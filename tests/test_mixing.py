@@ -200,6 +200,38 @@ def test_pii_redaction_and_counts(spark):
 # --- repetition gate ---------------------------------------------------------
 
 
+def test_prepare_training_data_semantics(spark, docs):
+    from opendosm_parquet_to_sqlite_spark.operators import corpus
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", "text"
+    )
+    out = corpus.prepare_training_data(
+        cand, bench, "text", "doc_id", "source",
+        rates={"src0": 0.5, "src1": 0.25}, default_rate=0.1,
+        budget=64, block_size=128,
+    ).collect()
+    assert out, "pipeline produced no training rows"
+    # sequences never mix splits or sources (leak guard), and the greedy
+    # budget invariant holds: sequence total minus its last doc < budget
+    by_seq: dict[tuple, list] = {}
+    for r in out:
+        by_seq.setdefault((r.source, r.split, r.block, r.seq_in_block), []).append(r)
+    for rows in by_seq.values():
+        rows.sort(key=lambda r: r.doc_id)
+        total = sum(r.n_tokens for r in rows)
+        assert total - rows[-1].n_tokens < 64
+    # deterministic: a second run yields the identical row set
+    out2 = corpus.prepare_training_data(
+        cand.repartition(13), bench, "text", "doc_id", "source",
+        rates={"src0": 0.5, "src1": 0.25}, default_rate=0.1,
+        budget=64, block_size=128,
+    ).collect()
+    key = lambda r: (r.doc_id, r.source, r.split, r.block, r.seq_in_block)
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
 def test_repetition_profile_flags_degenerate_docs(spark):
     docs = spark.createDataFrame(
         [
