@@ -38,6 +38,7 @@ _ROWS_ONLY_PRIORITY = [
     "ann_ivf",
     "ann_lsh",
     "ann_quantized",
+    "dedup_semantic",
     "dedup_simhash",
     "sketch_profile",
     "multimodal_decode",

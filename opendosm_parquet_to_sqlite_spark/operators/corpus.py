@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from . import contamination, dedup, graph, neardup, privacy, sampling, text
 
 
@@ -126,7 +127,16 @@ def prepare_training_data(
     gated = red.filter(
         text.quality_score(F.col(text_col)) >= min_quality
     ).join(rep_ok, id_col, "leftsemi")
-    exact_kept = dedup.exact_dedup_keep_first(gated, text_col, id_col)
+    # The scrub→gate chain feeds the near-dup index AND the survivor
+    # anti-join; the survivor set feeds decontamination (twice — gram side
+    # and zero-fill side) and the mix/pack tail. Without these two cuts the
+    # regex scrub + repetition aggregation re-execute ~5× (measured 20 s →
+    # 6 s at sf0.1). MEMORY_AND_DISK, released via caching.release_cached()
+    # — at cluster scale substitute a parquet checkpoint if the corpus
+    # outgrows the cache tier.
+    exact_kept = persist_tracked(
+        dedup.exact_dedup_keep_first(gated, text_col, id_col)
+    )
     pairs = neardup.ngram_jaccard_pairs(
         exact_kept,
         text_col,
@@ -136,7 +146,7 @@ def prepare_training_data(
         max_doc_freq=max_doc_freq,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    survivors = exact_kept.join(losers, id_col, "left_anti")
+    survivors = persist_tracked(exact_kept.join(losers, id_col, "left_anti"))
     flagged = contamination.ngram_overlap(
         survivors, benchmark, text_col, id_col, n=contamination_n
     )

@@ -595,6 +595,97 @@ def quantized_topk(
     )
 
 
+_PAIR_SCHEMA = "id_a long, id_b long, cosine double"
+
+
+def _block_pair_scorer(id_col: str, vec_col: str, threshold: float):
+    """applyInPandas kernel shared by the blocked pair paths (sign-LSH
+    buckets, SemDeDup cells): one BLAS matmul per block over the
+    normalized block matrix, upper-triangle thresholded. Zero-norm rows
+    are guarded (normalized to zero → cosine 0, never NaN)."""
+
+    def score_block(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        V = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        V /= norms
+        S = V @ V.T
+        iu, ju = np.triu_indices(m, k=1)
+        sims = np.round(S[iu, ju], 6)
+        keep = sims >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": sims[keep]}
+        )
+
+    return score_block
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _LSH_SEED,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means the corpus
+    into cells (the IVF coarse quantizer, deterministic sample + seed),
+    then score each CELL as one BLAS matmul and keep pairs with cosine ≥
+    threshold. The standard semantic-dedup recipe for training corpora —
+    duplicates are near-identical vectors, so they land in the same cell
+    with overwhelming probability on clustered real-world embeddings
+    (recall is test-pinned on a clustered fixture; cross-cell misses are
+    the documented approximation, same trade as the published recipe).
+
+    Scale shape: one shuffle keyed by cell; quadratic work confined to
+    cell size (n_centroids is the knob — size cells so a block matmul
+    fits an executor); centroids ship as closure literals, never joined.
+    """
+    cent = train_ivf_centroids(
+        corpus, n_centroids, train_sample, id_col, vec_col, seed
+    )
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign_cell_udf(cent)(F.col(vec_col)).alias("__cell"),
+    )
+    return (
+        assigned.groupBy("__cell")
+        .applyInPandas(
+            _block_pair_scorer(id_col, vec_col, threshold), _PAIR_SCHEMA
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _LSH_SEED,
+) -> DataFrame:
+    """Corpus rows surviving semantic dedup: for every within-cell pair
+    with cosine ≥ threshold, the larger id is dropped (deterministic
+    min-id survivor; for chain/cluster semantics feed
+    semantic_dedup_pairs to graph.connected_components instead)."""
+    pairs = semantic_dedup_pairs(
+        corpus, threshold, n_centroids, train_sample, id_col, vec_col, seed
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(losers, id_col, "left_anti")
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,
@@ -648,26 +739,8 @@ def lsh_cosine_pairs(
     express the efficient shape. At petabyte scale, sub-chunk oversized
     buckets (more planes, or tile the matmul) so a block fits in memory.
     """
-    out_schema = "id_a long, id_b long, cosine double"
-
-    def score_bucket(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        V = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
-        V /= np.linalg.norm(V, axis=1, keepdims=True)
-        S = V @ V.T
-        iu, ju = np.triu_indices(m, k=1)
-        sims = np.round(S[iu, ju], 6)
-        keep = sims >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": sims[keep]}
-        )
+    out_schema = _PAIR_SCHEMA
+    score_bucket = _block_pair_scorer(id_col, vec_col, threshold)
 
     withb = df.select(
         F.col(id_col),

@@ -1234,6 +1234,18 @@ def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query("dedup_semantic")  # rows-only: k-means cells are engine-defined
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means cells (the IVF
+    coarse quantizer) + one BLAS matmul per cell. Recall vs the exact
+    all-pairs path is pinned on a clustered fixture in
+    tests/test_similarity.py; threshold 0.3 matches the fixture's
+    near-random neighbor regime (real embeddings dedup at ≥0.9)."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(emb, threshold=0.3, n_centroids=8)
+    return pairs.orderBy("id_a", "id_b")
+
+
 # --- M5: text analysis --------------------------------------------------------
 
 

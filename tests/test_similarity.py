@@ -241,3 +241,54 @@ def test_lsh_topk_multitable_recall(spark, emb):
         ).collect()
     }
     assert len(lsh & bf) >= 0.9 * len(bf)
+
+
+# --- semantic dedup (SemDeDup-style) -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Clustered corpus: 20 well-separated base vectors, each with 4
+    near-duplicates (base + small deterministic perturbation) — the regime
+    semantic dedup is designed for."""
+    import math
+
+    rows = []
+    dim = 16
+    for b in range(20):
+        base = [math.sin(0.7 * b * (d + 1)) + (3.0 if d == b % dim else 0.0)
+                for d in range(dim)]
+        for r in range(5):  # base + 4 near-copies
+            vec = [x + 0.001 * ((b * 5 + r + d) % 7) for d, x in enumerate(base)]
+            rows.append((b * 5 + r, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_recall_on_clustered_corpus(spark, clustered):
+    exact = similarity.cosine_pairs(clustered, 0.99).collect()
+    approx = similarity.semantic_dedup_pairs(
+        clustered, threshold=0.99, n_centroids=8, seed=7
+    ).collect()
+    exact_set = {(r.id_a, r.id_b) for r in exact}
+    approx_set = {(r.id_a, r.id_b) for r in approx}
+    assert exact_set, "fixture must contain near-dup pairs"
+    # no false positives: every within-cell pair is exactly scored
+    assert approx_set <= exact_set
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.9, recall
+
+
+def test_semantic_dedup_survivors_and_determinism(spark, clustered):
+    kept = similarity.semantic_dedup(
+        clustered, threshold=0.99, n_centroids=8, seed=7
+    )
+    ids = sorted(r.vec_id for r in kept.collect())
+    # survivors can never exceed corpus size and must keep ≥ one per cluster
+    assert 20 <= len(ids) < 100
+    ids2 = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            clustered.repartition(11), threshold=0.99, n_centroids=8, seed=7
+        ).collect()
+    )
+    assert ids == ids2
