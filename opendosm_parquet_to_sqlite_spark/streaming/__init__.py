@@ -19,6 +19,7 @@ State stores shard by the grouping key, so every operator here scales the
 same way the batch plans do: one hash exchange on the keys, no global state.
 """
 
+from .corpus import corpus_ingest_stream, rowwise_repetition_ok
 from .incremental import (
     dedup_within_watermark,
     latest_per_key_stream,
@@ -29,9 +30,11 @@ from .incremental import (
 from .pipeline import stream_prices_to_sqlite
 
 __all__ = [
+    "corpus_ingest_stream",
     "dedup_within_watermark",
     "latest_per_key_stream",
     "read_stream_parquet",
+    "rowwise_repetition_ok",
     "run_available_now",
     "stream_prices_to_sqlite",
     "tumbling_window_agg_stream",

@@ -150,3 +150,96 @@ def test_streaming_window_agg_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert state == expected
+
+
+def test_streaming_corpus_ingest_matches_batch(spark, tmp_path):
+    """The mixing layer is stateless → streaming rows must equal the batch
+    composition of the same operators over the same documents."""
+    from opendosm_parquet_to_sqlite_spark.operators import privacy, sampling, text
+    from opendosm_parquet_to_sqlite_spark.streaming import corpus_ingest_stream
+    from opendosm_parquet_to_sqlite_spark.streaming.corpus import (
+        rowwise_repetition_ok,
+    )
+
+    docs = load_table(spark, SF0001, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+
+    rates = {"src0": 0.9, "src1": 0.5}
+    sdf = read_stream_parquet(spark, src, docs.schema, max_files_per_trigger=1)
+    out = corpus_ingest_stream(
+        sdf, "text", "doc_id", "source", rates, default_rate=0.3
+    )
+
+    got: list = []
+    run_available_now(
+        out,
+        str(tmp_path / "ckpt"),
+        lambda df, _bid: got.extend(map(tuple, df.collect())),
+        output_mode="append",
+    )
+
+    red = docs.withColumn("text", privacy.redact_pii(F.col("text")))
+    toked = red.withColumn("__toks", text.tokens(F.col("text")))
+    gated = toked.filter(
+        (text.quality_score(F.col("text")) >= 0.5)
+        & rowwise_repetition_ok(F.col("__toks"))
+    )
+    sampled = sampling.stratified_sample(gated, "source", "doc_id", rates, 0.3)
+    batch = (
+        sampling.split_assign(sampled, "doc_id")
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        .drop("__toks")
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    assert sorted(got) == expected
+    assert expected, "gate must pass some documents"
+
+
+def test_streaming_neardup_index_probe_per_microbatch(spark, tmp_path):
+    """The streaming dedup shape: a persisted MinHash index probed by each
+    microbatch via foreachBatch — flagged pairs across all batches must
+    equal a single batch probe of the same docs."""
+    from opendosm_parquet_to_sqlite_spark.operators.neardup import (
+        build_neardup_index,
+        probe_neardup_index,
+    )
+
+    docs = load_table(spark, SF0001, "documents").select(
+        "doc_id", "source", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    bands, sets = build_neardup_index(corpus, "text", "doc_id", n=2)
+    idx_dir = str(tmp_path / "idx")
+    bands.write.parquet(f"{idx_dir}/bands")
+    sets.write.parquet(f"{idx_dir}/sets")
+    bands_r = spark.read.parquet(f"{idx_dir}/bands")
+    sets_r = spark.read.parquet(f"{idx_dir}/sets")
+
+    src = str(tmp_path / "incoming")
+    incoming.repartition(3).write.parquet(src)
+    sdf = read_stream_parquet(spark, src, incoming.schema, max_files_per_trigger=1)
+
+    got: set = set()
+
+    def probe(df, _bid):
+        hits = probe_neardup_index(
+            df, bands_r, sets_r, "text", "doc_id", n=2, threshold=0.4
+        )
+        got.update((r[0], r[1]) for r in hits.collect())
+
+    # the probe is a per-batch JOIN against the index, not a stateful agg:
+    # wire the raw stream through foreachBatch in append mode
+    run_available_now(sdf, str(tmp_path / "ckpt2"), probe, output_mode="append")
+
+    expected = {
+        (r[0], r[1])
+        for r in probe_neardup_index(
+            incoming, bands_r, sets_r, "text", "doc_id", n=2, threshold=0.4
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must produce at least one near-dup hit"
