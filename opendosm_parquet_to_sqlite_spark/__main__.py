@@ -14,6 +14,49 @@ import logging
 import sys
 
 
+def _prepare_corpus(args) -> int:
+    """`--prepare-corpus docs.parquet --corpus-out out/`: run the
+    end-to-end training-data pipeline (scrub → gates → dedup →
+    decontaminate → mix/split → pack) and write a split-partitioned
+    parquet dataset."""
+    from pyspark.sql import functions as F
+
+    from .caching import release_cached
+    from .operators.corpus import prepare_training_data
+    from .session import get_spark
+    from .sinks.dataset import write_dataset
+
+    spark = get_spark(app_name="prepare-corpus")
+    docs = spark.read.parquet(args.prepare_corpus)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        cand = docs
+    else:
+        # no eval set supplied: hold out a deterministic 1% as benchmark
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        cand = docs.filter(F.col("doc_id") % 97 != 0)
+    out = prepare_training_data(
+        cand.select("doc_id", "source", "text"),
+        bench,
+        "text",
+        "doc_id",
+        "source",
+        rates={},
+        default_rate=args.sample_rate,
+        budget=args.budget,
+    )
+    write_dataset(
+        out,
+        args.corpus_out,
+        partition_by=["split"],
+        sort_within_by=["source", "block", "seq_in_block"],
+    )
+    n = spark.read.parquet(args.corpus_out).count()
+    release_cached()
+    print(f"wrote {n} packed rows → {args.corpus_out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="opendosm_parquet_to_sqlite_spark")
     sel = p.add_mutually_exclusive_group()
@@ -24,9 +67,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cache-dir", default="./__cached__")
     p.add_argument("--base-url", default="https://storage.data.gov.my")
     p.add_argument("--force", action="store_true", help="rebuild even if fresh")
+    p.add_argument(
+        "--prepare-corpus",
+        metavar="DOCS_PARQUET",
+        help="run the training-data pipeline over a documents parquet "
+        "(columns doc_id, source, text) instead of the PriceCatcher ETL",
+    )
+    p.add_argument("--benchmark", help="eval-set parquet for decontamination")
+    p.add_argument("--corpus-out", default="./corpus_out")
+    p.add_argument("--sample-rate", type=float, default=1.0)
+    p.add_argument("--budget", type=int, default=2048)
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    if args.prepare_corpus:
+        return _prepare_corpus(args)
     from .plans.pipeline import run_pipeline
     from .session import get_spark
     from .sources.catalog import discover_months, pick_month
