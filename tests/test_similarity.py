@@ -292,3 +292,31 @@ def test_semantic_dedup_survivors_and_determinism(spark, clustered):
         ).collect()
     )
     assert ids == ids2
+
+
+def test_quantized_ivf_index_roundtrip_recall_and_append(spark, emb, tmp_path):
+    """IVF+SQ: the persisted index stores int8 codes (no float vectors),
+    probes score via ADC, and recall vs the FLOAT index at the same
+    n_probe is ≥0.95 (int8 error ~0.3% of cosine)."""
+    fpath, qpath = str(tmp_path / "fivf"), str(tmp_path / "qivf")
+    similarity.build_ivf_index(emb, fpath, n_centroids=8)
+    similarity.build_ivf_index(emb, qpath, n_centroids=8, quantize=True)
+    # the quantized cells must NOT carry the float vector
+    qcells = spark.read.parquet(f"{qpath}/cells")
+    assert "q_codes" in qcells.columns and "embedding" not in qcells.columns
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    f = similarity.probe_ivf_index(spark, fpath, queries, k=5, n_probe=4)
+    q = similarity.probe_ivf_index(spark, qpath, queries, k=5, n_probe=4)
+    fset = {(r.query_id, r.neighbor_id) for r in f.collect()}
+    qset = {(r.query_id, r.neighbor_id) for r in q.collect()}
+    assert len(qset & fset) / len(fset) >= 0.95
+    # append path quantizes with the saved meta (no retrain, codes schema)
+    extra = emb.filter(F.col("vec_id") >= 900).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    similarity.append_ivf_index(extra, qpath)
+    appended = spark.read.parquet(f"{qpath}/cells")
+    assert "q_codes" in appended.columns
+    assert appended.count() == emb.count() + extra.count()
