@@ -95,6 +95,32 @@ def wav_metadata(df: DataFrame, payload_col: str) -> DataFrame:
     )
 
 
+def _be_uint(payload: Column, pos: int, nbytes: int) -> Column:
+    """Big-endian unsigned int from payload bytes [pos, pos+nbytes)
+    (1-based pos) — hex the slice, parse base-16. Codegen, no Python."""
+    return F.conv(F.hex(F.substring(payload, pos, nbytes)), 16, 10).cast("long")
+
+
+def png_metadata(df: DataFrame, payload_col: str) -> DataFrame:
+    """Image dimensions from the PNG IHDR chunk — native byte surgery,
+    the image analog of wav_metadata: the 8-byte signature is followed by
+    the IHDR length/type (8 bytes), then width and height as big-endian
+    uint32 at offsets 16 and 20 (0-based). IHDR is REQUIRED first by the
+    PNG spec, so a fixed-offset read is spec-correct, not a heuristic.
+    Non-PNG payloads (and PNGs truncated before the IHDR) yield nulls."""
+    p = F.col(payload_col)
+    is_png = (sniff_media_type(p) == "image/png") & (
+        F.octet_length(p) >= 24
+    ) & (F.hex(F.substring(p, 13, 4)) == "49484452")  # 'IHDR'
+    null_l = F.lit(None).cast("long")
+    return df.withColumns(
+        {
+            "png_width": F.when(is_png, _be_uint(p, 17, 4)).otherwise(null_l),
+            "png_height": F.when(is_png, _be_uint(p, 21, 4)).otherwise(null_l),
+        }
+    )
+
+
 def payload_metadata(
     df: DataFrame, payload_col: str, hex_digest: bool = False
 ) -> DataFrame:

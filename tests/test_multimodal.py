@@ -129,3 +129,28 @@ def test_binary_from_text_rotating_magic(spark):
     assert out[0][:4] == bytes.fromhex("89504E47") and out[0][4:] == b"zero"
     assert out[1][:4] == bytes.fromhex("FFD8FFE0") and out[1][4:] == b"one"
     assert out[2] == b"two"
+
+
+def test_png_metadata_native_header_parse(spark):
+    import struct
+
+    def png_bytes(w, h):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+        return sig + ihdr + b"\x00" * 8
+
+    from opendosm_parquet_to_sqlite_spark.operators.multimodal import png_metadata
+
+    rows = [
+        (1, bytearray(png_bytes(640, 480))),
+        (2, bytearray(png_bytes(1, 1_000_000))),  # >16-bit dims parse fine
+        (3, bytearray(b"\xff\xd8\xff\xe0 not a png")),
+        (4, bytearray(b"\x89PNG\r\n\x1a\n")),  # truncated before IHDR
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: (r.png_width, r.png_height)
+           for r in png_metadata(df, "payload").collect()}
+    assert out[1] == (640, 480)
+    assert out[2] == (1, 1_000_000)
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)

@@ -135,3 +135,20 @@ def test_ivf_index_probe_prunes_cell_partitions(spark, tmp_path):
     # the stored corpus is never hash-shuffled; the sole exchange is the
     # per-query top-k window
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_prepare_training_data_plan_shape(spark):
+    """The flagship composition: persisted cuts are reused (InMemoryTableScan
+    on every consuming branch), dedup/decontamination run as anti-joins,
+    and nothing degenerates into a cartesian product."""
+    from opendosm_parquet_to_sqlite_spark.caching import release_cached
+
+    plan = _plan(spark, "prepare_training_data")
+    release_cached()  # the query registers tracked persists at build time
+    assert "CartesianProduct" not in plan
+    # gate-chain + survivor cuts feed multiple branches through the cache
+    assert plan.count("InMemoryTableScan") >= 3
+    # near-dup losers and contamination dirty-set both leave via anti-joins
+    assert plan.count("LeftAnti") >= 2
+    # decontamination's benchmark side is broadcast, never shuffled at scale
+    assert "BroadcastHashJoin LeftSemi" in plan
