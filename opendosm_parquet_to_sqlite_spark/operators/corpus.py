@@ -76,6 +76,53 @@ def clean_corpus(
     return exact_kept.join(losers, id_col, "left_anti")
 
 
+def ingest_increment(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup dedup for a NEW batch against an already-ingested corpus —
+    the incremental shape of clean_corpus's sweep: probe the persisted
+    MinHash index (O(batch + collisions), the corpus text is never
+    rescanned), dedup within the batch, and emit the batch's own index
+    rows for appending.
+
+    Returns (survivors, new_band_rows, new_shingle_sets). The index rows
+    cover ALL gated new docs (survivors AND dropped) — indexing only
+    survivors would diverge from batch semantics on chains: greedy min-id
+    drops a doc that matches ANY earlier doc, not just earlier survivors.
+    With ids assigned monotonically across batches (required — greedy
+    survivorship is id-ordered), processing batches incrementally yields
+    EXACTLY the survivors of one batch run over the whole corpus
+    (test-pinned in tests/test_mixing.py), because band collisions and
+    exact verification are deterministic functions of the text.
+    """
+    vs_corpus = neardup.probe_neardup_index(
+        new_docs, index_bands, index_sets, text_col, id_col,
+        n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    within = neardup.minhash_lsh_pairs(
+        new_docs, text_col, id_col,
+        n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    losers = (
+        vs_corpus.select(F.col("new_id").alias(id_col))
+        .unionByName(within.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    survivors = new_docs.join(losers, id_col, "left_anti")
+    new_bands, new_sets = neardup.build_neardup_index(
+        new_docs, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    return survivors, new_bands, new_sets
+
+
 def prepare_training_data(
     df: DataFrame,
     benchmark: DataFrame,

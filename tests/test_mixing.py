@@ -279,3 +279,44 @@ def test_cli_prepare_corpus_writes_split_dataset(spark, tmp_path):
     import os
 
     assert any(d.startswith("split=") for d in os.listdir(out))
+
+
+# --- incremental ingest ------------------------------------------------------
+
+
+def test_ingest_increment_equals_batch_dedup(spark, docs):
+    """Two incremental batches against a seeded index must keep EXACTLY the
+    docs a single batch sweep over the whole corpus keeps (greedy min-id,
+    ids monotone across batches)."""
+    from opendosm_parquet_to_sqlite_spark.operators import corpus, neardup
+
+    base = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    b1 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)).select(
+        "doc_id", "text"
+    )
+    b2 = docs.filter(F.col("doc_id") >= 350).select("doc_id", "text")
+    kw = dict(n=2, threshold=0.4)
+
+    bands, sets = neardup.build_neardup_index(base, "text", "doc_id", n=2)
+    s1, nb1, ns1 = corpus.ingest_increment(b1, bands, sets, "text", "doc_id", **kw)
+    bands = bands.unionByName(nb1)
+    sets = sets.unionByName(ns1)
+    s2, _, _ = corpus.ingest_increment(b2, bands, sets, "text", "doc_id", **kw)
+    incremental = sorted(
+        r.doc_id for r in s1.select("doc_id").collect()
+    ) + sorted(r.doc_id for r in s2.select("doc_id").collect())
+
+    pairs = neardup.minhash_lsh_pairs(
+        docs.select("doc_id", "text"), "text", "doc_id", **kw
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    batch = sorted(
+        r.doc_id
+        for r in docs.select("doc_id")
+        .filter(F.col("doc_id") >= 200)
+        .join(losers, "doc_id", "left_anti")
+        .collect()
+    )
+    assert sorted(incremental) == batch
+    assert batch, "fixture must keep some survivors"
+    assert len(batch) < 300, "fixture must drop some near-dups"
