@@ -39,6 +39,7 @@ _ROWS_ONLY_PRIORITY = [
     "ann_lsh",
     "ann_quantized",
     "dedup_semantic",
+    "dedup_incremental",
     "dedup_simhash",
     "sketch_profile",
     "multimodal_decode",

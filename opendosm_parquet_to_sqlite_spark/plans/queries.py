@@ -1234,6 +1234,22 @@ def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query("dedup_incremental")  # rows-only: minhash banding is engine-defined
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest shape: docs with id < 250 are the already-indexed
+    corpus; the rest arrive as a new batch, dedup against the index probe +
+    within-batch sweep. Exact equivalence to the whole-corpus batch sweep
+    is pinned in tests/test_mixing.py."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    bands, sets = neardup.build_neardup_index(base, "text", "doc_id", n=2)
+    survivors, _, _ = corpus.ingest_increment(
+        batch, bands, sets, "text", "doc_id", n=2, threshold=0.4
+    )
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
 @query("dedup_semantic")  # rows-only: k-means cells are engine-defined
 def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: k-means cells (the IVF
