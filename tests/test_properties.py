@@ -125,3 +125,106 @@ def test_ngram_jaccard_matches_python_oracle(spark, docs):
                     if jac >= 0.2:
                         expected[(i, j)] = jac
     assert got == expected
+
+
+# --- gram construction vs a pure-Python reference ----------------------------
+
+token_lists = st.lists(
+    st.text(alphabet="abcx", min_size=1, max_size=3), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=token_lists, n=st.integers(min_value=1, max_value=5))
+def test_gram_join_matches_python_ngrams(spark, toks, n):
+    from pyspark.sql import functions as F
+
+    from opendosm_parquet_to_sqlite_spark.operators.text import ngram_list
+
+    df = spark.createDataFrame([(toks,)], "t array<string>")
+    [row] = df.select(ngram_list(F.col("t"), n).alias("g")).collect()
+    expected = [
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ] if len(toks) >= n else []
+    assert row.g == expected
+
+
+# --- sequence packing vs a pure-Python greedy reference ----------------------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=50),
+    block=st.integers(min_value=4, max_value=64),
+)
+def test_pack_sequences_matches_python_reference(spark, counts, budget, block):
+    from pyspark.sql import functions as F
+
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import pack_sequences
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r.doc_id: (r.block, r.seq_in_block, r.cum_tokens)
+        for r in pack_sequences(
+            df, "doc_id", F.col("n"), budget=budget, block_size=block
+        ).collect()
+    }
+    # python reference: per block, running sum in id order; seq = floor of
+    # the pre-doc cumulative over budget
+    by_block: dict[int, int] = {}
+    for i, c in rows:
+        b = i // block
+        before = by_block.get(b, 0)
+        by_block[b] = before + c
+        assert got[i] == (b, before // budget, before + c), (i, c, budget, block)
+
+
+# --- connected components vs a pure-Python union-find ------------------------
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from opendosm_parquet_to_sqlite_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    # normalize: cluster id must be the MIN member, which find() gives since
+    # we always parent larger roots under smaller ones
+    assert got == expected
