@@ -33,18 +33,39 @@ def rowwise_repetition_ok(
 ):
     """Streaming-compatible repetition gate as a pure row expression over a
     token array: distinct-token ratio + top-token mass, no aggregation
-    (state-free; usable in any narrow map). Interpreted HOF cost is
-    O(distinct·tokens) per row — fine for per-doc gating; the batch
-    repetition_profile keeps the aggregate formulation (plus the bigram
-    metric, which this row form omits)."""
+    across rows (state-free; usable in any narrow map). The batch
+    repetition_profile keeps the exploded-aggregate formulation (plus the
+    bigram metric, which this row form omits).
+
+    Top-token mass = the longest run in the SORTED array, computed with a
+    single `aggregate` fold whose lambda touches only the accumulator and
+    the element — O(n log n) per row, and immune to the CollapseProject/
+    HOF trap (a lambda that re-referenced `toks` would re-evaluate the
+    inlined tokenizer per ELEMENT — see text.gram_join)."""
     n = F.size(toks)
-    distinct = F.array_distinct(toks)
-    top = F.array_max(
-        F.transform(distinct, lambda x: F.size(F.filter(toks, lambda y: y == x)))
+    run_state = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        new_run = (
+            F.when(acc.prev.isNotNull() & (acc.prev == x), acc.run + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc.best, new_run).alias("best"),
+        )
+
+    top = F.aggregate(
+        F.array_sort(toks), run_state, step, lambda acc: acc.best
     )
     return (
         (n > 0)
-        & (F.round(F.size(distinct) / n, 6) >= min_distinct_ratio)
+        & (F.round(F.size(F.array_distinct(toks)) / n, 6) >= min_distinct_ratio)
         & (F.round(top / n, 6) <= max_top_token_frac)
     )
 

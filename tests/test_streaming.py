@@ -243,3 +243,30 @@ def test_streaming_neardup_index_probe_per_microbatch(spark, tmp_path):
     }
     assert got == expected
     assert expected, "fixture must produce at least one near-dup hit"
+
+
+def test_rowwise_repetition_gate_matches_batch_profile(spark):
+    """The streaming row-wise gate must agree with the batch
+    repetition_profile on their shared metrics (distinct ratio, top-token
+    mass) for every fixture document."""
+    from opendosm_parquet_to_sqlite_spark.operators import text
+    from opendosm_parquet_to_sqlite_spark.streaming.corpus import (
+        rowwise_repetition_ok,
+    )
+
+    docs = load_table(spark, SF0001, "documents")
+    row = docs.select(
+        "doc_id", rowwise_repetition_ok(text.tokens(F.col("text"))).alias("ok")
+    ).collect()
+    prof = {
+        r.doc_id: r
+        for r in text.repetition_profile(docs, "text", "doc_id").collect()
+    }
+    for r in row:
+        p = prof[r.doc_id]
+        expect = (
+            p.n_tokens > 0
+            and p.distinct_ratio >= 0.5
+            and p.top_token_frac <= 0.2
+        )
+        assert bool(r.ok) == expect, r.doc_id
