@@ -320,3 +320,28 @@ def test_ingest_increment_equals_batch_dedup(spark, docs):
     assert sorted(incremental) == batch
     assert batch, "fixture must keep some survivors"
     assert len(batch) < 300, "fixture must drop some near-dups"
+
+
+# --- null-text robustness ----------------------------------------------------
+
+
+def test_null_text_flows_through_gates_without_errors(spark):
+    """Fixture tables carry no NULL text, but real corpora do: every gate
+    and profile must pass NULL through as a dropped/zeroed doc, never an
+    error or a phantom match."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a real document with several words here")],
+        "doc_id long, text string",
+    )
+    prof = {r.doc_id: r for r in text.repetition_profile(docs, "text", "doc_id").collect()}
+    assert prof[1].n_tokens == 0 and prof[1].repetition_ok == 0
+    assert prof[2].n_tokens == 7
+
+    pii = {r.doc_id: r for r in privacy.pii_profile(docs, "text", "doc_id").collect()}
+    assert pii[2].pii_total == 0  # doc 1 yields nulls, doc 2 clean zeroes
+
+    out = contamination.ngram_overlap(
+        docs, docs.filter("doc_id = 2"), "text", "doc_id", n=3
+    )
+    got = {r.doc_id: r.contaminated for r in out.collect()}
+    assert got[1] == 0 and got[2] == 1  # null doc is clean, not an error
