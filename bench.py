@@ -39,7 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",      # signature/banding near-dup (scale path)
     "dedup_embedding_cosine_lsh",  # bucketed vector near-dup (scale path)
     "ann_bruteforce",         # broadcast top-k similarity
-    "text_stats",             # text profiling scan
+    "text_profile",           # text profiling scan (stats + quality merged)
     "multimodal_metadata",    # binary payload metadata (native exprs)
     # composed paths (round 3): regressions in the composition layers must
     # trip the 2x gate, not just the unit queries they are built from

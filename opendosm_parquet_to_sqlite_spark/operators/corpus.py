@@ -76,6 +76,67 @@ def clean_corpus(
     return exact_kept.join(losers, id_col, "left_anti")
 
 
+def corpus_report(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The dataset card: corpus-level statistics as (stat, value) rows —
+    the one-pass summary every training-data release ships with.
+
+      n_docs, total_tokens, avg_tokens, total_chars, avg_quality,
+      share_quality_ge_05, pii_doc_share, exact_dup_share
+
+    One aggregation over a narrow per-doc projection (counts, quality,
+    PII hits, content digest): a single partial-agg exchange carrying one
+    accumulator row per mapper — corpus-size-independent shuffle. Exact
+    dup share uses count(DISTINCT digest), the one sub-aggregate that
+    re-shuffles digests; swap for approx_count_distinct at the trillion-
+    doc scale if 2% error is acceptable.
+    """
+    c = F.col(text_col)
+    per = df.select(
+        text.token_count(c).alias("__tok"),
+        text.char_count(c).alias("__chr"),
+        text.quality_score(c).alias("__q"),
+        sum(
+            (privacy.pii_count(c, k) for k in privacy.PII_PATTERNS),
+            F.lit(0),
+        ).alias("__pii"),
+        F.md5(c).alias("__fp"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        F.avg("__tok").alias("avg_tokens"),
+        F.sum("__chr").alias("total_chars"),
+        F.avg("__q").alias("avg_quality"),
+        F.avg((F.col("__q") >= 0.5).cast("double")).alias(
+            "share_quality_ge_05"
+        ),
+        F.avg((F.col("__pii") > 0).cast("double")).alias("pii_doc_share"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("__fp") / F.count(F.lit(1))
+        ).alias("exact_dup_share"),
+    )
+    stats = [
+        "n_docs", "total_tokens", "avg_tokens", "total_chars",
+        "avg_quality", "share_quality_ge_05", "pii_doc_share",
+        "exact_dup_share",
+    ]
+    long = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("stat"),
+                    F.round(F.col(s).cast("double"), 6).alias("value"),
+                )
+                for s in stats
+            ]
+        )
+    ).alias("kv")
+    return agg.select(long).select("kv.stat", "kv.value")
+
+
 def ingest_increment(
     new_docs: DataFrame,
     index_bands: DataFrame,

@@ -81,14 +81,18 @@ def connected_components(
             .select("node", F.coalesce("__ll", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
+        # isEmpty short-circuits at the FIRST changed row (take(1) under
+        # the hood) — non-final rounds stop scanning immediately, only the
+        # converged final round pays a full pass. The check doubles as the
+        # action materializing this round's eager checkpoint.
+        converged = (
             jumped.select("node", F.col("label").alias("__new"))
             .join(labels, "node")
             .filter(F.col("__new") != F.col("label"))
-            .count()
+            .isEmpty()
         )
         labels = jumped
-        if changed == 0:
+        if converged:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )

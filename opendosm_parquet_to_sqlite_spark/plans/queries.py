@@ -1266,33 +1266,7 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "text_stats",
-    """
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars_calc,
-           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                x -> x != '')) AS BIGINT) AS n_tokens,
-           CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
-                                x -> x != '')) +
-                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                AS BIGINT) AS bpe_tokens
-    FROM documents
-    """,
-)
-def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish unit estimate."""
-    docs = load_table(spark, sf, "documents")
-    c = F.col("text")
-    return docs.select(
-        "doc_id",
-        text.char_count(c).cast("long").alias("n_chars_calc"),
-        text.token_count(c).cast("long").alias("n_tokens"),
-        text.bpe_token_estimate(c).cast("long").alias("bpe_tokens"),
-    )
-
-
-@query(
-    "text_quality",
+    "text_profile",
     """
     WITH t AS (
         SELECT doc_id, text,
@@ -1308,7 +1282,14 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
                      6) AS stopword_ratio
         FROM documents
     )
-    SELECT doc_id, punct_ratio, stopword_ratio,
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                                x -> x != '')) +
+                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                AS BIGINT) AS bpe_tokens,
+           punct_ratio, stopword_ratio,
            round((least(len(toks) / 64.0, 1.0)
                   + (1.0 - least(punct_ratio * 4, 1.0))
                   + (1.0 - least(abs(stopword_ratio - 0.4), 1.0))) / 3.0,
@@ -1316,12 +1297,18 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     FROM t
     """,
 )
-def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality scoring: punct/stopword ratios + composite score."""
+def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document text profile in one narrow projection: token counting
+    (whitespace + BPE-ish estimate) AND quality scoring (punct/stopword
+    ratios + composite score) — the former text_stats and text_quality
+    queries merged into one registry slot; every metric still covered."""
     docs = load_table(spark, sf, "documents")
     c = F.col("text")
     return docs.select(
         "doc_id",
+        text.char_count(c).cast("long").alias("n_chars_calc"),
+        text.token_count(c).cast("long").alias("n_tokens"),
+        text.bpe_token_estimate(c).cast("long").alias("bpe_tokens"),
         text.punct_ratio(c).alias("punct_ratio"),
         text.stopword_ratio(c).alias("stopword_ratio"),
         text.quality_score(c).alias("quality"),
@@ -1789,3 +1776,54 @@ def q_prepare_training_data(spark: SparkSession, sf: str) -> DataFrame:
         budget=64,
         block_size=128,
     )
+
+
+# Total PII matches in `text` (plain string: braces stay literal)
+_DUCK_PII_COUNT = """(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+    + len(regexp_extract_all(text,
+        '\\+?[0-9][0-9]{1,2}-[0-9]{3,4}-[0-9]{4}'))
+    + len(regexp_extract_all(text,
+        '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')))"""
+
+
+@query(
+    "corpus_report",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_DUCK} AS text FROM documents),
+    per AS (
+        SELECT len({_DUCK_TOKS}) AS tok,
+               length(text) AS chr,
+               {_DUCK_QUALITY} AS q,
+               {_DUCK_PII_COUNT} AS pii,
+               md5(text) AS fp
+        FROM aug
+    ), agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(sum(tok) AS DOUBLE) AS total_tokens,
+               avg(tok) AS avg_tokens,
+               CAST(sum(chr) AS DOUBLE) AS total_chars,
+               avg(q) AS avg_quality,
+               avg(CASE WHEN q >= 0.5 THEN 1.0 ELSE 0.0 END)
+                   AS share_quality_ge_05,
+               avg(CASE WHEN pii > 0 THEN 1.0 ELSE 0.0 END)
+                   AS pii_doc_share,
+               1.0 - count(DISTINCT fp) / count(*) AS exact_dup_share
+        FROM per
+    )
+    SELECT 'n_docs' AS stat, round(n_docs, 6) AS value FROM agg
+    UNION ALL SELECT 'total_tokens', round(total_tokens, 6) FROM agg
+    UNION ALL SELECT 'avg_tokens', round(avg_tokens, 6) FROM agg
+    UNION ALL SELECT 'total_chars', round(total_chars, 6) FROM agg
+    UNION ALL SELECT 'avg_quality', round(avg_quality, 6) FROM agg
+    UNION ALL SELECT 'share_quality_ge_05', round(share_quality_ge_05, 6) FROM agg
+    UNION ALL SELECT 'pii_doc_share', round(pii_doc_share, 6) FROM agg
+    UNION ALL SELECT 'exact_dup_share', round(exact_dup_share, 6) FROM agg
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The dataset card: corpus-level stats (docs/tokens/chars, quality
+    mass, PII share over the salted docs, exact-dup share) as one
+    partial-aggregated pass — (stat, value) long format."""
+    docs = load_table(spark, sf, "documents")
+    return corpus.corpus_report(_pii_augmented(docs), "text", "doc_id")
