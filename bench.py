@@ -52,7 +52,10 @@ HEADLINE = [
     "text_repetition",        # gram-count aggregation cascade
     "contamination_check",    # broadcast n-gram collision vs eval set
     "prepare_training_data",  # flagship end-to-end corpus->sequences plan
+    "corpus_report",          # one-pass dataset card aggregate
 ]
+
+WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -69,8 +72,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session once (tiny action, not counted per-query)
+    # warm the JVM/session once (tiny action, not counted per-query), and
+    # touch each table's parquet footer so the first real query doesn't
+    # absorb file-listing/codegen warm-up as its own cost
     spark.range(1).count()
+    for t in WARM_TABLES:
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

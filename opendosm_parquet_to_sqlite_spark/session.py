@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Runtime bloom filters: for shuffle joins with a selective build
+        # side (the dedup survivor anti-joins, index probes), inject a
+        # bloom filter on the probe side so non-matching rows drop at the
+        # scan instead of crossing the exchange — free at local scale,
+        # material at 100 TB.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # 100 TB stance: bound per-task input so scans parallelize evenly.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # Dimensions in this workload are tiny; keep default 10m threshold,
