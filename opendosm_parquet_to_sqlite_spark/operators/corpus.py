@@ -226,7 +226,13 @@ def prepare_training_data(
     partial-agg shuffles (2-repetition, 3, 4), a broadcast semi-join (5),
     and O(block) windows (7). Nothing touches the driver.
     """
-    red = df.withColumn(text_col, privacy.redact_pii(F.col(text_col)))
+    # The scrub → quality → repetition chain is regex/gram-heavy narrow
+    # work running BEFORE any exchange — on a small/few-file source Spark
+    # would pin it to one core (see text.spread_small_input; no-op at
+    # cluster scale where the scan already parallelizes).
+    red = text.spread_small_input(df).withColumn(
+        text_col, privacy.redact_pii(F.col(text_col))
+    )
     rep_ok = (
         text.repetition_profile(red, text_col, id_col)
         .filter(F.col("repetition_ok") == 1)
