@@ -275,6 +275,60 @@ def term_stats(
     return out.filter(F.col("term_freq") >= min_term_freq)
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Perplexity-style quality signal without an external LM: score each
+    document by the mean negative log-probability of its tokens under the
+    CORPUS'S OWN unigram distribution (add-k smoothed). Documents full of
+    corpus-typical words score low (fluent/common); documents of rare junk
+    score high — the cheap stand-in for the LM-perplexity filter in
+    CCNet-style pipelines when no model is available.
+
+    Output: (doc_id, n_tokens, avg_neg_logprob) — filter on a corpus
+    percentile downstream.
+
+    Shape: one vocab aggregation (term counts — partial-agg exchange on
+    terms), broadcast of the log-prob table (vocabulary-sized, NOT
+    corpus-sized — at web scale prune to the top-k vocab + a default
+    rare-term mass first), one probe join, one per-doc mean. Deterministic
+    arithmetic (log of exact integer ratios, rounded at the end), so the
+    whole thing is SQL-mirrorable.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias(
+            "term"
+        ),
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    logp = F.broadcast(
+        vocab.crossJoin(F.broadcast(totals)).select(
+            "term",
+            (
+                F.log(
+                    (F.col("tf") + F.lit(smoothing))
+                    / (F.col("n_total") + F.lit(smoothing) * F.col("n_vocab"))
+                )
+            ).alias("__logp"),
+        )
+    )
+    scored = terms.join(logp, "term")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("__logp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-pass per-document profile: all metrics as a narrow projection."""
     c = F.col(text_col)

@@ -345,3 +345,93 @@ def test_null_text_flows_through_gates_without_errors(spark):
     )
     got = {r.doc_id: r.contaminated for r in out.collect()}
     assert got[1] == 0 and got[2] == 1  # null doc is clean, not an error
+
+
+# --- unigram log-prob quality signal -----------------------------------------
+
+
+def test_unigram_logprob_matches_duckdb_oracle(spark):
+    """The corpus-self-perplexity scorer is deterministic arithmetic —
+    verified against a DuckDB re-statement (in-repo oracle: the registry's
+    driver window is full, so the hash check lives here)."""
+    import duckdb
+
+    out = {
+        (r.doc_id): (r.n_tokens, r.avg_neg_logprob)
+        for r in text.unigram_logprob_score(
+            spark.read.parquet(f"{SF0001}/documents.parquet"), "text", "doc_id"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF0001}/documents.parquet'"
+    )
+    rows = con.execute(
+        r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x != '') AS t
+            FROM documents
+        ), terms AS (
+            SELECT doc_id, lower(tok) AS term
+            FROM toks, LATERAL unnest(t) AS u(tok)
+        ), vocab AS (
+            SELECT term, count(*) AS tf FROM terms GROUP BY term
+        ), tot AS (
+            SELECT CAST(sum(tf) AS DOUBLE) AS n_total,
+                   CAST(count(*) AS DOUBLE) AS n_vocab FROM vocab
+        ), logp AS (
+            SELECT term, ln((tf + 1.0) / (n_total + n_vocab)) AS lp
+            FROM vocab, tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT), round(-avg(lp), 6)
+        FROM terms JOIN logp USING (term) GROUP BY doc_id
+        """
+    ).fetchall()
+    expected = {r[0]: (r[1], r[2]) for r in rows}
+    assert len(out) == len(expected)
+    for k, (n, s) in expected.items():
+        assert out[k][0] == n
+        assert out[k][1] == pytest.approx(s, abs=2e-6), k
+
+
+def test_unigram_logprob_ranks_rare_junk_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common words words"),
+            (2, "common words common words common"),
+            (3, "zzqx vbnk qwrt plmj xkcd"),  # singleton junk
+        ],
+        "doc_id long, text string",
+    )
+    s = {
+        r.doc_id: r.avg_neg_logprob
+        for r in text.unigram_logprob_score(docs, "text", "doc_id").collect()
+    }
+    assert s[3] > s[1] and s[3] > s[2]
+
+
+# --- unicode robustness ------------------------------------------------------
+
+
+def test_unicode_text_through_token_and_gram_ops(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld héllo wörld naïve"),
+            (2, "日本語のテキスト 日本語のテキスト"),  # CJK, space-separated
+            (3, "emoji 🎉 party 🎉 emoji 🎉"),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {
+        r.doc_id: r
+        for r in text.repetition_profile(docs, "text", "doc_id").collect()
+    }
+    assert prof[1].n_tokens == 5 and prof[2].n_tokens == 2
+    assert prof[3].n_tokens == 6
+    out = contamination.ngram_overlap(
+        docs, docs.filter("doc_id = 1"), "text", "doc_id", n=2
+    )
+    got = {r.doc_id: r.contaminated for r in out.collect()}
+    assert got[1] == 1 and got[2] == 0
