@@ -89,6 +89,30 @@ def intra_bucket_pairs(
     return grouped.select(F.explode(pairs).alias(pair_col))
 
 
+def drop_oversized_buckets(
+    rows: DataFrame, key_cols: list[str], max_size: int
+) -> DataFrame:
+    """Anti-join away bucket keys whose membership exceeds max_size BEFORE
+    any collect_list — the banding analog of the Jaccard hot-shingle
+    pre-filter. The size check is a count aggregate (map-side combined:
+    bytes cross the exchange, never member lists) and the oversized-key
+    set is tiny by construction → broadcast anti-join.
+
+    Why dropping is sound: a bucket of m docs yields an m-length array in
+    ONE aggregation buffer and m²/2 pairs from ONE task — at near-dup
+    thresholds a bucket only degenerates like that when the corpus holds
+    a mass-duplicate cluster, which EXACT dedup owns (run it first, as
+    corpus_clean does). The cap protects the job instead of OOMing it;
+    pass None to disable."""
+    big = (
+        rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") > max_size)
+        .select(*key_cols)
+    )
+    return rows.join(F.broadcast(big), key_cols, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -392,6 +416,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     verify_exact: bool = True,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, optionally exact-verified.
 
@@ -399,6 +424,10 @@ def minhash_lsh_pairs(
     candidates (P[collide] = 1-(1-J^r)^bands). Candidates are then verified
     with exact shingle Jaccard (cheap: only colliding pairs), so the output
     is exact-above-threshold with LSH recall.
+
+    max_bucket_size drops degenerate band buckets BEFORE their member
+    lists are collected (see drop_oversized_buckets) — mass-duplicate
+    clusters belong to exact dedup, not an m² pair explosion.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -412,6 +441,10 @@ def minhash_lsh_pairs(
     sig = _signatures_from_hashed_sets(sets, num_hashes)
     band_rows = _band_rows(sig, bands, rows_per_band)
 
+    if max_bucket_size is not None:
+        band_rows = drop_oversized_buckets(
+            band_rows, ["band", "bucket"], max_bucket_size
+        )
     cand_buckets = band_rows.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
@@ -473,12 +506,15 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     n: int = 1,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via chunk-banding.
 
     Pigeonhole: split 63 bits into (max_hamming+1) chunks; any pair within
     distance d shares at least one identical chunk → equi-join on chunks,
-    then exact hamming verify with bit_count(xor).
+    then exact hamming verify with bit_count(xor). max_bucket_size drops
+    degenerate chunk buckets before their member lists are collected
+    (drop_oversized_buckets — same rationale as the MinHash path).
     """
     chunks = max_hamming + 1
     width = (63 + chunks - 1) // chunks  # ceil; width=63 when chunks=1 (fits a long mask)
@@ -500,6 +536,10 @@ def simhash_pairs(
             )
         ).alias("cb"),
     ).select("doc_id", "simhash", "cb.chunk", "cb.key")
+    if max_bucket_size is not None:
+        banded = drop_oversized_buckets(
+            banded, ["chunk", "key"], max_bucket_size
+        )
     hash_buckets = banded.groupBy("chunk", "key").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
     )

@@ -175,3 +175,26 @@ def test_hot_shingle_cap_drops_pairs(spark):
     )
     assert uncapped.count() == 6  # C(4,2)
     assert capped.count() == 0
+
+
+def test_minhash_oversized_bucket_cap(spark):
+    """A mass-duplicate cluster collapses into one band bucket; the cap
+    drops it before any member list materializes (exact dedup owns those),
+    while normal-size buckets are untouched."""
+    from opendosm_parquet_to_sqlite_spark.operators.neardup import (
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, "mass duplicate text body repeated verbatim") for i in range(30)]
+    rows += [(100, "a unique pair first half match"), (101, "a unique pair first half match")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs(
+        df, "text", "doc_id", n=2, threshold=0.5, max_bucket_size=10
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in ids                      # normal bucket survives
+    assert not any(a < 30 and b < 30 for a, b in ids)  # mass cluster dropped
+    uncapped = minhash_lsh_pairs(
+        df, "text", "doc_id", n=2, threshold=0.5, max_bucket_size=None
+    ).count()
+    assert uncapped > len(ids)  # the cap is what removed the m^2 pairs
