@@ -622,11 +622,20 @@ def quantized_topk(
 _PAIR_SCHEMA = "id_a long, id_b long, cosine double"
 
 
-def _block_pair_scorer(id_col: str, vec_col: str, threshold: float):
+def _block_pair_scorer(
+    id_col: str, vec_col: str, threshold: float, tile: int = 2048
+):
     """applyInPandas kernel shared by the blocked pair paths (sign-LSH
-    buckets, SemDeDup cells): one BLAS matmul per block over the
-    normalized block matrix, upper-triangle thresholded. Zero-norm rows
-    are guarded (normalized to zero → cosine 0, never NaN)."""
+    buckets, SemDeDup cells): BLAS matmuls over the normalized block
+    matrix, upper-triangle thresholded. Zero-norm rows are guarded
+    (normalized to zero → cosine 0, never NaN).
+
+    The matmul is TILED: an m-row block scores as (tile × tile) panels, so
+    scratch memory is O(tile²) ≈ 32 MB regardless of block size — an
+    oversized bucket degrades to more panels, never to an m² similarity
+    matrix in one allocation. (The group's VECTORS still arrive as one
+    Arrow batch — m·dim·8 bytes — so bucket-count knobs remain the
+    first-line control; the tiling removes the quadratic term.)"""
 
     def score_block(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
@@ -641,12 +650,29 @@ def _block_pair_scorer(id_col: str, vec_col: str, threshold: float):
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         V /= norms
-        S = V @ V.T
-        iu, ju = np.triu_indices(m, k=1)
-        sims = np.round(S[iu, ju], 6)
-        keep = sims >= threshold
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, m, tile):
+            i1 = min(i0 + tile, m)
+            for j0 in range(i0, m, tile):
+                j1 = min(j0 + tile, m)
+                S = V[i0:i1] @ V[j0:j1].T
+                ii, jj = np.nonzero(np.round(S, 6) >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj  # upper triangle in GLOBAL indices
+                if keep.any():
+                    out_a.append(ids[gi[keep]])
+                    out_b.append(ids[gj[keep]])
+                    out_s.append(np.round(S[ii[keep], jj[keep]], 6))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
         return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": sims[keep]}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_s),
+            }
         )
 
     return score_block

@@ -320,3 +320,22 @@ def test_quantized_ivf_index_roundtrip_recall_and_append(spark, emb, tmp_path):
     appended = spark.read.parquet(f"{qpath}/cells")
     assert "q_codes" in appended.columns
     assert appended.count() == emb.count() + extra.count()
+
+
+def test_block_scorer_tiling_is_exact(spark, clustered):
+    """Tiny tiles must produce EXACTLY the single-matmul result — tiling
+    changes memory shape, never the pair set."""
+    from opendosm_parquet_to_sqlite_spark.operators.similarity import (
+        _block_pair_scorer,
+    )
+
+    import pandas as pd
+
+    g = clustered.toPandas()
+    whole = _block_pair_scorer("vec_id", "embedding", 0.99, tile=10_000)(
+        (), g
+    )
+    tiled = _block_pair_scorer("vec_id", "embedding", 0.99, tile=7)((), g)
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.cosine))
+    assert key(tiled) == key(whole)
+    assert len(whole) > 0
