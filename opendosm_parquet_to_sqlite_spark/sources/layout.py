@@ -65,3 +65,49 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def zvalue(a, b, bits: int = 21) -> "F.Column":
+    """Morton (Z-order) interleave of two non-negative int columns into one
+    long: bit i of `a` lands at position 2i, bit i of `b` at 2i+1 (21 bits
+    each → 42-bit z-value, safely inside a long).
+
+    Entirely native bit arithmetic (codegen'd): a sum of shifted masked
+    bits per input. Columns must already be rank/scale-reduced to
+    [0, 2^bits) — use ntile/width bucketing upstream for skewed domains.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(a.bitwiseAND(F.lit(1 << i)).cast("long"), i)
+            + F.shiftleft(b.bitwiseAND(F.lit(1 << i)).cast("long"), i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 21,
+    mode: str = "overwrite",
+    target_file_rows: int | None = None,
+) -> None:
+    """Write parquet globally sorted by the Z-order of (col_a, col_b) —
+    multi-dimensional data skipping: parquet row-group min/max stats on
+    BOTH columns become selective simultaneously, so predicates on either
+    (or both) columns prune row groups. The classic lakehouse layout for
+    two-dimensional access patterns (e.g. premise_code x item_code, or
+    time x key) where a single-column sort only skips on one axis.
+
+    orderBy is Spark's distributed range sort (sample → range exchange →
+    in-partition sort), so this scales like sort_date_desc."""
+    out = df.withColumn("__z", zvalue(col_a, col_b, bits)).orderBy("__z")
+    writer = out.drop("__z").write.mode(mode)
+    if target_file_rows is not None:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
+    writer.parquet(path)

@@ -77,3 +77,52 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_zvalue_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from opendosm_parquet_to_sqlite_spark.sources.layout import zvalue
+
+    def py_z(a, b, bits=21):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 5, 1023, 2**21 - 1) for b in (0, 2, 7, 2**21 - 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", zvalue("a", "b").alias("z")).collect()
+    for r in got:
+        assert r.z == py_z(r.a, r.b), (r.a, r.b)
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    """After a z-ordered write, per-file min/max ranges on BOTH columns are
+    narrow — the property that makes row-group skipping effective on
+    either predicate axis."""
+    import math
+
+    from opendosm_parquet_to_sqlite_spark.sources.layout import write_zordered
+
+    n = 1 << 12
+    df = spark.range(n).selectExpr(
+        "CAST(id % 64 AS LONG) AS x", "CAST(CAST(id / 64 AS LONG) AS LONG) AS y"
+    )
+    path = str(tmp_path / "zord")
+    write_zordered(df, path, "x", "y", target_file_rows=256)
+    import glob
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{path}/*.parquet"):
+        part = spark.read.parquet(f)
+        row = part.selectExpr(
+            "min(x) AS x0", "max(x) AS x1", "min(y) AS y0", "max(y) AS y1"
+        ).collect()[0]
+        spans_x.append(row.x1 - row.x0 + 1)
+        spans_y.append(row.y1 - row.y0 + 1)
+    # a 256-row z-tile covers a ~16x16 patch of the 64x64 grid: both spans
+    # must be FAR below the full domain (64) on average
+    assert sum(spans_x) / len(spans_x) <= 24, spans_x
+    assert sum(spans_y) / len(spans_y) <= 24, spans_y
