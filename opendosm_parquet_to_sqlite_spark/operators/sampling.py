@@ -99,10 +99,16 @@ def pack_sequences(
     budget: int,
     strata_col: str | list[str] | None = None,
     block_size: int = 4096,
+    length_sorted: bool = False,
 ) -> DataFrame:
     """Greedy sequential packing of documents into training sequences of at
     most `budget` tokens (+ at most one overflowing doc — the standard
     concat-then-chunk tokenizer feed; docs are not split here).
+
+    length_sorted=True fills each block in (n_tokens, doc_id) order
+    instead of plain id order — LENGTH GROUPING: neighbors have similar
+    lengths, so sequences overflow less and waste less padding. Still
+    fully deterministic (doc_id breaks length ties) and block-local.
 
     seq_id is assigned by a running token sum in deterministic id order
     WITHIN a (stratum, block) slice, where block = id div block_size. The
@@ -132,9 +138,13 @@ def pack_sequences(
         block,
         token_count_col.cast("long").alias("n_tokens"),
     )
+    order = (
+        [F.col("n_tokens"), F.col("doc_id")] if length_sorted
+        else [F.col("doc_id")]
+    )
     w = (
         Window.partitionBy(*strata, F.col("block"))
-        .orderBy("doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)

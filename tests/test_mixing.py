@@ -435,3 +435,36 @@ def test_unicode_text_through_token_and_gram_ops(spark):
     )
     got = {r.doc_id: r.contaminated for r in out.collect()}
     assert got[1] == 1 and got[2] == 0
+
+
+def test_pack_sequences_length_sorted_reduces_overflow_waste(spark):
+    """Length grouping: filling blocks in token-length order packs
+    neighbors of similar size, so total overflow beyond the budget drops
+    vs id-order filling (and determinism is preserved)."""
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(97)) + 1).alias("n_tok"),
+    )
+
+    def overflow(rows):
+        by_seq: dict[tuple, int] = {}
+        for r in rows:
+            k = (r.block, r.seq_in_block)
+            by_seq[k] = by_seq.get(k, 0) + r.n_tokens
+        return sum(max(0, t - 100) for t in by_seq.values())
+
+    plain = sampling.pack_sequences(
+        df, "doc_id", F.col("n_tok"), budget=100, block_size=512
+    ).collect()
+    sorted_fill = sampling.pack_sequences(
+        df, "doc_id", F.col("n_tok"), budget=100, block_size=512,
+        length_sorted=True,
+    ).collect()
+    assert overflow(sorted_fill) < overflow(plain)
+    # determinism under repartitioning
+    again = sampling.pack_sequences(
+        df.repartition(13), "doc_id", F.col("n_tok"), budget=100,
+        block_size=512, length_sorted=True,
+    ).collect()
+    key = lambda rows: sorted((r.doc_id, r.block, r.seq_in_block) for r in rows)
+    assert key(again) == key(sorted_fill)
