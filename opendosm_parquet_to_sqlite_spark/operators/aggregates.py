@@ -183,6 +183,42 @@ def sketch_quantiles(
     )
 
 
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    extra_group: list[str] | None = None,
+) -> DataFrame:
+    """Event-time SLIDING (hopping) window aggregate: each event lands in
+    width/slide overlapping windows (F.window emits one row per covering
+    window — a built-in bounded explode, not a join). Same output schema
+    as tumbling_window_agg; slide == width degenerates to tumbling.
+
+    Scale: fanout is the fixed ratio width/slide (e.g. 2 for 1h/30m), so
+    shuffle volume is ratio × the tumbling cost — the standard trade for
+    smoother time series. Streaming-compatible unchanged (watermark +
+    update mode), like the tumbling form.
+    """
+    w = F.window(F.col(ts_col), width, slide)
+    return (
+        df.groupBy(w.alias("__w"), *(extra_group or []))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("__w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            *(extra_group or []),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,
