@@ -91,13 +91,16 @@ def tumbling_window_agg_stream(
     width: str = "1 hour",
     delay: str = "1 hour",
     extra_group: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked event-time tumbling window agg — row-compatible with the
     batch tumbling_window_agg so backfill and live paths interchange.
     Event time is a derived TIMESTAMP instant (see dedup_within_watermark);
     with the engine's UTC session the emitted window_start strings are
-    byte-identical to the batch operator's."""
-    w = F.window(F.col("__ts"), width)
+    byte-identical to the batch operator's. `slide` turns it into the
+    hopping form (batch twin: sliding_window_agg) — same watermark/state
+    semantics, width/slide windows per event."""
+    w = F.window(F.col("__ts"), width, slide or width)
     return (
         sdf.withColumn("__ts", F.col(ts_col).cast("timestamp"))
         .withWatermark("__ts", delay)

@@ -270,3 +270,33 @@ def test_rowwise_repetition_gate_matches_batch_profile(spark):
             and p.top_token_frac <= 0.2
         )
         assert bool(r.ok) == expect, r.doc_id
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    from opendosm_parquet_to_sqlite_spark.operators import aggregates
+
+    src, schema = _events_dir(spark, tmp_path, n_files=3)
+    sdf = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+    # delay wider than the fixture's time span: the microbatch split is
+    # random, so any tight watermark would (correctly) drop late rows —
+    # bounded-lateness semantics are pinned by the dedup-watermark tests;
+    # THIS test pins backfill equivalence
+    out = tumbling_window_agg_stream(
+        sdf, "ts", "value", width="1 hour", slide="30 minutes",
+        delay="40 days",
+    )
+    state: dict = {}
+
+    def upsert(df, _bid):
+        for r in df.collect():
+            state[r["window_start"]] = (r["n_events"], r["avg_value"])
+
+    run_available_now(out, str(tmp_path / "ckpt_sw"), upsert, output_mode="update")
+    batch = aggregates.sliding_window_agg(
+        load_table(spark, SF0001, "events"), "ts", "value",
+        width="1 hour", slide="30 minutes",
+    )
+    expected = {
+        r.window_start: (r.n_events, r.avg_value) for r in batch.collect()
+    }
+    assert state == expected
