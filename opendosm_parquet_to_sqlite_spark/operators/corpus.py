@@ -39,6 +39,7 @@ def clean_corpus(
     jaccard_threshold: float = 0.3,
     max_doc_freq: int | None = 50,
     cluster: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Quality-gate, exact-dedup, then near-dup-sweep a document table.
 
@@ -53,6 +54,11 @@ def clean_corpus(
     standard) — pairs are clustered with distributed union-find
     (operators.graph) and exactly the min-id document of each component
     survives. A chain A~B~C keeps exactly A.
+
+    checkpoint_dir (cluster=True only) is forwarded to
+    graph.connected_components: set it on a real cluster so per-round
+    lineage truncation uses fault-tolerant checkpoint files instead of
+    executor-memory localCheckpoint blocks.
     """
     gated = df.filter(text.quality_score(F.col(text_col)) >= min_quality)
     exact_kept = dedup.exact_dedup_keep_first(gated, text_col, id_col)
@@ -65,7 +71,9 @@ def clean_corpus(
         max_doc_freq=max_doc_freq,
     )
     if cluster:
-        comp = graph.connected_components(pairs, "id_a", "id_b")
+        comp = graph.connected_components(
+            pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
+        )
         losers = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
             F.col("doc_id").alias(id_col)
         )

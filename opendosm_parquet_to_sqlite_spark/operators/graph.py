@@ -21,16 +21,46 @@ jumping, expressed as DataFrame joins:
 Scale shape: the edge list is the near-dup PAIR set — orders of magnitude
 smaller than the corpus (docs in no pair never enter the graph; they are
 implicit singletons). Each round shuffles only (node, label) longs. Lineage
-is truncated every round with an eager localCheckpoint, so the plan does
-not grow with iterations (the classic iterative-algorithm trap). The
-convergence check (count of changed labels) is the per-round action that
-materializes the checkpoint.
+is truncated every round (eager checkpoint) so the plan does not grow with
+iterations — the classic iterative-algorithm trap.
+
+Fault tolerance / memory hygiene:
+
+- default (no checkpoint_dir): localCheckpoint — fast (executor-memory
+  blocks, no filesystem round-trip) but a lost executor mid-iteration fails
+  the job unrecoverably, because localCheckpoint truncates lineage and the
+  data lives ONLY in the cached blocks. Intermediate rounds are unpersisted
+  as soon as the next round is materialized, so a long-lived session keeps
+  at most ONE resident block set per call (the final labels the returned
+  DataFrame is backed by — unpersisting that would destroy the result).
+- checkpoint_dir given: reliable checkpoint() to that directory — survives
+  executor loss, leaves ZERO resident cached blocks, and is the right mode
+  on a real cluster (point it at HDFS/S3). Checkpoint files accumulate
+  unless spark.cleaner.referenceTracking.cleanCheckpoints=true; on a
+  one-shot job, delete the directory afterwards.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set:
+    """Ids of all currently persisted RDDs (JVM-side registry)."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _unpersist_rdd_ids(spark: SparkSession, ids: set) -> None:
+    """Release the given persisted-RDD ids (non-blocking). Used to free
+    intermediate localCheckpoint blocks the DataFrame API gives no handle
+    to (df.unpersist() does not reach a checkpointed internal RDD)."""
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        if rid in ids:
+            jmap.get(rid).unpersist(False)
 
 
 def connected_components(
@@ -38,6 +68,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node appearing in `edges`.
 
@@ -45,57 +76,91 @@ def connected_components(
     partitioning-independent, and directly usable as the canonical
     representative (the kept document in dedup).
 
+    checkpoint_dir switches per-round lineage truncation from
+    localCheckpoint (fast, executor-loss-fragile, one resident block set
+    for the returned labels) to reliable checkpoint() files under that
+    directory (fault-tolerant, zero resident blocks) — see module docstring.
+
     Raises RuntimeError if labels have not converged after max_iter rounds
     (with pointer jumping, max_iter=20 covers components of diameter
     ~2^20 — any real similarity graph converges in a handful of rounds).
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        # eager=True materializes immediately, so the upstream plan runs
+        # exactly once per round regardless of how many times the result
+        # is consumed below.
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Materialize the symmetric edge list ONCE: it is consumed every round,
     # and the upstream pair pipeline (e.g. the whole inverted-index Jaccard
     # DAG) must not re-execute per iteration.
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    before = _persistent_rdd_ids(spark)
+    sym = _truncate(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    sym_ids = _persistent_rdd_ids(spark) - before
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    for _ in range(max_iter):
-        nbr_min = sym.join(
-            labels.select(F.col("node").alias("v"), "label"), "v"
-        ).select(F.col("u").alias("node"), "label")
-        merged = (
-            labels.unionByName(nbr_min)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jump: follow label -> label(label); every label value is
-        # itself a node, so the lookup join always resolves (left + coalesce
-        # is belt-and-braces for the self-label case).
-        lookup = merged.select(
-            F.col("node").alias("__ln"), F.col("label").alias("__ll")
-        )
-        jumped = (
-            merged.join(lookup, merged["label"] == lookup["__ln"], "left")
-            .select("node", F.coalesce("__ll", "label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        # isEmpty short-circuits at the FIRST changed row (take(1) under
-        # the hood) — non-final rounds stop scanning immediately, only the
-        # converged final round pays a full pass. The check doubles as the
-        # action materializing this round's eager checkpoint.
-        converged = (
-            jumped.select("node", F.col("label").alias("__new"))
-            .join(labels, "node")
-            .filter(F.col("__new") != F.col("label"))
-            .isEmpty()
-        )
-        labels = jumped
-        if converged:
-            return labels.select(
-                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    prev_ids: set = set()
+    try:
+        for _ in range(max_iter):
+            nbr_min = sym.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            ).select(F.col("u").alias("node"), "label")
+            merged = (
+                labels.unionByName(nbr_min)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
             )
+            # pointer jump: follow label -> label(label); every label value
+            # is itself a node, so the lookup join always resolves (left +
+            # coalesce is belt-and-braces for the self-label case).
+            lookup = merged.select(
+                F.col("node").alias("__ln"), F.col("label").alias("__ll")
+            )
+            before = _persistent_rdd_ids(spark)
+            jumped = _truncate(
+                merged.join(lookup, merged["label"] == lookup["__ln"], "left")
+                .select("node", F.coalesce("__ll", "label").alias("label"))
+            )
+            new_ids = _persistent_rdd_ids(spark) - before
+            # isEmpty short-circuits at the FIRST changed row (take(1)
+            # under the hood) — non-final rounds stop scanning immediately,
+            # only the converged final round pays a full pass. It still
+            # reads the PREVIOUS round's labels, so that checkpoint is
+            # released only after this check.
+            converged = (
+                jumped.select("node", F.col("label").alias("__new"))
+                .join(labels, "node")
+                .filter(F.col("__new") != F.col("label"))
+                .isEmpty()
+            )
+            _unpersist_rdd_ids(spark, prev_ids)
+            prev_ids = new_ids
+            labels = jumped
+            if converged:
+                # sym is no longer needed; the final labels checkpoint is
+                # what backs the returned DataFrame — on the local path it
+                # MUST stay resident (see module docstring).
+                _unpersist_rdd_ids(spark, sym_ids)
+                return labels.select(
+                    F.col("node").alias("doc_id"),
+                    F.col("label").alias("cluster_id"),
+                )
+    except BaseException:
+        _unpersist_rdd_ids(spark, sym_ids | prev_ids)
+        raise
+    _unpersist_rdd_ids(spark, sym_ids | prev_ids)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )

@@ -16,8 +16,24 @@ def _n_cached(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _sweep_all_cached(spark) -> None:
+    """Blocking-unpersist EVERYTHING in the JVM persistent-RDD registry.
+
+    Tests that count cached blocks need a deterministic floor:
+    connected_components legitimately leaves one resident localCheckpoint
+    block set per call (the returned labels are backed by it — see
+    operators/graph.py), and the ContextCleaner reaps those ASYNCHRONOUSLY
+    once the DataFrames are garbage-collected, so a point-in-time baseline
+    races against background cleanup. A forced sweep does not.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        jmap.get(rid).unpersist(True)
+
+
 def test_release_cached_frees_operator_persists(spark):
-    release_cached()  # clean slate from other tests in the session
+    release_cached()  # drop tracked handles from other tests
+    _sweep_all_cached(spark)  # deterministic clean slate (see docstring)
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
     # the capped path persists the shingle DAG internally
     pairs = ngram_jaccard_pairs(

@@ -64,6 +64,47 @@ def test_partitioning_independence(spark):
         assert out == baseline
 
 
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_intermediate_checkpoints_are_released(spark):
+    """Per-round localCheckpoint blocks must be freed as the iteration
+    advances: after a call, at most ONE resident block set remains (the
+    final labels backing the returned DataFrame). Without the release, a
+    64-node path graph leaves sym + one block set per round (~8)."""
+    base = _n_cached(spark)
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = graph.connected_components(df)
+    assert out.count() == 65
+    assert _n_cached(spark) <= base + 1
+
+
+def test_failure_path_releases_all_blocks(spark):
+    base = _n_cached(spark)
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components(df, max_iter=1)
+    # <= (not ==): the ContextCleaner may concurrently reap residuals from
+    # EARLIER tests, shrinking the registry below the sampled baseline.
+    assert _n_cached(spark) <= base
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir switches to reliable checkpoint(): same answer, and
+    ZERO resident cached blocks afterwards (data lives in checkpoint
+    files, not executor memory)."""
+    base = _n_cached(spark)
+    out = _cc(
+        spark, [(1, 2), (2, 3), (10, 11)], checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert _n_cached(spark) <= base
+    # checkpoint files actually landed on disk
+    assert any((tmp_path / "ckpt").rglob("*"))
+
+
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="converge"):
