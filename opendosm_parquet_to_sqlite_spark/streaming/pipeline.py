@@ -56,17 +56,28 @@ def stream_prices_to_sqlite(
         tiebreak_cols=["price"],
     )
 
-    def upsert(batch_df, _batch_id: int) -> None:
-        rows = [
-            (r["date"], r["premise_code"], r["item_code"], r["price"])
-            for r in batch_df.collect()  # update-mode delta: changed keys only
-        ]
-        if not rows:
-            return
+    def upsert(batch_df, _batch_id: int, _batch_rows: int = 10_000) -> None:
+        # Stream the update-mode delta through the driver in bounded chunks
+        # (same shape as sinks/sqlite.py): steady-state batches hold only
+        # changed keys, but the FIRST batch of a large corpus is the full
+        # champion set — a collect() there is a driver OOM at scale, while
+        # toLocalIterator holds at most a partition + prefetch in memory.
+        it = (
+            batch_df.select("date", "premise_code", "item_code", "price")
+            .toLocalIterator(prefetchPartitions=True)
+        )
         con = sqlite3.connect(db_path)
         try:
             con.execute(_DDL)
-            con.executemany('INSERT OR REPLACE INTO "prices" VALUES (?,?,?,?)', rows)
+            insert = 'INSERT OR REPLACE INTO "prices" VALUES (?,?,?,?)'
+            buf: list[tuple] = []
+            for row in it:
+                buf.append(tuple(row))
+                if len(buf) >= _batch_rows:
+                    con.executemany(insert, buf)
+                    buf.clear()
+            if buf:
+                con.executemany(insert, buf)
             con.commit()
         finally:
             con.close()
