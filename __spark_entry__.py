@@ -27,11 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["latest_per_group"](spark, SF0001)
 
 
-# Rows-only (no-oracle) queries in decreasing check priority: the driver
-# checks registry order with a cap (50 entries in round 2), so the
-# scale-path flagships with pytest recall pins come first; anything past
-# the cap is still fully covered by tests/ (recall floors, error bounds,
-# plumbing) — the rows-only driver check is the weaker signal of the two.
+# Rows-only (no-oracle) queries, ordered. NOTE: with ORACLES holding
+# exactly 50 entries — the driver's full check window — NONE of these get
+# a driver-side check today; their correctness coverage is pytest-only
+# (recall floors, error bounds, in-repo DuckDB hash parity for
+# unigram_logprob). The ordering only matters if the driver's cap ever
+# grows or the oracle-backed list shrinks; keep it in rough
+# flagship-first order against that day.
 _ROWS_ONLY_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_lsh",
@@ -42,6 +44,7 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_incremental",
     "dedup_simhash",
     "sketch_profile",
+    "unigram_logprob",
     "multimodal_decode",
 ]
 

@@ -131,7 +131,12 @@ def pack_sequences(
     else:
         strata_names = list(strata_col)
     strata = [F.col(c) for c in strata_names]
-    block = (F.col(id_col) / F.lit(block_size)).cast("long").alias("block")
+    # Integer `div`, NOT float `/`+cast: double division loses integer
+    # precision above 2^53, which would silently assign wrong blocks at
+    # extreme id ranges and diverge from the oracle's integer `//`.
+    block = F.expr(
+        f"CAST(`{id_col}` AS BIGINT) div {int(block_size)}"
+    ).alias("block")
     base = df.select(
         F.col(id_col).alias("doc_id"),
         *strata,

@@ -276,7 +276,16 @@ def train_ivf_centroids(
         .collect()
     )
     X = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if X.size == 0:
+        raise ValueError(
+            "training corpus is empty — cannot train IVF centroids"
+        )
     X = X[np.linalg.norm(X, axis=1) > 0]
+    if X.shape[0] == 0:
+        raise ValueError(
+            "no nonzero-norm vectors in the training sample — cannot train "
+            "IVF centroids (all-zero embeddings carry no direction)"
+        )
     return _kmeans_centroids(X, n_centroids, seed=seed)
 
 
@@ -482,7 +491,10 @@ def probe_ivf_index(
     is validated against the index metadata (a silent mismatch would score
     garbage)."""
     cent, meta = _load_ivf_meta(spark, path)
-    qdim = len(queries.select(vec_col).first()[0])
+    qrow = queries.select(vec_col).first()
+    if qrow is None:
+        raise ValueError("queries is empty — nothing to probe")
+    qdim = len(qrow[0])
     if qdim != meta["dim"]:
         raise ValueError(
             f"query dim {qdim} != index dim {meta['dim']} (index at {path})"

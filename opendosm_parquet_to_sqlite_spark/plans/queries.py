@@ -1827,3 +1827,16 @@ def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     partial-aggregated pass — (stat, value) long format."""
     docs = load_table(spark, sf, "documents")
     return corpus.corpus_report(_pii_augmented(docs), "text", "doc_id")
+
+
+@query("unigram_logprob")  # rows-only in the registry: the driver's
+# 50-entry window is full of oracle-backed queries; the exact DuckDB hash
+# parity for this op is pinned in-repo
+# (tests/test_mixing.py::test_unigram_logprob_matches_duckdb_oracle).
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-self-perplexity quality signal: mean negative log-prob of
+    each document's tokens under the corpus's own smoothed unigram
+    distribution (the CCNet-style LM-filter stand-in). One vocab
+    partial-agg + a broadcast log-prob probe join — no driver contact."""
+    docs = load_table(spark, sf, "documents")
+    return text.unigram_logprob_score(docs, "text", "doc_id")

@@ -468,3 +468,24 @@ def test_pack_sequences_length_sorted_reduces_overflow_waste(spark):
     ).collect()
     key = lambda rows: sorted((r.doc_id, r.block, r.seq_in_block) for r in rows)
     assert key(again) == key(sorted_fill)
+
+
+def test_pack_sequences_integer_blocks_above_2_53(spark):
+    """Block assignment must use integer `div`: double division rounds ids
+    above 2^53, which can place adjacent huge ids in the wrong block. Two
+    ids that differ by exactly block_size must land in ADJACENT blocks
+    even at 2^60."""
+    base = 1 << 60
+    rows = [(base + i, 10) for i in range(4)] + [(base + 4096, 10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = sampling.pack_sequences(
+        docs, "doc_id", F.col("n_tokens"), budget=100, block_size=4096
+    )
+    collected = out.collect()
+    got = {r["doc_id"] for r in collected}
+    assert got == {r[0] for r in rows}  # every doc packed exactly once
+    blocks = {r["doc_id"]: r["block"] for r in collected}
+    # the +4096 doc is in the NEXT block: it cannot share a sequence with
+    # the first four even though all five fit one 100-token budget
+    assert blocks[base + 4096] == blocks[base] + 1
+    assert blocks[base + 3] == blocks[base]

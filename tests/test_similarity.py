@@ -339,3 +339,24 @@ def test_block_scorer_tiling_is_exact(spark, clustered):
     key = lambda df: sorted(zip(df.id_a, df.id_b, df.cosine))
     assert key(tiled) == key(whole)
     assert len(whole) > 0
+
+
+def test_ivf_probe_empty_queries_raises(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb.limit(100), path, n_centroids=4)
+    empty = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        similarity.probe_ivf_index(spark, path, empty)
+
+
+def test_ivf_train_rejects_degenerate_corpora(spark, emb):
+    with pytest.raises(ValueError, match="empty"):
+        similarity.train_ivf_centroids(emb.filter(F.lit(False)))
+    dim = len(emb.select("embedding").first()[0])
+    zeros = spark.createDataFrame(
+        [(i, [0.0] * dim) for i in range(20)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="nonzero-norm"):
+        similarity.train_ivf_centroids(zeros)
