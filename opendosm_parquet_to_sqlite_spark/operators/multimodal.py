@@ -11,12 +11,14 @@ src/main.rs:20,30,48). Contract:
 - Decode-class work (pixel decode, feature extraction, resize, frame
   sampling) runs as Arrow-batched mapInPandas: the ONLY sane shape for
   per-payload Python at scale — payload bytes stream executor-side in Arrow
-  batches, one Python worker per core, no driver involvement. The actual
-  codec call is pluggable; this container has no image/audio libs, so the
-  default decoder is a DETERMINISTIC FAKE (bytes → stable pseudo-features)
-  and `real_decode` raises NotImplementedError with the plug-in contract.
-  The Spark-side plumbing — schemas, UDF signatures, batch iteration,
-  row-expansion — is real and tested either way.
+  batches, one Python worker per core, no driver involvement. The codec is
+  pluggable: `real_decode` does FULL stdlib decode for PNG (zlib inflate +
+  scanline filter reconstruction, pixel-exact — png_pixels) and canonical
+  WAV; containers that genuinely need codec libraries (JPEG/MP4) raise
+  NotImplementedError with the plug-in contract. The default `auto_decode`
+  falls back to a DETERMINISTIC FAKE (bytes → stable pseudo-features) for
+  undecodable payloads so mixed corpora keep flowing in this codec-less
+  container.
 
 Scale notes: metadata ops are narrow maps (zero shuffle). mapInPandas ops
 are embarrassingly parallel; size `spark.sql.execution.arrow.maxRecordsPerBatch`
@@ -27,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Callable, Iterator
+from struct import error as struct_error
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -171,18 +174,149 @@ MEDIA_FEATURES_SCHEMA = StructType(
 )
 
 
-def real_decode(payload: bytes) -> dict:
-    """Plug-in point for an actual codec (PIL / libav / soundfile).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 
-    Not available in this environment — STUBBED by design. A real
-    deployment replaces this with e.g.
-    ``Image.open(io.BytesIO(payload))`` and returns
-    {media_type, width, height, n_channels, duration_ms}."""
+
+def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full PNG decode with ONLY the stdlib: (width, height, n_channels,
+    raw interleaved 8-bit samples, row-major).
+
+    Covers the non-interlaced 8-bit-depth color types (gray, RGB,
+    gray+alpha, RGBA): chunk walk → concatenated-IDAT zlib inflate →
+    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth, the
+    complete filter set of the spec). Palette (color type 3), bit depths
+    other than 8, and Adam7 interlacing raise NotImplementedError — those
+    belong to a real codec plug-in, not byte surgery.
+
+    Per-byte Python per scanline (Sub/Average/Paeth are sequential in x by
+    definition, so there is no vectorized form); production pipelines with
+    image libs should plug PIL into decode_fn instead. mapInPandas keeps
+    this executor-side and embarrassingly parallel either way.
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat = bytearray()
+    meta = None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = meta
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid IHDR compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG needs a codec plug-in")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} needs a codec plug-in "
+            "(stdlib path covers 8-bit gray/RGB/gray+alpha/RGBA)"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT payload does not match IHDR dimensions")
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} at row {y}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def real_decode(payload: bytes) -> dict:
+    """Actual (non-fake) decode for the containers whose decode is pure
+    byte/zlib work: PNG (full pixel reconstruction via png_pixels — the
+    feature row reports true dimensions/channels) and canonical WAV
+    (header arithmetic → true duration). Other containers (JPEG/MP4/...)
+    genuinely need codec libraries this environment does not ship, so they
+    raise NotImplementedError with the plug-in contract: pass decode_fn=
+    (bytes -> dict(media_type, width, height, n_channels, duration_ms))
+    backed by PIL/libav."""
+    if payload.startswith(_PNG_SIG):
+        w, h, ch, _ = png_pixels(payload)
+        return {
+            "media_type": "image/png",
+            "width": w,
+            "height": h,
+            "n_channels": ch,
+            "duration_ms": None,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 44:
+        channels = int.from_bytes(payload[22:24], "little")
+        rate = int.from_bytes(payload[24:28], "little")
+        bits = int.from_bytes(payload[34:36], "little")
+        data_size = int.from_bytes(payload[40:44], "little")
+        bps = rate * channels * bits / 8
+        return {
+            "media_type": "audio/wav",
+            "width": None,
+            "height": None,
+            "n_channels": channels,
+            "duration_ms": round(data_size * 1000 / bps) if bps else None,
+        }
     raise NotImplementedError(
-        "no media codecs in this container; pass decode_fn=... with "
+        "no stdlib codec for this container; pass decode_fn=... with "
         "signature bytes -> dict(media_type, width, height, n_channels, "
         "duration_ms)"
     )
+
+
+def auto_decode(payload: bytes) -> dict:
+    """Default decoder: real stdlib decode where possible (valid PNG/WAV),
+    deterministic fake features otherwise — so the same pipeline runs over
+    mixed/synthetic corpora in a codec-less container. Payloads that only
+    LOOK like a known container (magic prefix, garbage body — e.g. the
+    synthetic fixtures) also fall back to fake features rather than
+    failing the batch; strict pipelines pass decode_fn=real_decode to
+    surface corruption instead."""
+    import zlib
+
+    try:
+        return real_decode(payload)
+    except (NotImplementedError, ValueError, zlib.error, struct_error):
+        return fake_decode(payload)
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -209,8 +343,13 @@ def decode_media_features(
 
     One output row per input row; the decoder sees raw bytes, the executor
     streams pandas batches — the canonical shape for CPU-bound per-item
-    Python (decode, embed, OCR) at cluster scale."""
-    decode = decode_fn or fake_decode
+    Python (decode, embed, OCR) at cluster scale.
+
+    Default decoder is auto_decode: REAL stdlib decode for valid PNG/WAV
+    payloads (true dimensions/channels/duration), deterministic fake
+    features for everything else. Pass decode_fn=real_decode to fail on
+    undecodable payloads, or a library-backed callable for full coverage."""
+    decode = decode_fn or auto_decode
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -221,13 +360,16 @@ def decode_media_features(
                 {
                     "id": pdf[id_col].astype("int64"),
                     "media_type": [f["media_type"] for f in feats],
-                    "width": pd.array([f["width"] for f in feats], dtype="int32"),
-                    "height": pd.array([f["height"] for f in feats], dtype="int32"),
+                    # nullable Int32 (capital I): real decoders return None
+                    # for inapplicable fields (duration of an image,
+                    # width of an audio clip)
+                    "width": pd.array([f["width"] for f in feats], dtype="Int32"),
+                    "height": pd.array([f["height"] for f in feats], dtype="Int32"),
                     "n_channels": pd.array(
-                        [f["n_channels"] for f in feats], dtype="int32"
+                        [f["n_channels"] for f in feats], dtype="Int32"
                     ),
                     "duration_ms": pd.array(
-                        [f["duration_ms"] for f in feats], dtype="int32"
+                        [f["duration_ms"] for f in feats], dtype="Int32"
                     ),
                 }
             )

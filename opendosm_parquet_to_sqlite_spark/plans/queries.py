@@ -1193,11 +1193,13 @@ def q_multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_bytes", "digest", "media_type")
 
 
-@query("multimodal_decode")  # rows-only: fake decoder, not SQL-expressible
+@query("multimodal_decode")  # rows-only: decoder output not SQL-expressible
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode plumbing over binary payloads (the
-    codec is a deterministic fake — this container has no image libs; the
-    batch shape/schema/partitioning are the real thing)."""
+    """Arrow-batched mapInPandas decode over binary payloads. The default
+    auto_decode does REAL stdlib decode for valid PNG (zlib + filter
+    reconstruction) and WAV payloads, deterministic fake features for the
+    rest — these synthetic magic+text payloads take the fake path, the
+    pixel-exact real path is pinned in tests/test_multimodal.py."""
     docs = load_table(spark, sf, "documents")
     withp = multimodal.binary_from_text(docs, "text", "doc_id")
     return multimodal.decode_media_features(withp, "payload", "doc_id")

@@ -64,9 +64,183 @@ def test_decode_media_features_fake_decoder(spark, media):
         assert got["media_type"] == "fake/decoded"
 
 
-def test_real_decode_is_explicit_stub():
+# --- real PNG decode (stdlib zlib + filter reconstruction) --------------------
+
+
+def _encode_png(pixels: bytes, w: int, h: int, channels: int,
+                filters: list[int]) -> bytes:
+    """Tiny pure-Python PNG ENCODER (the reference for pixel-exact
+    round-trips): applies the requested filter type per scanline (cycling),
+    so decoding exercises every filter the spec defines."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        line = bytearray(pixels[y * stride:(y + 1) * stride])
+        f = filters[y % len(filters)]
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        out += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def _test_pixels(w: int, h: int, channels: int) -> bytes:
+    # gradient + structure so Sub/Up/Average/Paeth all produce distinct
+    # residuals (an all-constant image would not catch filter bugs)
+    return bytes(
+        (x * 7 + y * 13 + c * 29 + (x * y) % 11) % 256
+        for y in range(h) for x in range(w) for c in range(channels)
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_pixel_exact_roundtrip_all_filters(channels):
+    """decode(encode(px)) == px for every color type, with scanlines using
+    ALL FIVE filter types (cycling 0..4)."""
+    w, h = 13, 11  # odd sizes: no accidental stride alignment
+    px = _test_pixels(w, h, channels)
+    payload = _encode_png(px, w, h, channels, filters=[0, 1, 2, 3, 4])
+    gw, gh, gch, gpx = multimodal.png_pixels(payload)
+    assert (gw, gh, gch) == (w, h, channels)
+    assert gpx == px
+
+
+@pytest.mark.parametrize("flt", [0, 1, 2, 3, 4])
+def test_png_single_filter_variants(flt):
+    w, h = 8, 5
+    px = _test_pixels(w, h, 3)
+    _, _, _, gpx = multimodal.png_pixels(_encode_png(px, w, h, 3, [flt]))
+    assert gpx == px
+
+
+def test_png_multiple_idat_chunks():
+    """Spec allows the zlib stream split across many IDAT chunks."""
+    import struct
+    import zlib
+
+    w, h = 6, 4
+    px = _test_pixels(w, h, 3)
+    whole = _encode_png(px, w, h, 3, [4])
+    # re-split: parse out the single IDAT and split its payload into
+    # 7-byte chunks
+    sig, rest = whole[:8], whole[8:]
+    chunks = []
+    pos = 0
+    while pos < len(rest):
+        ln, ct = struct.unpack(">I4s", rest[pos:pos + 8])
+        chunks.append((ct, rest[pos + 8:pos + 8 + ln]))
+        pos += 12 + ln
+    out = sig
+    for ct, data in chunks:
+        if ct == b"IDAT":
+            for i in range(0, len(data), 7):
+                piece = data[i:i + 7]
+                out += (struct.pack(">I", len(piece)) + b"IDAT" + piece
+                        + struct.pack(">I", zlib.crc32(b"IDAT" + piece)))
+        else:
+            out += (struct.pack(">I", len(data)) + ct + data
+                    + struct.pack(">I", zlib.crc32(ct + data)))
+    _, _, _, gpx = multimodal.png_pixels(out)
+    assert gpx == px
+
+
+def test_real_decode_png_true_features():
+    payload = _encode_png(_test_pixels(20, 10, 4), 20, 10, 4, [2, 4])
+    feats = multimodal.real_decode(payload)
+    assert feats == {"media_type": "image/png", "width": 20, "height": 10,
+                     "n_channels": 4, "duration_ms": None}
+
+
+def test_real_decode_wav_true_duration():
+    feats = multimodal.real_decode(
+        _wav_bytes(channels=2, rate=44100, bits=16, n_frames=44100)
+    )
+    assert feats["media_type"] == "audio/wav"
+    assert feats["n_channels"] == 2
+    assert feats["duration_ms"] == 1000
+    assert feats["width"] is None and feats["height"] is None
+
+
+def test_real_decode_needs_codec_for_jpeg():
     with pytest.raises(NotImplementedError, match="decode_fn"):
-        multimodal.real_decode(b"anything")
+        multimodal.real_decode(b"\xff\xd8\xff\xe0JFIFjpegbody")
+
+
+def test_png_pixels_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    def with_ihdr(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
+        def chunk(ct, d):
+            return (struct.pack(">I", len(d)) + ct + d
+                    + struct.pack(">I", zlib.crc32(ct + d)))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError, match="plug-in"):
+        multimodal.png_pixels(with_ihdr(8, 3, 0))  # palette
+    with pytest.raises(NotImplementedError, match="plug-in"):
+        multimodal.png_pixels(with_ihdr(16, 2, 0))  # 16-bit
+    with pytest.raises(NotImplementedError, match="plug-in"):
+        multimodal.png_pixels(with_ihdr(8, 2, 1))  # Adam7
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.png_pixels(b"not a png")
+
+
+def test_auto_decode_real_for_valid_fake_for_garbage():
+    real = multimodal.auto_decode(_encode_png(_test_pixels(5, 5, 3), 5, 5, 3, [1]))
+    assert real["media_type"] == "image/png" and real["width"] == 5
+    # PNG magic with a garbage body must NOT crash the batch — falls back
+    fake = multimodal.auto_decode(b"\x89PNG\r\n\x1a\nrest-of-png")
+    assert fake["media_type"] == "fake/decoded"
+    assert fake == multimodal.fake_decode(b"\x89PNG\r\n\x1a\nrest-of-png")
+
+
+def test_decode_media_features_real_png_end_to_end(spark):
+    """mapInPandas default path: valid PNGs get TRUE pixel-derived
+    dimensions; undecodable payloads get deterministic fake features —
+    one mixed batch, no crashes."""
+    png = _encode_png(_test_pixels(31, 17, 3), 31, 17, 3, [0, 1, 2, 3, 4])
+    wav = _wav_bytes(channels=1, rate=16000, bits=8, n_frames=8000)
+    rows = [(0, png), (1, wav), (2, b"\xff\xd8\xff\xe0JFIFjpegbody")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in
+           multimodal.decode_media_features(df, "payload", "id").collect()}
+    assert (out[0]["media_type"], out[0]["width"], out[0]["height"],
+            out[0]["n_channels"]) == ("image/png", 31, 17, 3)
+    assert (out[1]["media_type"], out[1]["n_channels"],
+            out[1]["duration_ms"]) == ("audio/wav", 1, 500)
+    assert out[2]["media_type"] == "fake/decoded"
 
 
 def test_sample_frames_row_expansion(spark):
