@@ -40,12 +40,16 @@ _ROWS_ONLY_PRIORITY = [
     "ann_ivf",
     "ann_lsh",
     "ann_quantized",
+    "ann_ivf_persisted",
     "dedup_semantic",
     "dedup_incremental",
     "dedup_simhash",
     "sketch_profile",
     "unigram_logprob",
     "multimodal_decode",
+    # demoted round 4: exact operator twin of the hash-checked
+    # join_prices_items (same join_fact_dim broadcast shape)
+    "join_prices_premises",
 ]
 
 

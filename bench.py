@@ -53,6 +53,15 @@ HEADLINE = [
     "contamination_check",    # broadcast n-gram collision vs eval set
     "prepare_training_data",  # flagship end-to-end corpus->sequences plan
     "corpus_report",          # one-pass dataset card aggregate
+    # scale-path flagships (round 4): these had pytest recall pins but NO
+    # bench rows — a 10x perf regression shipped invisibly
+    "ann_ivf",                # k-means cells + multi-probe (in-memory build)
+    "ann_ivf_persisted",      # probe of the PERSISTED IVF+SQ index (steady state)
+    "ann_lsh",                # hyperplane-LSH bucketed top-k
+    "dedup_semantic",         # SemDeDup cells + per-cell BLAS
+    "dedup_simhash",          # 64-bit sketch + pigeonhole banding
+    "sketch_profile",         # HLL + quantile mergeable sketches
+    "unigram_logprob",        # corpus-self-perplexity scorer
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
@@ -65,8 +74,20 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --runs N / SPARK_GRAFT_BENCH_RUNS: repeat the whole suite N times and
+    # report the per-query MEDIAN (plus min detail) — box noise here is
+    # ±20% on composed queries, so regression gates should read medians.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    if "--runs" in sys.argv:
+        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
@@ -81,24 +102,30 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
         except Exception:
             pass
+    # one-time artifact builds stay OUT of the probe timings
+    from opendosm_parquet_to_sqlite_spark.plans.queries import ensure_ivf_index
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
-        release_cached()  # operator-internal persists end with their query
+    ensure_ivf_index(spark, sf_dir, quantize=True)
 
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(max(n_runs, 1)):
+        for name in HEADLINE:
+            runs[name].append(run_query(spark, name, sf_dir))
+            release_cached()  # operator-internal persists end with their query
+
+    timings = {n: round(_median(ts), 3) for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if n_runs > 1:
+        out["n_runs"] = n_runs
+        out["queries_min"] = {n: round(min(ts), 3) for n, ts in runs.items()}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -100,10 +100,23 @@ def pack_sequences(
     strata_col: str | list[str] | None = None,
     block_size: int = 4096,
     length_sorted: bool = False,
+    split_docs: bool = False,
 ) -> DataFrame:
     """Greedy sequential packing of documents into training sequences of at
     most `budget` tokens (+ at most one overflowing doc — the standard
-    concat-then-chunk tokenizer feed; docs are not split here).
+    concat-then-chunk tokenizer feed; docs are not split by default).
+
+    split_docs=True first chops every document into (doc_id, chunk_idx)
+    pieces of at most `budget` tokens (sequence-generate + explode — still
+    a narrow map), then packs the pieces. The greedy overflow bound
+    tightens from unbounded (one arbitrarily long doc) to one
+    budget-sized piece — every sequence total is < 2·budget — matching
+    tokenizer feeds that chunk long documents before packing. Chunk sizes
+    are budget, budget, ..., remainder; a 0-token
+    doc keeps one 0-token chunk so no row silently disappears. Mass is
+    conserved: sum(chunk tokens) per doc == doc tokens. NOTE: one row
+    explodes into ceil(n_tokens/budget) rows — pre-truncate pathological
+    documents (e.g. GB-sized) upstream rather than exploding them here.
 
     length_sorted=True fills each block in (n_tokens, doc_id) order
     instead of plain id order — LENGTH GROUPING: neighbors have similar
@@ -118,11 +131,12 @@ def pack_sequences(
     global window (no blocks) would serialize the whole corpus through one
     partition: the classic unbounded-window scale trap.
 
-    Output: (doc_id[, *strata], block, seq_in_block, n_tokens, cum_tokens)
-    where cum_tokens is the running total within the sequence's block.
-    Multiple strata columns (e.g. [source, split]) keep sequences from
-    mixing rows across a boundary that must stay separate — a train/val
-    leak if packed together.
+    Output: (doc_id[, chunk_idx][, *strata], block, seq_in_block,
+    n_tokens, cum_tokens) where cum_tokens is the running total within the
+    sequence's block (chunk_idx only with split_docs=True, where n_tokens
+    is the CHUNK's size). Multiple strata columns (e.g. [source, split])
+    keep sequences from mixing rows across a boundary that must stay
+    separate — a train/val leak if packed together.
     """
     if strata_col is None:
         strata_names: list[str] = []
@@ -143,10 +157,46 @@ def pack_sequences(
         block,
         token_count_col.cast("long").alias("n_tokens"),
     )
+    extra_cols: list[str] = []
     order = (
         [F.col("n_tokens"), F.col("doc_id")] if length_sorted
         else [F.col("doc_id")]
     )
+    if split_docs:
+        b = int(budget)
+        # chunk_idx 0 .. max(ceil(n/budget)-1, 0): integer `div` (same
+        # 2^53 rationale as block), greatest(...,0) keeps empty docs as a
+        # single 0-token chunk instead of a reversed (start>stop) sequence
+        chunked = base.select(
+            "doc_id",
+            *strata_names,
+            "block",
+            F.col("n_tokens").alias("__doc_tokens"),
+            # 0L start => array<bigint>, so explode emits long directly
+            # (a generator cannot be nested inside a cast expression)
+            F.explode(
+                F.expr(f"sequence(0L, greatest((`n_tokens` - 1) div {b}, 0))")
+            ).alias("chunk_idx"),
+        )
+        base = chunked.select(
+            "doc_id",
+            "chunk_idx",
+            *strata_names,
+            "block",
+            F.greatest(
+                F.least(
+                    F.lit(b).cast("long"),
+                    F.col("__doc_tokens") - F.col("chunk_idx") * b,
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_tokens"),
+        )
+        extra_cols = ["chunk_idx"]
+        order = (
+            [F.col("n_tokens"), F.col("doc_id"), F.col("chunk_idx")]
+            if length_sorted
+            else [F.col("doc_id"), F.col("chunk_idx")]
+        )
     w = (
         Window.partitionBy(*strata, F.col("block"))
         .orderBy(*order)
@@ -155,6 +205,7 @@ def pack_sequences(
     cum = F.sum("n_tokens").over(w)
     return base.select(
         "doc_id",
+        *extra_cols,
         *strata,
         "block",
         F.floor((cum - F.col("n_tokens")) / F.lit(budget))

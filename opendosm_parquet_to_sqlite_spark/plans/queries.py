@@ -302,13 +302,10 @@ def q_join_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "join_prices_premises",
-    """
-    SELECT l_orderkey, l_linenumber, l_suppkey, s_name, s_acctbal
-    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-    """,
-)
+@query("join_prices_premises")  # rows-only since round 4: exact operator
+# twin of the hash-checked join_prices_items (joins.join_fact_dim, same
+# broadcast shape, different dim) — demoted to free a driver-window slot
+# for pack_sequences_split
 def q_join_premises(spark: SparkSession, sf: str) -> DataFrame:
     """Fact⋈dim on premise key (src/main.rs:194,198)."""
     li = load_table(spark, sf, "lineitem")
@@ -1221,6 +1218,38 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def ensure_ivf_index(spark: SparkSession, sf: str, quantize: bool = True) -> str:
+    """Idempotent build of the persisted IVF(+SQ) index over sf's
+    embeddings, under /tmp keyed by the sf dir name. The bench harness and
+    the registry probe share it, so probe timings measure the PROBE (the
+    recurring cost at scale), not the one-time build."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    path = f"/tmp/spark_graft_ivf_{tag}" + ("_sq" if quantize else "")
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        emb = load_table(spark, sf, "embeddings")
+        similarity.build_ivf_index(emb, path, n_centroids=16, quantize=quantize)
+    return path
+
+
+@query("ann_ivf_persisted")  # rows-only: approximate by design
+def q_ann_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 probe against the PERSISTED IVF+SQ index: centroids load to
+    the driver (16 rows), the probe scans only the 12 probed cell
+    PARTITIONS of the stored corpus (partition pruning — plan-asserted in
+    tests/test_plans.py) and ADC-scores int8 codes against float queries.
+    This is the steady-state ANN serving shape: the index is built once
+    (ensure_ivf_index) and appended to incrementally."""
+    path = ensure_ivf_index(spark, sf, quantize=True)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.probe_ivf_index(spark, path, queries, k=5, n_probe=12)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("ann_quantized")  # rows-only: int8 rounding is engine-specific
 def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """Top-5 cosine scored DIRECTLY on int8-quantized codes (asymmetric
@@ -1625,6 +1654,59 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         budget=64,
         strata_col="source",
         block_size=128,
+    )
+
+
+@query(
+    "pack_sequences_split",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, CAST(doc_id // 128 AS BIGINT) AS block,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS doc_tokens
+        FROM documents
+    ),
+    chunks0 AS (
+        SELECT doc_id, source, block, doc_tokens,
+               CAST(unnest(generate_series(
+                   0, greatest((doc_tokens - 1) // 64, 0))) AS BIGINT)
+                   AS chunk_idx
+        FROM base
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_idx, source, block,
+               CAST(greatest(least(64, doc_tokens - chunk_idx * 64), 0)
+                    AS BIGINT) AS n_tokens
+        FROM chunks0
+    ),
+    cums AS (
+        SELECT *, CAST(sum(n_tokens) OVER (
+                 PARTITION BY source, block ORDER BY doc_id, chunk_idx
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM chunks
+    )
+    SELECT doc_id, chunk_idx, source, block,
+           CAST(floor((cum_tokens - n_tokens) / 64.0) AS BIGINT)
+               AS seq_in_block,
+           n_tokens, cum_tokens
+    FROM cums
+    """,
+)
+def q_pack_sequences_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing with document SPLITTING: every doc is chopped into
+    budget-sized (doc_id, chunk_idx) pieces first (sequence + explode, a
+    narrow map), so greedy overflow is bounded by ONE budget-sized piece
+    instead of one arbitrarily long document — the chunking tokenizer
+    feed. Mass conservation and chunk-count invariants are
+    property-tested in tests/test_mixing.py."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.pack_sequences(
+        docs,
+        "doc_id",
+        text.token_count(F.col("text")),
+        budget=64,
+        strata_col="source",
+        block_size=128,
+        split_docs=True,
     )
 
 

@@ -489,3 +489,65 @@ def test_pack_sequences_integer_blocks_above_2_53(spark):
     # the first four even though all five fit one 100-token budget
     assert blocks[base + 4096] == blocks[base] + 1
     assert blocks[base + 3] == blocks[base]
+
+
+def test_pack_sequences_split_docs_mass_conservation(spark):
+    """split_docs=True: per-doc chunk tokens sum to the doc's tokens,
+    chunk count is ceil(n/budget) (empty docs keep ONE 0-token chunk),
+    and no chunk exceeds the budget."""
+    rows = [
+        (0, 0),     # empty doc -> one 0-token chunk
+        (1, 1),     # tiny
+        (2, 64),    # exactly budget -> one full chunk
+        (3, 65),    # budget+1 -> 64 + 1
+        (4, 200),   # 64+64+64+8
+        (5, 128),   # two exact chunks
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = sampling.pack_sequences(
+        docs, "doc_id", F.col("n_tok"), budget=64, block_size=4096,
+        split_docs=True,
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    import math
+
+    for doc_id, n_tok in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) == max(math.ceil(n_tok / 64), 1)
+        assert sum(c["n_tokens"] for c in chunks) == n_tok  # mass conserved
+        assert all(c["n_tokens"] <= 64 for c in chunks)
+    # greedy overflow bound TIGHTENS under splitting: each sequence may
+    # overflow by at most one chunk, and chunks are <= budget, so every
+    # sequence total is < 2*budget (unsplit packing has no such bound —
+    # doc 4 alone would blow a single sequence to 200)
+    seq_rows: dict[tuple, list] = {}
+    for r in out:
+        seq_rows.setdefault((r["block"], r["seq_in_block"]), []).append(r)
+    for rows_ in seq_rows.values():
+        rows_.sort(key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        total = sum(r["n_tokens"] for r in rows_)
+        assert total - rows_[-1]["n_tokens"] < 64  # fits before the overflow
+        assert total < 2 * 64
+
+
+def test_pack_sequences_split_docs_property(spark):
+    """Randomized mass-conservation sweep across budgets (seeded)."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 500)) for i in range(80)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    for budget in (17, 64, 499):
+        out = sampling.pack_sequences(
+            docs, "doc_id", F.col("n_tok"), budget=budget, block_size=32,
+            split_docs=True,
+        ).collect()
+        got = {}
+        for r in out:
+            got[r["doc_id"]] = got.get(r["doc_id"], 0) + r["n_tokens"]
+            assert r["n_tokens"] <= budget
+        assert got == {i: n for i, n in rows}
