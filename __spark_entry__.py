@@ -46,6 +46,7 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_simhash",
     "sketch_profile",
     "unigram_logprob",
+    "text_lang_id_ngram",
     "multimodal_decode",
     # demoted round 4: exact operator twin of the hash-checked
     # join_prices_items (same join_fact_dim broadcast shape)

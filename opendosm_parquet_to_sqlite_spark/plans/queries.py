@@ -1378,6 +1378,20 @@ def q_text_lang(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
 
 
+@query("text_lang_id_ngram")  # rows-only: 25-regex profile cascade is
+# engine-defined; accuracy floor pinned on a labeled fixture in
+# tests/test_mixing.py
+def q_text_lang_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Extended language ID (~18 languages): Unicode-script detection for
+    non-Latin scripts + Cavnar-Trenkle-style function-word/diacritic
+    profiles for Latin ones — all native regexp_count, a pure narrow
+    map."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", text.lang_id_ngram("text").alias("lang_pred")
+    )
+
+
 @query(
     "text_top_terms",
     """

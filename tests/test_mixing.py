@@ -551,3 +551,70 @@ def test_pack_sequences_split_docs_property(spark):
             got[r["doc_id"]] = got.get(r["doc_id"], 0) + r["n_tokens"]
             assert r["n_tokens"] <= budget
         assert got == {i: n for i, n in rows}
+
+
+# --- extended language ID -----------------------------------------------------
+
+_LANG_FIXTURE = [
+    ("en", "the cat sat on the mat and looked at the dog that was outside"),
+    ("en", "she said that the results of the study were consistent with the theory"),
+    ("de", "der hund und die katze sind nicht im haus aber ich bin hier"),
+    ("de", "das ist ein gutes beispiel und der text ist nicht lang"),
+    ("fr", "le chat est dans la maison et je ne sais pas les raisons"),
+    ("fr", "les enfants sont dans une école et le professeur est content"),
+    ("es", "el perro y los gatos están en una casa por la mañana"),
+    ("es", "pero las personas dicen que es como una pequeña ciudad española"),
+    ("it", "il gatto che dorme sono sicuro della sua felicità per sempre"),
+    ("it", "non posso venire con te per il viaggio di domani"),
+    ("pt", "um homem e uma mulher estavam ao lado dos carros em lisboa"),
+    ("pt", "as ações dos governos não são boas para a população"),
+    ("nl", "het huis van mijn ouders is niet groot maar ik vind het mooi"),
+    ("nl", "dat is een goed idee en zijn plannen zijn voor morgen"),
+    ("ms", "saya pergi ke pasar dengan kawan saya untuk membeli makanan ini"),
+    ("ms", "buku yang saya baca itu adalah hadiah dan sangat menarik"),
+    ("sv", "jag har en hund och en katt som bor i huset det är bra"),
+    ("sv", "det är inte lätt att lära sig svenska av en bok"),
+    ("tr", "bu bir kitap ve daha güzel bir hikaye gibi görünüyor"),
+    ("tr", "en iyi olan şey ile daha çok çalışmak"),
+    ("ru", "собака и кошка живут в доме на улице"),
+    ("ru", "это очень хорошая книга про историю россии"),
+    ("el", "το σπίτι είναι μεγάλο και όμορφο στην αθήνα"),
+    ("ar", "البيت كبير وجميل في المدينة القديمة"),
+    ("he", "הבית גדול ויפה בעיר העתיקה"),
+    ("hi", "यह घर बहुत बड़ा और सुंदर है"),
+    ("ko", "이 집은 매우 크고 아름답습니다"),
+    ("ja", "この家はとても大きくて美しいです"),
+    ("zh", "这个房子非常大而且很漂亮"),
+    ("und", ""),
+    ("und", "12345 67890 !!!"),
+]
+
+
+def test_lang_id_ngram_accuracy(spark):
+    """Extended language ID must hit >= 90% on the labeled fixture (and
+    exactly 'und' on empty/non-text), deterministically."""
+    df = spark.createDataFrame(
+        [(i, lang, s) for i, (lang, s) in enumerate(_LANG_FIXTURE)],
+        ["i", "lang", "text"],
+    )
+    out = df.select(
+        "i", "lang", text.lang_id_ngram(F.col("text")).alias("pred")
+    ).collect()
+    wrong = [(r["lang"], r["pred"]) for r in out if r["lang"] != r["pred"]]
+    acc = 1 - len(wrong) / len(out)
+    assert acc >= 0.9, wrong
+    und = {r["lang"]: r["pred"] for r in out if r["lang"] == "und"}
+    assert set(und.values()) == {"und"}
+
+
+def test_lang_id_ngram_partitioning_independent(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, (_, s) in enumerate(_LANG_FIXTURE)], ["i", "text"]
+    )
+    a = df.select("i", text.lang_id_ngram(F.col("text")).alias("p")).collect()
+    b = (
+        df.repartition(7)
+        .select("i", text.lang_id_ngram(F.col("text")).alias("p"))
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
