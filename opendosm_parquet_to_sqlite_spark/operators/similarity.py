@@ -263,12 +263,24 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = _LSH_SEED,
+    distributed_threshold: int = 100_000,
 ) -> "np.ndarray":
     """Deterministic coarse-quantizer training: the sample is the first
     `train_sample` rows by id (an arbitrary-but-stable choice — limit()
     without ordering is partition-nondeterministic and would make
     centroids, cells, and recall vary run to run). Zero-norm vectors are
-    dropped from training (they carry no direction)."""
+    dropped from training (they carry no direction).
+
+    train_sample > distributed_threshold switches to the DISTRIBUTED
+    trainer (train_ivf_centroids_distributed): the driver-side sample
+    collect stops being sane somewhere around 10^5 vectors, and beyond it
+    Lloyd iterations run as Spark aggregations over the full corpus with
+    only k x dim centroid floats ever reaching the driver. The default
+    path is unchanged (same seeded sample, same centroids)."""
+    if train_sample > distributed_threshold:
+        return train_ivf_centroids_distributed(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(id_col)
@@ -287,6 +299,85 @@ def train_ivf_centroids(
             "IVF centroids (all-zero embeddings carry no direction)"
         )
     return _kmeans_centroids(X, n_centroids, seed=seed)
+
+
+def train_ivf_centroids_distributed(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _LSH_SEED,
+) -> "np.ndarray":
+    """Spherical Lloyd k-means over the FULL corpus as Spark jobs — the
+    trainer for corpora too large to sample to the driver.
+
+    Per iteration: one narrow assignment map (broadcast centroids inside
+    the vectorized pandas_udf) + one keyed partial aggregation of
+    per-dimension normalized-vector sums (dim native `sum(vec[i]/norm)`
+    columns — map-side combined, so the shuffle carries k x (dim+1)
+    doubles per task, and only k rows reach the driver). Nothing larger
+    than the k x dim centroid matrix is ever collected.
+
+    Mirrors the driver-side _kmeans_centroids objective exactly (cosine
+    assignment, normalized-mean update, zero-norm rows dropped); results
+    differ only by init (deterministic md5-ordered seed rows here, seeded
+    RNG choice there) and float summation order — quality floors, not
+    exact centroid equality, are the test contract. Empty cells keep
+    their previous centroid, as in the driver path."""
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            "training corpus is empty — cannot train IVF centroids"
+        )
+    dim = len(first[0])
+    v = F.col(vec_col)
+    sq_norm = None
+    for i in range(dim):
+        term = v[i] * v[i]
+        sq_norm = term if sq_norm is None else sq_norm + term
+    norm_col = F.sqrt(sq_norm)
+    # deterministic seeded init without a data-sized collect: the k rows
+    # with the smallest md5(seed:id) — stable under any partitioning.
+    # Oversample 4x so zero-norm seed rows can be dropped.
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .filter(norm_col > 0)
+        .orderBy(
+            F.md5(F.concat(F.lit(f"ivf{seed}:"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        .limit(n_centroids * 4)
+        .collect()
+    )
+    X = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
+    if X.size == 0:
+        raise ValueError(
+            "no nonzero-norm vectors in the training corpus — cannot train "
+            "IVF centroids (all-zero embeddings carry no direction)"
+        )
+    cent = _safe_normalize(X[: min(n_centroids, len(X))])
+    normed = corpus.select(
+        *[(v[i] / norm_col).alias(f"e{i}") for i in range(dim)], vec_col
+    ).filter(norm_col > 0)
+    for _ in range(n_iters):
+        assigned = normed.withColumn("cell", _assign_cell_udf(cent)(v))
+        agg = (
+            assigned.groupBy("cell")
+            .agg(*[F.sum(f"e{i}").alias(f"s{i}") for i in range(dim)])
+            .collect()
+        )
+        new = cent.copy()
+        for r in agg:
+            s = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64)
+            nrm = np.linalg.norm(s)
+            if nrm > 0:
+                new[r["cell"]] = s / nrm
+        moved = float(np.abs(new - cent).max())
+        cent = new
+        if moved < 1e-9:
+            break
+    return cent
 
 
 def _assign_cell_udf(cent: "np.ndarray"):

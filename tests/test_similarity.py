@@ -360,3 +360,59 @@ def test_ivf_train_rejects_degenerate_corpora(spark, emb):
     )
     with pytest.raises(ValueError, match="nonzero-norm"):
         similarity.train_ivf_centroids(zeros)
+
+
+# --- distributed IVF training -------------------------------------------------
+
+
+def _mean_max_cosine(spark, emb, cent):
+    """Clustering quality: mean over vectors of cosine to the nearest
+    centroid (spherical k-means objective, higher is better)."""
+    import numpy as np
+
+    rows = emb.select("embedding").collect()
+    X = np.stack([np.asarray(r[0], dtype=float) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return float(np.max(X @ cent.T, axis=1).mean())
+
+
+def test_distributed_kmeans_quality_matches_driver_path(spark, emb):
+    """The distributed trainer must cluster at least as well (within a
+    small epsilon) as the driver-sample trainer on the same data."""
+    import numpy as np
+
+    cent_d = similarity.train_ivf_centroids_distributed(emb, n_centroids=8)
+    cent_s = similarity.train_ivf_centroids(emb, n_centroids=8)
+    assert cent_d.shape == cent_s.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(cent_d, axis=1), 1.0, atol=1e-9)
+    q_d = _mean_max_cosine(spark, emb, cent_d)
+    q_s = _mean_max_cosine(spark, emb, cent_s)
+    assert q_d >= q_s - 0.02, (q_d, q_s)
+
+
+def test_distributed_kmeans_partitioning_stable(spark, emb):
+    """Same data under different partitionings: identical init (md5-ordered
+    seeds) and near-identical centroids (float sums may differ in the last
+    bits across combine orders)."""
+    import numpy as np
+
+    a = similarity.train_ivf_centroids_distributed(emb, n_centroids=8)
+    b = similarity.train_ivf_centroids_distributed(
+        emb.repartition(13), n_centroids=8
+    )
+    assert np.allclose(a, b, atol=1e-6)
+
+
+def test_train_sample_above_threshold_routes_to_distributed(spark, emb):
+    import numpy as np
+
+    cent = similarity.train_ivf_centroids(
+        emb, n_centroids=8, train_sample=200, distributed_threshold=100
+    )
+    ref = similarity.train_ivf_centroids_distributed(emb, n_centroids=8)
+    assert np.allclose(cent, ref, atol=1e-6)
+
+
+def test_distributed_kmeans_rejects_empty(spark, emb):
+    with pytest.raises(ValueError, match="empty"):
+        similarity.train_ivf_centroids_distributed(emb.filter(F.lit(False)))
