@@ -35,6 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # grows or the oracle-backed list shrinks; keep it in rough
 # flagship-first order against that day.
 _ROWS_ONLY_PRIORITY = [
+    # shadow-oracle queries: hash-checked in-repo (tests/oracle_check.py
+    # runs their DuckDB SQL from SHADOW_ORACLES); driver-side rows-only
+    # because the 50-entry window is already full of oracle-backed rows
+    "search_bm25",
+    "tfidf_per_doc",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_lsh",
     "ann_ivf",

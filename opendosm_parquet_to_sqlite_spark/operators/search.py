@@ -1,0 +1,228 @@
+"""Keyword search over the corpus: inverted-index BM25 top-k retrieval.
+
+Training-data pipelines need keyword retrieval constantly — "find every
+document mentioning X" for targeted curation, eval-set mining, or
+quality-audit spot checks. At 100 TB you cannot grep; you score against an
+inverted index. This module builds that index as a DataFrame plan and runs
+Okapi BM25 entirely with native Column expressions (no Python in the hot
+path), so Catalyst sees one declarative plan:
+
+  tokenize (narrow map, codegen)
+    -> explode tokens
+    -> broadcast SEMI-join against the query-term set   <- the key pruning
+    -> (doc, term) partial-agg for term frequencies
+    -> tiny (term) agg for document frequencies
+    -> broadcast joins back + scoring expression
+    -> per-query top-k
+
+The broadcast semi-join right after the explode is what makes this scale:
+only postings for terms that actually appear in some query survive past the
+first exchange. A 100 TB corpus scoring a 1k-term query batch shuffles
+(docs_with_hits x query_terms) rows, not the corpus. Corpus-level scalars
+(N, avgdl) ride a 1-row broadcast crossJoin, the repo's standard idiom for
+whole-corpus constants.
+
+Determinism / oracle parity: every score input (tf, df, dl, N) is an exact
+integer and avgdl is an exact-integer ratio, so Spark and DuckDB compute
+bit-identical IEEE doubles for each term contribution; per-(query,doc) sums
+can differ only in summation order, which the 9-dp ranking round absorbs.
+Ranking ties break on doc_id. Reference scope anchor: the reference engine
+(src/main.rs:252-278) exposes only SQL equality lookups; retrieval ranking
+is a north-star extension (SURVEY.md SS2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import spread_small_input, tokens
+
+# Okapi BM25 defaults (Robertson/Sparck Jones; the Lucene defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _lower_tokens(col) -> F.Column:
+    return F.transform(tokens(col), lambda t: F.lower(t))
+
+
+def doc_term_freqs(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, term, tf, dl): the inverted-index posting rows plus the
+    document length carried inline (max(dl) is constant per doc), which
+    saves the separate corpus-sized doc-length join at scoring time."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _lower_tokens(F.col(text_col)).alias("__toks"),
+    ).select("doc_id", F.size("__toks").alias("dl"), "__toks")
+    return (
+        toked.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents per query under Okapi BM25.
+
+    Returns (query_id, doc_id, score, rank), rank 1..k per query, ordered
+    by round(score, 9) DESC then doc_id ASC (the round collapses
+    summation-order float dust so the ranking is engine-portable; the
+    reported score is rounded to 6 dp to match the oracle hash contract).
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5))  (Lucene's non-negative form)
+    tf-part = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Duplicate terms inside one query count once (web-query semantics).
+
+    Scale: `queries` is an eval/curation batch — thousands of rows, not
+    billions — so its distinct term set broadcasts; the corpus-side explode
+    is semi-joined against it BEFORE any aggregation, and every downstream
+    exchange carries only matched postings. The final per-query top-k is a
+    rank window partitioned by query_id: with a large query batch the
+    partitions spread; a single mega-hit query is bounded by its postings,
+    not the corpus.
+    """
+    spark = docs.sparkSession
+
+    # --- query side: distinct (query_id, term), tiny -> broadcast ---------
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_lower_tokens(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    term_set = F.broadcast(qterms.select("term").distinct())
+
+    # --- corpus-level scalars: N and avgdl (one partial-agg pass) ---------
+    toked = spread_small_input(docs).select(
+        F.col(id_col).alias("doc_id"),
+        _lower_tokens(F.col(text_col)).alias("__toks"),
+    )
+    lens = toked.select("doc_id", F.size("__toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+
+    # --- postings for query terms only ------------------------------------
+    postings = (
+        toked.select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .join(term_set, "term", "leftsemi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+    # --- document frequency per (matched) term: tiny agg -> broadcast -----
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("dl")
+                    / (F.col("total_dl") / F.col("n_docs"))
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def tfidf_top_terms_per_doc(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf — the
+    keyword-extraction / topic-tagging pre-pass (doc-level metadata for
+    curation and mixing decisions).
+
+    tfidf = tf * ln((N + 1) / (df + 1)); ties by term ASC. Returns
+    (doc_id, term, tfidf, rank). Unlike bm25_topk there is no query-side
+    pruning — this is a whole-corpus pass (tokenize -> (doc,term) agg ->
+    (term) agg -> join back), i.e. exactly the shape of the repo's
+    term_stats plus a rank window partitioned by doc_id; partitions are
+    per-document so the window never concentrates.
+    """
+    tf = doc_term_freqs(spread_small_input(docs), text_col, id_col)
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("tfidf"), 9).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

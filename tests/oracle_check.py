@@ -13,7 +13,15 @@ import math
 import duckdb
 import pandas as pd
 
-from opendosm_parquet_to_sqlite_spark.plans.queries import ORACLES, QUERIES
+from opendosm_parquet_to_sqlite_spark.plans.queries import (
+    ORACLES,
+    QUERIES,
+    SHADOW_ORACLES,
+)
+
+# the in-repo gate hash-checks shadow oracles too (queries past the
+# driver's 50-entry window — driver-side they are rows-only)
+ALL_ORACLES = {**ORACLES, **SHADOW_ORACLES}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents "
@@ -53,10 +61,10 @@ def canonical(df: pd.DataFrame) -> list[tuple]:
 def compare_one(spark, con, name: str, sf_dir: str) -> dict:
     sdf = QUERIES[name](spark, sf_dir).toPandas()
     result = {"name": name, "rows": len(sdf), "cols": sorted(sdf.columns)}
-    if name not in ORACLES:
+    if name not in ALL_ORACLES:
         result["status"] = "rows-only"
         return result
-    odf = con.execute(ORACLES[name]).fetchdf()
+    odf = con.execute(ALL_ORACLES[name]).fetchdf()
     problems = []
     if len(sdf) != len(odf):
         problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
