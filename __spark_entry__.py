@@ -40,6 +40,7 @@ _ROWS_ONLY_PRIORITY = [
     # because the 50-entry window is already full of oracle-backed rows
     "search_bm25",
     "tfidf_per_doc",
+    "domain_mix",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_lsh",
     "ann_ivf",

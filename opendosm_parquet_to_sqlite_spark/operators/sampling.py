@@ -16,6 +16,8 @@ shuffle for sample/split; packing exchanges only within deterministic
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -213,4 +215,102 @@ def pack_sequences(
         .alias("seq_in_block"),
         "n_tokens",
         cum.cast("long").alias("cum_tokens"),
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    target_rows: float,
+    namespace: str = "mix",
+) -> DataFrame:
+    """Reweight the corpus to a target domain mixture — the data-mixing
+    step proper (DoReMi/Pile-style fixed domain weights): produce a sample
+    of ~`target_rows` rows where domain s contributes share `weights[s]`,
+    DOWN-sampling overrepresented domains and UP-sampling (replicating —
+    "multiple epochs") underrepresented ones.
+
+    Per domain the replication rate is  r_s = target_rows * w_s / n_s.
+    Each row is expanded to ceil(r_s) candidate copies (copy_idx
+    0..ceil(r_s)-1) and copy c survives iff
+
+        hex64(md5(namespace:id:c)) < (r_s - c) * 2^32
+
+    so copies below floor(r_s) always survive and the fractional copy
+    survives with probability frac(r_s) — in expectation exactly r_s
+    copies per row, deterministically: a row's copies are a pure function
+    of (namespace, id), independent of partitioning or cluster size, and
+    stable under incremental ingest. Domains absent from `weights`
+    contribute nothing; a weight for a domain with no rows is ignored
+    (nothing to replicate).
+
+    Scale: one partial-agg pass collects the per-domain COUNTS to the
+    driver (domains number in the thousands at worst — this is metadata,
+    not data), the tiny (domain, rate, copies) plan broadcasts back, and
+    the expansion itself is a narrow explode+filter: no corpus shuffle at
+    all. Weights must be the intended SHARES (validated to sum to 1);
+    they are deliberately NOT renormalized, so the rate arithmetic is
+    reproducible engine-for-engine from the literals.
+
+    Returns (id_col, strata_col, copy_idx). sum(expected rows) ==
+    target_rows * (covered-domain share of weights).
+    """
+    total_w = sum(weights.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"domain weights must sum to 1, got {total_w}")
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[0] in weights
+    }
+    plan = [
+        # rate left-assoc: (target_rows * w) / n — the oracle mirrors it.
+        # rate <= 0 (zero weight) is excluded outright: sequence(0L, -1)
+        # would DESCEND and emit phantom negative copy indices
+        (s, float(target_rows) * weights[s] / n)
+        for s, n in sorted(counts.items())
+        if weights[s] > 0
+    ]
+    if not plan:
+        return df.sparkSession.createDataFrame(
+            [], schema=f"{id_col} long, {strata_col} string, copy_idx long"
+        )
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(s, r, int(math.ceil(r))) for s, r in plan],
+        schema=f"{strata_col} string, rate double, copies long",
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(namespace + ":"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("copy_idx").cast("string"),
+                )
+            ),
+            1,
+            HEX_WIDTH,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(strata_col))
+        .join(F.broadcast(rates), strata_col)
+        .select(
+            id_col,
+            strata_col,
+            "rate",
+            F.explode(
+                F.expr("sequence(0L, copies - 1)")
+            ).alias("copy_idx"),
+        )
+        .filter(digest < (F.col("rate") - F.col("copy_idx")) * F.lit(2.0**32))
+        .select(id_col, strata_col, "copy_idx")
     )

@@ -2057,3 +2057,45 @@ def q_tfidf_per_doc(spark: SparkSession, sf: str) -> DataFrame:
     keyword-extraction metadata for curation/mixing decisions."""
     docs = load_table(spark, sf, "documents")
     return search.tfidf_top_terms_per_doc(docs, "text", "doc_id", k=3)
+
+
+@query(
+    "domain_mix",
+    """
+    WITH cnt AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    tgt AS (SELECT 0.2 * count(*) AS target FROM documents),
+    w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    rates AS (
+        SELECT source, target * wt / n AS rate,
+               CAST(ceil(target * wt / n) AS BIGINT) AS copies
+        FROM w JOIN cnt USING (source), tgt
+    ),
+    expanded AS (
+        SELECT d.doc_id, d.source, r.rate, u.copy_idx
+        FROM documents d JOIN rates r USING (source),
+             unnest(range(r.copies)) AS u(copy_idx)
+    )
+    SELECT doc_id, source, copy_idx
+    FROM expanded
+    WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(copy_idx AS VARCHAR)), 1, 8)
+               AS BIGINT)
+          < (rate - copy_idx) * 4294967296.0
+    """,
+    shadow=True,
+)
+def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Reweight documents to a 50/30/20 target mixture over three domains
+    at 20% of corpus size — exercising exact-copy upsampling (src0 lands
+    at rate 2.0), fractional upsampling (src1, 1.2) and downsampling
+    (src2, 0.8) at every sf (uniform 1/20-per-source synthetic corpus)."""
+    docs = load_table(spark, sf, "documents")
+    target = 0.2 * docs.count()
+    return sampling.domain_mix(
+        docs, "source", "doc_id",
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        target_rows=target,
+    )
