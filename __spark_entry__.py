@@ -41,6 +41,7 @@ _ROWS_ONLY_PRIORITY = [
     "search_bm25",
     "tfidf_per_doc",
     "domain_mix",
+    "span_dedup",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_lsh",
     "ann_ivf",

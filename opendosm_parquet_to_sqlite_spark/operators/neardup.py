@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
-from .text import gram_join, tokens
+from .text import gram_join, ngram_list as text_ngram_list, spread_small_input, tokens
 
 
 def shingles_from_tokens(toks: Column, n: int) -> Column:
@@ -554,4 +554,77 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-document cross-corpus repeated-span statistics — the shingle
+    approximation of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a span is
+    an n-token window, and a span is DUPLICATED iff the same n-gram occurs
+    in at least one OTHER document (within-doc repetition is deliberately
+    out of scope — text.repetition_profile owns that signal).
+
+    Returns (doc_id, n_spans, n_dup_spans, dup_span_ratio):
+      n_spans        = max(tokens - n + 1, 0)   (all spans, multiplicity)
+      n_dup_spans    = spans whose n-gram is cross-doc duplicated,
+                       counted WITH multiplicity (each boilerplate copy
+                       counts — the quantity a span-remover would cut)
+      dup_span_ratio = n_dup_spans / n_spans (0 for docs shorter than n)
+
+    Shape: tokenize -> multiplicity n-grams -> (doc, gram) partial-agg ->
+    gram doc-freq agg -> inner join of the (small) duplicated-gram set
+    back onto the pairs -> per-doc sum. The (doc, gram) pair frame feeds
+    BOTH the doc-freq agg and the final join, so it is persist_tracked
+    (the same DAG-reuse valve as the capped Jaccard path). With
+    hashed=True (the 100 TB default) grams collapse to 64-bit xxhash64
+    BEFORE the first exchange — shuffle bytes are 8/gram instead of raw
+    n-token strings; collision odds ~k²/2⁶⁵ are noise. hashed=False keeps
+    raw gram strings for engine-portable hash parity (the shadow-oracle
+    path; semantically identical absent collisions, pinned by pytest).
+    """
+    toked = spread_small_input(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    gram = F.explode(text_ngram_list(F.col("__toks"), n)).alias("g")
+    pairs = toked.select("doc_id", gram)
+    if hashed:
+        pairs = pairs.select("doc_id", F.xxhash64("g").alias("g"))
+    pairs = persist_tracked(
+        pairs.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup_grams = (
+        pairs.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    dup_counts = (
+        pairs.join(dup_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_dup_spans"))
+    )
+    spans = toked.select(
+        "doc_id",
+        F.greatest(F.size("__toks") - F.lit(n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return spans.join(dup_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.round(F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_span_ratio"),
     )

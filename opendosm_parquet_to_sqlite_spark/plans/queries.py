@@ -2099,3 +2099,42 @@ def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
         weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
         target_rows=target,
     )
+
+
+@query(
+    "span_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(t[i+1:i+8], ' ') AS g
+        FROM toks, LATERAL unnest(range(len(t) - 7)) AS u(i)
+    ),
+    pairs AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        FROM grams GROUP BY 1, 2
+    ),
+    dupg AS (SELECT g FROM pairs GROUP BY g HAVING count(*) >= 2),
+    dupc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_dup_spans
+        FROM pairs JOIN dupg USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(greatest(len(d.t) - 7, 0) AS BIGINT) AS n_spans,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN len(d.t) >= 8
+                THEN round(coalesce(n_dup_spans, 0) / (len(d.t) - 7), 6)
+                ELSE 0.0 END AS dup_span_ratio
+    FROM toks d LEFT JOIN dupc USING (doc_id)
+    """,
+    shadow=True,
+)
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-doc repeated 8-token-span statistics per document (the
+    shingle approximation of suffix-array substring dedup). hashed=False
+    here for engine-portable gram identity; the 100 TB default
+    (hashed=True, 64-bit shuffle keys) is pinned equivalent in
+    tests/test_span_dedup.py."""
+    docs = load_table(spark, sf, "documents")
+    return neardup.span_stats(docs, "text", "doc_id", n=8, hashed=False)
