@@ -49,6 +49,7 @@ _ROWS_ONLY_PRIORITY = [
     "ann_quantized",
     "ann_ivf_persisted",
     "dedup_semantic",
+    "embed_pca",
     "dedup_incremental",
     "dedup_simhash",
     "sketch_profile",

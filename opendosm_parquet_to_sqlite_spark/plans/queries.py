@@ -31,6 +31,7 @@ from ..operators import (
     multimodal,
     neardup,
     privacy,
+    projection,
     sampling,
     search,
     similarity,
@@ -2138,3 +2139,18 @@ def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_span_dedup.py."""
     docs = load_table(spark, sf, "documents")
     return neardup.span_stats(docs, "text", "doc_id", n=8, hashed=False)
+
+
+@query("embed_pca")  # rows-only: eigenvectors are reproducible only to
+# float-dust tolerance (partial-sum order + LAPACK), so there is no
+# engine-portable hash; closeness to a NumPy oracle is pinned in
+# tests/test_projection.py
+def q_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA 64->8 over the embeddings table: moments pass
+    (1 + d + d^2 doubles to the driver), eigh on the d x d covariance,
+    then one vectorized matmul pass. Coordinates rounded for display."""
+    emb = load_table(spark, sf, "embeddings")
+    out = projection.pca_project(emb, "vec_id", "embedding", r=8)
+    return out.select(
+        "vec_id", F.transform("proj", lambda x: F.round(x, 6)).alias("proj")
+    )
