@@ -50,6 +50,7 @@ _ROWS_ONLY_PRIORITY = [
     "ann_ivf_persisted",
     "dedup_semantic",
     "embed_pca",
+    "quality_classifier",
     "dedup_incremental",
     "dedup_simhash",
     "sketch_profile",

@@ -1,0 +1,189 @@
+"""Learned document-quality classifier: hashing-trick bag-of-words +
+logistic regression trained as Spark DataFrame aggregations (north-star M5).
+
+The production pattern (fastText-style quality filters a la CCNet/GPT-3:
+train a linear text classifier on weak labels, score the whole corpus, gate
+on the score) expressed Spark-first:
+
+- featurize: tokenize -> xxhash64 -> pmod into 2^b buckets -> (doc, bucket,
+  log1p(count)) sparse rows. Pure narrow maps + one keyed partial agg; the
+  hashing trick means NO vocabulary pass, no driver-side dictionary, and a
+  fixed-width model whatever the corpus size.
+- train: full-batch gradient descent where each iteration is ONE Spark job:
+  margins via a broadcast join of the (2^b)-row weight table, per-doc
+  sigmoid residuals, then a bucket-keyed partial aggregation of x*residual
+  — the gradient — collected to the driver (2^b doubles, model-sized, not
+  corpus-sized) for the update. The feature frame is hash-partitioned by
+  doc_id ONCE and persist_tracked, so every iteration's doc-side join
+  reuses the same partitioning instead of re-shuffling the corpus.
+- score: same broadcast-join margin, sigmoid, no shuffle beyond the
+  pre-partitioned features.
+
+pyspark.ml.classification.LogisticRegression would also fit here; the
+hand-rolled loop keeps the whole pipeline in DataFrame algebra (exactly
+mirrorable in NumPy for the test oracle, like the distributed k-means
+trainer in similarity.py) and avoids materializing MLlib vector columns.
+
+Weak labels come from any upstream signal — the registered demo distills
+the heuristic text.quality_score gate into a learnable scorer, the
+standard bootstrap when no human labels exist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..caching import persist_tracked
+from .text import tokens
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(doc_id, bucket, x): sparse hashed bag-of-words, x = log1p(tf).
+
+    log1p tames Zipfian token counts (a 100-repeat token is ~5x a
+    single occurrence, not 100x). Empty docs yield no rows — the scorer
+    gives them bias-only scores."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.pmod(F.xxhash64(F.lower("t")), F.lit(n_buckets))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.log1p(F.count(F.lit(1))).alias("x"))
+    )
+
+
+def _margins(feats: DataFrame, w: np.ndarray, bias: float) -> DataFrame:
+    """(doc_id, margin) via broadcast join of the model-sized weight table.
+
+    sum() order inside a doc's partition varies with partitioning — scores
+    are reproducible to float dust, which the 6-dp output round absorbs."""
+    spark = feats.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(b), float(x)) for b, x in enumerate(w)],
+            schema="bucket long, w double",
+        )
+    )
+    return (
+        feats.join(wdf, "bucket")
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("x") * F.col("w")) + F.lit(bias)).alias("margin"))
+    )
+
+
+def train_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_buckets: int,
+    n_iters: int = 10,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[np.ndarray, float]:
+    """Full-batch GD on log-loss; returns (weights[n_buckets], bias).
+
+    labels: (doc_id, y) with y in {0,1}. Each iteration runs one Spark
+    job whose only driver-sized artifact is the 2^b-double gradient. The
+    update uses mean gradients (1/n) so lr is corpus-size-independent,
+    and L2 excludes the bias (standard).
+
+    The doc-keyed partition count is pinned to defaultParallelism (the
+    core count), not spark.sql.shuffle.partitions: the loop touches the
+    persisted frame 2x per iteration, so per-partition task overhead
+    multiplies by 2*n_iters — with the 200-partition default a small
+    training set spends more time scheduling than computing (measured
+    ~3x end-to-end on the sf0.01 demo)."""
+    par = feats.sparkSession.sparkContext.defaultParallelism
+    feats = persist_tracked(feats.repartition(par, "doc_id"))
+    labels = persist_tracked(labels.select("doc_id", F.col("y").cast("double")))
+    n = labels.count()
+    if n == 0:
+        raise ValueError("no labeled rows — cannot train")
+    w = np.zeros(n_buckets)
+    bias = 0.0
+    for _ in range(n_iters):
+        resid = (
+            _margins(feats, w, bias)
+            .join(labels, "doc_id", "right")  # docs w/o features: bias-only
+            .select(
+                "doc_id",
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-F.coalesce("margin", F.lit(bias))))
+                    - F.col("y")
+                ).alias("r"),
+            )
+        )
+        grad_rows = (
+            feats.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+            .collect()
+        )
+        g = np.zeros(n_buckets)
+        for row in grad_rows:
+            g[row["bucket"]] = row["g"]
+        g_bias = resid.agg(F.sum("r")).collect()[0][0]
+        w -= lr * (g / n + l2 * w)
+        bias -= lr * (g_bias / n)
+    return w, bias
+
+
+def score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: np.ndarray,
+    bias: float,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """(doc_id, score, pred): sigmoid quality score for every row of `df`
+    (docs with no tokens score sigmoid(bias))."""
+    nb = n_buckets or len(w)
+    feats = hashed_features(df, text_col, id_col, nb)
+    margins = _margins(feats, w, bias)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(margins, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.coalesce("margin", F.lit(float(bias))))),
+                6,
+            ).alias("score"),
+        )
+        .withColumn("pred", (F.col("score") >= 0.5).cast("int"))
+    )
+
+
+def distill_quality_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col,
+    n_buckets: int = 1024,
+    n_iters: int = 10,
+) -> DataFrame:
+    """Train on weak labels from `label_col` (a boolean/0-1 Column over
+    `df`) and score every document — heuristic-to-model distillation in
+    one call. Two corpus passes per iteration + one scoring pass."""
+    feats = hashed_features(df, text_col, id_col, n_buckets)
+    labels = df.select(
+        F.col(id_col).alias("doc_id"), label_col.cast("int").alias("y")
+    )
+    w, bias = train_logreg(feats, labels, n_buckets, n_iters=n_iters)
+    return score(df, text_col, id_col, w, bias, n_buckets)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators import (
     aggregates,
+    classifier,
     cleanse,
     contamination,
     corpus,
@@ -2153,4 +2154,19 @@ def q_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
     out = projection.pca_project(emb, "vec_id", "embedding", r=8)
     return out.select(
         "vec_id", F.transform("proj", lambda x: F.round(x, 6)).alias("proj")
+    )
+
+
+@query("quality_classifier")  # rows-only: distributed float-sum order
+# makes scores reproducible only to float dust; the NumPy-oracle weight
+# and prediction parity is pinned in tests/test_classifier.py
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Distill the heuristic quality gate into a learned hashed-BoW
+    logistic scorer (CCNet-style quality filter), then score the corpus:
+    (doc_id, score, pred)."""
+    docs = load_table(spark, sf, "documents")
+    return classifier.distill_quality_gate(
+        docs, "text", "doc_id",
+        label_col=text.quality_score("text") >= 0.5,
+        n_buckets=512, n_iters=8,
     )
