@@ -51,6 +51,7 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_semantic",
     "embed_pca",
     "quality_classifier",
+    "contamination_bloom",
     "dedup_incremental",
     "dedup_simhash",
     "sketch_profile",

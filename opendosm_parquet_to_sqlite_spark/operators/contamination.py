@@ -63,3 +63,131 @@ def ngram_overlap(
             .alias("contaminated"),
         )
     )
+
+
+def ngram_bloom_table(
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """(word, bits): a Bloom filter over the benchmark's distinct word
+    n-grams, packed 64 bits per row — the COMPACT broadcast for eval
+    suites whose exact distinct-gram set outgrows broadcast range.
+
+    Sizing: ~10 bits/gram + k=4 gives a ~2% false-positive rate on grams
+    (decontamination errs on the safe side — an FP only over-quarantines a
+    training doc, never leaks an eval doc). A 10M-gram eval suite packs
+    into m_bits=2^27 → 16 MB of longs, vs ~1 GB of raw distinct grams:
+    that is the difference between a broadcast join and a corpus shuffle
+    at 100 TB. Build shape: gram explode → k probe positions per gram →
+    word-keyed bit_or partial agg → at most m_bits/64 rows. Fully native
+    (xxhash64 + shiftleft), deterministic, no RNG."""
+    grams = (
+        with_shingles(benchmark, text_col, id_col, n)
+        .select(F.explode("sh").alias("ng"))
+        .distinct()
+    )
+    probes = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.concat(F.lit(f"bloom{i}:"), F.col("ng"))),
+                        F.lit(m_bits),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        probes.select(
+            F.expr("pos div 64").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def ngram_overlap_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter variant of ngram_overlap — same output contract
+    (doc_id, n_overlap, contaminated), with n_overlap counting distinct
+    doc grams that hit ALL k Bloom positions. Always a SUPERSET of the
+    exact overlap (no false negatives by Bloom construction); the FP
+    excess is the m_bits/k sizing knob, pinned in tests.
+
+    Probe shape: corpus gram explode → k (gram, position) rows → one
+    broadcast join against the packed bit table → a gram hits iff all k
+    probed bits are set (a position whose word row is absent is a miss)
+    → per-doc distinct-hit count. The corpus side never shuffles
+    anything but (doc_id, partial-count) pairs, exactly like the exact
+    path — but the broadcast is the 16 KB–16 MB bit table, not the gram
+    set."""
+    bloom = F.broadcast(
+        ngram_bloom_table(benchmark, text_col, id_col, n, m_bits, k)
+    )
+    cand = (
+        with_shingles(spread_small_input(docs), text_col, id_col, n)
+        .select("doc_id", F.explode("sh").alias("ng"))
+        .distinct()
+    )
+    probes = cand.select(
+        "doc_id",
+        "ng",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.concat(F.lit(f"bloom{i}:"), F.col("ng"))),
+                        F.lit(m_bits),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("probe_idx", "pos"),
+    ).select(
+        "doc_id",
+        "ng",
+        F.expr("pos div 64").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    gram_hits = (
+        probes.join(bloom, "word", "left")
+        .select(
+            "doc_id",
+            "ng",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0)
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "ng")
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    hits = (
+        gram_hits.filter(F.col("all_hit") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -2170,3 +2170,18 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
         label_col=text.quality_score("text") >= 0.5,
         n_buckets=512, n_iters=8,
     )
+
+
+@query("contamination_bloom")  # rows-only: xxhash64 probe positions have
+# no engine-portable oracle; superset-of-exact + FP-rate bounds pinned in
+# tests/test_bloom.py
+def q_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination (same bench/cand split as
+    contamination_check): the 16 KB-bit-table broadcast that replaces the
+    full distinct-gram broadcast when the eval suite is huge."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination.ngram_overlap_bloom(
+        cand, bench, "text", "doc_id", n=5
+    )
