@@ -42,6 +42,7 @@ _ROWS_ONLY_PRIORITY = [
     "tfidf_per_doc",
     "domain_mix",
     "span_dedup",
+    "time_resample",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_lsh",
     "ann_ivf",

@@ -62,6 +62,16 @@ HEADLINE = [
     "dedup_simhash",          # 64-bit sketch + pigeonhole banding
     "sketch_profile",         # HLL + quantile mergeable sketches
     "unigram_logprob",        # corpus-self-perplexity scorer
+    # round-4 extensions: retrieval, mixing, span dedup, bloom decontam,
+    # embedding reduction (quality_classifier is excluded: an 8-iteration
+    # training loop measures scheduler latency, not throughput — its cost
+    # model is documented in BASELINE.md instead)
+    "search_bm25",            # inverted-index BM25 top-k retrieval
+    "tfidf_per_doc",          # corpus-wide tf-idf + per-doc rank window
+    "domain_mix",             # counts pass + narrow explode/filter resample
+    "span_dedup",             # repeated-span stats (hashed-gram pair agg)
+    "contamination_bloom",    # packed-bit-table broadcast decontamination
+    "embed_pca",              # moments pass + eigh + projection matmul
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -117,3 +117,64 @@ def range_join_bins(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     )
     return joined.drop("__bin")
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_seconds_col: str,
+    payload_cols: list[str],
+    step_seconds: int,
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid with
+    forward-filled values — the feature-pipeline resample (training tables
+    want one row per (entity, grid_tick), not raw event times).
+
+    Grid: per key, ticks at every multiple of `step_seconds` from
+    ceil(min_ts / step) * step through max_ts (ceiling-aligned so the
+    first tick always has an event at-or-before it — no leading nulls;
+    ticks are GLOBAL epoch multiples, so grids from different runs/keys
+    line up). Values: the repo's asof_join carries the latest payload
+    at-or-before each tick as asof_<col>.
+
+    Caller contract: `ts_seconds_col` is an integer epoch-seconds column
+    and (key, ts) pairs are unique (pre-dedup with latest_per_group_maxby)
+    — both tz-pitfall- and tie-free by construction.
+
+    Scale: the bounds pass is a keyed partial agg (one row per key); the
+    grid explode is narrow (span/step rows per key — bound the span
+    upstream for dormant keys); the asof composition is one exchange +
+    sort, never a BNLJ. Dormant-key state never accumulates: the grid
+    stops at each key's own max_ts.
+    """
+    step = int(step_seconds)
+    if step <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step}")
+    e = F.col(ts_seconds_col)
+    bounds = events.groupBy(*key_cols).agg(
+        F.min(e).alias("__min_e"), F.max(e).alias("__max_e")
+    )
+    # a key whose ceil-aligned start overshoots its max has no ticks:
+    # Spark's sequence() ERRORS on start > stop (DuckDB's range is empty),
+    # so the empty case must be an explicit branch
+    start = F.expr(f"(__min_e + {step - 1}) div {step} * {step}")
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.when(
+                start <= F.col("__max_e"),
+                F.expr(
+                    f"sequence((__min_e + {step - 1}) div {step} * {step}, "
+                    f"__max_e, {step}L)"
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("grid_ts"),
+    )
+    return asof_join(
+        grid,
+        events.select(*key_cols, ts_seconds_col, *payload_cols),
+        on=key_cols,
+        probe_ts="grid_ts",
+        event_ts=ts_seconds_col,
+        payload_cols=payload_cols,
+    )

@@ -2185,3 +2185,65 @@ def q_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
     return contamination.ngram_overlap_bloom(
         cand, bench, "text", "doc_id", n=5
     )
+
+
+@query(
+    "time_resample",
+    """
+    WITH e0 AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS et, event_id, value
+        FROM events
+    ),
+    e AS (
+        SELECT user_id, et,
+               max(event_id) AS event_id,
+               max_by(value, event_id) AS value
+        FROM e0 GROUP BY user_id, et
+    ),
+    g AS (
+        SELECT user_id,
+               ((min(et) + 604799) // 604800) * 604800 AS start,
+               max(et) AS stop
+        FROM e GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, u.gts
+        FROM g, unnest(range(start, stop + 1, 604800)) AS u(gts)
+    ),
+    j AS (
+        SELECT grid.user_id, grid.gts AS grid_ts,
+               r.event_id AS asof_event_id, r.value AS asof_value
+        FROM grid ASOF LEFT JOIN e r
+          ON grid.user_id = r.user_id AND grid.gts >= r.et
+    )
+    SELECT user_id, grid_ts, asof_event_id, round(asof_value, 6) AS asof_value
+    FROM j
+    """,
+    shadow=True,
+)
+def q_time_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly-grid forward-fill resample of each user's event series:
+    (user_id, grid_ts, asof_event_id, asof_value). Epochs via NTZ-to-NTZ
+    timestampdiff (timezone-independent under any driver session);
+    (user, second) collisions pre-deduplicated champion-by-event_id."""
+    ev = load_table(spark, sf, "events")
+    e0 = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, "
+            "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
+        ).cast("long").alias("et"),
+        "event_id",
+        "value",
+    )
+    e = dedup.latest_per_group_maxby(e0, ["user_id", "et"], "event_id")
+    out = temporal.resample_ffill(
+        e, ["user_id"], "et", ["event_id", "value"], step_seconds=604800
+    )
+    return out.select(
+        "user_id",
+        "grid_ts",
+        "asof_event_id",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
