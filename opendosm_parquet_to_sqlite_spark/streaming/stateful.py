@@ -1,0 +1,165 @@
+"""Custom stateful streaming operator: per-key running feature state via
+applyInPandasWithState — the feature-store maintenance pattern.
+
+Built-in streaming aggregations cover max_by/count/window shapes
+(incremental.py); this module is the CUSTOM-state escape hatch for
+semantics they can't express: an entity profile that must update
+incrementally per key with arbitrary merge logic (running moments for
+z-scoring, last-seen carry-forward, event counts) and support TTL eviction
+of dormant keys.
+
+State per key is a fixed-size tuple (count, sum, sum of squares, min, max,
+last_ts, last_value) — O(1) per entity, the only state shape that survives
+unbounded streams. Each microbatch updates only the keys present in it and
+emits their refreshed profiles (update-style: downstream upserts by key).
+GroupStateTimeout evicts keys idle longer than `ttl_ms` (processing-time —
+event-time TTL would need watermark plumbing; the profile emit is
+idempotent so a re-created key after eviction simply restarts its counts,
+the standard trade for bounded state).
+
+Batch equivalence is the test contract: draining a parquet fixture through
+the stream (in any microbatch split) produces exactly the per-key profile
+the batch groupBy aggregate computes — float dust aside, which the 6 dp
+round absorbs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = (
+    "n long, s double, s2 double, mn double, mx double, "
+    "last_ts long, last_v double"
+)
+OUTPUT_SCHEMA = (
+    "key string, n_events long, mean_value double, m2_value double, "
+    "min_value double, max_value double, last_ts long, last_value double"
+)
+
+
+def _update_profile(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Merge this microbatch's rows for one key into its running tuple.
+
+    Welford-free formulation: (n, Σv, Σv²) partial sums merge exactly and
+    match the batch aggregate's algebra; m2 = Σv² − n·mean² is derived at
+    emit time only."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        n, s, s2, mn, mx, last_ts, last_v = state.get
+    else:
+        n, s, s2 = 0, 0.0, 0.0
+        mn, mx = float("inf"), float("-inf")
+        last_ts, last_v = -1, 0.0
+    for pdf in pdfs:
+        vs = pdf["value"].astype("float64")
+        ts = pdf["et"].astype("int64")
+        n += len(pdf)
+        s += float(vs.sum())
+        s2 += float((vs * vs).sum())
+        mn = min(mn, float(vs.min()))
+        mx = max(mx, float(vs.max()))
+        i = int(ts.idxmax())
+        if int(ts.loc[i]) >= last_ts:
+            last_ts, last_v = int(ts.loc[i]), float(vs.loc[i])
+    state.update((n, s, s2, mn, mx, last_ts, last_v))
+    mean = s / n
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_events": [n],
+            "mean_value": [round(mean, 6)],
+            "m2_value": [round(s2 - n * mean * mean, 6)],
+            "min_value": [mn],
+            "max_value": [mx],
+            "last_ts": [last_ts],
+            "last_value": [last_v],
+        }
+    )
+
+
+def make_update_fn(ttl_ms: int | None):
+    """The per-key update function, optionally TTL-armed. Module-level so
+    the TTL path is unit-testable with a fake GroupState: a live-stream
+    TTL test cannot terminate, because ProcessingTimeTimeout registers a
+    timer the availableNow drain then waits out (observed: the drain
+    blocks until the timer fires — a 60 s TTL hangs the suite)."""
+    if ttl_ms is None:
+        return _update_profile
+
+    def with_ttl(key, pdfs, state):
+        yield from _update_profile(key, pdfs, state)
+        if not state.hasTimedOut:
+            state.setTimeoutDuration(ttl_ms)
+
+    return with_ttl
+
+
+def running_profile_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Continuously-maintained per-key value profile (count / mean / m2 /
+    min / max / last): groupBy(key).applyInPandasWithState. Emits one
+    refreshed profile row per key per microbatch it appears in.
+
+    ttl_ms evicts state for keys idle that long (None = keep forever —
+    only sane for bounded key universes)."""
+    src = sdf.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("et"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        make_update_fn(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def batch_profile(df: DataFrame, key_col: str, ts_col: str, value_col: str) -> DataFrame:
+    """The batch twin: same profile via one groupBy — the backfill path
+    and the streaming operator's equivalence oracle."""
+    v = F.col(value_col).cast("double")
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).cast("long").alias("et"),
+            v.alias("value"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(
+                F.sum(F.col("value") * F.col("value"))
+                - F.count(F.lit(1)) * F.avg("value") * F.avg("value"),
+                6,
+            ).alias("m2_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.max("et").alias("last_ts"),
+            F.max_by("value", F.struct(F.col("et"))).alias("last_value"),
+        )
+    )
