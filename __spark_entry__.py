@@ -43,6 +43,7 @@ _ROWS_ONLY_PRIORITY = [
     "domain_mix",
     "span_dedup",
     "time_resample",
+    "running_profile",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_lsh",
     "ann_ivf",

@@ -178,3 +178,4 @@ def resample_ffill(
         event_ts=ts_seconds_col,
         payload_cols=payload_cols,
     )
+

@@ -2247,3 +2247,64 @@ def q_time_resample(spark: SparkSession, sf: str) -> DataFrame:
         "asof_event_id",
         F.round("asof_value", 6).alias("asof_value"),
     )
+
+
+@query(
+    "running_profile",
+    """
+    WITH e AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CAST(floor(epoch(ts)) AS BIGINT) AS et, event_id,
+               CAST(value AS DOUBLE) AS value
+        FROM events
+    ),
+    agg AS (
+        SELECT key,
+               count(*) AS n_events,
+               round(avg(value), 6) AS mean_value,
+               round(sum(value*value)
+                     - count(*)*avg(value)*avg(value), 6) AS m2_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               max(et) AS last_ts
+        FROM e GROUP BY key
+    ),
+    last AS (
+        SELECT key, value AS last_value FROM (
+            SELECT key, value,
+                   row_number() OVER (PARTITION BY key
+                                      ORDER BY et DESC, event_id DESC) AS rn
+            FROM e) t WHERE rn = 1
+    )
+    SELECT agg.key, n_events, mean_value, m2_value, min_value, max_value,
+           last_ts, round(last.last_value, 6) AS last_value
+    FROM agg JOIN last USING (key)
+    """,
+    shadow=True,
+)
+def q_running_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user value profile — the BATCH twin of the stateful streaming
+    operator (streaming/stateful.py): identical columns, so the backfill
+    table and the continuously-maintained one are interchangeable.
+    last_value tie-breaks (et, event_id) — deterministic under duplicate
+    event seconds; the m2 oracle repeats the stream's exact
+    sum-of-squares algebra, not var_pop's, so both engines round the same
+    number."""
+    from ..streaming.stateful import batch_profile
+
+    ev = load_table(spark, sf, "events")
+    e0 = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, "
+            "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
+        ).cast("long").alias("et"),
+        "event_id",
+        "value",
+    )
+    out = batch_profile(e0, "user_id", "et", "value", tiebreak_col="event_id")
+    return out.select(
+        "key", "n_events", "mean_value", "m2_value",
+        "min_value", "max_value", "last_ts",
+        F.round("last_value", 6).alias("last_value"),
+    )

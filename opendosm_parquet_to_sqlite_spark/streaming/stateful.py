@@ -138,16 +138,34 @@ def running_profile_stream(
     )
 
 
-def batch_profile(df: DataFrame, key_col: str, ts_col: str, value_col: str) -> DataFrame:
+def batch_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
     """The batch twin: same profile via one groupBy — the backfill path
-    and the streaming operator's equivalence oracle."""
+    and the streaming operator's equivalence oracle.
+
+    tiebreak_col makes last_value deterministic when (key, ts) collides
+    (the streaming operator's contract is unique ts per key; batch inputs
+    with duplicate timestamps need an explicit total order)."""
     v = F.col(value_col).cast("double")
+    order = (
+        F.struct(F.col("et"), F.col("tb"))
+        if tiebreak_col
+        else F.struct(F.col("et"))
+    )
+    cols = [
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("et"),
+        v.alias("value"),
+    ]
+    if tiebreak_col:
+        cols.append(F.col(tiebreak_col).alias("tb"))
     return (
-        df.select(
-            F.col(key_col).cast("string").alias("key"),
-            F.col(ts_col).cast("long").alias("et"),
-            v.alias("value"),
-        )
+        df.select(*cols)
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -160,6 +178,6 @@ def batch_profile(df: DataFrame, key_col: str, ts_col: str, value_col: str) -> D
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.max("et").alias("last_ts"),
-            F.max_by("value", F.struct(F.col("et"))).alias("last_value"),
+            F.max_by("value", order).alias("last_value"),
         )
     )

@@ -127,3 +127,17 @@ def test_range_join_result_independent_of_bin_width(spark):
         results.append(sorted((r["range_id"], r["ts"]) for r in out.collect()))
     assert results[0] == results[1] == results[2]
     assert len(results[0]) > 0
+
+
+def test_batch_profile_tiebreak_on_duplicate_ts(spark):
+    from opendosm_parquet_to_sqlite_spark.streaming.stateful import (
+        batch_profile,
+    )
+
+    # two events share the max ts; event_id orders them
+    rows = [("a", 10, 1.0, 1), ("a", 20, 7.0, 2), ("a", 20, 3.0, 5)]
+    df = spark.createDataFrame(rows, "k string, et long, value double, eid long")
+    r = batch_profile(df, "k", "et", "value", tiebreak_col="eid").collect()[0]
+    assert r.last_ts == 20
+    assert r.last_value == 3.0  # eid=5 wins the et tie
+    assert r.n_events == 3
