@@ -44,6 +44,7 @@ _ROWS_ONLY_PRIORITY = [
     "span_dedup",
     "time_resample",
     "running_profile",
+    "rolling_features",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_lsh",
     "ann_ivf",

@@ -2308,3 +2308,47 @@ def q_running_profile(spark: SparkSession, sf: str) -> DataFrame:
         "min_value", "max_value", "last_ts",
         F.round("last_value", 6).alias("last_value"),
     )
+
+
+@query(
+    "rolling_features",
+    """
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS et,
+               CAST(value AS DOUBLE) AS value
+        FROM events
+    )
+    SELECT user_id, event_id, et,
+           count(value) OVER w AS roll_n,
+           round(sum(value) OVER w, 6) AS roll_sum,
+           round(avg(value) OVER w, 6) AS roll_mean,
+           round(min(value) OVER w, 6) AS roll_min,
+           round(max(value) OVER w, 6) AS roll_max
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY et
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    shadow=True,
+)
+def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling features over events — the
+    leakage-free feature-engineering window (each event aggregates only
+    its key's past within [et-3600, et]). RANGE frames make ties share a
+    frame, so duplicate event seconds stay deterministic without a
+    pre-dedup."""
+    ev = load_table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, "
+            "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
+        ).cast("long").alias("et"),
+        "value",
+    )
+    out = temporal.rolling_features(e, ["user_id"], "et", "value", 3600)
+    return out.select(
+        "user_id", "event_id", "et",
+        "roll_n", "roll_sum", "roll_mean", "roll_min", "roll_max",
+    )

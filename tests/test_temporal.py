@@ -141,3 +141,31 @@ def test_batch_profile_tiebreak_on_duplicate_ts(spark):
     assert r.last_ts == 20
     assert r.last_value == 3.0  # eid=5 wins the et tie
     assert r.n_events == 3
+
+
+def test_rolling_features_frame_inclusive_and_tied(spark):
+    # window=100: frame is [et-100, et] INCLUSIVE both ends; tied ts rows
+    # share one frame (RANGE semantics)
+    rows = [
+        (1, 1, 0, 10.0),
+        (1, 2, 100, 2.0),    # et-100 == 0 -> includes the first row
+        (1, 3, 201, 4.0),    # frame [101, 201] -> excludes et=100
+        (1, 4, 201, 6.0),    # tie with row 3: same frame, sees both
+        (2, 5, 100, 1.0),    # other key isolated
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, et long, value double")
+    out = temporal.rolling_features(df, ["user_id"], "et", "value", 100)
+    got = {r.event_id: (r.roll_n, r.roll_sum, r.roll_mean) for r in out.collect()}
+    assert got[1] == (1, 10.0, 10.0)
+    assert got[2] == (2, 12.0, 6.0)         # boundary et-100 included
+    assert got[3] == (2, 10.0, 5.0)         # both tied rows in frame
+    assert got[4] == (2, 10.0, 5.0)         # identical frame for the tie
+    assert got[5] == (1, 1.0, 1.0)
+
+
+def test_rolling_features_rejects_nonpositive_window(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, 0, 1.0)], "user_id int, event_id int, et long, value double")
+    with pytest.raises(ValueError):
+        temporal.rolling_features(df, ["user_id"], "et", "value", 0)
