@@ -1,0 +1,100 @@
+"""Stream-stream interval join: enrich a live event stream with another
+live stream's recent rows — the click↔impression / trade↔quote shape.
+
+The reference has no streaming at all (its cron loop re-runs a batch
+binary, script.sh:2-4); batch-side the engine already covers equi joins
+(operators/joins.py) and as-of joins (operators/temporal.py). This module
+adds the STREAMING join: both sides unbounded, matches constrained to a
+time interval so Spark can bound join state with watermarks.
+
+Semantics (inner): left row L joins right row R when the keys match and
+R.ts ∈ [L.ts - lookback_seconds, L.ts] — "the right row happened at or
+before the left row, within the lookback". That interval condition is
+what lets the state store evict: each side keeps only rows younger than
+watermark + lookback, so state is O(rate × (watermark + lookback)), not
+O(stream).
+
+Batch twin: interval_join_batch — the same predicate on static frames —
+is the backfill path and the drain-equivalence oracle (stream drained
+with availableNow over complete sources == batch join; pinned in
+tests/test_stream_join.py).
+
+Scale: the stream-stream join shuffles both sides by key into the state
+store; skew rules are the same as any keyed exchange. The time bound is
+MANDATORY here by design — an unbounded stream-stream join's state grows
+forever, so this API refuses to express one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _interval_cond(on: list[str], left_ts: str, right_ts: str, lookback: int):
+    cond = None
+    for k in on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    lo = F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback} SECONDS")
+    c = (F.col(f"r.{right_ts}") >= lo) & (
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+    )
+    return cond & c
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join on `on` keys with
+    R.ts ∈ [L.ts - lookback_seconds, L.ts].
+
+    Both inputs must be streaming DataFrames with event-time timestamp
+    columns `left_ts` / `right_ts`. The watermark bounds how late either
+    side may arrive; rows later than that can silently miss matches — the
+    standard streaming-join trade, choose it from the source's real
+    lateness. Column name collisions beyond the join keys must be
+    resolved by the caller (the join emits l.* then r.* minus keys).
+    """
+    lb = int(lookback_seconds)
+    if lb < 0:
+        raise ValueError(f"lookback_seconds must be >= 0, got {lb}")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    joined = l.join(r, _interval_cond(on, left_ts, right_ts, lb), "inner")
+    keep_r = [
+        c for c in right.columns if c not in on
+    ]
+    return joined.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in keep_r],
+    )
+
+
+def interval_join_batch(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+) -> DataFrame:
+    """The batch twin (backfill + equivalence oracle). Same predicate; in
+    batch Spark plans the equi-keys as a hash join with the interval as a
+    post-filter — never a BNLJ, because the key equality is extractable."""
+    lb = int(lookback_seconds)
+    if lb < 0:
+        raise ValueError(f"lookback_seconds must be >= 0, got {lb}")
+    l = left.alias("l")
+    r = right.alias("r")
+    keep_r = [c for c in right.columns if c not in on]
+    return l.join(r, _interval_cond(on, left_ts, right_ts, lb), "inner").select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in keep_r],
+    )

@@ -1,0 +1,89 @@
+"""Stream-stream interval join: drained stream == batch twin; interval
+boundary semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from opendosm_parquet_to_sqlite_spark.streaming.incremental import (
+    read_stream_parquet,
+    run_available_now,
+)
+from opendosm_parquet_to_sqlite_spark.streaming.joins import (
+    interval_join_batch,
+    interval_join_stream,
+)
+
+L_SCHEMA = "k int, lts timestamp, l_tag string"
+R_SCHEMA = "k int, rts timestamp, r_tag string"
+
+
+def _t(s):
+    return datetime.fromisoformat(s)
+
+
+LEFT = [
+    (1, _t("2024-01-01T10:00:00"), "L1"),
+    (1, _t("2024-01-01T12:00:00"), "L2"),
+    (2, _t("2024-01-01T10:30:00"), "L3"),
+]
+RIGHT = [
+    (1, _t("2024-01-01T09:00:00"), "R-old"),      # 3600s before L1: boundary
+    (1, _t("2024-01-01T09:59:59"), "R-in"),       # inside L1's window
+    (1, _t("2024-01-01T12:00:00"), "R-tie"),      # ties L2 exactly
+    (1, _t("2024-01-01T12:00:01"), "R-future"),   # after L2: never matches
+    (2, _t("2024-01-01T10:00:00"), "R-k2"),
+    (3, _t("2024-01-01T10:00:00"), "R-nokey"),    # unseen key
+]
+
+
+def test_batch_interval_join_boundaries(spark):
+    l = spark.createDataFrame(LEFT, L_SCHEMA)
+    r = spark.createDataFrame(RIGHT, R_SCHEMA)
+    out = interval_join_batch(l, r, ["k"], "lts", "rts", 3600)
+    got = sorted((row.l_tag, row.r_tag) for row in out.collect())
+    assert got == sorted(
+        [
+            ("L1", "R-old"),    # et-lookback boundary is inclusive
+            ("L1", "R-in"),
+            ("L2", "R-tie"),    # equal ts matches
+            ("L3", "R-k2"),
+        ]
+    )
+
+
+def test_stream_drain_matches_batch(spark, tmp_path):
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(LEFT, L_SCHEMA).write.parquet(lsrc)
+    spark.createDataFrame(RIGHT, R_SCHEMA).write.parquet(rsrc)
+    out = interval_join_stream(
+        read_stream_parquet(spark, lsrc, L_SCHEMA),
+        read_stream_parquet(spark, rsrc, R_SCHEMA),
+        ["k"], "lts", "rts", 3600, watermark="5 minutes",
+    )
+    got: list[tuple] = []
+
+    def sink(df, _bid):
+        got.extend((r.l_tag, r.r_tag) for r in df.collect())
+
+    run_available_now(out, str(tmp_path / "ck"), sink, output_mode="append")
+    want = sorted(
+        (r.l_tag, r.r_tag)
+        for r in interval_join_batch(
+            spark.createDataFrame(LEFT, L_SCHEMA),
+            spark.createDataFrame(RIGHT, R_SCHEMA),
+            ["k"], "lts", "rts", 3600,
+        ).collect()
+    )
+    assert sorted(got) == want
+    # exactly-once: no row emitted twice across microbatches
+    assert len(got) == len(set(got))
+
+
+def test_negative_lookback_rejected(spark):
+    import pytest
+
+    l = spark.createDataFrame(LEFT, L_SCHEMA)
+    r = spark.createDataFrame(RIGHT, R_SCHEMA)
+    with pytest.raises(ValueError):
+        interval_join_batch(l, r, ["k"], "lts", "rts", -1)
