@@ -72,6 +72,8 @@ HEADLINE = [
     "span_dedup",             # repeated-span stats (hashed-gram pair agg)
     "contamination_bloom",    # packed-bit-table broadcast decontamination
     "embed_pca",              # moments pass + eigh + projection matmul
+    "rolling_features",       # per-event trailing RANGE window (keyed sort)
+    "running_profile",        # per-key profile agg (stateful op's batch twin)
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
