@@ -300,3 +300,48 @@ def test_streaming_sliding_window_matches_batch(spark, tmp_path):
         r.window_start: (r.n_events, r.avg_value) for r in batch.collect()
     }
     assert state == expected
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_agg's docstring claims the same expression runs under
+    Structured Streaming with a watermark — pin it. Append mode emits each
+    finalized session exactly once; a far-future sentinel event advances
+    the watermark so every real session finalizes before the drain stops
+    (the no-data flush batch does the final emit)."""
+    ev = load_table(spark, SF0001, "events")
+    src = str(tmp_path / "sess_src")
+    ev.coalesce(1).write.parquet(src)
+    sentinel = ev.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).limit(1)
+    sentinel.select(ev.columns).write.mode("append").parquet(src)
+
+    sdf = read_stream_parquet(spark, src, ev.schema, max_files_per_trigger=1)
+    # watermarks need a TIMESTAMP instant; the loader's ts is NTZ — same
+    # cast-then-watermark shape as tumbling_window_agg_stream
+    wmk = sdf.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", "0 seconds"
+    )
+    out = aggregates.session_agg(wmk, "ts", ["user_id"], gap="30 minutes")
+    got: list[tuple] = []
+
+    def sink(df, _bid):
+        got.extend(
+            (r.user_id, r.session_start, r.n_events) for r in df.collect()
+        )
+
+    run_available_now(out, str(tmp_path / "sess_ck"), sink, output_mode="append")
+    real = [g for g in got if g[0] != -1]
+    want = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in aggregates.session_agg(
+            ev, "ts", ["user_id"], gap="30 minutes"
+        ).collect()
+    )
+    assert sorted(real) == want
+    assert len(real) == len(set(real))  # append: each session exactly once

@@ -169,3 +169,31 @@ def test_rolling_features_rejects_nonpositive_window(spark):
     df = spark.createDataFrame([(1, 1, 0, 1.0)], "user_id int, event_id int, et long, value double")
     with pytest.raises(ValueError):
         temporal.rolling_features(df, ["user_id"], "et", "value", 0)
+
+
+def test_rolling_features_matches_bruteforce_random(spark):
+    """Operator == per-row brute force on seeded random data with
+    duplicate timestamps and multiple keys (no partitioning assumption)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(4), i, rng.randrange(0, 50), round(rng.uniform(-5, 5), 3))
+        for i in range(200)
+    ]
+    W = 7
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, et long, value double"
+    )
+    out = temporal.rolling_features(df, ["user_id"], "et", "value", W)
+    got = {
+        r.event_id: (r.roll_n, r.roll_sum, r.roll_mean, r.roll_min, r.roll_max)
+        for r in out.collect()
+    }
+    for k, eid, et, v in rows:
+        frame = [v2 for k2, _, et2, v2 in rows if k2 == k and et - W <= et2 <= et]
+        assert got[eid][0] == len(frame)
+        assert got[eid][1] == round(sum(frame), 6)
+        assert abs(got[eid][2] - sum(frame) / len(frame)) < 1e-6
+        assert got[eid][3] == round(min(frame), 6)
+        assert got[eid][4] == round(max(frame), 6)
