@@ -51,9 +51,15 @@ def interval_join_stream(
     right_ts: str,
     lookback_seconds: int,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join on `on` keys with
+    """Watermarked stream-stream join on `on` keys with
     R.ts ∈ [L.ts - lookback_seconds, L.ts].
+
+    how: 'inner', or 'left_outer' — the orphan-detection shape (a left row
+    with no right match within the interval emits with NULL right columns,
+    but only once the watermark proves no match can still arrive; outer
+    rows therefore trail the watermark by construction).
 
     Both inputs must be streaming DataFrames with event-time timestamp
     columns `left_ts` / `right_ts`. The watermark bounds how late either
@@ -62,12 +68,14 @@ def interval_join_stream(
     lateness. Column name collisions beyond the join keys must be
     resolved by the caller (the join emits l.* then r.* minus keys).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     lb = int(lookback_seconds)
     if lb < 0:
         raise ValueError(f"lookback_seconds must be >= 0, got {lb}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
-    joined = l.join(r, _interval_cond(on, left_ts, right_ts, lb), "inner")
+    joined = l.join(r, _interval_cond(on, left_ts, right_ts, lb), how)
     keep_r = [
         c for c in right.columns if c not in on
     ]
@@ -84,17 +92,20 @@ def interval_join_batch(
     left_ts: str,
     right_ts: str,
     lookback_seconds: int,
+    how: str = "inner",
 ) -> DataFrame:
     """The batch twin (backfill + equivalence oracle). Same predicate; in
     batch Spark plans the equi-keys as a hash join with the interval as a
     post-filter — never a BNLJ, because the key equality is extractable."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     lb = int(lookback_seconds)
     if lb < 0:
         raise ValueError(f"lookback_seconds must be >= 0, got {lb}")
     l = left.alias("l")
     r = right.alias("r")
     keep_r = [c for c in right.columns if c not in on]
-    return l.join(r, _interval_cond(on, left_ts, right_ts, lb), "inner").select(
+    return l.join(r, _interval_cond(on, left_ts, right_ts, lb), how).select(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}") for c in keep_r],
     )

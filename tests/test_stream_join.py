@@ -87,3 +87,47 @@ def test_negative_lookback_rejected(spark):
     r = spark.createDataFrame(RIGHT, R_SCHEMA)
     with pytest.raises(ValueError):
         interval_join_batch(l, r, ["k"], "lts", "rts", -1)
+
+
+def test_left_outer_stream_drain_matches_batch(spark, tmp_path):
+    """Outer rows only emit once the watermark proves no match can still
+    arrive — far-future sentinels on BOTH sides advance both watermarks
+    (the join's state eviction follows the min of the two) so every real
+    left row resolves before the drain stops."""
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    far = _t("2024-03-01T00:00:00")
+    left = LEFT + [(4, _t("2024-01-01T10:00:00"), "L-orphan")]  # no match
+    # one file per side for the real rows: multiple part files would let an
+    # early file advance the watermark past a later file's events (genuine
+    # lateness — correct streaming behavior, wrong test fixture)
+    spark.createDataFrame(left, L_SCHEMA).coalesce(1).write.parquet(lsrc)
+    spark.createDataFrame([(-999, far, "L-sent")], L_SCHEMA).write.mode(
+        "append"
+    ).parquet(lsrc)
+    spark.createDataFrame(RIGHT, R_SCHEMA).coalesce(1).write.parquet(rsrc)
+    spark.createDataFrame([(-999, far, "R-sent")], R_SCHEMA).write.mode(
+        "append"
+    ).parquet(rsrc)
+    out = interval_join_stream(
+        read_stream_parquet(spark, lsrc, L_SCHEMA, max_files_per_trigger=1),
+        read_stream_parquet(spark, rsrc, R_SCHEMA, max_files_per_trigger=1),
+        ["k"], "lts", "rts", 3600, watermark="5 minutes", how="left_outer",
+    )
+    got: list[tuple] = []
+
+    def sink(df, _bid):
+        got.extend((r.k, r.l_tag, r.r_tag) for r in df.collect())
+
+    run_available_now(out, str(tmp_path / "ck"), sink, output_mode="append")
+    real = sorted(g for g in got if g[0] != -999)
+    want = sorted(
+        (r.k, r.l_tag, r.r_tag)
+        for r in interval_join_batch(
+            spark.createDataFrame(left, L_SCHEMA),
+            spark.createDataFrame(RIGHT, R_SCHEMA),
+            ["k"], "lts", "rts", 3600, how="left_outer",
+        ).collect()
+    )
+    assert real == want
+    # the unmatched-left rows are present with NULL right columns
+    assert any(r_tag is None for _, _, r_tag in real)
