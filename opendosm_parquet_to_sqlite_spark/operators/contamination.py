@@ -128,57 +128,71 @@ def ngram_overlap_bloom(
     exact overlap (no false negatives by Bloom construction); the FP
     excess is the m_bits/k sizing knob, pinned in tests.
 
-    Probe shape: corpus gram explode → k (gram, position) rows → one
-    broadcast join against the packed bit table → a gram hits iff all k
-    probed bits are set (a position whose word row is absent is a miss)
-    → per-doc distinct-hit count. The corpus side never shuffles
-    anything but (doc_id, partial-count) pairs, exactly like the exact
-    path — but the broadcast is the 16 KB–16 MB bit table, not the gram
-    set."""
-    bloom = F.broadcast(
+    Probe shape: corpus gram explode → the k probe (word, mask) pairs as
+    2k NATIVE COLUMNS on one row per gram (no posexplode fan-out) → k
+    chained broadcast hash joins against the packed bit table (one per
+    probe word; the table is built once, persisted, and re-broadcast from
+    cache) → a gram hits iff all k probed bits are set, ANDed natively (a
+    position whose word row is absent is a miss) → per-doc distinct-hit
+    count. Only grams that pass all k probes reach the one exchange, and
+    that exchange is the map-side-combined distinct count keyed by doc_id
+    — the gram universe itself is never shuffled (round-4 weak flag: the
+    old posexplode + groupBy(doc_id, ng) reassembly paid a second
+    gram-scale shuffle and dominated cold-start codegen)."""
+    from ..caching import persist_tracked
+
+    bloom_tbl = persist_tracked(
         ngram_bloom_table(benchmark, text_col, id_col, n, m_bits, k)
     )
-    cand = (
+
+    def _pos(i: int):
+        return F.pmod(
+            F.xxhash64(F.concat(F.lit(f"bloom{i}:"), F.col("ng"))),
+            F.lit(m_bits),
+        )
+
+    probed = (
         with_shingles(spread_small_input(docs), text_col, id_col, n)
         .select("doc_id", F.explode("sh").alias("ng"))
-        .distinct()
-    )
-    probes = cand.select(
-        "doc_id",
-        "ng",
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.xxhash64(F.concat(F.lit(f"bloom{i}:"), F.col("ng"))),
-                        F.lit(m_bits),
-                    )
-                    for i in range(k)
-                ]
-            )
-        ).alias("probe_idx", "pos"),
-    ).select(
-        "doc_id",
-        "ng",
-        F.expr("pos div 64").alias("word"),
-        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
-    )
-    gram_hits = (
-        probes.join(bloom, "word", "left")
         .select(
             "doc_id",
             "ng",
-            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0)
-            .cast("int")
-            .alias("hit"),
+            *[_pos(i).alias(f"_pos{i}") for i in range(k)],
         )
-        .groupBy("doc_id", "ng")
-        .agg(F.min("hit").alias("all_hit"))
+        .select(
+            "doc_id",
+            "ng",
+            # identical (word, mask) packing to ngram_bloom_table
+            *[F.expr(f"_pos{i} div 64").alias(f"_w{i}") for i in range(k)],
+            *[
+                F.expr(
+                    f"shiftleft(1L, CAST(_pos{i} % 64 AS INT))"
+                ).alias(f"_m{i}")
+                for i in range(k)
+            ],
+        )
     )
+    for i in range(k):
+        probed = probed.join(
+            F.broadcast(
+                bloom_tbl.select(
+                    F.col("word").alias(f"_w{i}"),
+                    F.col("bits").alias(f"_b{i}"),
+                )
+            ),
+            f"_w{i}",
+            "left",
+        )
+    all_hit = F.lit(True)
+    for i in range(k):
+        all_hit = all_hit & (
+            F.coalesce(F.col(f"_b{i}"), F.lit(0)).bitwiseAND(F.col(f"_m{i}"))
+            != 0
+        )
     hits = (
-        gram_hits.filter(F.col("all_hit") == 1)
+        probed.filter(all_hit)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.count_distinct("ng").alias("n_overlap"))
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
