@@ -31,6 +31,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_HOWS = ("inner", "left_outer", "right_outer", "full_outer")
+
+
+def _check_how(how: str) -> None:
+    if how not in _HOWS:
+        raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
+
+
+def _out_cols(on: list[str], left_cols: list[str], right_cols: list[str]):
+    """Join keys coalesced across sides (non-NULL in every outer mode),
+    then l.* minus keys, then r.* minus keys."""
+    return [
+        *[
+            F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k)
+            for k in on
+        ],
+        *[F.col(f"l.{c}") for c in left_cols if c not in on],
+        *[F.col(f"r.{c}") for c in right_cols if c not in on],
+    ]
+
+
 def _interval_cond(on: list[str], left_ts: str, right_ts: str, lookback: int):
     cond = None
     for k in on:
@@ -56,33 +77,34 @@ def interval_join_stream(
     """Watermarked stream-stream join on `on` keys with
     R.ts ∈ [L.ts - lookback_seconds, L.ts].
 
-    how: 'inner', or 'left_outer' — the orphan-detection shape (a left row
-    with no right match within the interval emits with NULL right columns,
-    but only once the watermark proves no match can still arrive; outer
-    rows therefore trail the watermark by construction).
+    how: 'inner', 'left_outer', 'right_outer', or 'full_outer'. Outer
+    modes are the orphan-detection shapes: a row with no match within the
+    interval emits with NULL columns from the other side, but only once
+    the watermark proves no match can still arrive — outer rows therefore
+    trail the watermark by construction. All four modes keep bounded
+    state: the interval condition `R.ts ∈ [L.ts - lookback, L.ts]` bounds
+    the time gap in BOTH directions (0 ≤ L.ts - R.ts ≤ lookback), which
+    is exactly what Spark's state store needs to evict either side — so
+    full_outer is expressible here even though an unconstrained streaming
+    full join would not be.
 
     Both inputs must be streaming DataFrames with event-time timestamp
     columns `left_ts` / `right_ts`. The watermark bounds how late either
     side may arrive; rows later than that can silently miss matches — the
     standard streaming-join trade, choose it from the source's real
     lateness. Column name collisions beyond the join keys must be
-    resolved by the caller (the join emits l.* then r.* minus keys).
+    resolved by the caller. Output contract: the join keys (coalesced
+    across sides, so they are non-NULL in every outer mode), then l.*
+    minus keys, then r.* minus keys.
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    _check_how(how)
     lb = int(lookback_seconds)
     if lb < 0:
         raise ValueError(f"lookback_seconds must be >= 0, got {lb}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     joined = l.join(r, _interval_cond(on, left_ts, right_ts, lb), how)
-    keep_r = [
-        c for c in right.columns if c not in on
-    ]
-    return joined.select(
-        *[F.col(f"l.{c}") for c in left.columns],
-        *[F.col(f"r.{c}") for c in keep_r],
-    )
+    return joined.select(*_out_cols(on, left.columns, right.columns))
 
 
 def interval_join_batch(
@@ -97,15 +119,12 @@ def interval_join_batch(
     """The batch twin (backfill + equivalence oracle). Same predicate; in
     batch Spark plans the equi-keys as a hash join with the interval as a
     post-filter — never a BNLJ, because the key equality is extractable."""
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    _check_how(how)
     lb = int(lookback_seconds)
     if lb < 0:
         raise ValueError(f"lookback_seconds must be >= 0, got {lb}")
     l = left.alias("l")
     r = right.alias("r")
-    keep_r = [c for c in right.columns if c not in on]
     return l.join(r, _interval_cond(on, left_ts, right_ts, lb), how).select(
-        *[F.col(f"l.{c}") for c in left.columns],
-        *[F.col(f"r.{c}") for c in keep_r],
+        *_out_cols(on, left.columns, right.columns)
     )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from opendosm_parquet_to_sqlite_spark.streaming.incremental import (
     read_stream_parquet,
     run_available_now,
@@ -81,19 +83,19 @@ def test_stream_drain_matches_batch(spark, tmp_path):
 
 
 def test_negative_lookback_rejected(spark):
-    import pytest
-
     l = spark.createDataFrame(LEFT, L_SCHEMA)
     r = spark.createDataFrame(RIGHT, R_SCHEMA)
     with pytest.raises(ValueError):
         interval_join_batch(l, r, ["k"], "lts", "rts", -1)
 
 
-def test_left_outer_stream_drain_matches_batch(spark, tmp_path):
+
+@pytest.mark.parametrize("how", ["left_outer", "right_outer", "full_outer"])
+def test_outer_stream_drain_matches_batch(spark, tmp_path, how):
     """Outer rows only emit once the watermark proves no match can still
     arrive — far-future sentinels on BOTH sides advance both watermarks
     (the join's state eviction follows the min of the two) so every real
-    left row resolves before the drain stops."""
+    row resolves before the drain stops."""
     lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
     far = _t("2024-03-01T00:00:00")
     left = LEFT + [(4, _t("2024-01-01T10:00:00"), "L-orphan")]  # no match
@@ -111,7 +113,7 @@ def test_left_outer_stream_drain_matches_batch(spark, tmp_path):
     out = interval_join_stream(
         read_stream_parquet(spark, lsrc, L_SCHEMA, max_files_per_trigger=1),
         read_stream_parquet(spark, rsrc, R_SCHEMA, max_files_per_trigger=1),
-        ["k"], "lts", "rts", 3600, watermark="5 minutes", how="left_outer",
+        ["k"], "lts", "rts", 3600, watermark="5 minutes", how=how,
     )
     got: list[tuple] = []
 
@@ -119,15 +121,46 @@ def test_left_outer_stream_drain_matches_batch(spark, tmp_path):
         got.extend((r.k, r.l_tag, r.r_tag) for r in df.collect())
 
     run_available_now(out, str(tmp_path / "ck"), sink, output_mode="append")
-    real = sorted(g for g in got if g[0] != -999)
+    key = lambda t: tuple("" if v is None else str(v) for v in t)  # noqa: E731
+    real = sorted((g for g in got if g[0] != -999), key=key)
     want = sorted(
-        (r.k, r.l_tag, r.r_tag)
-        for r in interval_join_batch(
-            spark.createDataFrame(left, L_SCHEMA),
-            spark.createDataFrame(RIGHT, R_SCHEMA),
-            ["k"], "lts", "rts", 3600, how="left_outer",
-        ).collect()
+        (
+            (r.k, r.l_tag, r.r_tag)
+            for r in interval_join_batch(
+                spark.createDataFrame(left, L_SCHEMA),
+                spark.createDataFrame(RIGHT, R_SCHEMA),
+                ["k"], "lts", "rts", 3600, how=how,
+            ).collect()
+        ),
+        key=key,
     )
     assert real == want
-    # the unmatched-left rows are present with NULL right columns
-    assert any(r_tag is None for _, _, r_tag in real)
+    # exactly-once across microbatches
+    assert len(got) == len(set(got))
+    if how in ("left_outer", "full_outer"):
+        # unmatched-left rows present with NULL right columns
+        assert any(r_tag is None for _, _, r_tag in real)
+    if how in ("right_outer", "full_outer"):
+        # unmatched-right rows present with NULL left columns, and the
+        # coalesced key column is still populated from the right side
+        orphans = [g for g in real if g[1] is None]
+        assert orphans and all(k is not None for k, _, _ in orphans)
+
+
+def test_batch_right_outer_key_coalesce(spark):
+    l = spark.createDataFrame(LEFT, L_SCHEMA)
+    r = spark.createDataFrame(RIGHT, R_SCHEMA)
+    out = interval_join_batch(
+        l, r, ["k"], "lts", "rts", 3600, how="right_outer"
+    ).collect()
+    # R-future / R-nokey have no left match; their key must survive
+    unmatched = {row.r_tag for row in out if row.l_tag is None}
+    assert {"R-future", "R-nokey"} <= unmatched
+    assert all(row.k is not None for row in out)
+
+
+def test_bad_how_rejected(spark):
+    l = spark.createDataFrame(LEFT, L_SCHEMA)
+    r = spark.createDataFrame(RIGHT, R_SCHEMA)
+    with pytest.raises(ValueError):
+        interval_join_batch(l, r, ["k"], "lts", "rts", 10, how="cross")
