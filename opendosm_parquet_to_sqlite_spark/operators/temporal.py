@@ -201,9 +201,11 @@ def rolling_features(
     timestamps too.
 
     Scale: cost is the exchange + sort, the frame state is O(rows in the
-    largest window); hot keys behave like any keyed sort (salt upstream
-    if one entity dominates). Emits events' columns + roll_{n,sum,mean,
-    min,max}.
+    largest window); a window function has no partial phase, so a
+    dominant key serializes into one task — use
+    skew.rolling_features_sliced (row-identical, partitions by
+    (keys…, time-slice) with carry-in replication) when one entity
+    dominates. Emits events' columns + roll_{n,sum,mean,min,max}.
     """
     win = int(window_seconds)
     if win <= 0:

@@ -146,7 +146,10 @@ def batch_profile(
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """The batch twin: same profile via one groupBy — the backfill path
-    and the streaming operator's equivalence oracle.
+    and the streaming operator's equivalence oracle. Hash aggregation
+    partial-combines map-side, so hot keys are already fine here;
+    operators.skew.salted_batch_profile is the row-identical explicit
+    two-phase shape for planner modes without partial aggregation.
 
     tiebreak_col makes last_value deterministic when (key, ts) collides
     (the streaming operator's contract is unique ts per key; batch inputs

@@ -1,0 +1,119 @@
+"""Skew remedies: salted/sliced twins must be row-identical to the plain
+operators under a synthetic 90%-one-hot-key distribution."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from opendosm_parquet_to_sqlite_spark.operators.skew import (
+    rolling_features_sliced,
+    salted_batch_profile,
+)
+from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+    rolling_features,
+)
+from opendosm_parquet_to_sqlite_spark.streaming.stateful import batch_profile
+
+SCHEMA = "user_id long, et long, value double"
+
+
+def _skewed_rows(n=2000, hot_frac=0.9, seed=42):
+    """90% of events on one hot key, the rest spread over 50 cold keys;
+    unique ts per key (the profile's last_value contract)."""
+    rng = random.Random(seed)
+    rows, next_ts = [], {}
+    for _ in range(n):
+        uid = 1 if rng.random() < hot_frac else rng.randint(2, 51)
+        ts = next_ts.get(uid, 0) + rng.randint(1, 900)
+        next_ts[uid] = ts
+        rows.append((uid, ts, round(rng.uniform(-100, 100), 3)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    return spark.createDataFrame(_skewed_rows(), SCHEMA)
+
+
+def _by_key(df):
+    return {r.key: tuple(r)[1:] for r in df.collect()}
+
+
+def test_salted_profile_matches_plain(spark, skewed):
+    plain = _by_key(batch_profile(skewed, "user_id", "et", "value"))
+    for factor in (1, 16):
+        salted = _by_key(
+            salted_batch_profile(
+                skewed, "user_id", "et", "value", salt_factor=factor
+            )
+        )
+        assert salted == plain
+
+
+def test_salted_profile_matches_plain_with_tiebreak(spark):
+    # duplicate (key, ts) pairs force the tiebreak path
+    rows = [(1, 10, 5.0, "a"), (1, 10, 7.0, "b"), (1, 20, 1.0, "a"),
+            (2, 10, 3.0, "z")]
+    df = spark.createDataFrame(
+        rows, "user_id long, et long, value double, src string"
+    )
+    plain = _by_key(
+        batch_profile(df, "user_id", "et", "value", tiebreak_col="src")
+    )
+    salted = _by_key(
+        salted_batch_profile(
+            df, "user_id", "et", "value", tiebreak_col="src", salt_factor=8
+        )
+    )
+    assert salted == plain
+
+
+def test_sliced_rolling_matches_plain(spark, skewed):
+    def canon(df):
+        return sorted(
+            (r.user_id, r.et, r.roll_n, r.roll_sum, r.roll_mean,
+             r.roll_min, r.roll_max)
+            for r in df.collect()
+        )
+
+    plain = canon(
+        rolling_features(skewed, ["user_id"], "et", "value", 3600)
+    )
+    # slice == window (max replication) and slice >> window (min slices):
+    # both must be row-identical, including frames that straddle a
+    # slice boundary
+    for sl in (3600, 7200, 100_000):
+        got = canon(
+            rolling_features_sliced(
+                skewed, ["user_id"], "et", "value", 3600, sl
+            )
+        )
+        assert got == plain
+
+
+def test_sliced_rolling_boundary_exact(spark):
+    # hand-built boundary band: slice = 100, window = 50; events at
+    # 49/99/100/101 — the 99 row must carry into slice 1 and feed the
+    # frames of 100/101 but emit only its own slice-0 row
+    rows = [(1, 49, 1.0), (1, 99, 2.0), (1, 100, 4.0), (1, 101, 8.0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r.et: (r.roll_n, r.roll_sum)
+        for r in rolling_features_sliced(
+            df, ["user_id"], "et", "value", 50, 100
+        ).collect()
+    }
+    assert got == {
+        49: (1, 1.0),
+        99: (2, 3.0),       # 49 within [49, 99]
+        100: (2, 6.0),      # 99 carried across the boundary; 49 aged out
+        101: (3, 14.0),     # 99 + 100 + 101 all within [51, 101]
+    }
+    assert len(got) == len(rows)  # carry copies emit no rows
+
+
+def test_sliced_rejects_short_slice(spark, skewed):
+    with pytest.raises(ValueError):
+        rolling_features_sliced(skewed, ["user_id"], "et", "value", 100, 99)
