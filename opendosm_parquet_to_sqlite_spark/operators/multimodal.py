@@ -183,11 +183,15 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     raw interleaved 8-bit samples, row-major).
 
     Covers the non-interlaced 8-bit-depth color types (gray, RGB,
-    gray+alpha, RGBA): chunk walk → concatenated-IDAT zlib inflate →
-    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth, the
-    complete filter set of the spec). Palette (color type 3), bit depths
-    other than 8, and Adam7 interlacing raise NotImplementedError — those
-    belong to a real codec plug-in, not byte surgery.
+    gray+alpha, RGBA) plus palette (color type 3) at bit depths
+    1/2/4/8: chunk walk → concatenated-IDAT zlib inflate → per-scanline
+    filter reconstruction (None/Sub/Up/Average/Paeth, the complete
+    filter set of the spec) → for palette, MSB-first index unpack + PLTE
+    lookup, emitting RGB — or RGBA when a tRNS chunk supplies per-entry
+    alpha (absent entries default to opaque, per spec). 16-bit depth on
+    non-palette color types and Adam7 interlacing raise
+    NotImplementedError — those belong to a real codec plug-in, not byte
+    surgery.
 
     Per-byte Python per scanline (Sub/Average/Paeth are sequential in x by
     definition, so there is no vectorized form); production pipelines with
@@ -202,6 +206,8 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     idat = bytearray()
     meta = None
+    plte = None
+    trns = None
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
         data = payload[pos + 8 : pos + 8 + length]
@@ -210,6 +216,10 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # 4 len + 4 type + data + 4 crc
         if ctype == b"IHDR":
             meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -221,14 +231,23 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("invalid IHDR compression/filter method")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG needs a codec plug-in")
-    if depth != 8 or color not in _PNG_CHANNELS:
+    if color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"invalid palette bit depth {depth}")
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE chunk")
+        # filter unit (bpp) for sub-byte depths is one byte, per spec
+        bpp, stride = 1, (w * depth + 7) // 8
+    elif depth != 8 or color not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG depth={depth} color={color} needs a codec plug-in "
-            "(stdlib path covers 8-bit gray/RGB/gray+alpha/RGBA)"
+            "(stdlib path covers 8-bit gray/RGB/gray+alpha/RGBA and "
+            "1/2/4/8-bit palette)"
         )
-    ch = _PNG_CHANNELS[color]
+    else:
+        bpp = _PNG_CHANNELS[color]
+        stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
     if len(raw) != (stride + 1) * h:
         raise ValueError("IDAT payload does not match IHDR dimensions")
     out = bytearray(stride * h)
@@ -240,20 +259,20 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         if f == 0:
             pass
         elif f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif f == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif f == 3:  # Average
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -262,6 +281,43 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter type {f} at row {y}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    if color != 3:
+        return w, h, bpp, bytes(out)
+    return _palette_expand(bytes(out), w, h, depth, stride, plte, trns)
+
+
+def _palette_expand(
+    idx_rows: bytes,
+    w: int,
+    h: int,
+    depth: int,
+    stride: int,
+    plte: bytes,
+    trns: bytes | None,
+) -> tuple[int, int, int, bytes]:
+    """Defiltered palette index rows → interleaved RGB(A) samples: MSB-
+    first sub-byte unpack, PLTE lookup, optional tRNS alpha (entries past
+    the tRNS length are opaque, per spec)."""
+    n_entries = len(plte) // 3
+    ch = 4 if trns is not None else 3
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    out = bytearray(w * h * ch)
+    o = 0
+    for y in range(h):
+        row = idx_rows[y * stride : (y + 1) * stride]
+        for x in range(w):
+            byte = row[x // per_byte]
+            shift = 8 - depth * (x % per_byte + 1)
+            idx = (byte >> shift) & mask
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
+            out[o : o + 3] = plte[idx * 3 : idx * 3 + 3]
+            if ch == 4:
+                out[o + 3] = trns[idx] if idx < len(trns) else 255
+            o += ch
     return w, h, ch, bytes(out)
 
 

@@ -194,6 +194,103 @@ def test_real_decode_needs_codec_for_jpeg():
         multimodal.real_decode(b"\xff\xd8\xff\xe0JFIFjpegbody")
 
 
+def _encode_palette_png(indices: list[int], w: int, h: int, depth: int,
+                        palette: bytes, filters: list[int],
+                        trns: bytes | None = None) -> bytes:
+    """Palette-PNG encoder twin of _encode_png: packs indices MSB-first at
+    the given bit depth, filters each packed scanline (bpp=1), and writes
+    PLTE (+ optional tRNS)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    per_byte = 8 // depth
+    stride = (w * depth + 7) // 8
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        packed = bytearray(stride)
+        for x in range(w):
+            shift = 8 - depth * (x % per_byte + 1)
+            packed[x // per_byte] |= indices[y * w + x] << shift
+        f = filters[y % len(filters)]
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = packed[i - 1] if i >= 1 else 0
+            b = prev[i]
+            c = prev[i - 1] if i >= 1 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[i] = (packed[i] - pred) & 0xFF
+        out += bytes([f]) + bytes(enc)
+        prev = packed
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
+    if trns is not None:
+        body += chunk(b"tRNS", trns)
+    body += chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_palette_png_pixel_exact(depth):
+    """decode(encode(indices)) == PLTE-expanded RGB at every legal palette
+    bit depth, scanlines cycling all five filters; odd width exercises the
+    partial final byte of sub-8-bit rows."""
+    w, h = 13, 9
+    n_entries = 1 << depth
+    palette = bytes((i * 37 + c * 11) % 256
+                    for i in range(n_entries) for c in range(3))
+    indices = [(x * 5 + y * 3) % n_entries for y in range(h) for x in range(w)]
+    payload = _encode_palette_png(indices, w, h, depth, palette,
+                                  filters=[0, 1, 2, 3, 4])
+    gw, gh, gch, gpx = multimodal.png_pixels(payload)
+    assert (gw, gh, gch) == (w, h, 3)
+    want = b"".join(palette[i * 3:i * 3 + 3] for i in indices)
+    assert gpx == want
+
+
+def test_palette_png_trns_alpha():
+    """tRNS adds per-entry alpha; entries past its length default opaque."""
+    palette = bytes(range(12))          # 4 RGB entries
+    trns = bytes([0, 128])              # alpha for entries 0 and 1 only
+    indices = [0, 1, 2, 3]
+    payload = _encode_palette_png(indices, 4, 1, 8, palette, [0], trns=trns)
+    gw, gh, gch, gpx = multimodal.png_pixels(payload)
+    assert (gw, gh, gch) == (4, 1, 4)
+    want = bytes([0, 1, 2, 0,  3, 4, 5, 128,  6, 7, 8, 255,  9, 10, 11, 255])
+    assert gpx == want
+
+
+def test_palette_png_real_decode_features():
+    palette = bytes(range(48))
+    payload = _encode_palette_png([x % 16 for x in range(21 * 7)],
+                                  21, 7, 4, palette, [0, 2])
+    feats = multimodal.real_decode(payload)
+    assert feats == {"media_type": "image/png", "width": 21, "height": 7,
+                     "n_channels": 3, "duration_ms": None}
+
+
+def test_palette_png_bad_index_rejected():
+    # 2 entries but depth-8 index 5 → out of range
+    payload = _encode_palette_png([0, 5], 2, 1, 8, bytes(6), [0])
+    with pytest.raises(ValueError, match="out of range"):
+        multimodal.png_pixels(payload)
+
+
 def test_png_pixels_rejects_unsupported_variants():
     import struct
     import zlib
@@ -207,8 +304,8 @@ def test_png_pixels_rejects_unsupported_variants():
                 + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
                 + chunk(b"IEND", b""))
 
-    with pytest.raises(NotImplementedError, match="plug-in"):
-        multimodal.png_pixels(with_ihdr(8, 3, 0))  # palette
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal.png_pixels(with_ihdr(8, 3, 0))  # palette w/o PLTE chunk
     with pytest.raises(NotImplementedError, match="plug-in"):
         multimodal.png_pixels(with_ihdr(16, 2, 0))  # 16-bit
     with pytest.raises(NotImplementedError, match="plug-in"):
