@@ -556,14 +556,164 @@ def append_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_fraction: float | None = None,
 ) -> None:
     """Assign NEW vectors with the SAVED centroids and append — O(new)
-    work, no retrain, no rescan of the existing index."""
+    work, no retrain, no rescan of the existing index.
+
+    max_cell_fraction guards against ingest drift: appended batches whose
+    distribution shifted away from the training sample pile into few
+    cells, and an unbounded cell degrades the per-cell probe toward brute
+    force. When set, oversized cells (count > fraction × total) are split
+    after the append via rebalance_ivf_index — O(oversized cells), never
+    a full rebuild."""
     cent, meta = _load_ivf_meta(new_vectors.sparkSession, path)
     rows = _cell_rows(
         new_vectors, cent, bool(meta.get("quantized", 0)), id_col, vec_col
     )
     rows.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    if max_cell_fraction is not None:
+        rebalance_ivf_index(
+            new_vectors.sparkSession, path, max_cell_fraction,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    max_cell_fraction: float,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _LSH_SEED,
+    max_splits: int = 16,
+) -> int:
+    """Split every cell holding more than max_cell_fraction of the index
+    into two via local 2-means until the cap holds (or max_splits / an
+    unsplittable all-duplicates cell stops the loop). Returns the number
+    of splits performed.
+
+    Per split: the cell-count agg is a partition-pruned footer-count job;
+    2-means trains on a deterministic md5-sampled subset of ONLY the
+    oversized cell; reassignment rewrites ONLY that cell's partition
+    (dynamic partition overwrite) plus the new cell's — the rest of the
+    index is untouched on disk, so cost is O(oversized cell), not
+    O(index). The centroid table grows by one row per split (old id keeps
+    sub-centroid 0, the new id takes sub-centroid 1) and every persisted
+    probe keeps working because probe always reloads centroids + meta.
+    Quantized indexes split on their stored int8 codes — codes preserve
+    direction, which is all spherical 2-means reads.
+
+    The one-cell rewrite stages through `path/cells__rebalance` because
+    Spark refuses to overwrite a parquet source it is reading in the same
+    job; an object-store deployment would swap manifests instead."""
+    import shutil
+
+    if not (0 < max_cell_fraction <= 1):
+        raise ValueError(
+            f"max_cell_fraction must be in (0, 1], got {max_cell_fraction}"
+        )
+    n_splits = 0
+    while n_splits < max_splits:
+        cent, meta = _load_ivf_meta(spark, path)
+        quant = bool(meta.get("quantized", 0))
+        data_col = "q_codes" if quant else vec_col
+        cells = spark.read.parquet(f"{path}/cells")
+        counts = {
+            r["cell"]: r["n"]
+            for r in cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        if total == 0:
+            break
+        over = [
+            (c, n) for c, n in counts.items() if n > max_cell_fraction * total
+        ]
+        if not over:
+            break
+        cell_id = max(over, key=lambda t: t[1])[0]
+        sample_rows = (
+            cells.filter(F.col("cell") == cell_id)
+            .select(id_col, data_col)
+            .orderBy(
+                F.md5(
+                    F.concat(
+                        F.lit(f"split{seed + n_splits}:"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                F.col(id_col),
+            )
+            .limit(train_sample)
+            .collect()
+        )
+        X = np.array(
+            [np.asarray(r[data_col], dtype=np.float64) for r in sample_rows]
+        )
+        X = X[np.linalg.norm(X, axis=1) > 0]
+        if len(X) < 2:
+            break  # all-zero cell: nothing to split on
+        sub = _kmeans_centroids(X, 2, seed=seed + n_splits)
+        new_id = int(meta["n_centroids"])
+        reassigned = (
+            cells.filter(F.col("cell") == cell_id)
+            .select(
+                id_col,
+                data_col,
+                F.when(
+                    _assign_cell_udf(sub)(F.col(data_col)) == 0,
+                    F.lit(cell_id),
+                )
+                .otherwise(F.lit(new_id))
+                .alias("cell"),
+            )
+        )
+        staging = f"{path}/cells__rebalance"
+        reassigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+        staged = spark.read.parquet(staging)
+        sides = staged.select("cell").distinct().count()
+        if sides < 2:
+            # 2-means put everything on one side (duplicate-dominated
+            # cell): splitting cannot help, stop rather than livelock
+            shutil.rmtree(staging, ignore_errors=True)
+            break
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            staged.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{path}/cells"
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        cent_new = np.vstack([cent, sub[1][None, :]])
+        cent_new[cell_id] = sub[0]
+        spark.createDataFrame(
+            [(i, c.tolist()) for i, c in enumerate(cent_new)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [
+                (
+                    int(meta["dim"]),
+                    new_id + 1,
+                    int(meta["train_sample"]),
+                    int(meta["seed"]),
+                    int(quant),
+                )
+            ],
+            "dim int, n_centroids int, train_sample int, seed int, "
+            "quantized int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        n_splits += 1
+    return n_splits
 
 
 def probe_ivf_index(

@@ -416,3 +416,63 @@ def test_train_sample_above_threshold_routes_to_distributed(spark, emb):
 def test_distributed_kmeans_rejects_empty(spark, emb):
     with pytest.raises(ValueError, match="empty"):
         similarity.train_ivf_centroids_distributed(emb.filter(F.lit(False)))
+
+
+def test_ivf_rebalance_splits_drifted_append(spark, emb, tmp_path):
+    """Drifted ingest: append a batch that all lands in ONE cell, with a
+    max_cell_fraction cap — the oversized cell splits (local 2-means),
+    the cap holds, every row survives, and an exhaustive probe still
+    returns the exact brute-force answer (recall floor unchanged)."""
+    import numpy as np
+
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") >= 10)
+    similarity.build_ivf_index(base, path, n_centroids=8)
+    dim = len(emb.select("embedding").first()[0])
+    # drifted batch: one dominant direction + small jitter → one hot cell
+    rng = np.random.RandomState(7)
+    drift = [
+        (100_000 + i,
+         (np.eye(dim)[0] + 0.05 * rng.randn(dim)).astype(float).tolist())
+        for i in range(300)
+    ]
+    new = spark.createDataFrame(drift, "vec_id long, embedding array<float>")
+    similarity.append_ivf_index(new, path, max_cell_fraction=0.35)
+    counts = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(f"{path}/cells")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert total == base.count() + 300          # no row lost or duplicated
+    assert max(counts.values()) <= 0.35 * total  # cap holds
+    # centroid table and meta grew consistently
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta["n_centroids"] == len(cent) == len(counts)
+    # exhaustive probe (n_probe = all cells) == brute force over the union
+    union = base.select("vec_id", "embedding").unionByName(new)
+    q = new.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.probe_ivf_index(
+        spark, path, q, k=5, n_probe=meta["n_centroids"]
+    )
+    bf = similarity.brute_force_topk(union, q, k=5)
+    assert {(r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in out.collect()} \
+        == {(r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in bf.collect()}
+
+
+def test_ivf_rebalance_noop_when_balanced(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_centroids=16)
+    before = spark.read.parquet(f"{path}/centroids").count()
+    assert similarity.rebalance_ivf_index(spark, path, 0.9) == 0
+    assert spark.read.parquet(f"{path}/centroids").count() == before
+
+
+def test_ivf_rebalance_rejects_bad_fraction(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb.limit(50), path, n_centroids=4)
+    with pytest.raises(ValueError):
+        similarity.rebalance_ivf_index(spark, path, 0.0)
