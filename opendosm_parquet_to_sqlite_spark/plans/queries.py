@@ -2176,6 +2176,21 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("quality_classifier_2iter")  # rows-only bench twin of
+# quality_classifier: 2 fixed iterations instead of 8 — the cost model is
+# O(iters × (broadcast join + doc-keyed agg)), so the per-iteration plan
+# is what the 2× regression gate should watch; at 8 iterations the
+# wall-clock is mostly sequential scheduler latency and a 10× plan
+# regression in one iteration would drown invisibly
+def q_quality_classifier_2iter(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return classifier.distill_quality_gate(
+        docs, "text", "doc_id",
+        label_col=text.quality_score("text") >= 0.5,
+        n_buckets=512, n_iters=2,
+    )
+
+
 @query("contamination_bloom")  # rows-only: xxhash64 probe positions have
 # no engine-portable oracle; superset-of-exact + FP-rate bounds pinned in
 # tests/test_bloom.py
