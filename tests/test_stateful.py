@@ -146,3 +146,141 @@ def test_state_merge_resumes_from_existing_tuple():
     out = list(fn(("a",), iter([pdf]), st))
     assert st.get[0] == 3 and st.get[1] == 9.0  # n, sum merged
     assert out[0]["last_ts"].iloc[0] == 30
+
+
+# --- hypothesis fuzz: random microbatch splits × TTL boundaries --------------
+#
+# Values are drawn as half-integers (i/2): sums and squares of halves are
+# exact in float64 at these sizes, so stream-vs-batch comparison is exact
+# equality, not approx — no 6-dp rounding flake under random sum order.
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EV = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=-200, max_value=200).map(lambda i: i / 2),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: (t[0], t[1]),  # unique et per key: the tie contract
+)
+
+
+def _profile_oracle(events):
+    """NumPy-free exact oracle of the running profile for one key."""
+    n = len(events)
+    s = sum(v for _, v in events)
+    s2 = sum(v * v for _, v in events)
+    mean = s / n
+    last_ts, last_v = max(events)
+    return {
+        "n_events": n,
+        "mean_value": round(mean, 6),
+        "m2_value": round(s2 - n * mean * mean, 6),
+        "min_value": min(v for _, v in events),
+        "max_value": max(v for _, v in events),
+        "last_ts": last_ts,
+        "last_value": last_v,
+    }
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.data())
+def test_update_fn_fuzz_any_batching_and_ttl(data):
+    """One key's event stream, split into random pdf batches across random
+    update calls, with TTL timeouts injected at random points: every emit
+    must equal the exact oracle of all events since the last eviction, and
+    each eviction must reset the running state."""
+    import pandas as pd
+
+    events = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=-200, max_value=200).map(
+                    lambda i: i / 2
+                ),
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda t: t[0],
+        )
+    )
+    fn = make_update_fn(ttl_ms=60_000)
+    st_ = FakeState()
+    seen_since_eviction: list[tuple] = []
+    i = 0
+    while i < len(events):
+        if st_.exists and data.draw(st.booleans(), label=f"timeout@{i}"):
+            # TTL boundary: the timer fired before this batch arrived
+            st_.hasTimedOut = True
+            assert list(fn(("k",), iter([]), st_)) == []
+            assert st_.removed and not st_.exists
+            st_ = FakeState()
+            seen_since_eviction = []
+        # a random consecutive chunk, itself split into 1-2 pdfs
+        j = data.draw(
+            st.integers(min_value=i + 1, max_value=len(events)),
+            label=f"chunk@{i}",
+        )
+        chunk = events[i:j]
+        cut = data.draw(
+            st.integers(min_value=0, max_value=len(chunk)), label=f"cut@{i}"
+        )
+        pdfs = [
+            pd.DataFrame({"et": [e for e, _ in part],
+                          "value": [v for _, v in part]})
+            for part in (chunk[:cut], chunk[cut:])
+            if part
+        ]
+        out = list(fn(("k",), iter(pdfs), st_))
+        seen_since_eviction += chunk
+        assert len(out) == 1
+        want = _profile_oracle(seen_since_eviction)
+        got = out[0].iloc[0]
+        for f, w in want.items():
+            assert got[f] == w, (f, got[f], w)
+        assert st_.timeout_set_ms == 60_000  # re-armed after every update
+        i = j
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_streaming_profile_fuzz_split_matches_batch(spark, tmp_path, data):
+    """Random multi-key event set, random arrival permutation, random
+    microbatch split: the drained profiles must equal the batch twin
+    EXACTLY (half-integer values make the algebra exact)."""
+    rows = data.draw(_EV)
+    perm = data.draw(st.permutations(rows))
+    n_parts = data.draw(st.integers(min_value=1, max_value=3))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(perm)),
+                min_size=n_parts - 1,
+                max_size=n_parts - 1,
+            )
+        )
+    )
+    parts, prev = [], 0
+    for c in cuts + [len(perm)]:
+        parts.append(perm[prev:c])
+        prev = c
+    parts = [p for p in parts if p]
+    d = tmp_path / uuid.uuid4().hex
+    got = _drain(spark, d, parts)
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    want = {r.key: r for r in batch_profile(df, "k", "et", "value").collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for f in FIELDS:
+            assert got[k][f] == want[k][f], (k, f)

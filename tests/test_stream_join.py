@@ -164,3 +164,84 @@ def test_bad_how_rejected(spark):
     r = spark.createDataFrame(RIGHT, R_SCHEMA)
     with pytest.raises(ValueError):
         interval_join_batch(l, r, ["k"], "lts", "rts", 10, how="cross")
+
+
+# --- hypothesis fuzz: random lateness vs the watermark -----------------------
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TS = st.lists(
+    st.integers(min_value=0, max_value=4000), min_size=1, max_size=4,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_interval_join_fuzz_lateness(spark, tmp_path, data):
+    """Random event times on both sides, arrival either ts-ordered
+    (everything on time) or randomly permuted (rows may arrive later than
+    the watermark allows). Soundness must hold unconditionally: every
+    emitted pair is in the batch twin, exactly once. Completeness is only
+    promised for on-time arrival — with ts-ordered files the drain must
+    equal the batch twin exactly (the documented streaming-join trade:
+    late rows MAY silently miss matches, never invent them)."""
+    from datetime import datetime, timedelta
+
+    lts = data.draw(_TS, label="left_ts")
+    rts = data.draw(_TS, label="right_ts")
+    ordered = data.draw(st.booleans(), label="ordered_arrival")
+    base = datetime(2024, 1, 1)
+    left = [(1, base + timedelta(seconds=t), f"L{t}") for t in lts]
+    right = [(1, base + timedelta(seconds=t), f"R{t}") for t in rts]
+    if ordered:
+        larr, rarr = sorted(left, key=lambda r: r[1]), sorted(
+            right, key=lambda r: r[1])
+    else:
+        larr = data.draw(st.permutations(left), label="left_arrival")
+        rarr = data.draw(st.permutations(right), label="right_arrival")
+    far = _t("2024-03-01T00:00:00")
+    d = tmp_path / uuid.uuid4().hex
+    lsrc, rsrc = str(d / "l"), str(d / "r")
+    # one file per row → one microbatch per row under maxFilesPerTrigger=1
+    for row in larr:
+        spark.createDataFrame([row], L_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(lsrc)
+    spark.createDataFrame([(-999, far, "L-sent")], L_SCHEMA).write.mode(
+        "append").parquet(lsrc)
+    for row in rarr:
+        spark.createDataFrame([row], R_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(rsrc)
+    spark.createDataFrame([(-999, far, "R-sent")], R_SCHEMA).write.mode(
+        "append").parquet(rsrc)
+    out = interval_join_stream(
+        read_stream_parquet(spark, lsrc, L_SCHEMA, max_files_per_trigger=1),
+        read_stream_parquet(spark, rsrc, R_SCHEMA, max_files_per_trigger=1),
+        ["k"], "lts", "rts", 600, watermark="10 minutes",
+    )
+    got: list[tuple] = []
+
+    def sink(df, _bid):
+        got.extend((r.l_tag, r.r_tag) for r in df.collect())
+
+    run_available_now(out, str(d / "ck"), sink, output_mode="append")
+    real = [g for g in got if g[0] != "L-sent" and g[1] != "R-sent"]
+    want = sorted(
+        (r.l_tag, r.r_tag)
+        for r in interval_join_batch(
+            spark.createDataFrame(left, L_SCHEMA),
+            spark.createDataFrame(right, R_SCHEMA),
+            ["k"], "lts", "rts", 600,
+        ).collect()
+    )
+    assert len(real) == len(set(real))          # exactly-once
+    assert set(real) <= set(want)               # soundness, always
+    if ordered:
+        assert sorted(real) == want             # completeness when on time
