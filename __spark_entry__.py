@@ -45,6 +45,9 @@ _ROWS_ONLY_PRIORITY = [
     # hash coverage stays total either way.
     "search_bm25",
     "tfidf_per_doc",
+    "chunk_documents",
+    "sample_per_group",
+    "robust_scale",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",
@@ -64,6 +67,8 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_simhash",
     "sketch_profile",
     "unigram_logprob",
+    "bigram_logprob",
+    "quality_classifier_2iter",
     "text_lang_id_ngram",
     "multimodal_decode",
     # demoted round 4: exact operator twin of the hash-checked

@@ -1,0 +1,85 @@
+"""Numeric feature conditioning for training-data pipelines — the scaling /
+outlier-taming pass that sits between raw event streams and model features.
+
+Reference scope note: the reference (src/main.rs) has no numeric feature
+layer at all — its numeric handling stops at strict casts (src/main.rs:21-58).
+These are rebuild extensions in the SURVEY §2.13 spirit: the operations a
+100 TB training pipeline needs around the same tables.
+
+Design: statistics are computed as ONE aggregation pass (per group or
+global), joined back, and applied as a narrow projection.  The exact
+`percentile` aggregate is sort-based per group — correct but heavy at
+100 TB; `approx=True` swaps in `percentile_approx` (a mergeable
+KLL-style sketch with map-side partial aggregation) which is the scale
+path.  The exact path exists so the operator is oracle-mirrorable
+(DuckDB `quantile_cont` uses the same linear interpolation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    clip: float = 5.0,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Median/IQR robust scaling with symmetric clipping:
+    scaled = clamp((v - median) / (q3 - q1), ±clip) — the outlier-tolerant
+    alternative to z-scoring (mean/std are unbounded under heavy tails;
+    median/IQR are not).  Degenerate groups (IQR == 0: constant or
+    near-constant values) yield NULL rather than a division blow-up.
+
+    Output: input columns + `{value_col}_scaled` (rounded to 6 dp).
+
+    Shape: one stats aggregation (3 quantiles in a single pass) →
+    broadcast join back (group-count-sized, tiny) → narrow projection.
+    With approx=True the aggregation partial-combines map-side
+    (percentile_approx sketches merge); exact `percentile` sorts each
+    group's values and is the small-data / oracle-parity path.
+    """
+    groups: list[str]
+    if group_cols is None:
+        groups = []
+    elif isinstance(group_cols, str):
+        groups = [group_cols]
+    else:
+        groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+    if approx:
+        q = F.percentile_approx(v, F.array(
+            F.lit(0.25), F.lit(0.5), F.lit(0.75)
+        ), F.lit(int(accuracy)))
+    else:
+        q = F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    stats_base = df.groupBy(*groups) if groups else df.groupBy()
+    stats = stats_base.agg(q.alias("__q")).select(
+        *groups,
+        F.col("__q")[0].alias("__q1"),
+        F.col("__q")[1].alias("__med"),
+        F.col("__q")[2].alias("__q3"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), groups)
+        if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    scaled = F.when(
+        iqr > 0,
+        F.round(
+            F.greatest(
+                F.least((v - F.col("__med")) / iqr, F.lit(float(clip))),
+                F.lit(-float(clip)),
+            ),
+            6,
+        ),
+    )
+    return joined.select(
+        *df.columns, scaled.alias(f"{value_col}_scaled")
+    )

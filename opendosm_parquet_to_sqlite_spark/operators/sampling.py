@@ -21,6 +21,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import text as text_ops
+
 HEX_WIDTH = 8  # 32 bits of the digest: rate resolution 1/2^32
 
 
@@ -215,6 +217,100 @@ def pack_sequences(
         .alias("seq_in_block"),
         "n_tokens",
         cum.cast("long").alias("cum_tokens"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Overlapping token-window chunking for retrieval / RAG indexing:
+    split each document into chunks of `chunk_tokens` whitespace tokens,
+    adjacent chunks sharing `overlap_tokens` (stride = chunk - overlap).
+    Complements `pack_sequences(split_docs=True)`, which chunks token
+    COUNTS for the training feed — this materializes the chunk TEXT for an
+    embedding/indexing pass (the text is re-joined with single spaces: the
+    tokenizer is whitespace-split, so only intra-doc whitespace runs are
+    normalized).
+
+    n_chunks = max(ceil((n_tokens - overlap) / stride), 1): the final
+    chunk may be short, no chunk starts beyond the text, and an empty doc
+    keeps ONE empty chunk so no row silently disappears.
+
+    Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Shape: tokenize → sequence-generate chunk starts → explode → slice —
+    an entirely NARROW map (zero exchanges, scan-speed at any scale). One
+    row fans to ceil(n/stride) rows: pre-truncate pathological documents
+    upstream rather than exploding them here (same note as pack_sequences).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    stride = int(chunk_tokens) - int(overlap_tokens)
+    with_toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        text_ops.tokens(F.col(text_col)).alias("__toks"),
+    )
+    # chunk_idx 0..n_chunks-1; integer `div` (not float ceil) for the same
+    # 2^53 reasons as pack_sequences' block arithmetic
+    chunks = with_toks.select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.expr(
+                "sequence(0L, greatest("
+                f"  (size(__toks) - {int(overlap_tokens)} + {stride} - 1)"
+                f"  div {stride} - 1, 0))"
+            )
+        ).alias("chunk_idx"),
+    )
+    piece = F.expr(
+        f"slice(__toks, chunk_idx * {stride} + 1, {int(chunk_tokens)})"
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: str | list[str],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic uniform-without-replacement sample of up to `k` rows
+    per group: rank rows inside each group by md5(id) — a fixed, seedless
+    pseudo-random order — and keep rank <= k. The per-group analog of
+    `sample_stratified` (which keeps a FRACTION per stratum; this keeps a
+    COUNT — the shape needed for per-domain caps, eval-set carving, and
+    inspection samples).
+
+    Output: input columns + sample_rank (1-based within the group).
+
+    Shape: one exchange on the group key + per-group sort on the 128-bit
+    digest; Spark plans the rank-filter as WindowGroupLimit, so each
+    partition keeps only its local top-k BEFORE the exchange — the shuffle
+    carries O(partitions·k) rows per group, not the group's full mass.
+    Hot groups beyond that: pre-filter on a digest threshold (keep
+    md5(id) < k/|group| scaled) to cut the exchange further.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        rank_key, F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
     )
 
 

@@ -428,6 +428,87 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Fluency-aware upgrade of `unigram_logprob_score`: score each document
+    by the mean negative log-probability of its adjacent token PAIRS under
+    the corpus's own add-k-smoothed bigram model,
+    P(w2|w1) = (c(w1,w2)+k) / (c(w1,·)+k·V), V = |continuation vocab|.
+    Scrambled-word-salad junk has corpus-typical unigrams but rare bigrams,
+    so this catches what the unigram scorer can't — the cheap stand-in for
+    the KenLM-perplexity filter in CCNet-style pipelines.
+
+    Output: (doc_id, n_bigrams, avg_neg_logprob); docs with <2 tokens keep
+    a row with n_bigrams=0 and a NULL score (nothing silently disappears).
+
+    Shape: adjacent pairs are formed ARRAY-SIDE (zip_with of two slices —
+    a narrow map, no window/exchange to order tokens), one bigram-count
+    aggregation, a count-sized join back to the pair stream, one per-doc
+    mean. The count table is NOT forced broadcast: bigram vocabulary grows
+    ~quadratically with unigram vocabulary, so at 100 TB it's a shuffle
+    hash join on (w1, w2) — prune to top-k bigrams + a default rare-pair
+    mass first if a broadcast is wanted. Deterministic arithmetic (log of
+    exact integer ratios), mirrorable in SQL.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    with_toks = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    pairs = (
+        with_toks.filter(F.size("__toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    "  slice(__toks, 1, size(__toks) - 1),"
+                    "  slice(__toks, 2, size(__toks) - 1),"
+                    "  (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("__bg"),
+        )
+        .select("doc_id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = pairs.agg(F.count_distinct("w2").alias("n_vocab"))
+    logp = (
+        bg.join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") + F.lit(smoothing))
+                / (F.col("c1") + F.lit(smoothing) * F.col("n_vocab"))
+            ).alias("__logp"),
+        )
+    )
+    per_doc = (
+        pairs.join(logp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("__logp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "avg_neg_logprob",
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-pass per-document profile: all metrics as a narrow projection."""
     c = F.col(text_col)

@@ -27,6 +27,7 @@ from ..operators import (
     contamination,
     corpus,
     dedup,
+    features,
     graph,
     joins,
     multimodal,
@@ -2368,3 +2369,112 @@ def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "event_id", "et",
         "roll_n", "roll_sum", "roll_mean", "roll_min", "roll_max",
     )
+
+
+# --- round-5 extensions: chunking, per-group sampling, scaling, bigram LM ----
+
+
+@query(
+    "chunk_documents",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, greatest(
+                   CAST(ceil((len(t) - 8) / 24.0) AS BIGINT) - 1, 0))) AS chunk_idx
+        FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+               AS chunk_text
+    FROM idx
+    """,
+    shadow=True,
+)
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval/RAG chunking: 32-token windows with 8-token overlap
+    (stride 24) over every document — tokenize → generate → explode →
+    slice, an entirely narrow plan (zero exchanges). NULL text is
+    normalized to '' so the one-empty-chunk-per-empty-doc invariant holds
+    identically in both engines."""
+    docs = load_table(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    return sampling.chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=32, overlap_tokens=8
+    )
+
+
+@query(
+    "sample_per_group",
+    """
+    SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 20
+    """,
+    shadow=True,
+)
+def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group cap: up to 20 docs per language, ranked by
+    md5(doc_id) — a fixed pseudo-random order both engines compute
+    identically. Spark plans the rank filter as WindowGroupLimit, so each
+    task ships only its local top-20 per group into the single exchange."""
+    docs = load_table(spark, sf, "documents")
+    out = sampling.sample_per_group(docs, "lang", 20, "doc_id")
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+@query(
+    "robust_scale",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+               quantile_cont(CAST(value AS DOUBLE), 0.5)  AS med,
+               quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN q3 - q1 > 0 THEN
+               round(greatest(least(
+                   (CAST(e.value AS DOUBLE) - med) / (q3 - q1), 5.0), -5.0), 6)
+           END AS value_scaled
+    FROM events e JOIN stats USING (event_type)
+    """,
+    shadow=True,
+)
+def q_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/IQR robust scaling of event values per event_type, clipped at
+    ±5 IQRs — the exact-percentile path (oracle-mirrorable); the registered
+    operator's approx=True path swaps in mergeable percentile_approx
+    sketches for the 100 TB run. One stats agg → broadcast join → narrow
+    projection."""
+    ev = load_table(spark, sf, "events")
+    out = features.robust_scale(ev, "value", "event_type", clip=5.0)
+    return out.select("event_id", "event_type", "value_scaled")
+
+
+@query("bigram_logprob")  # rows-only in the registry: avg-of-doubles makes
+# the 6-dp hash knife-edge-prone across engines' summation orders; the
+# DuckDB parity check is pinned in-repo with a float tolerance instead
+# (tests/test_mixing.py::test_bigram_logprob_matches_duckdb_oracle),
+# exactly like unigram_logprob.
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Fluency quality signal: mean negative log-prob of each document's
+    adjacent token pairs under the corpus's own add-1-smoothed bigram LM
+    (catches word-salad junk whose unigrams look corpus-typical). Pairs
+    form array-side (zip_with of slices — narrow); the count table joins
+    back as a shuffle hash join on (w1, w2)."""
+    docs = load_table(spark, sf, "documents")
+    return text.bigram_logprob_score(docs, "text", "doc_id")

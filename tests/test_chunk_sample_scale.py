@@ -1,0 +1,150 @@
+"""Round-5 extensions: retrieval chunking, per-group sampling, robust
+scaling — the invariants the SQL oracles can't express (coverage/overlap
+reconstruction, partitioning independence, approx-vs-exact closeness)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import features, sampling
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet")
+
+
+# --- chunk_documents ---------------------------------------------------------
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_chunk_covers_every_token_with_exact_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    out = sampling.chunk_documents(
+        _mk_docs(spark, [words]), "text", "doc_id", 32, 8
+    ).orderBy("chunk_idx").collect()
+    # stride 24 over 100 tokens -> ceil((100-8)/24) = 4 chunks
+    assert [r.chunk_idx for r in out] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in out] == [32, 32, 32, 28]
+    for r in out:
+        toks = r.chunk_text.split(" ")
+        assert toks[0] == f"w{r.chunk_idx * 24}"  # stride positions exact
+        assert len(toks) == r.n_chunk_tokens
+    # adjacent chunks share exactly the 8-token overlap band
+    assert out[0].chunk_text.split(" ")[-8:] == out[1].chunk_text.split(" ")[:8]
+    # union of chunks covers the doc in order (dedup overlaps)
+    seen = []
+    for r in out:
+        for t in r.chunk_text.split(" "):
+            if not seen or seen[-1] != t:
+                if t not in seen:
+                    seen.append(t)
+    assert seen == words.split(" ")
+
+
+def test_chunk_short_and_empty_docs_keep_one_row(spark):
+    out = sampling.chunk_documents(
+        _mk_docs(spark, ["only three tokens", "", "   "]),
+        "text", "doc_id", 32, 8,
+    ).collect()
+    by_doc = {(r.doc_id, r.chunk_idx): r for r in out}
+    assert len(out) == 3  # one chunk each, nothing disappears
+    assert by_doc[(0, 0)].n_chunk_tokens == 3
+    assert by_doc[(0, 0)].chunk_text == "only three tokens"
+    assert by_doc[(1, 0)].n_chunk_tokens == 0
+    assert by_doc[(1, 0)].chunk_text == ""
+    assert by_doc[(2, 0)].n_chunk_tokens == 0
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(
+            _mk_docs(spark, ["x"]), "text", "doc_id", 16, 16
+        )
+
+
+# --- sample_per_group --------------------------------------------------------
+
+
+def test_sample_per_group_caps_and_ranks(docs):
+    out = sampling.sample_per_group(docs, "lang", 5, "doc_id")
+    sizes = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    avail = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(5, avail[lang])
+    ranks = {r.sample_rank for r in out.collect()}
+    assert ranks <= {1, 2, 3, 4, 5}
+
+
+def test_sample_per_group_partitioning_independent(docs):
+    a = sampling.sample_per_group(docs, "lang", 7, "doc_id")
+    b = sampling.sample_per_group(
+        docs.repartition(13, "source"), "lang", 7, "doc_id"
+    )
+    assert sorted((r.doc_id, r.sample_rank) for r in a.collect()) == sorted(
+        (r.doc_id, r.sample_rank) for r in b.collect()
+    )
+
+
+# --- robust_scale ------------------------------------------------------------
+
+
+def test_robust_scale_matches_manual(spark):
+    # values 0..8 in one group: q1=2, med=4, q3=6, iqr=4
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(9)], "id long, g string, value double"
+    )
+    out = {
+        r.id: r.value_scaled
+        for r in features.robust_scale(df, "value", "g").collect()
+    }
+    assert out[4] == 0.0
+    assert out[0] == pytest.approx(-1.0)
+    assert out[8] == pytest.approx(1.0)
+
+
+def test_robust_scale_clips_and_handles_constant_group(spark):
+    rows = [(i, "hot", 1.0) for i in range(5)]  # constant -> IQR 0 -> NULL
+    rows += [(10 + i, "g", float(i)) for i in range(9)] + [(99, "g", 1e9)]
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    out = {
+        r.id: r.value_scaled
+        for r in features.robust_scale(df, "value", "g", clip=5.0).collect()
+    }
+    assert all(out[i] is None for i in range(5))
+    assert out[99] == 5.0  # clipped at +clip
+
+
+def test_robust_scale_approx_close_to_exact(spark):
+    df = (
+        spark.range(5000)
+        .select(
+            F.col("id"),
+            F.lit("g").alias("g"),
+            (F.col("id") % 101).cast("double").alias("value"),
+        )
+    )
+    exact = {
+        r.id: r.value_scaled
+        for r in features.robust_scale(df, "value", "g").collect()
+    }
+    approx = {
+        r.id: r.value_scaled
+        for r in features.robust_scale(df, "value", "g", approx=True).collect()
+    }
+    diffs = [abs(exact[k] - approx[k]) for k in exact if exact[k] is not None]
+    assert max(diffs) < 0.05  # sketch accuracy=10000 on 5k rows is tight

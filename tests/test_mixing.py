@@ -412,6 +412,101 @@ def test_unigram_logprob_ranks_rare_junk_higher(spark):
     assert s[3] > s[1] and s[3] > s[2]
 
 
+# --- bigram log-prob fluency signal ------------------------------------------
+
+
+def test_bigram_logprob_matches_duckdb_oracle(spark):
+    """Same in-repo oracle pattern as the unigram scorer (avg-of-doubles →
+    float tolerance, not a 6-dp hash)."""
+    import duckdb
+
+    out = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in text.bigram_logprob_score(
+            spark.read.parquet(f"{SF0001}/documents.parquet"), "text", "doc_id"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF0001}/documents.parquet'"
+    )
+    rows = con.execute(
+        r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x != ''), x -> lower(x)) AS t
+            FROM documents
+        ), pairs AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+            WHERE len(t) >= 2
+        ), bg AS (
+            SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+            FROM pairs GROUP BY w1, w2
+        ), ctx AS (
+            SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1
+        ), v AS (
+            SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS n_vocab FROM pairs
+        ), logp AS (
+            SELECT w1, w2, ln((c12 + 1.0) / (c1 + n_vocab)) AS lp
+            FROM bg JOIN ctx USING (w1), v
+        ), scored AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(-avg(lp), 6) AS s
+            FROM pairs JOIN logp USING (w1, w2) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(s.n_bigrams, 0), s.s
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        """
+    ).fetchall()
+    expected = {r[0]: (r[1], r[2]) for r in rows}
+    assert len(out) == len(expected)
+    for k, (n, s) in expected.items():
+        assert out[k][0] == n, k
+        if s is None:
+            assert out[k][1] is None, k
+        else:
+            assert out[k][1] == pytest.approx(s, abs=2e-6), k
+
+
+def test_bigram_logprob_catches_word_salad(spark):
+    """Scrambled text reuses corpus-typical WORDS but rare PAIRS — the
+    bigram scorer separates it where the unigram scorer can't."""
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(1, 9)]
+        + [(9, "mat the on sat cat the")],  # same tokens, scrambled order
+        "doc_id long, text string",
+    )
+    uni = {
+        r.doc_id: r.avg_neg_logprob
+        for r in text.unigram_logprob_score(docs, "text", "doc_id").collect()
+    }
+    bi = {
+        r.doc_id: r.avg_neg_logprob
+        for r in text.bigram_logprob_score(docs, "text", "doc_id").collect()
+    }
+    assert uni[9] == pytest.approx(uni[1], abs=1e-6)  # unigram is blind
+    assert bi[9] > bi[1]  # bigram is not
+
+
+def test_bigram_logprob_short_docs_keep_rows(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "two tokens")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in text.bigram_logprob_score(docs, "text", "doc_id").collect()
+    }
+    assert len(out) == 4
+    for d in (1, 2, 3):
+        assert out[d] == (0, None)
+    assert out[4][0] == 1 and out[4][1] is not None
+
+
 # --- unicode robustness ------------------------------------------------------
 
 
