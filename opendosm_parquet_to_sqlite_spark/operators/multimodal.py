@@ -182,16 +182,18 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """Full PNG decode with ONLY the stdlib: (width, height, n_channels,
     raw interleaved 8-bit samples, row-major).
 
-    Covers the non-interlaced 8-bit-depth color types (gray, RGB,
-    gray+alpha, RGBA) plus palette (color type 3) at bit depths
-    1/2/4/8: chunk walk → concatenated-IDAT zlib inflate → per-scanline
-    filter reconstruction (None/Sub/Up/Average/Paeth, the complete
-    filter set of the spec) → for palette, MSB-first index unpack + PLTE
+    Covers gray/RGB/gray+alpha/RGBA at 8- AND 16-bit depth (16-bit
+    samples are reduced to their high byte — the spec's 16→8
+    approximation) plus palette (color type 3) at bit depths 1/2/4/8,
+    both non-interlaced and Adam7-interlaced: chunk walk →
+    concatenated-IDAT zlib inflate → per-pass per-scanline filter
+    reconstruction (None/Sub/Up/Average/Paeth, the complete filter set;
+    Adam7 defilters each of the 7 passes independently then scatters
+    into the final raster) → for palette, MSB-first index unpack + PLTE
     lookup, emitting RGB — or RGBA when a tRNS chunk supplies per-entry
-    alpha (absent entries default to opaque, per spec). 16-bit depth on
-    non-palette color types and Adam7 interlacing raise
-    NotImplementedError — those belong to a real codec plug-in, not byte
-    surgery.
+    alpha (absent entries default to opaque, per spec). Only genuinely
+    codec-library territory (JPEG, exotic IHDR combos) remains behind
+    the NotImplementedError plug-in contract.
 
     Per-byte Python per scanline (Sub/Average/Paeth are sequential in x by
     definition, so there is no vectorized form); production pipelines with
@@ -229,33 +231,83 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     w, h, depth, color, comp, filt, interlace = meta
     if comp != 0 or filt != 0:
         raise ValueError("invalid IHDR compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG needs a codec plug-in")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid IHDR interlace method {interlace}")
     if color == 3:
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"invalid palette bit depth {depth}")
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG missing/malformed PLTE chunk")
-        # filter unit (bpp) for sub-byte depths is one byte, per spec
-        bpp, stride = 1, (w * depth + 7) // 8
-    elif depth != 8 or color not in _PNG_CHANNELS:
+        spp = 1  # one palette index per pixel
+    elif color in _PNG_CHANNELS and depth in (8, 16):
+        spp = _PNG_CHANNELS[color]
+    else:
         raise NotImplementedError(
             f"PNG depth={depth} color={color} needs a codec plug-in "
-            "(stdlib path covers 8-bit gray/RGB/gray+alpha/RGBA and "
-            "1/2/4/8-bit palette)"
+            "(stdlib path covers 8/16-bit gray/RGB/gray+alpha/RGBA and "
+            "1/2/4/8-bit palette, non-interlaced and Adam7)"
         )
-    else:
-        bpp = _PNG_CHANNELS[color]
-        stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
+    # Image buffer holds ONE BYTE PER SAMPLE: 16-bit samples are reduced
+    # to their high byte after defiltering (exact at 0x0000/0xFFFF, max
+    # error 1/257 — the spec's own 16→8 approximation); palette pixels
+    # hold the index byte until _palette_expand.
+    img = bytearray(w * h * spp)
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass for tiny images, no scanlines at all
+        # filter unit is whole bytes (sub-byte depths use one byte), spec §9
+        bpp = max(1, (depth * spp) // 8)
+        stride = (pw * depth * spp + 7) // 8
+        rows, off = _defilter(raw, ph, stride, bpp, off)
+        for j in range(ph):
+            px = _unpack_row(rows[j * stride : (j + 1) * stride], pw, depth, spp)
+            y = y0 + j * dy
+            if dx == 1:
+                img[(y * w + x0) * spp : (y * w + x0 + pw) * spp] = px
+            else:
+                for i in range(pw):
+                    o = (y * w + x0 + i * dx) * spp
+                    img[o : o + spp] = px[i * spp : (i + 1) * spp]
+    if off != len(raw):
         raise ValueError("IDAT payload does not match IHDR dimensions")
-    out = bytearray(stride * h)
+    if color != 3:
+        return w, h, spp, bytes(img)
+    return _palette_expand(bytes(img), w, h, plte, trns)
+
+
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step), spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _defilter(
+    raw: bytes, ph: int, stride: int, bpp: int, off: int
+) -> tuple[bytes, int]:
+    """Reconstruct ph scanlines of `stride` bytes starting at `off` in the
+    inflated IDAT stream (each prefixed by its filter byte); returns the
+    defiltered rows and the new stream offset. Filters reference the
+    PREVIOUS ROW OF THE SAME PASS (prev = zeros at each pass start), which
+    is why Adam7 defilters per pass rather than over the whole stream."""
+    if len(raw) < off + (stride + 1) * ph:
+        raise ValueError("IDAT payload does not match IHDR dimensions")
+    out = bytearray(stride * ph)
     prev = bytearray(stride)
-    for y in range(h):
-        off = y * (stride + 1)
+    for y in range(ph):
         f = raw[off]
         line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += stride + 1
         if f == 0:
             pass
         elif f == 1:  # Sub
@@ -281,43 +333,49 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter type {f} at row {y}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
-    if color != 3:
-        return w, h, bpp, bytes(out)
-    return _palette_expand(bytes(out), w, h, depth, stride, plte, trns)
+    return bytes(out), off
+
+
+def _unpack_row(line: bytes, pw: int, depth: int, spp: int) -> bytes:
+    """One defiltered scanline → pw*spp bytes, one byte per sample:
+    depth 8 passes through, depth 16 keeps each sample's high byte,
+    sub-byte depths (palette) unpack MSB-first."""
+    if depth == 8:
+        return line[: pw * spp]
+    if depth == 16:
+        return line[: pw * spp * 2 : 2]
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    out = bytearray(pw)
+    for x in range(pw):
+        shift = 8 - depth * (x % per_byte + 1)
+        out[x] = (line[x // per_byte] >> shift) & mask
+    return bytes(out)
 
 
 def _palette_expand(
-    idx_rows: bytes,
+    idx_px: bytes,
     w: int,
     h: int,
-    depth: int,
-    stride: int,
     plte: bytes,
     trns: bytes | None,
 ) -> tuple[int, int, int, bytes]:
-    """Defiltered palette index rows → interleaved RGB(A) samples: MSB-
-    first sub-byte unpack, PLTE lookup, optional tRNS alpha (entries past
-    the tRNS length are opaque, per spec)."""
+    """Per-pixel palette index bytes → interleaved RGB(A) samples: PLTE
+    lookup, optional tRNS alpha (entries past the tRNS length are opaque,
+    per spec)."""
     n_entries = len(plte) // 3
     ch = 4 if trns is not None else 3
-    mask = (1 << depth) - 1
-    per_byte = 8 // depth
     out = bytearray(w * h * ch)
     o = 0
-    for y in range(h):
-        row = idx_rows[y * stride : (y + 1) * stride]
-        for x in range(w):
-            byte = row[x // per_byte]
-            shift = 8 - depth * (x % per_byte + 1)
-            idx = (byte >> shift) & mask
-            if idx >= n_entries:
-                raise ValueError(
-                    f"palette index {idx} out of range ({n_entries} entries)"
-                )
-            out[o : o + 3] = plte[idx * 3 : idx * 3 + 3]
-            if ch == 4:
-                out[o + 3] = trns[idx] if idx < len(trns) else 255
-            o += ch
+    for idx in idx_px:
+        if idx >= n_entries:
+            raise ValueError(
+                f"palette index {idx} out of range ({n_entries} entries)"
+            )
+        out[o : o + 3] = plte[idx * 3 : idx * 3 + 3]
+        if ch == 4:
+            out[o + 3] = trns[idx] if idx < len(trns) else 255
+        o += ch
     return w, h, ch, bytes(out)
 
 

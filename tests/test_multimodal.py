@@ -307,11 +307,139 @@ def test_png_pixels_rejects_unsupported_variants():
     with pytest.raises(ValueError, match="PLTE"):
         multimodal.png_pixels(with_ihdr(8, 3, 0))  # palette w/o PLTE chunk
     with pytest.raises(NotImplementedError, match="plug-in"):
-        multimodal.png_pixels(with_ihdr(16, 2, 0))  # 16-bit
-    with pytest.raises(NotImplementedError, match="plug-in"):
-        multimodal.png_pixels(with_ihdr(8, 2, 1))  # Adam7
+        multimodal.png_pixels(with_ihdr(4, 2, 0))  # sub-byte RGB: invalid combo
+    with pytest.raises(ValueError, match="IHDR dimensions"):
+        multimodal.png_pixels(with_ihdr(8, 2, 1))  # Adam7 w/ wrong IDAT length
     with pytest.raises(ValueError, match="signature"):
         multimodal.png_pixels(b"not a png")
+
+
+# --- 16-bit depth + Adam7 interlacing ----------------------------------------
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _encode_png_full(samples, w, h, channels, depth, filters, interlace=0,
+                     plte=None):
+    """General reference encoder: any depth (1/2/4/8/16), optional Adam7,
+    optional palette (samples are then per-pixel indices, channels=1)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    color = 3 if plte is not None else {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = max(1, channels * depth // 8)
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    out = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        prev = bytearray(stride)
+        for j in range(ph):
+            y = y0 + j * dy
+            line = bytearray()
+            if depth < 8:
+                acc, nbits = 0, 0
+                for i in range(pw):
+                    acc = (acc << depth) | samples[y * w + x0 + i * dx]
+                    nbits += depth
+                    if nbits == 8:
+                        line.append(acc)
+                        acc, nbits = 0, 0
+                if nbits:
+                    line.append(acc << (8 - nbits))
+            else:
+                for i in range(pw):
+                    x = x0 + i * dx
+                    for c in range(channels):
+                        v = samples[(y * w + x) * channels + c]
+                        line += (struct.pack(">H", v) if depth == 16
+                                 else bytes([v]))
+            f = filters[fi % len(filters)]
+            fi += 1
+            enc = bytearray(stride)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+            out += bytes([f]) + bytes(enc)
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += chunk(b"PLTE", plte)
+    return body + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b"")
+
+
+def test_png_16bit_reduces_to_high_byte():
+    w, h, ch = 9, 5, 3
+    samples = [((x * 7919 + 13) % 65536) for x in range(w * h * ch)]
+    payload = _encode_png_full(samples, w, h, ch, 16, [0, 1, 2, 3, 4])
+    gw, gh, gch, px = multimodal.png_pixels(payload)
+    assert (gw, gh, gch) == (w, h, ch)
+    assert list(px) == [v >> 8 for v in samples]
+
+
+@pytest.mark.parametrize("depth,channels", [(8, 3), (8, 1), (16, 4)])
+def test_png_adam7_matches_sequential(depth, channels):
+    w, h = 13, 9  # exercises partial/empty Adam7 passes
+    hi = (1 << depth) - 1
+    samples = [((x * 2654435761 + 5) % (hi + 1)) for x in range(w * h * channels)]
+    seq = multimodal.png_pixels(
+        _encode_png_full(samples, w, h, channels, depth, [0, 1, 2, 3, 4]))
+    lace = multimodal.png_pixels(
+        _encode_png_full(samples, w, h, channels, depth, [4, 3, 2, 1, 0],
+                         interlace=1))
+    assert seq == lace
+    expected = [v >> 8 for v in samples] if depth == 16 else samples
+    assert list(seq[3]) == expected
+
+
+@pytest.mark.parametrize("depth", [2, 8])
+def test_png_adam7_palette(depth):
+    w, h = 11, 6
+    n = 1 << depth
+    plte = bytes((x * 89 + 3) % 256 for x in range(n * 3))
+    idx = [(x * 31 + 7) % n for x in range(w * h)]
+    seq = multimodal.png_pixels(
+        _encode_png_full(idx, w, h, 1, depth, [0, 1, 2], plte=plte))
+    lace = multimodal.png_pixels(
+        _encode_png_full(idx, w, h, 1, depth, [2, 4, 0], interlace=1,
+                         plte=plte))
+    assert seq == lace
+    assert seq[:3] == (w, h, 3)
+    rgb = seq[3]
+    for p, i in enumerate(idx):
+        assert rgb[p * 3 : p * 3 + 3] == plte[i * 3 : i * 3 + 3]
+
+
+def test_png_adam7_tiny_image_skips_empty_passes():
+    # 2x2: passes 2,3,5 are empty; decoder must not consume scanlines there
+    samples = [10, 20, 30, 40]
+    out = multimodal.png_pixels(
+        _encode_png_full(samples, 2, 2, 1, 8, [0], interlace=1))
+    assert out == (2, 2, 1, bytes(samples))
 
 
 def test_auto_decode_real_for_valid_fake_for_garbage():
