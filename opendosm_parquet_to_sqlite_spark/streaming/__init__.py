@@ -22,6 +22,7 @@ same way the batch plans do: one hash exchange on the keys, no global state.
 from .corpus import corpus_ingest_stream, rowwise_repetition_ok
 from .incremental import (
     dedup_within_watermark,
+    enrich_stream,
     latest_per_key_stream,
     read_stream_parquet,
     run_available_now,
@@ -32,6 +33,7 @@ from .pipeline import stream_prices_to_sqlite
 __all__ = [
     "corpus_ingest_stream",
     "dedup_within_watermark",
+    "enrich_stream",
     "latest_per_key_stream",
     "read_stream_parquet",
     "rowwise_repetition_ok",

@@ -118,6 +118,40 @@ def tumbling_window_agg_stream(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: decorate a stream with dimension
+    attributes (user → segment, item → category). Spark re-executes the
+    static side every microbatch, but a plain parquet path PINS its file
+    listing when the DataFrame is created — overwritten/appended dim
+    files are NOT picked up (and overwrites can fail the query with
+    FILE_NOT_EXIST). For a live dim, re-read it inside foreachBatch or
+    back it with a catalog table and REFRESH TABLE; restart the query
+    otherwise.
+
+    The broadcast hint is the whole 100 TB story: an un-hinted
+    stream-static join shuffles EACH microbatch on the key, while a
+    broadcast dim makes enrichment a narrow map over the stream — the
+    stream side never exchanges. Set hint_broadcast=False only when the
+    dim genuinely exceeds broadcast size; then pre-bucket both sides on
+    the key instead. Only stateless modes are allowed here ('inner' /
+    'left'): right/full-outer stream-static is either unsupported by
+    Spark or requires watermark state — use join_streams_interval for
+    stream-stream semantics.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"enrich_stream supports how='inner'|'left', got {how!r}"
+        )
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return stream.join(d, on, how)
+
+
 def run_available_now(
     out: DataFrame,
     checkpoint_dir: str,

@@ -345,3 +345,82 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     )
     assert sorted(real) == want
     assert len(real) == len(set(real))  # append: each session exactly once
+
+
+# --- stream-static enrichment join -------------------------------------------
+
+
+def test_enrich_stream_matches_batch_and_stays_narrow(spark, tmp_path):
+    """Broadcast stream-static enrichment drains to exactly the batch
+    join; the streamed side must never shuffle (BroadcastHashJoin in the
+    microbatch plan)."""
+    src, schema = _events_dir(spark, tmp_path, n_files=3)
+    dim_rows = [("click", "engage"), ("view", "passive"), ("purchase", "convert")]
+    dim = spark.createDataFrame(dim_rows, "event_type string, segment string")
+
+    from opendosm_parquet_to_sqlite_spark.streaming import enrich_stream
+
+    sdf = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+    out = enrich_stream(
+        sdf.select("event_id", "event_type"), dim, "event_type", how="left"
+    )
+    got: list[tuple] = []
+
+    def sink(df, _bid):
+        got.extend((r.event_id, r.segment) for r in df.collect())
+
+    run_available_now(out, str(tmp_path / "enrich_ck"), sink, output_mode="append")
+
+    ev = load_table(spark, SF0001, "events")
+    want = sorted(
+        (r.event_id, r.segment)
+        for r in ev.select("event_id", "event_type")
+        .join(F.broadcast(dim), "event_type", "left")
+        .collect()
+    )
+    assert sorted(got) == want
+    assert len(got) == ev.count()  # left join: every stream row survives
+    # plan probe on the batch twin of one microbatch: broadcast, no exchange
+    plan = (
+        ev.select("event_id", "event_type")
+        .join(F.broadcast(dim), "event_type", "left")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_enrich_stream_inner_drops_unmatched_and_rejects_stateful_modes(
+    spark, tmp_path
+):
+    src, schema = _events_dir(spark, tmp_path, n_files=1)
+    dim = spark.createDataFrame(
+        [("click", "engage")], "event_type string, segment string"
+    )
+
+    from opendosm_parquet_to_sqlite_spark.streaming import enrich_stream
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner.*left"):
+        enrich_stream(
+            read_stream_parquet(spark, src, schema), dim, "event_type",
+            how="full_outer",
+        )
+
+    got: list[tuple] = []
+    out = enrich_stream(
+        read_stream_parquet(spark, src, schema).select(
+            "event_id", "event_type"
+        ),
+        dim, "event_type", how="inner",
+    )
+
+    def sink(df, _bid):
+        got.extend((r.event_id, r.segment) for r in df.collect())
+
+    run_available_now(out, str(tmp_path / "enrich_ck2"), sink,
+                      output_mode="append")
+    ev = load_table(spark, SF0001, "events")
+    n_click = ev.filter("event_type = 'click'").count()
+    assert len(got) == n_click  # inner: only matched rows survive
+    assert {s for _, s in got} == {"engage"}
