@@ -78,6 +78,12 @@ HEADLINE = [
     # iterations (8-iteration training wall-clock measures scheduler
     # latency; the per-iteration join+agg is the regression surface)
     "quality_classifier_2iter",
+    # round-5 extensions: narrow chunk fan-out, per-group WindowGroupLimit
+    # sample, percentile scaling, bigram-LM self-perplexity
+    "chunk_documents",
+    "sample_per_group",
+    "robust_scale",
+    "bigram_logprob",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
