@@ -34,6 +34,12 @@ def robust_scale(
     alternative to z-scoring (mean/std are unbounded under heavy tails;
     median/IQR are not).  Degenerate groups (IQR == 0: constant or
     near-constant values) yield NULL rather than a division blow-up.
+    NULL input values stay NULL (the guard below is load-bearing:
+    least/greatest skip NULLs in both Spark and DuckDB, so an unguarded
+    clamp would silently map missing data to the +clip bound).  NULL
+    group keys keep their own stats row via a null-safe join (`<=>`) —
+    groupBy already treats NULL as a group; only a plain equi-join
+    would drop those rows.
 
     Output: input columns + `{value_col}_scaled` (rounded to 6 dp).
 
@@ -59,19 +65,22 @@ def robust_scale(
         q = F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     stats_base = df.groupBy(*groups) if groups else df.groupBy()
     stats = stats_base.agg(q.alias("__q")).select(
-        *groups,
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
         F.col("__q")[0].alias("__q1"),
         F.col("__q")[1].alias("__med"),
         F.col("__q")[2].alias("__q3"),
     )
-    joined = (
-        df.join(F.broadcast(stats), groups)
-        if groups
-        else df.crossJoin(F.broadcast(stats))
-    )
+    if groups:
+        cond = None
+        for g in groups:
+            c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = c if cond is None else cond & c
+        joined = df.join(F.broadcast(stats), cond)
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     iqr = F.col("__q3") - F.col("__q1")
     scaled = F.when(
-        iqr > 0,
+        v.isNotNull() & (iqr > 0),
         F.round(
             F.greatest(
                 F.least((v - F.col("__med")) / iqr, F.lit(float(clip))),

@@ -237,8 +237,11 @@ def chunk_documents(
     normalized).
 
     n_chunks = max(ceil((n_tokens - overlap) / stride), 1): the final
-    chunk may be short, no chunk starts beyond the text, and an empty doc
-    keeps ONE empty chunk so no row silently disappears.
+    chunk may be short, no chunk starts beyond the text, and an empty OR
+    NULL doc keeps ONE empty chunk so no row silently disappears (NULL
+    text is coalesced to '' before tokenizing — without that, NULL would
+    propagate through size()/slice() and the invariant would only hold if
+    callers normalized upstream).
 
     Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
 
@@ -255,7 +258,9 @@ def chunk_documents(
     stride = int(chunk_tokens) - int(overlap_tokens)
     with_toks = df.select(
         F.col(id_col).alias("doc_id"),
-        text_ops.tokens(F.col(text_col)).alias("__toks"),
+        text_ops.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias(
+            "__toks"
+        ),
     )
     # chunk_idx 0..n_chunks-1; integer `div` (not float ceil) for the same
     # 2^53 reasons as pack_sequences' block arithmetic

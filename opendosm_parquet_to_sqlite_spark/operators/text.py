@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
+
 # Tiny deterministic stopword marker sets per language for the n-gram/stopword
 # language-ID heuristic. Chosen to be expressible identically in SQL.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -433,6 +435,7 @@ def bigram_logprob_score(
     text_col: str,
     id_col: str,
     smoothing: float = 1.0,
+    max_vocab_pairs: int | None = None,
 ) -> DataFrame:
     """Fluency-aware upgrade of `unigram_logprob_score`: score each document
     by the mean negative log-probability of its adjacent token PAIRS under
@@ -446,19 +449,27 @@ def bigram_logprob_score(
     a row with n_bigrams=0 and a NULL score (nothing silently disappears).
 
     Shape: adjacent pairs are formed ARRAY-SIDE (zip_with of two slices —
-    a narrow map, no window/exchange to order tokens), one bigram-count
-    aggregation, a count-sized join back to the pair stream, one per-doc
-    mean. The count table is NOT forced broadcast: bigram vocabulary grows
-    ~quadratically with unigram vocabulary, so at 100 TB it's a shuffle
-    hash join on (w1, w2) — prune to top-k bigrams + a default rare-pair
-    mass first if a broadcast is wanted. Deterministic arithmetic (log of
-    exact integer ratios), mirrorable in SQL.
+    a narrow map, no window/exchange to order tokens) and PERSISTED once
+    (the pair stream feeds the count agg, the vocab count, and the per-doc
+    scoring join — without the persist the token-scale explode lineage
+    would be recomputed for each).  Exact path (`max_vocab_pairs=None`):
+    the count table is NOT forced broadcast — bigram vocabulary grows
+    ~quadratically with unigram vocabulary, so at 100 TB the scoring join
+    is a shuffle hash join on (w1, w2).  Pruned path (`max_vocab_pairs=k`):
+    keep only the k most frequent bigrams (deterministic tie-break on the
+    pair), BROADCAST that table plus the unigram-context table, and score
+    any pair outside it with its context's rare-pair default mass
+    log(k_smooth / (c1 + k_smooth·V)) — i.e. as if c12 were 0.  That drops
+    the gram-scale scoring exchange entirely (the one remaining exchange
+    is the count aggregation itself); when k covers the whole bigram vocab
+    the pruned score is bit-identical to the exact one.  Deterministic
+    arithmetic (log of exact integer ratios), mirrorable in SQL.
     """
     toks = F.transform(tokens(F.col(text_col)), F.lower)
     with_toks = df.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     )
-    pairs = (
+    pairs = persist_tracked(
         with_toks.filter(F.size("__toks") >= 2)
         .select(
             "doc_id",
@@ -471,26 +482,50 @@ def bigram_logprob_score(
                 )
             ).alias("__bg"),
         )
-        .select("doc_id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+        .select(
+            "doc_id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+        )
     )
     bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = pairs.agg(F.count_distinct("w2").alias("n_vocab"))
-    logp = (
-        bg.join(ctx, "w1")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "w1",
-            "w2",
-            F.log(
-                (F.col("c12") + F.lit(smoothing))
-                / (F.col("c1") + F.lit(smoothing) * F.col("n_vocab"))
-            ).alias("__logp"),
+    if max_vocab_pairs is None:
+        logp = (
+            bg.join(ctx, "w1")
+            .crossJoin(F.broadcast(v))
+            .select(
+                "w1",
+                "w2",
+                F.log(
+                    (F.col("c12") + F.lit(smoothing))
+                    / (F.col("c1") + F.lit(smoothing) * F.col("n_vocab"))
+                ).alias("__logp"),
+            )
         )
-    )
+        scored = pairs.join(logp, ["w1", "w2"])
+    else:
+        # Top-k bigrams by count (ties broken on the pair itself so the
+        # kept set is deterministic), then both probe tables broadcast:
+        # bg_top is k rows, ctx is unigram-vocab-sized — model-sized, not
+        # corpus-sized. Pairs that miss bg_top take the rare-pair default
+        # for their observed context (c12 treated as 0).
+        bg_top = bg.orderBy(
+            F.col("c12").desc(), F.col("w1"), F.col("w2")
+        ).limit(int(max_vocab_pairs))
+        scored = (
+            pairs.join(F.broadcast(bg_top), ["w1", "w2"], "left")
+            .join(F.broadcast(ctx), "w1")
+            .crossJoin(F.broadcast(v))
+            .select(
+                "doc_id",
+                F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(smoothing))
+                    / (F.col("c1") + F.lit(smoothing) * F.col("n_vocab"))
+                ).alias("__logp"),
+            )
+        )
     per_doc = (
-        pairs.join(logp, ["w1", "w2"])
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(-F.avg("__logp"), 6).alias("avg_neg_logprob"),

@@ -2400,12 +2400,11 @@ def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval/RAG chunking: 32-token windows with 8-token overlap
     (stride 24) over every document — tokenize → generate → explode →
-    slice, an entirely narrow plan (zero exchanges). NULL text is
-    normalized to '' so the one-empty-chunk-per-empty-doc invariant holds
-    identically in both engines."""
-    docs = load_table(spark, sf, "documents").withColumn(
-        "text", F.coalesce("text", F.lit(""))
-    )
+    slice, an entirely narrow plan (zero exchanges). The operator
+    normalizes NULL text to '' internally, so the
+    one-empty-chunk-per-empty-doc invariant holds identically in both
+    engines (the oracle mirrors with coalesce(text, ''))."""
+    docs = load_table(spark, sf, "documents")
     return sampling.chunk_documents(
         docs, "text", "doc_id", chunk_tokens=32, overlap_tokens=8
     )
@@ -2446,11 +2445,11 @@ def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           CASE WHEN q3 - q1 > 0 THEN
+           CASE WHEN e.value IS NOT NULL AND q3 - q1 > 0 THEN
                round(greatest(least(
                    (CAST(e.value AS DOUBLE) - med) / (q3 - q1), 5.0), -5.0), 6)
            END AS value_scaled
-    FROM events e JOIN stats USING (event_type)
+    FROM events e JOIN stats ON e.event_type IS NOT DISTINCT FROM stats.event_type
     """,
     shadow=True,
 )
@@ -2465,11 +2464,45 @@ def q_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "event_type", "value_scaled")
 
 
-@query("bigram_logprob")  # rows-only in the registry: avg-of-doubles makes
-# the 6-dp hash knife-edge-prone across engines' summation orders; the
-# DuckDB parity check is pinned in-repo with a float tolerance instead
-# (tests/test_mixing.py::test_bigram_logprob_matches_duckdb_oracle),
-# exactly like unigram_logprob.
+@query(
+    "bigram_logprob",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x != ''), x -> lower(x)) AS t
+        FROM documents
+    ), pairs AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+    ), bg AS (
+        SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+        FROM pairs GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1
+    ), v AS (
+        SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS n_vocab FROM pairs
+    ), logp AS (
+        SELECT w1, w2, ln((c12 + 1.0) / (c1 + n_vocab)) AS lp
+        FROM bg JOIN ctx USING (w1), v
+    ), scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-avg(lp), 6) AS avg_neg_logprob
+        FROM pairs JOIN logp USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           s.avg_neg_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    shadow=True,  # shadow (not driver) oracle: avg-of-doubles sits one ULP
+    # from the 6-dp hash boundary in rare cases, so the knife-edge belongs
+    # in-repo where a flake is visible and diagnosable; the float-tolerance
+    # pin (tests/test_mixing.py::test_bigram_logprob_matches_duckdb_oracle)
+    # remains the semantic anchor, exactly like unigram_logprob.
+)
 def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """Fluency quality signal: mean negative log-prob of each document's
     adjacent token pairs under the corpus's own add-1-smoothed bigram LM

@@ -64,6 +64,18 @@ def test_chunk_short_and_empty_docs_keep_one_row(spark):
     assert by_doc[(2, 0)].n_chunk_tokens == 0
 
 
+def test_chunk_null_text_keeps_one_empty_chunk(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "two tokens")], "doc_id long, text string"
+    )
+    out = sampling.chunk_documents(df, "text", "doc_id", 32, 8).collect()
+    by_doc = {(r.doc_id, r.chunk_idx): r for r in out}
+    assert len(out) == 2  # NULL text does not drop the row or go NULL
+    assert by_doc[(0, 0)].n_chunk_tokens == 0
+    assert by_doc[(0, 0)].chunk_text == ""
+    assert by_doc[(1, 0)].chunk_text == "two tokens"
+
+
 def test_chunk_rejects_bad_overlap(spark):
     with pytest.raises(ValueError):
         sampling.chunk_documents(
@@ -127,6 +139,34 @@ def test_robust_scale_clips_and_handles_constant_group(spark):
     }
     assert all(out[i] is None for i in range(5))
     assert out[99] == 5.0  # clipped at +clip
+
+
+def test_robust_scale_null_value_stays_null(spark):
+    # least/greatest skip NULLs, so an unguarded clamp would map a NULL
+    # input to the +clip bound — the guard must keep it NULL instead.
+    rows = [(i, "g", float(i)) for i in range(9)] + [(99, "g", None)]
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    out = {
+        r.id: r.value_scaled
+        for r in features.robust_scale(df, "value", "g", clip=5.0).collect()
+    }
+    assert out[99] is None
+    assert out[8] == pytest.approx(1.0)  # non-NULL rows unaffected
+
+
+def test_robust_scale_null_group_key_kept(spark):
+    # NULL group keys form their own stats group (groupBy keeps NULL);
+    # the null-safe join must not drop those rows.
+    rows = [(i, "g", float(i)) for i in range(9)]
+    rows += [(100 + i, None, float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    out = {
+        r.id: r.value_scaled
+        for r in features.robust_scale(df, "value", "g").collect()
+    }
+    assert len(out) == 18  # nothing silently disappears
+    assert out[104] == 0.0  # NULL group scaled against its own stats
+    assert out[108] == pytest.approx(1.0)
 
 
 def test_robust_scale_approx_close_to_exact(spark):

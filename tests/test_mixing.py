@@ -492,6 +492,64 @@ def test_bigram_logprob_catches_word_salad(spark):
     assert bi[9] > bi[1]  # bigram is not
 
 
+def test_bigram_logprob_pruned_equals_exact_when_k_covers_vocab(spark):
+    """max_vocab_pairs >= |bigram vocab| keeps every pair in the broadcast
+    table, so the pruned score is bit-identical to the exact one."""
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(200)
+    exact = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in text.bigram_logprob_score(docs, "text", "doc_id").collect()
+    }
+    pruned = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in text.bigram_logprob_score(
+            docs, "text", "doc_id", max_vocab_pairs=10_000_000
+        ).collect()
+    }
+    assert pruned == exact
+
+
+def test_bigram_logprob_pruned_scores_rare_pairs_conservatively(spark):
+    """Below-k pruning treats out-of-table pairs as unseen (c12=0), so the
+    pruned neg-logprob can only move UP (never flatters a document), and
+    documents made entirely of top-k pairs keep their exact score."""
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(1, 9)] + [(9, "aardvark zyzzyva")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.avg_neg_logprob
+        for r in text.bigram_logprob_score(docs, "text", "doc_id").collect()
+    }
+    pruned = {
+        r.doc_id: r.avg_neg_logprob
+        for r in text.bigram_logprob_score(
+            docs, "text", "doc_id", max_vocab_pairs=5
+        ).collect()
+    }
+    for d in exact:
+        assert pruned[d] >= exact[d] - 1e-9, d
+    # the fluent docs' pairs all sit in the top-5 table -> exact score kept
+    assert pruned[1] == exact[1]
+    # the rare doc's single pair fell out of the table -> scored as unseen
+    assert pruned[9] > exact[9]
+
+
+def test_bigram_logprob_pruned_plan_is_broadcast_only(spark):
+    """The pruned scoring path must not shuffle the pair stream: the only
+    exchange below the per-doc agg is the bigram count agg itself — both
+    probe tables join as BroadcastHashJoin."""
+    docs = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    out = text.bigram_logprob_score(
+        docs, "text", "doc_id", max_vocab_pairs=100
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bigram_logprob_short_docs_keep_rows(spark):
     docs = spark.createDataFrame(
         [(1, "solo"), (2, ""), (3, None), (4, "two tokens")],
