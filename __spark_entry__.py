@@ -38,16 +38,18 @@ _ROWS_ONLY_PRIORITY = [
     # shadow-oracle queries: hash-checked in-repo (tests/oracle_check.py
     # runs their DuckDB SQL from SHADOW_ORACLES); driver-side rows-only
     # because the 50-entry window is already full of oracle-backed rows.
-    # Round 5 rotated the window: the round-4 flagship shadows
-    # (domain_mix, span_dedup, time_resample, running_profile,
-    # rolling_features) moved INTO the driver window, and five long-stable
-    # single-op cleanse/scan slots moved out here as shadows — in-repo
-    # hash coverage stays total either way.
-    "search_bm25",
-    "tfidf_per_doc",
-    "chunk_documents",
-    "sample_per_group",
-    "robust_scale",
+    # Round 6 rotated the window again: the round-5 shadows (search_bm25,
+    # tfidf_per_doc, chunk_documents, sample_per_group, robust_scale)
+    # moved INTO the driver window, and five long-stable single-op slots
+    # (set_ops, cast_strict_roundtrip, sort_date_desc, agg_distinct,
+    # pivot_metrics) moved out here as shadows — in-repo hash coverage
+    # stays total either way.
+    "set_ops",
+    "cast_strict_roundtrip",
+    "sort_date_desc",
+    "agg_distinct",
+    "pivot_metrics",
+    "bigram_logprob",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",
@@ -67,7 +69,6 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_simhash",
     "sketch_profile",
     "unigram_logprob",
-    "bigram_logprob",
     "quality_classifier_2iter",
     "text_lang_id_ngram",
     "multimodal_decode",

@@ -49,8 +49,9 @@ ORACLES: dict[str, str] = {}
 # parity harness (tests/oracle_check.py), which hash-checks
 # ORACLES | SHADOW_ORACLES identically. Same determinism contract. The
 # window ROTATES between rounds (round 5 promoted the round-4 flagship
-# shadows and demoted five long-stable cleanse/scan slots here) so every
-# query eventually gets driver-visible hash proof without growing the cap.
+# shadows; round 6 promoted the round-5 extension queries and demoted
+# five long-stable set-op/cast/sort/agg slots here) so every query
+# eventually gets driver-visible hash proof without growing the cap.
 SHADOW_ORACLES: dict[str, str] = {}
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -112,6 +113,7 @@ def q_union_months(spark: SparkSession, sf: str) -> DataFrame:
         SELECT c_nationkey AS nationkey FROM customer
     )
     """,
+    shadow=True,
 )
 def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct set-operation closure in one frame (SURVEY §2.6: the
@@ -167,6 +169,7 @@ def q_date_trunc10(spark: SparkSession, sf: str) -> DataFrame:
            CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_rt
     FROM events
     """,
+    shadow=True,
 )
 def q_cast_strict_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Strict (panic-on-garbage) parse round-trips in one projection:
@@ -500,6 +503,7 @@ def q_cumulative_window(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase
     FROM events GROUP BY user_id
     """,
+    shadow=True,
 )
 def q_pivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot event types into columns with an EXPLICIT value list — at
@@ -559,6 +563,7 @@ def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
            count(DISTINCT l_suppkey) AS n_suppliers
     FROM lineitem GROUP BY l_returnflag
     """,
+    shadow=True,
 )
 def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Exact multi-column distinct aggregation (expand + two-phase agg in
@@ -576,6 +581,7 @@ def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, value
     FROM events ORDER BY ts DESC, event_id
     """,
+    shadow=True,
 )
 def q_sort(spark: SparkSession, sf: str) -> DataFrame:
     """Total sort (src/main.rs:255). Range-partitioned exchange in Spark —
@@ -2020,7 +2026,6 @@ _DUCK_LTOKS = f"list_transform({_DUCK_TOKS}, x -> lower(x))"
     )
     WHERE rank <= 10
     """,
-    shadow=True,
 )
 def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 top-10 per query over the corpus — curation-time keyword
@@ -2059,7 +2064,6 @@ def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
     )
     WHERE rank <= 3
     """,
-    shadow=True,
 )
 def q_tfidf_per_doc(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf-idf —
@@ -2395,7 +2399,6 @@ def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
                AS chunk_text
     FROM idx
     """,
-    shadow=True,
 )
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval/RAG chunking: 32-token windows with 8-token overlap
@@ -2422,7 +2425,6 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents
     ) WHERE sample_rank <= 20
     """,
-    shadow=True,
 )
 def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-group cap: up to 20 docs per language, ranked by
@@ -2451,7 +2453,6 @@ def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
            END AS value_scaled
     FROM events e JOIN stats ON e.event_type IS NOT DISTINCT FROM stats.event_type
     """,
-    shadow=True,
 )
 def q_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
     """Median/IQR robust scaling of event values per event_type, clipped at
