@@ -152,3 +152,66 @@ def test_prepare_training_data_plan_shape(spark):
     assert plan.count("LeftAnti") >= 2
     # decontamination's benchmark side is broadcast, never shuffled at scale
     assert "BroadcastHashJoin LeftSemi" in plan
+
+
+def test_sample_per_group_plans_window_group_limit(spark):
+    """The rank<=k filter must compile to WindowGroupLimit (partial before
+    the exchange, final after), so each task ships only its local top-k per
+    group into the single group-keyed shuffle."""
+    plan = _plan(spark, "sample_per_group")
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_chunk_documents_plan_is_exchange_free(spark):
+    """Chunking is tokenize → sequence → explode → slice — an entirely
+    narrow map; any Exchange appearing here is a regression."""
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_robust_scale_approx_partial_agg_and_broadcast_join(spark):
+    """The approx=True scale path: percentile_approx sketches must partial-
+    aggregate map-side (ObjectHashAggregate partial+final around one
+    exchange, never a per-group sort), and the group-count-sized stats
+    table must come back as a broadcast join."""
+    import contextlib
+    import io
+
+    from opendosm_parquet_to_sqlite_spark.operators import features
+    from opendosm_parquet_to_sqlite_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF0001, "events")
+    out = features.robust_scale(ev, "value", "event_type", approx=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "percentile_approx" in plan
+    assert plan.count("ObjectHashAggregate") >= 2  # partial + final sketch
+    assert "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1  # the stats agg
+
+
+def test_contamination_bloom_probe_shuffles_docs_not_grams(spark):
+    """The round-5 single-shuffle probe shape, pinned: the k probe positions
+    are k chained BroadcastHashJoins (no posexplode of a per-gram position
+    array), and every exchange on the CANDIDATE path is doc-keyed — the
+    only gram-keyed exchanges are the two inside the benchmark-sized bloom
+    BUILD (distinct grams + bit-table agg), which is eval-suite-sized, not
+    corpus-sized. Exchange census: docs-side join sort (doc_id), probe
+    distinct partial (doc_id, ng), probe count (doc_id), build (ng), build
+    (word) = 5."""
+    plan = _plan(spark, "contamination_bloom")
+    assert "posexplode" not in plan.lower()
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin LeftOuter") == 4  # k=4 probes
+    ex = [
+        line for line in plan.splitlines()
+        if "Arguments: hashpartitioning" in line
+    ]
+    assert len(ex) == 5, ex
+    gram_keyed = [l for l in ex if "doc_id" not in l]
+    assert len(gram_keyed) == 2, gram_keyed  # bloom build only
