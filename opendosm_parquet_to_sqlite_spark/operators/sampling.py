@@ -291,6 +291,7 @@ def sample_per_group(
     group_cols: str | list[str],
     k: int,
     id_col: str,
+    prefilter_threshold: int | None = None,
 ) -> DataFrame:
     """Deterministic uniform-without-replacement sample of up to `k` rows
     per group: rank rows inside each group by md5(id) — a fixed, seedless
@@ -305,11 +306,42 @@ def sample_per_group(
     digest; Spark plans the rank-filter as WindowGroupLimit, so each
     partition keeps only its local top-k BEFORE the exchange — the shuffle
     carries O(partitions·k) rows per group, not the group's full mass.
-    Hot groups beyond that: pre-filter on a digest threshold (keep
-    md5(id) < k/|group| scaled) to cut the exchange further.
+
+    Hot-group guard (`prefilter_threshold=n`): WindowGroupLimit still
+    SCANS and locally SORTS every row of a hot group; for groups whose
+    count exceeds the threshold, an extra digest pre-filter drops rows
+    BEFORE the window — keep only rows whose first-8-hex digest prefix
+    falls below cap = ceil((4k+256)/|group| · 2^32). The prefix order is a
+    prefix of the full digest rank order, so the kept set is downward-
+    closed under the ranking: as long as ≥ k rows survive, the top-k is
+    IDENTICAL to the unfiltered result. Expected survivors are 4k+256
+    regardless of group size, so the undershoot probability is
+    Chernoff-bounded below exp(-(3k+256)²/(8k+512)) < 1e-100 — negligible
+    even across billions of groups. Costs one extra count aggregation
+    (group-count-sized exchange + broadcast back); worth it exactly when
+    a cheap count says groups are ≫ k.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     rank_key = F.md5(F.col(id_col).cast("string"))
+    if prefilter_threshold is not None:
+        counts = df.groupBy(
+            *[F.col(g).alias(f"__g_{g}") for g in groups]
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        cond = None
+        for g in groups:
+            c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = c if cond is None else cond & c
+        prefix = F.conv(F.substring(rank_key, 1, 8), 16, 10).cast("long")
+        cap = F.ceil(
+            F.lit((4.0 * k + 256.0) * 4294967296.0) / F.col("__n")
+        ).cast("long")
+        df = (
+            df.join(F.broadcast(counts), cond)
+            .filter(
+                (F.col("__n") <= int(prefilter_threshold)) | (prefix < cap)
+            )
+            .select(*df.columns)
+        )
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
         rank_key, F.col(id_col)
     )

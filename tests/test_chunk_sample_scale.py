@@ -112,6 +112,49 @@ def test_sample_per_group_partitioning_independent(docs):
     )
 
 
+def test_sample_per_group_prefilter_matches_plain(docs):
+    """The hot-group digest pre-filter must not change the sample: the kept
+    set is downward-closed under the rank order, so top-k survives."""
+    plain = sampling.sample_per_group(docs, "lang", 5, "doc_id")
+    pre = sampling.sample_per_group(
+        docs, "lang", 5, "doc_id", prefilter_threshold=10
+    )
+    assert sorted((r.doc_id, r.sample_rank) for r in plain.collect()) == sorted(
+        (r.doc_id, r.sample_rank) for r in pre.collect()
+    )
+
+
+def test_sample_per_group_prefilter_below_exchange(docs):
+    """The digest pre-filter must sit BELOW the window's group-keyed
+    exchange (it exists to shrink that shuffle). Catalyst folds the
+    threshold predicate straight into the counts-broadcast join condition,
+    so the shape is: scan → BroadcastHashJoin(…conv(substring(md5…)) <
+    cap…) → partial WindowGroupLimit → Exchange → final WindowGroupLimit."""
+    import contextlib
+    import io
+
+    out = sampling.sample_per_group(
+        docs, "lang", 5, "doc_id", prefilter_threshold=10
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    bhj = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    win_ex = [
+        i for i, l in enumerate(lines)
+        if "Exchange" in l and "Broadcast" not in l
+    ]
+    # top-down tree: the window exchange line precedes (sits above) the join
+    assert bhj and win_ex and min(win_ex) < min(bhj)
+    # the digest-prefix predicate is the join condition of that BHJ
+    assert "conv(substring(md5" in plan
+    # WindowGroupLimit partial/final still bracket the exchange
+    assert plan.count("WindowGroupLimit") >= 2
+
+
 # --- robust_scale ------------------------------------------------------------
 
 
