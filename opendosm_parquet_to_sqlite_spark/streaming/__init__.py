@@ -23,6 +23,7 @@ from .corpus import corpus_ingest_stream, rowwise_repetition_ok
 from .incremental import (
     dedup_within_watermark,
     enrich_stream,
+    enrich_stream_live,
     latest_per_key_stream,
     read_stream_parquet,
     run_available_now,
@@ -34,6 +35,7 @@ __all__ = [
     "corpus_ingest_stream",
     "dedup_within_watermark",
     "enrich_stream",
+    "enrich_stream_live",
     "latest_per_key_stream",
     "read_stream_parquet",
     "rowwise_repetition_ok",

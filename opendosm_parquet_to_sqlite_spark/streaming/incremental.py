@@ -130,9 +130,9 @@ def enrich_stream(
     static side every microbatch, but a plain parquet path PINS its file
     listing when the DataFrame is created — overwritten/appended dim
     files are NOT picked up (and overwrites can fail the query with
-    FILE_NOT_EXIST). For a live dim, re-read it inside foreachBatch or
-    back it with a catalog table and REFRESH TABLE; restart the query
-    otherwise.
+    FILE_NOT_EXIST). For a live dim use `enrich_stream_live` (re-reads
+    the dim inside foreachBatch each microbatch), back it with a catalog
+    table and REFRESH TABLE, or restart the query.
 
     The broadcast hint is the whole 100 TB story: an un-hinted
     stream-static join shuffles EACH microbatch on the key, while a
@@ -150,6 +150,47 @@ def enrich_stream(
         )
     d = F.broadcast(dim) if hint_broadcast else dim
     return stream.join(d, on, how)
+
+
+def enrich_stream_live(
+    stream: DataFrame,
+    dim_path: str,
+    on: str | list[str],
+    foreach_batch,
+    checkpoint_dir: str,
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> None:
+    """`enrich_stream` for a LIVE dimension: the documented escape hatch
+    for the file-listing pin, shipped as a helper.  A static DataFrame
+    created once pins its parquet file listing for the life of the query
+    (overwrites are invisible or fatal); here the dim is re-read from
+    `dim_path` INSIDE foreachBatch — `spark.read.parquet` re-lists files
+    per microbatch, so a dim overwritten between batches is reflected in
+    the next batch, with each batch seeing one consistent snapshot.
+
+    foreach_batch(df, batch_id) receives each ENRICHED microbatch.  Same
+    mode restriction as enrich_stream ('inner'/'left': stateless), same
+    broadcast stance — the per-batch join broadcasts the freshly-read dim,
+    so the stream side still never exchanges; the added cost vs the pinned
+    path is one dim re-read per microbatch (metadata + dim-sized IO, not
+    stream-sized — size trigger intervals accordingly).  Drains with
+    availableNow and checkpointed exactly-once progress like
+    run_available_now.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"enrich_stream_live supports how='inner'|'left', got {how!r}"
+        )
+
+    def _enrich_then(batch_df: DataFrame, batch_id: int) -> None:
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        d = F.broadcast(dim) if hint_broadcast else dim
+        foreach_batch(batch_df.join(d, on, how), batch_id)
+
+    run_available_now(
+        stream, checkpoint_dir, _enrich_then, output_mode="append"
+    )
 
 
 def run_available_now(

@@ -424,3 +424,73 @@ def test_enrich_stream_inner_drops_unmatched_and_rejects_stateful_modes(
     n_click = ev.filter("event_type = 'click'").count()
     assert len(got) == n_click  # inner: only matched rows survive
     assert {s for _, s in got} == {"engage"}
+
+
+def test_enrich_stream_live_sees_dim_overwrite_between_batches(
+    spark, tmp_path
+):
+    """The live-dim helper must re-read the dimension per microbatch: a dim
+    overwritten between two availableNow drains is reflected in the second
+    drain's batches (the exact gap the pinned enrich_stream documents)."""
+    from opendosm_parquet_to_sqlite_spark.streaming import enrich_stream_live
+
+    src = str(tmp_path / "src")
+    dim_path = str(tmp_path / "dim")
+    ck = str(tmp_path / "live_ck")
+
+    rows1 = [(1, "click"), (2, "view")]
+    spark.createDataFrame(
+        rows1, "event_id long, event_type string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("click", "engage_v1"), ("view", "passive_v1")],
+        "event_type string, segment string",
+    ).write.mode("overwrite").parquet(dim_path)
+
+    schema = spark.read.parquet(src).schema
+    got: list[tuple] = []
+
+    def sink(df, _bid):
+        got.extend((r.event_id, r.segment) for r in df.collect())
+
+    enrich_stream_live(
+        read_stream_parquet(spark, src, schema),
+        dim_path, "event_type", sink, ck,
+    )
+    assert sorted(got) == [(1, "engage_v1"), (2, "passive_v1")]
+
+    # overwrite the dim AND add new stream data; same checkpoint
+    spark.createDataFrame(
+        [("click", "engage_v2"), ("view", "passive_v2")],
+        "event_type string, segment string",
+    ).write.mode("overwrite").parquet(dim_path)
+    spark.createDataFrame(
+        [(3, "click")], "event_id long, event_type string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    got.clear()
+    enrich_stream_live(
+        read_stream_parquet(spark, src, schema),
+        dim_path, "event_type", sink, ck,
+    )
+    # only the new file is processed (checkpoint), against the NEW dim
+    assert got == [(3, "engage_v2")]
+
+
+def test_enrich_stream_live_rejects_stateful_modes(spark, tmp_path):
+    import pytest
+
+    from opendosm_parquet_to_sqlite_spark.streaming import enrich_stream_live
+
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(1, "click")], "event_id long, event_type string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    with pytest.raises(ValueError, match="inner.*left"):
+        enrich_stream_live(
+            read_stream_parquet(spark, src, schema),
+            str(tmp_path / "dim2"), "event_type",
+            lambda df, bid: None, str(tmp_path / "ck2"),
+            how="full_outer",
+        )
