@@ -4,7 +4,11 @@ reconstruction, partitioning independence, approx-vs-exact closeness)."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from opendosm_parquet_to_sqlite_spark.operators import features, sampling
@@ -110,6 +114,72 @@ def test_sample_per_group_partitioning_independent(docs):
     assert sorted((r.doc_id, r.sample_rank) for r in a.collect()) == sorted(
         (r.doc_id, r.sample_rank) for r in b.collect()
     )
+
+
+# hostile token vocabulary, mirroring tests/test_dirty_data.py: NULs,
+# zero-width space, combining marks, RTL scripts — tokens the whitespace
+# tokenizer must carry through unmangled
+_HOSTILE_TOKENS = [
+    "the", "data", "x\x00y", "\x00", "a​b", "éclair",
+    "שלום", "مرحبا", "1",
+]
+
+_fuzz_doc = st.lists(
+    st.sampled_from(_HOSTILE_TOKENS), min_size=0, max_size=20
+).map(lambda ws: " ".join(ws))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(_fuzz_doc, min_size=1, max_size=8),
+    window=st.integers(min_value=2, max_value=8),
+    overlap_frac=st.integers(min_value=0, max_value=100),
+)
+def test_chunk_documents_fuzz_mass_conservation(spark, docs, window,
+                                                overlap_frac):
+    """For arbitrary hostile docs and (window, overlap): the chunk count is
+    exactly max(ceil((n-overlap)/stride), 1), chunk j is exactly
+    tokens[j*stride : j*stride+window] (every token appears in ≥1 chunk —
+    mass conserved), and the output is partitioning-independent."""
+    overlap = overlap_frac * (window - 1) // 100  # 0..window-1
+    stride = window - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.n_chunk_tokens, r.chunk_text)
+        for r in sampling.chunk_documents(
+            df, "text", "doc_id", window, overlap
+        ).collect()
+    )
+    # determinism / partitioning independence
+    out2 = sorted(
+        (r.doc_id, r.chunk_idx, r.n_chunk_tokens, r.chunk_text)
+        for r in sampling.chunk_documents(
+            df.repartition(5), "text", "doc_id", window, overlap
+        ).collect()
+    )
+    assert out == out2
+    expected = []
+    for i, t in enumerate(docs):
+        toks = t.split()
+        n = len(toks)
+        n_chunks = max(math.ceil((n - overlap) / stride), 1)
+        for j in range(n_chunks):
+            piece = toks[j * stride : j * stride + window]
+            expected.append((i, j, len(piece), " ".join(piece)))
+    assert out == sorted(expected)
+    # mass conservation explicit: token position p of doc i is inside chunk
+    # p // stride (clamped) — every position is covered by the formula above
+    # because chunk (n_chunks-1) starts at (n_chunks-1)*stride <= n-1.
+
+
+def test_chunk_documents_window_equals_overlap_rejected(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    for window, overlap in [(4, 4), (4, 5), (1, 1)]:
+        with pytest.raises(ValueError):
+            sampling.chunk_documents(df, "text", "doc_id", window, overlap)
 
 
 def test_sample_per_group_prefilter_matches_plain(docs):
