@@ -50,6 +50,7 @@ _ROWS_ONLY_PRIORITY = [
     "agg_distinct",
     "pivot_metrics",
     "bigram_logprob",
+    "remove_boilerplate",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -84,6 +84,8 @@ HEADLINE = [
     "sample_per_group",
     "robust_scale",
     "bigram_logprob",
+    # round-6: line-level boilerplate removal (narrow array-filter path)
+    "remove_boilerplate",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

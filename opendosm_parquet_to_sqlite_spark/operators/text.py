@@ -558,3 +558,119 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_doc_count: int = 5,
+    delimiter: str = "\n",
+    strategy: str = "narrow",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line whose
+    normalized form (lower+trim) appears in at least `min_doc_count`
+    DISTINCT documents — cookie banners, nav menus, license footers — the
+    cleaning stage that sits between raw web extraction and document-level
+    dedup (line-level repetition is invisible to whole-doc digests).
+    Blank lines are never counted and never removed; document order is
+    preserved; every input document keeps a row (a fully-boilerplate doc
+    comes back with empty text, nothing silently disappears).
+
+    Output: (doc_id, text_clean, n_lines_kept, n_lines_removed).
+
+    Shape, narrow strategy (default): one exploded-key aggregation finds
+    the boilerplate set (count_distinct partial-aggregates map-side; the
+    exchange carries normalized line keys, not documents), the set is
+    collapsed to a single sorted array and broadcast via a 1-row
+    crossJoin (the repo's broadcast-stats idiom), and removal is a purely
+    NARROW array filter over each document — the corpus text itself is
+    never shuffled.  array_contains is a linear probe per line, so this
+    is the right plan while the boilerplate set is set-like (≲10^5
+    entries — the head of the line-frequency distribution, which is the
+    definition of boilerplate).  strategy='shuffle' is the escape hatch
+    for pathological boilerplate sets: posexplode → broadcast anti-join
+    per line → doc-keyed regroup (one corpus-text exchange); both
+    strategies are row-identical (pinned in tests).
+    """
+    if strategy not in ("narrow", "shuffle"):
+        raise ValueError(f"strategy must be narrow|shuffle, got {strategy!r}")
+    import re as _re
+
+    split_re = _re.escape(delimiter)
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), split_re)
+    key = lambda c: F.lower(F.trim(c))  # noqa: E731
+
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(lines).alias("__line"),
+    ).select("doc_id", key(F.col("__line")).alias("__k"))
+    bp = (
+        exploded.filter(F.col("__k") != "")
+        .groupBy("__k")
+        .agg(F.count_distinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= int(min_doc_count))
+    )
+
+    if strategy == "narrow":
+        bp_arr = bp.agg(
+            F.coalesce(
+                F.sort_array(F.collect_list("__k")),
+                F.array().cast("array<string>"),
+            ).alias("__bp")
+        )
+        kept = F.filter(
+            lines,
+            lambda x: (key(x) == "")
+            | ~F.array_contains(F.col("__bp"), key(x)),
+        )
+        return (
+            df.crossJoin(F.broadcast(bp_arr))
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.array_join(kept, delimiter).alias("text_clean"),
+                F.size(kept).cast("long").alias("n_lines_kept"),
+                (F.size(lines) - F.size(kept))
+                .cast("long")
+                .alias("n_lines_removed"),
+            )
+        )
+
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines).alias("__idx", "__line"),
+    )
+    kept_rows = pos.join(
+        F.broadcast(bp),
+        (key(F.col("__line")) == F.col("__k")) & (key(F.col("__line")) != ""),
+        "left_anti",
+    )
+    regrouped = kept_rows.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__idx", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            delimiter,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("__n_all"),
+    )
+    return (
+        totals.join(regrouped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            (F.col("__n_all") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -2512,3 +2512,50 @@ def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     back as a shuffle hash join on (w1, w2)."""
     docs = load_table(spark, sf, "documents")
     return text.bigram_logprob_score(docs, "text", "doc_id")
+
+
+@query(
+    "remove_boilerplate",
+    """
+    WITH src AS (
+        SELECT doc_id, replace(coalesce(text, ''), ' merge ', chr(10)) AS t
+        FROM documents
+    ), lines AS (
+        SELECT doc_id, ls[i] AS line, i
+        FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+             LATERAL unnest(generate_series(1, len(ls))) AS g(i)
+    ), bp AS (
+        SELECT lower(trim(line)) AS k
+        FROM lines WHERE lower(trim(line)) != ''
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5
+    ), marked AS (
+        SELECT doc_id, line, i,
+               (lower(trim(line)) = ''
+                OR lower(trim(line)) NOT IN (SELECT k FROM bp)) AS kept
+        FROM lines
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+                               ORDER BY i), '') AS text_clean,
+           CAST(count(*) FILTER (kept) AS BIGINT) AS n_lines_kept,
+           CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_lines_removed
+    FROM marked GROUP BY doc_id
+    """,
+    shadow=True,
+)
+def q_remove_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal over documents. The
+    fixture text is single-line, so lines are derived by turning the
+    token ' merge ' into a newline — a plain (non-regex) replace both
+    engines implement with identical leftmost-non-overlap semantics —
+    then every line whose lower+trim form appears in >= 5 distinct docs
+    is dropped. The narrow strategy keeps the corpus unshuffled: one
+    key-only count_distinct agg, the boilerplate set broadcast as a
+    1-row sorted array, removal as an array filter."""
+    docs = load_table(spark, sf, "documents").withColumn(
+        "text", F.replace(F.coalesce("text", F.lit("")), F.lit(" merge "),
+                          F.lit("\n"))
+    )
+    return text.remove_boilerplate_lines(
+        docs, "text", "doc_id", min_doc_count=5
+    )
