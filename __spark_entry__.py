@@ -51,6 +51,13 @@ _ROWS_ONLY_PRIORITY = [
     "pivot_metrics",
     "bigram_logprob",
     "remove_boilerplate",
+    # round-6 extensions (shadow oracles, hash-checked in-repo):
+    "url_features",
+    "url_host_stats",
+    "outlier_mad",
+    "value_histogram",
+    "dedup_ngram_containment",
+    "shipping_priority",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -86,6 +86,17 @@ HEADLINE = [
     "bigram_logprob",
     # round-6: line-level boilerplate removal (narrow array-filter path)
     "remove_boilerplate",
+    # round-6 extensions: URL hygiene (narrow regexp + one host exchange),
+    # MAD outlier flags (two broadcast-back stats passes), equi-width
+    # histogram (two partial-combined aggs), containment near-dup (same
+    # inverted-index plan as jaccard, different score), TPC-H Q3 shape
+    # (broadcast dim + fact join + TakeOrdered top-k)
+    "url_features",
+    "url_host_stats",
+    "outlier_mad",
+    "value_histogram",
+    "dedup_ngram_containment",
+    "shipping_priority",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

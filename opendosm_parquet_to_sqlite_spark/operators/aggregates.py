@@ -245,3 +245,79 @@ def tumbling_window_agg(
             "avg_value",
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Fixed-bin equi-width histogram per group — the distribution panel of
+    a dataset card (token-length histograms, quality-score histograms,
+    event-value histograms), computed without collecting anything.
+
+    Bin bounds come from the group's own [min, max]: bin i covers
+    [min + i*w, min + (i+1)*w) with w = (max-min)/n_bins, the last bin
+    closed so max lands in bin n_bins-1.  Groups where max == min put
+    every row in bin 0 (width 0 is reported as such).  NULL values are
+    excluded (they are a count in profile_nulls, not a position in a
+    distribution).  Empty bins are ABSENT rather than zero-filled —
+    downstream renderers densify; the engine does not ship zeros.
+
+    Output: group cols + `bin` (0-based), `bin_lo`, `bin_hi` (6 dp),
+    `n` (count).
+
+    Shape: two aggregation passes, both map-side partial-combined —
+    (1) per-group min/max (group-count-sized result, broadcast back),
+    (2) per-(group, bin) counts.  The data is scanned twice and each
+    exchange carries partial rows, never the corpus; at 100 TB both
+    passes are scan-bound.  Float note: bin edges are computed with the
+    same double arithmetic ((v-min)/w, floored, clamped) in Spark and
+    the DuckDB oracle, so edge assignment is bit-identical.
+    """
+    groups: list[str]
+    if group_cols is None:
+        groups = []
+    elif isinstance(group_cols, str):
+        groups = [group_cols]
+    else:
+        groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    gb = base.groupBy(*groups) if groups else base.groupBy()
+    bounds = gb.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    ).select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups], "__lo", "__hi"
+    )
+    if groups:
+        cond = None
+        for g in groups:
+            c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = c if cond is None else cond & c
+        joined = base.join(F.broadcast(bounds), cond)
+    else:
+        joined = base.crossJoin(F.broadcast(bounds))
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bin_col = F.when(w > 0, F.least(
+        F.floor((v - F.col("__lo")) / w), F.lit(n_bins - 1)
+    )).otherwise(F.lit(0)).cast("long")
+    binned = joined.select(
+        *groups, bin_col.alias("bin"), "__lo", "__hi", w.alias("__w")
+    )
+    return (
+        binned.groupBy(*groups, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__lo").alias("__lo"),
+            F.first("__w").alias("__w"),
+        )
+        .select(
+            *groups,
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * F.col("__w"), 6).alias("bin_lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * F.col("__w"), 6).alias("bin_hi"),
+            "n",
+        )
+    )

@@ -92,3 +92,83 @@ def robust_scale(
     return joined.select(
         *df.columns, scaled.alias(f"{value_col}_scaled")
     )
+
+
+def flag_outliers_mad(
+    df: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    k: float = 3.5,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """MAD-based outlier flagging: robust_z = (v - median) /
+    (1.4826 * MAD) where MAD = median(|v - median|); rows with
+    |robust_z| > k are flagged.  The 1.4826 constant makes MAD a
+    consistent sigma estimator under normality, so k reads like a
+    z-score cutoff while staying bounded under heavy tails (one
+    corrupt sensor can move a mean/std arbitrarily; it cannot move
+    either median).
+
+    NULL input values yield NULL robust_z and NULL is_outlier (missing
+    is not an outlier verdict); degenerate groups (MAD == 0: majority-
+    constant values) likewise yield NULLs rather than a division
+    blow-up.  NULL group keys keep their own stats rows via null-safe
+    joins, mirroring robust_scale.
+
+    Output: input columns + `robust_z` (6 dp) + `is_outlier`.
+
+    Shape: median aggregation → broadcast join → |v-med| projection →
+    MAD aggregation → broadcast join → narrow flag projection.  Two
+    stats passes are inherent (MAD is a median OF residuals), but both
+    exchanges carry group-count-sized rows; the corpus itself is
+    scanned twice and never shuffled.  approx=True swaps both medians
+    for mergeable percentile_approx sketches (map-side partials) — the
+    100 TB path; the exact path is the oracle-parity path (DuckDB
+    median = quantile_cont(0.5), same linear interpolation as Spark's
+    percentile).
+    """
+    groups: list[str]
+    if group_cols is None:
+        groups = []
+    elif isinstance(group_cols, str):
+        groups = [group_cols]
+    else:
+        groups = list(group_cols)
+
+    def _median(c):
+        if approx:
+            return F.percentile_approx(c, F.lit(0.5), F.lit(int(accuracy)))
+        return F.percentile(c, F.lit(0.5))
+
+    def _bjoin(left: DataFrame, stats: DataFrame) -> DataFrame:
+        if not groups:
+            return left.crossJoin(F.broadcast(stats))
+        cond = None
+        for g in groups:
+            c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = c if cond is None else cond & c
+        return left.join(F.broadcast(stats), cond)
+
+    v = F.col(value_col).cast("double")
+    base = df.groupBy(*groups) if groups else df.groupBy()
+    med = base.agg(_median(v).alias("__med")).select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups], "__med"
+    )
+    with_med = _bjoin(df, med).select(*df.columns, "__med")
+    resid_base = (
+        with_med.groupBy(*groups) if groups else with_med.groupBy()
+    )
+    mad = resid_base.agg(
+        _median(F.abs(v - F.col("__med"))).alias("__mad")
+    ).select(*[F.col(g).alias(f"__g_{g}") for g in groups], "__mad")
+    out = _bjoin(with_med, mad)
+    z = F.when(
+        v.isNotNull() & (F.col("__mad") > 0),
+        F.round((v - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")), 6),
+    )
+    return out.select(
+        *df.columns,
+        z.alias("robust_z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(k))).alias("is_outlier"),
+    )

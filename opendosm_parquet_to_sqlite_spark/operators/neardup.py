@@ -120,6 +120,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets.
 
@@ -137,7 +138,18 @@ def ngram_jaccard_pairs(
     A shingle in f docs contributes f² candidate pairs, so one stopword
     trigram appearing in 10⁶ docs would otherwise emit 10¹² pairs from a
     single reducer key.
+
+    metric: "jaccard" scores inter/(|A|+|B|-inter); "containment" scores
+    inter/min(|A|,|B|) — the asymmetric overlap coefficient, which rates a
+    short document fully quoted inside a long one at 1.0 where Jaccard
+    dilutes it toward |A|/|B| (the quote/wrapper-inclusion case every
+    C4-style pipeline needs a containment sweep for).  Identical plan —
+    only the final scoring expression differs; docs whose filtered shingle
+    set is empty cannot appear (no postings → no pairs), so the min()
+    denominator is never 0.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     # Per-doc (uncapped) set sizes ride inside the bucket structs. With a
     # cap, hot shingles are identified by a doc-frequency COUNT first (a
     # partial-aggregated exchange of (shingle, count) — bytes, not posting
@@ -204,15 +216,37 @@ def ngram_jaccard_pairs(
             .withColumn("na", F.col("na") - F.coalesce("__hot_a", F.lit(0)))
             .withColumn("nb", F.col("nb") - F.coalesce("__hot_b", F.lit(0)))
         )
+    if metric == "containment":
+        score = F.col("inter") / F.least(F.col("na"), F.col("nb"))
+    else:
+        score = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-            ).alias("jaccard"),
+            F.round(score, 6).alias(metric),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col(metric) >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact containment-similar pairs: overlap coefficient
+    inter/min(|A|,|B|) over word n-gram shingle sets — catches a short
+    doc embedded verbatim in a long one, which Jaccard scores near
+    |short|/|long| and misses.  Same inverted-index plan as
+    ngram_jaccard_pairs (two shuffles, hot-shingle cap, no self-join);
+    see that docstring for the shape and cap semantics."""
+    return ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold,
+        max_doc_freq=max_doc_freq, metric="containment",
     )
 
 

@@ -1,0 +1,115 @@
+"""Web-corpus curation operators: URL extraction and host statistics.
+
+Reference scope note: the reference (src/main.rs) touches URLs only as
+fixed download endpoints (src/main.rs:68-93) — it has no notion of URLs
+*inside* data. These are SURVEY §2.13 rebuild extensions: the
+URL-hygiene pass every web-scale training corpus needs (RefinedWeb /
+CCNet-style URL filtering starts from exactly these features — per-doc
+link density and a corpus-level host frequency table that seeds
+blocklists).
+
+Design: per-doc features are a NARROW map — URLs come out of the text
+via one regexp_extract_all, hosts via a per-element regexp on the array,
+every aggregate (count / distinct hosts / flags) computed array-side, so
+the corpus text itself never shuffles and never leaves whole-stage
+codegen. The corpus-level host table is the only exchange, and it
+carries (host, partial-count) pairs — bytes per mapper per host, never
+documents.
+
+Regex portability: patterns restrict to the Java/RE2 common subset
+(literal classes, `\\s`, no backrefs/lookahead) so the DuckDB oracle
+runs the byte-identical pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java and RE2 agree on this subset: scheme, then run of non-space,
+# non-quote, non-angle-bracket characters. Trailing punctuation is NOT
+# stripped (both engines keep it identically); curation treats the raw
+# match as the URL.
+URL_PATTERN = r"https?://[^\s\"'<>]+"
+# Group 1 = host: everything after the scheme up to the first /, ?, #,
+# whitespace or end. Ports stay attached to keep the rule trivial and
+# identical across engines.
+HOST_PATTERN = r"https?://([^/?#\s\"'<>]+)"
+
+
+def _urls(col: Column) -> Column:
+    return F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(URL_PATTERN), 0
+    )
+
+
+def url_features(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document URL features (link-density curation signals).
+
+    Output: `id_col`, `n_urls` (total URL mentions), `n_hosts` (distinct
+    lower-cased hosts), `n_secure` (https mentions), `max_url_len`
+    (longest URL, 0 when none — spam pages carry kilometric tracking
+    URLs), `hosts_fp` (md5 over the sorted distinct host list — a
+    host-set fingerprint for grouping pages that link to the same
+    places; empty-set docs share the md5 of '').
+
+    Shape: zero exchanges — one regexp_extract_all per row plus
+    array-side transforms; at 100 TB this runs at scan speed inside one
+    codegen stage and composes with any downstream gate for free.
+    """
+    urls = _urls(F.col(text_col))
+    hosts = F.array_distinct(
+        F.transform(
+            urls, lambda u: F.lower(F.regexp_extract(u, HOST_PATTERN, 1))
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(hosts).cast("long").alias("n_hosts"),
+        F.size(
+            F.filter(urls, lambda u: u.startswith("https://"))
+        ).cast("long").alias("n_secure"),
+        F.coalesce(
+            F.array_max(F.transform(urls, F.length)), F.lit(0)
+        ).cast("long").alias("max_url_len"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(hosts)).cast("binary")
+        ).alias("hosts_fp"),
+    )
+
+
+def url_host_stats(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int = 1
+) -> DataFrame:
+    """Corpus-level host frequency table — the seed for URL blocklists
+    and domain-mix audits.
+
+    Output: `host` (lower-cased), `n_mentions` (total URL mentions of
+    the host), `n_docs` (distinct documents mentioning it), filtered to
+    hosts appearing in >= `min_docs` documents.
+
+    Shape: narrow extract+explode, then ONE aggregation keyed by host.
+    n_mentions partial-combines map-side; n_docs is a distinct count
+    over (host, doc) — Spark plans it as the standard two-phase expand,
+    still bytes-per-host on the wire, never text. Hot hosts (every page
+    links google.com) are single-key heavy ONLY in the distinct phase;
+    the partial combine already collapsed mentions.
+    """
+    mentions = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(_urls(F.col(text_col))).alias("__url"),
+    ).select(
+        "__doc",
+        F.lower(F.regexp_extract("__url", HOST_PATTERN, 1)).alias("host"),
+    )
+    return (
+        mentions.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.count_distinct("__doc").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -39,6 +39,7 @@ from ..operators import (
     similarity,
     temporal,
     text,
+    web,
 )
 from ..sources.parquet import load_table
 
@@ -2558,4 +2559,275 @@ def q_remove_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     )
     return text.remove_boilerplate_lines(
         docs, "text", "doc_id", min_doc_count=5
+    )
+
+
+# --- round-6 extensions: URL hygiene, outlier flags, histograms, ------------
+# --- containment dedup, and a classic 3-way join/agg/top-k ------------------
+
+# The fixture corpus has no URLs, so both engines append two deterministic
+# URL mentions derived from existing columns (source-keyed host shared
+# across docs of a source; a second http host on every third doc) — the
+# same make-the-input-exercising transform trick remove_boilerplate uses
+# for newlines. The operator under test is the extraction, not the fixture.
+_URL_AUG_SQL = """
+        SELECT doc_id,
+               coalesce(text, '') || ' https://' || source
+               || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' see http://cdn-' || lang || '.test/a?x=1 end'
+                       ELSE '' END AS text
+        FROM documents
+"""
+
+
+def _url_augmented_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.lit(" https://"), F.col("source"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" see http://cdn-"), F.col("lang"),
+                         F.lit(".test/a?x=1 end")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "url_features",
+    f"""
+    WITH aug AS ({_URL_AUG_SQL}),
+    u AS (
+        SELECT doc_id,
+               regexp_extract_all(text, 'https?://[^\\s"''<>]+') AS urls
+        FROM aug
+    ), h AS (
+        SELECT doc_id, urls,
+               list_distinct(list_transform(urls,
+                   x -> lower(regexp_extract(x, 'https?://([^/?#\\s"''<>]+)', 1))
+               )) AS hosts
+        FROM u
+    )
+    SELECT doc_id,
+           CAST(len(urls) AS BIGINT) AS n_urls,
+           CAST(len(hosts) AS BIGINT) AS n_hosts,
+           CAST(len(list_filter(urls, x -> starts_with(x, 'https://')))
+                AS BIGINT) AS n_secure,
+           CAST(coalesce(list_max(list_transform(urls, x -> length(x))), 0)
+                AS BIGINT) AS max_url_len,
+           md5(array_to_string(list_sort(hosts), ',')) AS hosts_fp
+    FROM h
+    """,
+    shadow=True,
+)
+def q_url_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc URL/link-density features (RefinedWeb-style URL hygiene):
+    counts, distinct lower-cased hosts, https share, longest URL, and a
+    sorted-host-set fingerprint. Zero exchanges — regexp_extract_all plus
+    array-side transforms in one codegen stage."""
+    return web.url_features(_url_augmented_docs(spark, sf), "text", "doc_id")
+
+
+@query(
+    "url_host_stats",
+    f"""
+    WITH aug AS ({_URL_AUG_SQL}),
+    m AS (
+        SELECT doc_id,
+               lower(regexp_extract(u, 'https?://([^/?#\\s"''<>]+)', 1)) AS host
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(text, 'https?://[^\\s"''<>]+')) AS u
+              FROM aug)
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM m GROUP BY host
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    shadow=True,
+)
+def q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level host frequency table (blocklist seed): one exchange
+    keyed by host, mention counts partial-combined map-side."""
+    return web.url_host_stats(
+        _url_augmented_docs(spark, sf), "text", "doc_id", min_docs=2
+    )
+
+
+@query(
+    "outlier_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), r AS (
+        SELECT e.event_id, e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        FROM r GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value,
+           CASE WHEN r.value IS NOT NULL AND d.mad > 0
+                THEN round((r.value - r.med) / (1.4826 * d.mad), 6)
+           END AS robust_z,
+           CASE WHEN r.value IS NOT NULL AND d.mad > 0
+                THEN abs(round((r.value - r.med) / (1.4826 * d.mad), 6)) > 3.5
+           END AS is_outlier
+    FROM r JOIN mad d USING (event_type)
+    """,
+    shadow=True,
+)
+def q_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """MAD-based per-group outlier flags over event values: robust_z =
+    (v - median)/(1.4826*MAD), |z| > 3.5 flagged. Two stats passes
+    (median, then median of residuals), both broadcast back — the corpus
+    never shuffles. NULL values / degenerate groups yield NULL, not a
+    verdict."""
+    ev = load_table(spark, sf, "events")
+    out = features.flag_outliers_mad(ev, "value", "event_type", k=3.5)
+    return out.select("event_id", "event_type", "value", "robust_z",
+                      "is_outlier")
+
+
+@query(
+    "value_histogram",
+    """
+    WITH b AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), j AS (
+        SELECT e.event_type, e.value, b.lo, (b.hi - b.lo) / 8.0 AS w
+        FROM events e JOIN b USING (event_type)
+        WHERE e.value IS NOT NULL
+    ), x AS (
+        SELECT event_type,
+               CASE WHEN w > 0
+                    THEN least(CAST(floor((value - lo) / w) AS BIGINT), 7)
+                    ELSE 0 END AS bin,
+               lo, w
+        FROM j
+    )
+    SELECT event_type, bin,
+           round(lo + bin * w, 6) AS bin_lo,
+           round(lo + (bin + 1) * w, 6) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM x GROUP BY event_type, bin, lo, w
+    """,
+    shadow=True,
+)
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width 8-bin histogram of event values per event type — the
+    dataset-card distribution panel without collecting anything. Two
+    partial-combined agg passes (bounds, then per-bin counts); empty bins
+    absent by design."""
+    ev = load_table(spark, sf, "events")
+    return aggregates.value_histogram(ev, "value", "event_type", n_bins=8)
+
+
+@query(
+    "dedup_ngram_containment",
+    f"""
+    WITH posts AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM documents)
+    ), keep AS (
+        SELECT shingle FROM posts GROUP BY shingle
+        HAVING count(*) <= {_JACCARD_MAX_DF}
+    ), pf AS (
+        SELECT doc_id, shingle FROM posts JOIN keep USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM pf GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM pf a JOIN pf b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c / least(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(c / least(sa.n, sb.n), 6) >= 0.5
+    """,
+    shadow=True,
+)
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram containment (overlap-coefficient) near-dup pairs —
+    the asymmetric sweep that catches a short doc quoted verbatim inside
+    a long one, where Jaccard dilutes toward |short|/|long|. Same
+    inverted-index plan and hot-shingle cap as dedup_ngram_jaccard."""
+    docs = load_table(spark, sf, "documents")
+    return neardup.ngram_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
+
+
+@query(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'),
+             o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    shadow=True,
+)
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter →
+    broadcast semi-style join into the fact → partial-combined agg →
+    global top-10 (TakeOrdered, no full sort). The customer side is
+    explicitly broadcast — at 100 TB the filtered BUILDING customer key
+    set is dim-sized while orders/lineitem shuffle only for their own
+    equi-join, which AQE plans as a sort-merge on the orderkey they
+    already share. Ordering is fully tie-broken (revenue, date,
+    orderkey) so the limit is deterministic."""
+    cust = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    j = li.join(
+        ords, li.l_orderkey == ords.o_orderkey
+    ).join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
     )

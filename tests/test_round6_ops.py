@@ -1,0 +1,171 @@
+"""Round-6 operators: URL hygiene, MAD outliers, histograms, containment.
+
+Hand-computed pins on tiny in-memory frames; oracle parity at sf0.01 is
+covered uniformly by tests/test_oracle_parity.py (shadow oracles).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import (
+    aggregates,
+    features,
+    neardup,
+    web,
+)
+
+
+# --- url_features -----------------------------------------------------------
+
+
+def test_url_features_counts_hosts_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://A.example.org/x and http://b.test/y?q=1 "
+                "plus https://a.example.org/z"),
+            (2, "no links here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in web.url_features(df, "text", "doc_id").collect()}
+    r1 = out[1]
+    assert r1["n_urls"] == 3
+    # hosts lower-cased: a.example.org (x2 distinct once) + b.test
+    assert r1["n_hosts"] == 2
+    assert r1["n_secure"] == 2
+    assert r1["max_url_len"] == len("https://A.example.org/x")
+    exp_fp = hashlib.md5(b"a.example.org,b.test").hexdigest()
+    assert r1["hosts_fp"] == exp_fp
+    for did in (2, 3):
+        r = out[did]
+        assert (r["n_urls"], r["n_hosts"], r["n_secure"], r["max_url_len"]) == (
+            0, 0, 0, 0
+        )
+        assert r["hosts_fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_url_features_is_exchange_free(spark):
+    df = spark.createDataFrame([(1, "x https://h.io/a")],
+                               "doc_id long, text string")
+    plan = web.url_features(df, "text", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_url_host_stats_min_docs_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://shared.io/a https://shared.io/b http://only1.io/"),
+            (2, "https://shared.io/c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["host"]: r for r in
+            web.url_host_stats(df, "text", "doc_id", min_docs=2).collect()}
+    assert list(rows) == ["shared.io"]
+    assert rows["shared.io"]["n_mentions"] == 3
+    assert rows["shared.io"]["n_docs"] == 2
+
+
+# --- flag_outliers_mad ------------------------------------------------------
+
+
+def test_outlier_mad_flags_and_null_semantics(spark):
+    # group g: values 1..5 plus a wild 100 -> median 3.5 of
+    # [1,2,3,4,5,100]=3.5, residuals [2.5,1.5,.5,.5,1.5,96.5] median=1.5,
+    # z(100) = 96.5/(1.4826*1.5) = 43.39... > 3.5
+    rows = [("g", float(v)) for v in [1, 2, 3, 4, 5, 100]]
+    rows.append(("g", None))          # NULL value -> NULL verdict
+    rows.append((None, 7.0))          # NULL group key must survive
+    rows.append((None, 8.0))
+    rows.append(("const", 9.0))       # MAD == 0 -> NULL verdict
+    rows.append(("const", 9.0))
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = features.flag_outliers_mad(df, "value", "grp", k=3.5).collect()
+    assert len(out) == len(rows)
+    by = {}
+    for r in out:
+        by.setdefault(r["grp"], []).append(r)
+    flagged = [r for r in by["g"] if r["is_outlier"]]
+    assert [r["value"] for r in flagged] == [100.0]
+    assert all(
+        r["robust_z"] is None and r["is_outlier"] is None
+        for r in by["g"] if r["value"] is None
+    )
+    assert all(r["robust_z"] is None for r in by["const"])
+    # NULL group got its own stats (median 7.5, MAD .5): z = ±0.674...
+    zs = sorted(r["robust_z"] for r in by[None])
+    assert zs[0] == pytest.approx(-0.674491, abs=1e-6)
+    assert zs[1] == pytest.approx(0.674491, abs=1e-6)
+
+
+def test_outlier_mad_global_no_groups(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in [10, 10, 10, 10, 500]], "value double"
+    )
+    out = features.flag_outliers_mad(df, "value", None, k=3.5).collect()
+    # MAD of [0,0,0,0,490] = 0 -> degenerate, all NULL (documented)
+    assert all(r["robust_z"] is None for r in out)
+
+
+# --- value_histogram --------------------------------------------------------
+
+
+def test_value_histogram_bins_and_edges(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(11)] + [("a", None), ("b", 4.0),
+                                                ("b", 4.0)],
+        "grp string, value double",
+    )
+    out = aggregates.value_histogram(df, "value", "grp", n_bins=5)
+    rows = {(r["grp"], r["bin"]): r for r in out.collect()}
+    # group a: lo=0, hi=10, w=2 -> bins 0..4; value 10 lands in bin 4
+    assert rows[("a", 4)]["n"] == 3          # 8, 9, 10
+    assert rows[("a", 0)]["n"] == 2          # 0, 1
+    assert rows[("a", 0)]["bin_lo"] == 0.0
+    assert rows[("a", 0)]["bin_hi"] == 2.0
+    assert rows[("a", 4)]["bin_hi"] == 10.0
+    assert sum(r["n"] for k, r in rows.items() if k[0] == "a") == 11  # NULL out
+    # degenerate group b (min == max): everything in bin 0
+    assert rows[("b", 0)]["n"] == 2
+    assert len([k for k in rows if k[0] == "b"]) == 1
+
+
+def test_value_histogram_mass_conservation(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = aggregates.value_histogram(df, "value", "event_type", n_bins=8)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    n_input = df.filter(F.col("value").isNotNull()).count()
+    assert total == n_input
+
+
+# --- ngram containment ------------------------------------------------------
+
+
+def test_containment_catches_embedded_short_doc(spark):
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    short_doc = " ".join(f"w{i}" for i in range(10, 18))  # verbatim slice
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], "doc_id long, text string"
+    )
+    cont = neardup.ngram_containment_pairs(
+        df, "text", "doc_id", n=3, threshold=0.9
+    ).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    # Jaccard on the same pair is 6/(38+6-6) ≈ 0.16 — below any useful
+    # near-dup threshold: the case this operator exists for.
+    jac = neardup.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5
+    ).collect()
+    assert jac == []
+
+
+def test_containment_metric_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        neardup.ngram_jaccard_pairs(df, "text", "doc_id", metric="dice")
