@@ -58,6 +58,7 @@ _ROWS_ONLY_PRIORITY = [
     "value_histogram",
     "dedup_ngram_containment",
     "shipping_priority",
+    "quality_audit",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

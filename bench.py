@@ -97,6 +97,9 @@ HEADLINE = [
     "value_histogram",
     "dedup_ngram_containment",
     "shipping_priority",
+    # per-doc gate audit (narrow signals + repetition gram aggs + one
+    # doc-keyed join)
+    "quality_audit",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -288,3 +288,78 @@ def prepare_training_data(
         strata_col=[strata_col, "split"],
         block_size=block_size,
     )
+
+
+def quality_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    allowed_langs: list[str] | None = None,
+) -> DataFrame:
+    """Per-document gate AUDIT: every curation signal plus per-gate
+    verdicts and a deterministic reject-reason string — the "why was this
+    document dropped" table a pipeline owner reads before trusting a
+    filter sweep (corpus_clean tells you WHAT survived; this tells you
+    WHY the rest did not).
+
+    Gates audited (each an independent boolean column):
+      quality_ok    — composite heuristic ≥ min_quality
+      length_ok     — min_tokens ≤ n_tokens ≤ max_tokens
+      repetition_ok — Gopher repetition thresholds (repetition_profile)
+      lang_ok       — stopword-marker language in allowed_langs
+                      (every doc passes when allowed_langs is None)
+
+    `keep` = AND of the four; `reject_reasons` = comma-joined sorted
+    failing gate names ('' when kept) — string, not array, so the DuckDB
+    oracle compares it byte-identically.
+
+    Shape: quality/lang/length are one narrow projection; repetition is
+    the two gram-keyed partial aggs of repetition_profile; the single
+    doc-keyed join marries them. The corpus text itself never shuffles —
+    only gram counts and the narrow per-doc signal row.
+    """
+    rep = text.repetition_profile(df, text_col, id_col).select(
+        "doc_id", "n_tokens", "distinct_ratio", "top_token_frac",
+        "top_bigram_frac", "repetition_ok",
+    )
+    c = F.col(text_col)
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"),
+        text.quality_score(c).alias("quality"),
+        text.lang_id(c).alias("lang_pred"),
+    )
+    j = narrow.join(rep, "doc_id")
+    quality_ok = F.col("quality") >= F.lit(float(min_quality))
+    length_ok = (F.col("n_tokens") >= F.lit(int(min_tokens))) & (
+        F.col("n_tokens") <= F.lit(int(max_tokens))
+    )
+    repetition_ok = F.col("repetition_ok") == 1
+    if allowed_langs is None:
+        lang_ok = F.lit(True)
+    else:
+        lang_ok = F.col("lang_pred").isin(list(allowed_langs))
+    reasons = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                # alphabetical gate order => deterministic string
+                F.when(~lang_ok, F.lit("lang")),
+                F.when(~length_ok, F.lit("length")),
+                F.when(~quality_ok, F.lit("quality")),
+                F.when(~repetition_ok, F.lit("repetition")),
+            )
+        ),
+    )
+    return j.select(
+        "doc_id", "quality", "lang_pred", "n_tokens", "distinct_ratio",
+        "top_token_frac", "top_bigram_frac",
+        quality_ok.alias("quality_ok"),
+        length_ok.alias("length_ok"),
+        repetition_ok.alias("repetition_ok2"),
+        lang_ok.alias("lang_ok"),
+        (quality_ok & length_ok & repetition_ok & lang_ok).alias("keep"),
+        reasons.alias("reject_reasons"),
+    ).withColumnRenamed("repetition_ok2", "repetition_ok")

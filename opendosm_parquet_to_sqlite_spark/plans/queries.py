@@ -2831,3 +2831,112 @@ def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "quality_audit",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM toks, LATERAL unnest(t) AS u(tok)
+        GROUP BY doc_id, tok
+    ),
+    uni_stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS d, max(c) AS m
+        FROM uni GROUP BY doc_id
+    ),
+    big AS (
+        SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg, count(*) AS c
+        FROM toks, LATERAL unnest(range(len(t) - 1)) AS u(i)
+        GROUP BY doc_id, array_to_string(t[i+1:i+2], ' ')
+    ),
+    big_stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS mb
+        FROM big GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT d.doc_id,
+               coalesce(u.n, 0) AS n_tokens,
+               CASE WHEN coalesce(u.n, 0) > 0
+                    THEN round(u.d / u.n, 6) ELSE 0.0 END AS distinct_ratio,
+               CASE WHEN coalesce(u.n, 0) > 0
+                    THEN round(u.m / u.n, 6) ELSE 0.0 END AS top_token_frac,
+               CASE WHEN coalesce(b.nb, 0) > 0
+                    THEN round(b.mb / b.nb, 6) ELSE 0.0 END AS top_bigram_frac,
+               (coalesce(u.n, 0) > 0
+                AND round(u.d / u.n, 6) >= 0.5
+                AND round(u.m / u.n, 6) <= 0.2
+                AND coalesce(CASE WHEN b.nb > 0
+                                  THEN round(b.mb / b.nb, 6) END, 0.0) <= 0.18
+               ) AS repetition_ok
+        FROM documents d
+        LEFT JOIN uni_stats u USING (doc_id)
+        LEFT JOIN big_stats b USING (doc_id)
+    ),
+    narrow AS (
+        SELECT doc_id,
+               round((least(len({_DUCK_TOKS}) / 64.0, 1.0)
+                  + (1.0 - least(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                                       / greatest(length(text), 1), 6) * 4, 1.0))
+                  + (1.0 - least(abs(round(len(list_filter(
+                          {_DUCK_TOKS},
+                          x -> list_contains(['the','a','of','and','to','in','is'], lower(x))))
+                          / greatest(len({_DUCK_TOKS}), 1), 6) - 0.4), 1.0)))
+                 / 3.0, 6) AS quality,
+               len(list_filter(list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)),
+                               x -> list_contains(['the','and','of'], x))) AS s_en,
+               len(list_filter(list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)),
+                               x -> list_contains(['le','la','et'], x))) AS s_fr,
+               len(list_filter(list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)),
+                               x -> list_contains(['el','los','que'], x))) AS s_es,
+               len(list_filter(list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)),
+                               x -> list_contains(['der','und','die'], x))) AS s_de
+        FROM documents
+    ),
+    sig AS (
+        SELECT n.doc_id, n.quality,
+               CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+                    WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+                    ELSE 'de'
+               END AS lang_pred,
+               r.n_tokens, r.distinct_ratio, r.top_token_frac,
+               r.top_bigram_frac, r.repetition_ok
+        FROM narrow n JOIN rep r USING (doc_id)
+    )
+    SELECT doc_id, quality, lang_pred, n_tokens, distinct_ratio,
+           top_token_frac, top_bigram_frac,
+           quality >= 0.5 AS quality_ok,
+           n_tokens BETWEEN 5 AND 100000 AS length_ok,
+           repetition_ok,
+           lang_pred IN ('en', 'und') AS lang_ok,
+           (quality >= 0.5 AND n_tokens BETWEEN 5 AND 100000
+            AND repetition_ok AND lang_pred IN ('en', 'und')) AS keep,
+           concat_ws(',',
+               CASE WHEN lang_pred NOT IN ('en', 'und') THEN 'lang' END,
+               CASE WHEN NOT (n_tokens BETWEEN 5 AND 100000) THEN 'length' END,
+               CASE WHEN NOT (quality >= 0.5) THEN 'quality' END,
+               CASE WHEN NOT repetition_ok THEN 'repetition' END
+           ) AS reject_reasons
+    FROM sig
+    """,
+    shadow=True,
+)
+def q_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc gate audit: every curation signal (quality heuristic,
+    language, token count, Gopher repetition metrics) with per-gate
+    verdicts, the combined keep flag, and a deterministic comma-joined
+    reject-reason string — the 'why was this dropped' table behind
+    corpus_clean. One narrow signal projection + repetition's two
+    gram-keyed partial aggs, married by a single doc-keyed join; the
+    corpus text never shuffles."""
+    docs = load_table(spark, sf, "documents")
+    return corpus.quality_audit(
+        docs, "text", "doc_id",
+        min_quality=0.5, min_tokens=5, max_tokens=100_000,
+        allowed_langs=["en", "und"],
+    )

@@ -215,3 +215,30 @@ def test_contamination_bloom_probe_shuffles_docs_not_grams(spark):
     assert len(ex) == 5, ex
     gram_keyed = [l for l in ex if "doc_id" not in l]
     assert len(gram_keyed) == 2, gram_keyed  # bloom build only
+
+
+def test_shipping_priority_takeordered_no_global_sort(spark):
+    plan = _plan(spark, "shipping_priority")
+    # top-10 must be a TakeOrdered (per-partition heap + driver merge),
+    # never a range-partitioned global sort feeding a limit
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # the filtered BUILDING customer set joins broadcast, and the agg
+    # partial-combines before its exchange
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_outlier_mad_stats_joins_are_broadcast(spark):
+    plan = _plan(spark, "outlier_mad")
+    # both stats passes (median, MAD) come back as broadcast joins; the
+    # event stream itself must never hash-exchange
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_value_histogram_two_partial_agg_passes(spark):
+    plan = _plan(spark, "value_histogram")
+    assert plan.count("partial_") >= 2  # bounds pass + count pass combine map-side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -169,3 +169,50 @@ def test_containment_metric_validation(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         neardup.ngram_jaccard_pairs(df, "text", "doc_id", metric="dice")
+
+
+# --- quality_audit ----------------------------------------------------------
+
+
+def test_quality_audit_reasons_per_gate(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import corpus
+
+    good = "the cat sat on a mat and the dog ran to the park in a fine day"
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "le la et le la et le chat " + good),    # french markers -> lang
+        (3, "one two"),                              # too short -> length
+        (4, "!!! ??? *** $$$ %%% ### @@@ &&& ((( )))"),  # punct -> quality
+        (5, ("spam " * 40).strip()),                 # repetition (+quality)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.quality_audit(
+        df, "text", "doc_id", min_quality=0.5, min_tokens=5,
+        max_tokens=100_000, allowed_langs=["en", "und"],
+    ).collect()}
+    assert out[1]["keep"] and out[1]["reject_reasons"] == ""
+    assert not out[2]["keep"] and "lang" in out[2]["reject_reasons"]
+    assert "length" in out[3]["reject_reasons"]
+    assert "quality" in out[4]["reject_reasons"]
+    assert "repetition" in out[5]["reject_reasons"]
+    # reasons are alphabetically ordered and comma-joined
+    for r in out.values():
+        parts = r["reject_reasons"].split(",") if r["reject_reasons"] else []
+        assert parts == sorted(parts)
+    # keep == AND of the four gate booleans, every row
+    for r in out.values():
+        assert r["keep"] == (r["quality_ok"] and r["length_ok"]
+                             and r["repetition_ok"] and r["lang_ok"])
+
+
+def test_quality_audit_no_allowed_langs_passes_lang_gate(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "le la et le la et le chat noir dort bien ici")],
+        "doc_id long, text string",
+    )
+    out = corpus.quality_audit(df, "text", "doc_id",
+                               allowed_langs=None).collect()[0]
+    assert out["lang_ok"] is True
+    assert "lang" not in out["reject_reasons"]
