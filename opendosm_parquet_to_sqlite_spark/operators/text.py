@@ -674,3 +674,41 @@ def remove_boilerplate_lines(
             .alias("n_lines_removed"),
         )
     )
+
+
+def top_terms_per_group(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent terms PER GROUP (per source / domain / language)
+    — the per-domain vocabulary view a mixture audit reads next to
+    domain_mix (a corpus-global top list hides that one domain's "click
+    here" dominates another's "theorem").
+
+    Ties break deterministically: (count DESC, term ASC), so rank and the
+    returned set are stable under any partitioning.
+
+    Output: group_col, term, n (count), rank (1-based).
+
+    Shape: explode → (group, term) partial-combined HashAggregate → rank
+    window planned as WindowGroupLimit: each partition keeps only its
+    local top-k per group BEFORE the group-keyed exchange, so the window
+    exchange carries ≤ partitions·groups·k rows regardless of vocabulary
+    size — the same pre-exchange pruning sample_per_group relies on.
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+    )
+    counts = terms.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "n",
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -82,7 +82,12 @@ def url_features(
 
 
 def url_host_stats(
-    df: DataFrame, text_col: str, id_col: str, min_docs: int = 1
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 1,
+    approx: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Corpus-level host frequency table — the seed for URL blocklists
     and domain-mix audits.
@@ -96,7 +101,10 @@ def url_host_stats(
     over (host, doc) — Spark plans it as the standard two-phase expand,
     still bytes-per-host on the wire, never text. Hot hosts (every page
     links google.com) are single-key heavy ONLY in the distinct phase;
-    the partial combine already collapsed mentions.
+    the partial combine already collapsed mentions. approx=True swaps
+    the exact distinct for approx_count_distinct (HLL++, mergeable —
+    one sketch per mapper per host, fully map-side combined): the 100 TB
+    path, where a blocklist threshold tolerates ±rsd on doc counts.
     """
     mentions = df.select(
         F.col(id_col).alias("__doc"),
@@ -105,11 +113,16 @@ def url_host_stats(
         "__doc",
         F.lower(F.regexp_extract("__url", HOST_PATTERN, 1)).alias("host"),
     )
+    n_docs = (
+        F.approx_count_distinct("__doc", rsd)
+        if approx
+        else F.count_distinct("__doc")
+    )
     return (
         mentions.groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_mentions"),
-            F.count_distinct("__doc").alias("n_docs"),
+            n_docs.alias("n_docs"),
         )
         .filter(F.col("n_docs") >= min_docs)
     )

@@ -2940,3 +2940,32 @@ def q_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
         min_quality=0.5, min_tokens=5, max_tokens=100_000,
         allowed_langs=["en", "und"],
     )
+
+
+@query(
+    "top_terms_per_group",
+    f"""
+    WITH terms AS (
+        SELECT source, lower(tok) AS term
+        FROM documents, LATERAL unnest({_DUCK_TOKS}) AS u(tok)
+    ), c AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS n
+        FROM terms GROUP BY source, term
+    ), r AS (
+        SELECT source, term, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, term ASC) AS rank
+        FROM c
+    )
+    SELECT source, term, n, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    shadow=True,
+)
+def q_top_terms_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 terms per source domain (mixture-audit vocabulary view).
+    Explode → (source, term) partial-combined agg → rank window planned
+    as WindowGroupLimit so partitions keep local top-k before the
+    source-keyed exchange. Fully tie-broken (count DESC, term ASC)."""
+    docs = load_table(spark, sf, "documents")
+    return text.top_terms_per_group(docs, "text", "source", k=5)

@@ -216,3 +216,72 @@ def test_quality_audit_no_allowed_langs_passes_lang_gate(spark):
                                allowed_langs=None).collect()[0]
     assert out["lang_ok"] is True
     assert "lang" not in out["reject_reasons"]
+
+
+# --- url fuzz / approx / grouped top-k --------------------------------------
+
+
+def test_url_extraction_fuzz_matches_python_re(spark):
+    import re
+    from hypothesis import given, settings, strategies as st
+
+    url_re = re.compile(r"https?://[^\s\"'<>]+")
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_categories=["Cs"]),
+                max_size=40,
+            ).map(lambda s: s + " https://h" + "o.io/p "),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["n_urls"]
+               for r in __import__(
+                   "opendosm_parquet_to_sqlite_spark.operators.web",
+                   fromlist=["web"]).url_features(
+                       df, "text", "doc_id").collect()}
+        for i, t in rows:
+            assert out[i] == len(url_re.findall(t)), (t,)
+
+    check()
+
+
+def test_url_host_stats_approx_close_to_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    aug = docs.selectExpr(
+        "doc_id",
+        "concat(coalesce(text, ''), ' https://', source, '.ex.org/') AS text",
+    )
+    exact = {r["host"]: r["n_docs"] for r in
+             web.url_host_stats(aug, "text", "doc_id").collect()}
+    approx = {r["host"]: r["n_docs"] for r in
+              web.url_host_stats(aug, "text", "doc_id",
+                                 approx=True).collect()}
+    assert set(exact) == set(approx)
+    for h, n in exact.items():
+        assert abs(approx[h] - n) <= max(2, 0.1 * n)
+
+
+def test_top_terms_per_group_rank_and_ties(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import text as textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x x x y y z"),
+            (2, "a", "z w"),
+            (3, "b", "q q"),
+        ],
+        "doc_id long, src string, text string",
+    )
+    out = textops.top_terms_per_group(df, "text", "src", k=2).collect()
+    a = sorted([(r["term"], r["n"], r["rank"]) for r in out if r["src"] == "a"])
+    b = [(r["term"], r["n"], r["rank"]) for r in out if r["src"] == "b"]
+    # src a: x=3 rank1, y=2 rank2 (z=2 ties y on count; 'y' < 'z' wins)
+    assert ("x", 3, 1) in a and ("y", 2, 2) in a and len(a) == 2
+    assert b == [("q", 2, 1)]
