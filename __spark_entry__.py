@@ -59,6 +59,8 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_ngram_containment",
     "shipping_priority",
     "quality_audit",
+    "top_terms_per_group",
+    "tokenize_to_ids",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

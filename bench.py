@@ -100,6 +100,9 @@ HEADLINE = [
     # per-doc gate audit (narrow signals + repetition gram aggs + one
     # doc-keyed join)
     "quality_audit",
+    # grouped top-k vocabulary + vocab-indexed tokenization
+    "top_terms_per_group",
+    "tokenize_to_ids",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

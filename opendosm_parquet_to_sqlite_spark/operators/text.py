@@ -712,3 +712,83 @@ def top_terms_per_group(
         .select(F.col("grp").alias(group_col), "term", "n",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Vocabulary-indexed tokenization: build a corpus top-V vocabulary
+    (rank by count DESC, term ASC — fully deterministic) and rewrite each
+    document as token ids, OOV → 0. The step between curation and
+    sequence packing: downstream training consumes ids, not strings.
+
+    Output: doc_id, `token_ids` (comma-joined id string — string, not
+    array, so the DuckDB oracle compares byte-identically), `n_tokens`,
+    `n_oov`.
+
+    Shape: the vocabulary is an aggregate of (term, count) pairs cut to
+    V by a TakeOrdered-style rank — model-sized by construction, so it
+    BROADCASTS to the probe join. Documents posexplode to (doc, pos,
+    term), probe the broadcast vocab (no text ever shuffles past this
+    probe), and reassemble per doc via sort_array over (pos, id) structs
+    — ONE doc-keyed exchange carrying (doc_id, pos, id) longs. At
+    100 TB: token-scale longs through one exchange, vocabulary-scale
+    strings through the broadcast; nothing corpus-sized hits the driver.
+    """
+    from pyspark.sql.window import Window
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("__toks"),
+    )
+    terms = toked.select(F.explode("__toks").alias("term"))
+    # top-V cut via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge of V rows) — the raw vocabulary is heavy-tailed
+    # and possibly huge; only the V survivors ever sit in one place. The
+    # id-assigning window then runs over exactly V rows.
+    top_v = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    vocab = top_v.withColumn("tok_id", F.row_number().over(w)).select(
+        "term", "tok_id"
+    )
+    pos = toked.select(
+        "doc_id", F.posexplode_outer("__toks").alias("pos", "term")
+    )
+    mapped = pos.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos").isNotNull(),
+               F.coalesce("tok_id", F.lit(0))).alias("tok_id"),
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("pos").isNotNull(),
+                                F.struct("pos", "tok_id"),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok_id"].cast("string"),
+                ),
+                ",",
+            ).alias("token_ids"),
+            F.count(F.col("pos")).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("pos").isNotNull() & (F.col("tok_id") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+    )

@@ -2969,3 +2969,49 @@ def q_top_terms_per_group(spark: SparkSession, sf: str) -> DataFrame:
     source-keyed exchange. Fully tie-broken (count DESC, term ASC)."""
     docs = load_table(spark, sf, "documents")
     return text.top_terms_per_group(docs, "text", "source", k=5)
+
+
+@query(
+    "tokenize_to_ids",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform({_DUCK_TOKS}, x -> lower(x)) AS t
+        FROM documents
+    ), cnt AS (
+        SELECT tok AS term, count(*) AS n
+        FROM toks, LATERAL unnest(t) AS u(tok)
+        GROUP BY tok
+    ), vocab AS (
+        SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS tok_id
+        FROM cnt ORDER BY n DESC, term ASC LIMIT 500
+    ), pos AS (
+        SELECT doc_id, i, t[i] AS term
+        FROM toks, LATERAL unnest(generate_series(1, len(t))) AS g(i)
+    ), mapped AS (
+        SELECT doc_id, i, coalesce(v.tok_id, 0) AS tok_id
+        FROM pos LEFT JOIN vocab v USING (term)
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY i)
+                   AS token_ids,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (tok_id = 0) AS BIGINT) AS n_oov
+        FROM mapped GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.token_ids, '') AS token_ids,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_oov, 0) AS n_oov
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    shadow=True,
+)
+def q_tokenize_to_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-indexed tokenization (top-500 corpus vocab, OOV → 0):
+    docs rewritten as comma-joined token-id strings + OOV counts — the
+    curation→packing bridge. Vocab cut is a TakeOrdered (V-sized), the
+    probe join broadcasts it, and reassembly is one doc-keyed exchange
+    of (doc, pos, id) longs."""
+    docs = load_table(spark, sf, "documents")
+    return text.tokenize_to_ids(docs, "text", "doc_id", vocab_size=500)

@@ -37,3 +37,43 @@ def write_dataset(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_file_rows: int | None = None,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """JSONL shard export — the lingua-franca interchange format of
+    LLM training stacks (one JSON object per line; WebDataset/Dolma/
+    RedPajama-style consumers read it directly).
+
+    Same scale knobs as the parquet dataset writer: hive partitioning
+    for pruning, maxRecordsPerFile for even shards, per-file codec
+    compression (gzip default — ubiquitous; use 'none' for
+    line-seekable shards). Executors write shards in parallel; nothing
+    flows through the driver.
+
+    Parquet remains the engine-side format (columnar pruning, typed
+    schema); JSONL is the EXPORT boundary only.
+    """
+    writer = df.write.mode(mode)
+    if compression and compression != "none":
+        writer = writer.option("compression", compression)
+    if target_file_rows is not None:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """Read a JSONL dataset back (declared schema recommended — schema
+    inference scans the data twice)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -285,3 +285,62 @@ def test_top_terms_per_group_rank_and_ties(spark):
     # src a: x=3 rank1, y=2 rank2 (z=2 ties y on count; 'y' < 'z' wins)
     assert ("x", 3, 1) in a and ("y", 2, 2) in a and len(a) == 2
     assert b == [("q", 2, 1)]
+
+
+# --- tokenize_to_ids --------------------------------------------------------
+
+
+def test_tokenize_to_ids_ranking_oov_and_empty(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import text as textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "b b b a a c"),   # counts: b=3, a=2, c=1
+            (2, "a zz b"),        # zz falls outside vocab_size=2 -> OOV
+            (3, ""),              # empty doc -> empty ids, 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.tokenize_to_ids(
+        df, "text", "doc_id", vocab_size=2).collect()}
+    # vocab: b -> 1 (count 3), a -> 2 (count 2); c, zz -> 0
+    assert out[1]["token_ids"] == "1,1,1,2,2,0"
+    assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 1
+    assert out[2]["token_ids"] == "2,0,1"
+    assert out[2]["n_oov"] == 1
+    assert out[3]["token_ids"] == "" and out[3]["n_tokens"] == 0
+
+
+def test_tokenize_to_ids_vocab_tie_break_deterministic(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import text as textops
+
+    # equal counts: alphabetical order decides ids
+    df = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    out = textops.tokenize_to_ids(df, "text", "doc_id",
+                                  vocab_size=10).collect()[0]
+    assert out["token_ids"] == "1,2,1,2"  # x < y
+
+
+# --- JSONL export sink ------------------------------------------------------
+
+
+def test_jsonl_roundtrip_partitioned_sharded(spark, tmp_path):
+    from opendosm_parquet_to_sqlite_spark.sinks import dataset
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "jsonl")
+    dataset.write_jsonl(df, out, partition_by=["source"],
+                        target_file_rows=20, compression="none")
+    back = dataset.read_jsonl(spark, out, schema=df.schema)
+    assert back.count() == df.count()
+    # partition pruning works and shards are bounded
+    import glob
+    one_src = df.select("source").first()["source"]
+    files = glob.glob(f"{out}/source={one_src}/*.json")
+    assert files, "hive partition dirs expected"
+    n_lines = max(sum(1 for _ in open(f)) for f in files)
+    assert n_lines <= 20
+    # row fidelity on a sample column
+    a = {r["doc_id"] for r in df.select("doc_id").collect()}
+    b = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert a == b
