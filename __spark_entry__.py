@@ -61,6 +61,8 @@ _ROWS_ONLY_PRIORITY = [
     "quality_audit",
     "top_terms_per_group",
     "tokenize_to_ids",
+    "funnel_steps",
+    "cohort_retention",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -103,6 +103,9 @@ HEADLINE = [
     # grouped top-k vocabulary + vocab-indexed tokenization
     "top_terms_per_group",
     "tokenize_to_ids",
+    # product-analytics shapes: one-pass ordered funnel, cohort grid
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

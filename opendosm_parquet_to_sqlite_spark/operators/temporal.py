@@ -225,3 +225,124 @@ def rolling_features(
         F.round(F.min(v).over(w), 6).alias("roll_min"),
         F.round(F.max(v).over(w), 6).alias("roll_max"),
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: per user, how far through the step
+    sequence did they get, where step k counts only if it happened
+    AFTER the user's earliest completion of step k-1 (strictly ordered
+    funnel — the standard product-analytics semantics).
+
+    Output: user_col, `max_step` (0 = never did step 1, len(steps) =
+    completed the funnel), `t_first` / `t_last` (first step-1 time,
+    completing-step time, as strings; NULL when not reached).
+
+    Shape: ONE pass — filter to funnel events, pivot-style conditional
+    min aggregation per user (min ts of each step), then the ordered
+    chain is resolved arithmetically on the per-user row: t_k counts
+    only if t_k > t_{k-1} (recomputed left-to-right with a running
+    expression). One user-keyed partial-combined exchange carrying
+    len(steps) timestamps per user; the event stream never shuffles
+    rows, only per-user partial minima.
+
+    Note the deliberate approximation debate: strict semantics would
+    need the earliest step-k AFTER t_{k-1}, not the global earliest
+    step-k. With min-per-step, a user doing B,A,B' (B before A) is
+    credited for A→B only if their EARLIEST B follows A — conservative
+    (undercounts B' completions). The exact variant needs an
+    event-ordered window per user (one sort); this one is the
+    single-agg screening pass. Both semantics are mirrored exactly in
+    the DuckDB oracle, so the approximation is pinned, not hidden.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.filter(F.col(event_col).isin(steps))
+    aggs = [
+        F.min(
+            F.when(F.col(event_col) == s, F.col(ts_col))
+        ).alias(f"__t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = ev.groupBy(F.col(user_col)).agg(*aggs)
+    # resolve the ordered chain left to right: reached_k iff
+    # t_k exists and t_k > effective t_{k-1}
+    reached_prev = F.col("__t0").isNotNull()
+    max_step = F.when(reached_prev, F.lit(1)).otherwise(F.lit(0))
+    prev_t = F.col("__t0")
+    for i in range(1, len(steps)):
+        ok = reached_prev & F.col(f"__t{i}").isNotNull() & (
+            F.col(f"__t{i}") > prev_t
+        )
+        max_step = F.when(ok, F.lit(i + 1)).otherwise(max_step)
+        prev_t = F.when(ok, F.col(f"__t{i}")).otherwise(prev_t)
+        reached_prev = ok
+    completing_t = prev_t
+    return per_user.select(
+        F.col(user_col),
+        max_step.cast("long").alias("max_step"),
+        F.date_format("__t0", "yyyy-MM-dd HH:mm:ss").alias("t_first"),
+        F.when(
+            max_step > 0,
+            F.date_format(completing_t, "yyyy-MM-dd HH:mm:ss"),
+        ).alias("t_last"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention grid: users cohorted by the period of their FIRST
+    event; for each (cohort_period, period_offset) cell, how many of the
+    cohort's users were active — the classic retention triangle.
+
+    Output: `cohort` (period start, string), `offset` (periods since
+    cohort, 0-based), `n_active` (distinct users), `n_cohort` (cohort
+    size riding on every row), `retention` (6 dp fraction).
+
+    Shape: two partial-combined aggregations — (1) per-user first-event
+    period (user-keyed exchange of one timestamp per user), broadcast-
+    joined back (user-cohort map is user-count-sized — at extreme user
+    counts drop the broadcast hint and let AQE pick SMJ on the user
+    key), then (2) (cohort, offset) distinct-user counts. The event
+    stream itself never shuffles; only per-user rows and cell counts
+    move.
+    """
+    trunc = F.date_trunc(period, F.col(ts_col))
+    firsts = df.groupBy(F.col(user_col)).agg(
+        F.min(trunc).alias("__cohort")
+    )
+    j = df.join(F.broadcast(firsts), user_col)
+    # offset in whole periods via datediff on the truncated boundaries —
+    # tz-independent (both are period starts; no epoch conversion, which
+    # would re-interpret TIMESTAMP_NTZ through the session zone)
+    days = F.datediff(trunc.cast("date"), F.col("__cohort").cast("date"))
+    cells = j.groupBy(
+        F.col("__cohort"),
+        F.floor(days / F.lit(7 if period == "week" else 1))
+        .cast("long")
+        .alias("offset"),
+    ).agg(F.count_distinct(user_col).alias("n_active"))
+    sizes = firsts.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "__cohort")
+        .select(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort"),
+            "offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+    )

@@ -3015,3 +3015,74 @@ def q_tokenize_to_ids(spark: SparkSession, sf: str) -> DataFrame:
     of (doc, pos, id) longs."""
     docs = load_table(spark, sf, "documents")
     return text.tokenize_to_ids(docs, "text", "doc_id", vocab_size=500)
+
+
+@query(
+    "funnel_steps",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        FROM events
+        WHERE event_type IN ('signup', 'view', 'purchase')
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(CASE WHEN t0 IS NULL THEN 0
+                     WHEN t1 IS NULL OR t1 <= t0 THEN 1
+                     WHEN t2 IS NULL OR t2 <= t1 THEN 2
+                     ELSE 3 END AS BIGINT) AS max_step,
+           strftime(t0, '%Y-%m-%d %H:%M:%S') AS t_first,
+           CASE WHEN t0 IS NULL THEN NULL
+                WHEN t1 IS NULL OR t1 <= t0 THEN strftime(t0, '%Y-%m-%d %H:%M:%S')
+                WHEN t2 IS NULL OR t2 <= t1 THEN strftime(t1, '%Y-%m-%d %H:%M:%S')
+                ELSE strftime(t2, '%Y-%m-%d %H:%M:%S') END AS t_last
+    FROM f
+    """,
+    shadow=True,
+)
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered signup → view → purchase funnel over events: per-user
+    furthest step under strictly-increasing-timestamp semantics, one
+    conditional-min aggregation pass (the event stream never shuffles
+    rows — only len(steps) per-user partial minima)."""
+    ev = load_table(spark, sf, "events")
+    return temporal.funnel_steps(
+        ev, "user_id", "ts", "event_type", ["signup", "view", "purchase"]
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH t AS (
+        SELECT user_id, date_trunc('week', ts) AS w FROM events
+    ), firsts AS (
+        SELECT user_id, min(w) AS cohort FROM t GROUP BY user_id
+    ), cells AS (
+        SELECT cohort,
+               CAST(floor(date_diff('day', cohort::DATE, w::DATE) / 7)
+                    AS BIGINT) AS "offset",
+               count(DISTINCT t.user_id) AS n_active
+        FROM t JOIN firsts USING (user_id)
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT cohort, count(*) AS n_cohort FROM firsts GROUP BY cohort
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset",
+           n_active, n_cohort,
+           round(n_active / n_cohort, 6) AS retention
+    FROM cells JOIN sizes USING (cohort)
+    """,
+    shadow=True,
+)
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention triangle over events: users cohorted by
+    first-event week, per-(cohort, offset) distinct-active share. Two
+    partial-combined aggs + broadcast cohort map; tz-independent offset
+    arithmetic (datediff on truncated boundaries, no epoch
+    reinterpretation of TIMESTAMP_NTZ)."""
+    ev = load_table(spark, sf, "events")
+    return temporal.cohort_retention(ev, "user_id", "ts", period="week")

@@ -344,3 +344,70 @@ def test_jsonl_roundtrip_partitioned_sharded(spark, tmp_path):
     a = {r["doc_id"] for r in df.select("doc_id").collect()}
     b = {r["doc_id"] for r in back.select("doc_id").collect()}
     assert a == b
+
+
+# --- funnel / cohort retention ----------------------------------------------
+
+
+def test_funnel_ordered_semantics(spark):
+    from datetime import datetime
+    from opendosm_parquet_to_sqlite_spark.operators import temporal
+
+    T = datetime
+    rows = [
+        # u1: full funnel in order
+        (1, T(2024, 1, 1, 10), "A"), (1, T(2024, 1, 1, 11), "B"),
+        (1, T(2024, 1, 1, 12), "C"),
+        # u2: B before A -> stops at step 1 (earliest B precedes A)
+        (2, T(2024, 1, 2, 9), "B"), (2, T(2024, 1, 2, 10), "A"),
+        # u3: A only
+        (3, T(2024, 1, 3, 8), "A"),
+        # u4: never did A (only B, C) -> step 0
+        (4, T(2024, 1, 4, 8), "B"), (4, T(2024, 1, 4, 9), "C"),
+        # u5: A then C (skips B) -> step 1
+        (5, T(2024, 1, 5, 8), "A"), (5, T(2024, 1, 5, 9), "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, ev string")
+    out = {r["user_id"]: r for r in temporal.funnel_steps(
+        df, "user_id", "ts", "ev", ["A", "B", "C"]).collect()}
+    assert out[1]["max_step"] == 3
+    assert out[1]["t_last"] == "2024-01-01 12:00:00"
+    assert out[2]["max_step"] == 1
+    assert out[3]["max_step"] == 1
+    assert out[4]["max_step"] == 0 and out[4]["t_first"] is None
+    assert out[5]["max_step"] == 1
+
+
+def test_funnel_rejects_empty_steps(spark):
+    import pytest as _pytest
+    from opendosm_parquet_to_sqlite_spark.operators import temporal
+
+    df = spark.createDataFrame([(1, None, "A")],
+                               "user_id long, ts timestamp, ev string")
+    with _pytest.raises(ValueError):
+        temporal.funnel_steps(df, "user_id", "ts", "ev", [])
+
+
+def test_cohort_retention_two_cohorts(spark):
+    from datetime import datetime
+    from opendosm_parquet_to_sqlite_spark.operators import temporal
+
+    T = datetime
+    rows = [
+        # cohort week of Jan 1 (Mon): users 1, 2
+        (1, T(2024, 1, 2, 10)), (2, T(2024, 1, 3, 10)),
+        # user 1 returns in week+1; user 2 does not
+        (1, T(2024, 1, 9, 10)),
+        # cohort week of Jan 8: user 3, active same week only
+        (3, T(2024, 1, 10, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort"], r["offset"]): r for r in
+           temporal.cohort_retention(df, "user_id", "ts",
+                                     period="week").collect()}
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 0)]["n_cohort"] == 2
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+    assert out[("2024-01-08", 0)]["n_active"] == 1
+    assert len(out) == 3
