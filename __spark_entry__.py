@@ -63,6 +63,7 @@ _ROWS_ONLY_PRIORITY = [
     "tokenize_to_ids",
     "funnel_steps",
     "cohort_retention",
+    "transition_matrix",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -103,9 +103,11 @@ HEADLINE = [
     # grouped top-k vocabulary + vocab-indexed tokenization
     "top_terms_per_group",
     "tokenize_to_ids",
-    # product-analytics shapes: one-pass ordered funnel, cohort grid
+    # product-analytics shapes: one-pass ordered funnel, cohort grid,
+    # per-user lead-window transition counts
     "funnel_steps",
     "cohort_retention",
+    "transition_matrix",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

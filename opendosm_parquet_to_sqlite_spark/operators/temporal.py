@@ -346,3 +346,52 @@ def cohort_retention(
             ),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order event transition matrix (Markov counts): for each
+    (from_event, to_event) pair, how often a user's NEXT event was
+    to_event, plus the row-normalized transition probability — the
+    sequence-structure view behind funnel design (funnels hypothesize an
+    order; this measures the order that actually exists).
+
+    Ordering inside a user is (ts, tiebreak_col) — pass a unique column
+    (an event id) to make ties deterministic; without it, equal
+    timestamps order arbitrarily and the counts can vary run to run.
+
+    Output: from_event, to_event, n, p (6 dp, rows sum to 1 per
+    from_event).
+
+    Shape: one user-keyed exchange + in-partition sort for the lead()
+    window (the rolling_features shape — no self-join), then a
+    partial-combined (from, to) count agg; the probability window runs
+    over the CELL table (|events|² cells at most — tiny). For a
+    single-user-dominated stream the keyed window is the skew surface;
+    the time-sliced remedy in operators/skew.py applies unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    nxt = df.select(
+        F.col(event_col).alias("from_event"),
+        F.lead(F.col(event_col)).over(w).alias("to_event"),
+    ).filter(F.col("to_event").isNotNull())
+    counts = nxt.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("from_event")
+    return counts.select(
+        "from_event",
+        "to_event",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )

@@ -3086,3 +3086,34 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     reinterpretation of TIMESTAMP_NTZ)."""
     ev = load_table(spark, sf, "events")
     return temporal.cohort_retention(ev, "user_id", "ts", period="week")
+
+
+@query(
+    "transition_matrix",
+    """
+    WITH s AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_ev
+        FROM events
+    ), c AS (
+        SELECT event_type AS from_event, next_ev AS to_event,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE next_ev IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_event, to_event, n,
+           round(n / sum(n) OVER (PARTITION BY from_event), 6) AS p
+    FROM c
+    """,
+    shadow=True,
+)
+def q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order event transition matrix over per-user sequences
+    (tie-broken by event_id): one keyed lead() window + a cell-count
+    agg; probabilities row-normalize over the tiny cell table."""
+    ev = load_table(spark, sf, "events")
+    return temporal.transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )

@@ -411,3 +411,29 @@ def test_cohort_retention_two_cohorts(spark):
     assert out[("2024-01-01", 1)]["retention"] == 0.5
     assert out[("2024-01-08", 0)]["n_active"] == 1
     assert len(out) == 3
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from datetime import datetime
+    from opendosm_parquet_to_sqlite_spark.operators import temporal
+
+    T = datetime
+    rows = [
+        (1, 1, T(2024, 1, 1, 1), "A"), (1, 2, T(2024, 1, 1, 2), "B"),
+        (1, 3, T(2024, 1, 1, 3), "A"), (1, 4, T(2024, 1, 1, 4), "C"),
+        (2, 5, T(2024, 1, 1, 1), "A"), (2, 6, T(2024, 1, 1, 2), "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, ev string"
+    )
+    out = {(r["from_event"], r["to_event"]): r for r in
+           temporal.transition_matrix(df, "user_id", "ts", "ev",
+                                      tiebreak_col="event_id").collect()}
+    # A -> B twice, A -> C never (C follows A via user1: A@3 -> C@4)
+    assert out[("A", "B")]["n"] == 2
+    assert out[("A", "C")]["n"] == 1
+    assert out[("B", "A")]["n"] == 1
+    # rows sum to 1 per from_event
+    assert out[("A", "B")]["p"] + out[("A", "C")]["p"] == 1.0
+    # no cross-user transition (user1's last C never pairs with user2's A)
+    assert ("C", "A") not in out
