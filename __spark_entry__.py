@@ -64,6 +64,7 @@ _ROWS_ONLY_PRIORITY = [
     "funnel_steps",
     "cohort_retention",
     "transition_matrix",
+    "group_percentiles",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

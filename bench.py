@@ -108,6 +108,8 @@ HEADLINE = [
     "funnel_steps",
     "cohort_retention",
     "transition_matrix",
+    # one-pass per-group percentile table (array percentile + posexplode)
+    "group_percentiles",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -321,3 +321,53 @@ def value_histogram(
             "n",
         )
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    percentiles: list[float] = (0.5, 0.95, 0.99),
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group percentile table in LONG format — the latency/size SLO
+    panel (p50/p95/p99 per event type, token-count percentiles per
+    source) without collecting anything.
+
+    Output: group cols + `pct` (the requested fraction) + `value`
+    (6 dp). NULL values are excluded; empty groups are absent.
+
+    Shape: ONE aggregation computes all requested percentiles in a
+    single pass (array-typed percentile), then a narrow posexplode to
+    long format — the exchange carries one array per group. approx=True
+    swaps in percentile_approx (mergeable KLL-style sketch, map-side
+    partials — the 100 TB path); exact `percentile` is sort-based per
+    group and is the oracle-parity path (DuckDB quantile_cont, same
+    linear interpolation).
+    """
+    groups: list[str]
+    if group_cols is None:
+        groups = []
+    elif isinstance(group_cols, str):
+        groups = [group_cols]
+    else:
+        groups = list(group_cols)
+    pcts = [float(p) for p in percentiles]
+    v = F.col(value_col).cast("double")
+    arr = F.array(*[F.lit(p) for p in pcts])
+    agg = (
+        F.percentile_approx(v, arr, F.lit(int(accuracy)))
+        if approx
+        else F.percentile(v, arr)
+    )
+    base = df.groupBy(*groups) if groups else df.groupBy()
+    stats = base.agg(agg.alias("__q"))
+    return stats.select(
+        *groups,
+        F.posexplode("__q").alias("__i", "__v"),
+    ).select(
+        *groups,
+        F.element_at(F.lit(pcts), F.col("__i") + 1).alias("pct"),
+        F.round("__v", 6).alias("value"),
+    )

@@ -3117,3 +3117,29 @@ def q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return temporal.transition_matrix(
         ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
     )
+
+
+@query(
+    "group_percentiles",
+    """
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, [0.5, 0.9, 0.99]) AS qs
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           ([0.5, 0.9, 0.99])[i] AS pct,
+           round(qs[i], 6) AS value
+    FROM q, LATERAL unnest(generate_series(1, 3)) AS g(i)
+    """,
+    shadow=True,
+)
+def q_group_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """p50/p90/p99 of event values per event type, all percentiles in ONE
+    aggregation pass (array-typed percentile) exploded to long format —
+    the SLO panel. approx=True (not used here: exact is the oracle
+    path) swaps mergeable sketches for the 100 TB run."""
+    ev = load_table(spark, sf, "events")
+    return aggregates.group_percentiles(
+        ev, "value", "event_type", percentiles=[0.5, 0.9, 0.99]
+    )

@@ -437,3 +437,69 @@ def test_transition_matrix_counts_and_probs(spark):
     assert out[("A", "B")]["p"] + out[("A", "C")]["p"] == 1.0
     # no cross-user transition (user1's last C never pairs with user2's A)
     assert ("C", "A") not in out
+
+
+def test_funnel_fuzz_matches_python_reference(spark):
+    from datetime import datetime, timedelta
+    from hypothesis import given, settings, strategies as st
+    from opendosm_parquet_to_sqlite_spark.operators import temporal
+
+    STEPS = ["A", "B", "C"]
+
+    def py_funnel(events):
+        # reference: min ts per step, then the strict ordered chain
+        mins = {}
+        for ts, ev in events:
+            if ev in STEPS and (ev not in mins or ts < mins[ev]):
+                mins[ev] = ts
+        if "A" not in mins:
+            return 0
+        step, prev = 1, mins["A"]
+        for s in STEPS[1:]:
+            if s in mins and mins[s] > prev:
+                step, prev = step + 1, mins[s]
+            else:
+                break
+        return step
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.sampled_from(["A", "B", "C", "X"]),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(seq):
+        base = datetime(2024, 1, 1)
+        events = [(base + timedelta(minutes=m), e) for m, e in seq]
+        df = spark.createDataFrame(
+            [(1, ts, ev) for ts, ev in events],
+            "user_id long, ts timestamp, ev string",
+        )
+        out = temporal.funnel_steps(df, "user_id", "ts", "ev", STEPS).collect()
+        funnel_events = [(ts, e) for ts, e in events if e in STEPS]
+        if not funnel_events:
+            assert out == []
+        else:
+            assert out[0]["max_step"] == py_funnel(events), events
+
+    check()
+
+
+def test_group_percentiles_exact_and_approx(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("a", None)],
+        "grp string, value double",
+    )
+    exact = {r["pct"]: r["value"] for r in aggregates.group_percentiles(
+        df, "value", "grp", percentiles=[0.5, 0.99]).collect()}
+    # 1..100: p50 = 50.5 (linear interpolation), p99 = 99.01
+    assert exact[0.5] == 50.5
+    assert exact[0.99] == 99.01
+    approx = {r["pct"]: r["value"] for r in aggregates.group_percentiles(
+        df, "value", "grp", percentiles=[0.5, 0.99], approx=True).collect()}
+    assert abs(approx[0.5] - 50.5) <= 1.5
