@@ -184,3 +184,99 @@ def batch_profile(
             F.max_by("value", order).alias("last_value"),
         )
     )
+
+
+# --- streaming transition counts --------------------------------------------
+
+TRANS_STATE_SCHEMA = "last_ev string, last_ts long"
+TRANS_OUTPUT_SCHEMA = (
+    "key string, from_event string, to_event string, n long"
+)
+
+
+def _update_transitions(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Chain this microbatch's events for one user onto the carried
+    (last_event, last_ts) state and emit the batch's transition DELTAS.
+
+    Contract (same as the running profile): event time is unique and
+    non-decreasing per user across microbatches — the append-stream
+    assumption. Within a batch rows sort by event time, so any split of
+    an ordered stream yields identical totals."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    last_ev, last_ts = state.get if state.exists else (None, -1)
+    counts: dict[tuple, int] = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values("et")
+        for ev, et in zip(pdf["ev"], pdf["et"]):
+            if last_ev is not None:
+                pair = (last_ev, ev)
+                counts[pair] = counts.get(pair, 0) + 1
+            last_ev, last_ts = ev, int(et)
+    state.update((last_ev, last_ts))
+    if counts:
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(counts),
+                "from_event": [a for a, _ in counts],
+                "to_event": [b for _, b in counts],
+                "n": list(counts.values()),
+            }
+        )
+
+
+def make_transition_update_fn(ttl_ms: int | None):
+    """TTL-armed wrapper (see make_update_fn for why module-level)."""
+    if ttl_ms is None:
+        return _update_transitions
+
+    def with_ttl(key, pdfs, state):
+        yield from _update_transitions(key, pdfs, state)
+        if not state.hasTimedOut:
+            state.setTimeoutDuration(ttl_ms)
+
+    return with_ttl
+
+
+def transition_counts_stream(
+    sdf: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Continuously-maintained first-order transition counts: per-user
+    O(1) state (just the last event seen), per-microbatch DELTA emission
+    of (user, from, to, n) — downstream sums deltas by (from, to) to
+    maintain the live transition matrix (operators.temporal.
+    transition_matrix is the batch twin / backfill path; equivalence is
+    the test contract).
+
+    State is ONE event name per user regardless of stream length — the
+    minimal-state formulation; a windowed variant would carry event
+    history, this one never does. ttl_ms evicts dormant users (a user
+    returning after eviction restarts the chain: its first new event
+    emits no transition — the standard bounded-state trade, same as the
+    running profile)."""
+    src = sdf.select(
+        F.col(user_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("et"),
+        F.col(event_col).cast("string").alias("ev"),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        make_transition_update_fn(ttl_ms),
+        outputStructType=TRANS_OUTPUT_SCHEMA,
+        stateStructType=TRANS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
