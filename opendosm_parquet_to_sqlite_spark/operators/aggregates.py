@@ -371,3 +371,52 @@ def group_percentiles(
         F.element_at(F.lit(pcts), F.col("__i") + 1).alias("pct"),
         F.round("__v", 6).alias("value"),
     )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str, base2: bool = True
+) -> DataFrame:
+    """Mutual information between two categorical columns, reported as the
+    per-cell decomposition: for every observed (x, y) cell, the joint
+    probability, pointwise mutual information, and the cell's contribution
+    p(x,y)·pmi to I(X;Y) = Σ contributions.  The dataset-card statistic
+    for spotting coupled metadata (is `lang` informative about `source`?
+    is a quality label leaking the domain?) before a sampling pass
+    stratifies on the wrong axis.
+
+    NULL categories are kept as their own level (groupBy treats NULL as a
+    group; the window sums do the same), so missing metadata participates
+    in the dependence measure instead of silently vanishing.
+
+    Output: x, y, n (long), p_xy, pmi, mi_contrib (all 6 dp).  Total MI =
+    sum(mi_contrib); it is left un-collapsed so the oracle comparison
+    covers every cell, not one scalar.
+
+    Shape: ONE partial-combined count aggregation over the data (the only
+    exchange that sees data-scale rows); the marginals are window sums
+    over the CELL table — |X|·|Y| rows, metadata-sized by assumption —
+    so the unpartitioned windows that follow are driver-trivial single
+    partitions of a tiny frame, not a scale hazard.
+    """
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    w_x = Window.partitionBy("x")
+    w_y = Window.partitionBy("y")
+    total = F.sum("n").over(w_all)
+    p_xy = F.col("n") / total
+    p_x = F.sum("n").over(w_x) / total
+    p_y = F.sum("n").over(w_y) / total
+    log = (lambda c: F.log2(c)) if base2 else (lambda c: F.log(c))
+    pmi = log(p_xy / (p_x * p_y))
+    return cells.select(
+        "x",
+        "y",
+        F.col("n").cast("long").alias("n"),
+        F.round(p_xy, 6).alias("p_xy"),
+        F.round(pmi, 6).alias("pmi"),
+        F.round(p_xy * pmi, 6).alias("mi_contrib"),
+    )

@@ -175,3 +175,113 @@ def cluster_representatives(components: DataFrame) -> DataFrame:
     return components.select(
         F.col("cluster_id").alias("doc_id")
     ).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank by power iteration over a DataFrame edge list —
+    the stationary-importance score for any graph the pipeline derives
+    (near-dup clusters, event-transition chains, citation/link graphs).
+    On a row-stochastic transition matrix this converges to the damped
+    stationary distribution of the Markov chain the edges describe.
+
+    Semantics: out-edge weights are normalized per source (uniform when
+    `weight` is None); each iteration
+        rank(v) <- (1-d)/N + d * (Σ_{u->v} rank(u)·w_norm(u,v)
+                               + dangling_mass / N)
+    where dangling_mass is the rank sitting on nodes with no out-edges —
+    redistributed uniformly, the standard correction that keeps ranks
+    summing to 1 (Page et al., 1999; public formulation).
+
+    Output: node, rank (6 dp).  Ranks sum to 1 across the node set.
+
+    Shape per iteration: one hash join (edges × ranks, keyed on src) +
+    one dst-keyed partial-combined sum — two exchanges of (node, double)
+    rows; the edge list is normalized and TRUNCATED once up front so the
+    per-round plan is flat (same eager-checkpoint discipline as
+    connected_components: lineage does not grow with iterations, and the
+    dangling-mass scalar is a 1-row agg, not a collect of the rank
+    table).  At the transition-graph scale (|event types|²) this is
+    driver-trivial; at web scale the same plan holds with edges
+    pre-partitioned by src so the join side is exchange-free.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    w_col = (
+        F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
+    )
+    before = _persistent_rdd_ids(spark)
+    norm = _truncate(
+        e.groupBy("u")
+        .agg(F.sum("w").alias("__tot"))
+        .join(e, "u")
+        .select("u", "v", (F.col("w") / F.col("__tot")).alias("w"))
+    )
+    nodes = _truncate(
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    base_ids = _persistent_rdd_ids(spark) - before
+    n_nodes = nodes.count()
+    d = float(damping)
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    prev_ids: set = set()
+    try:
+        for _ in range(int(n_iter)):
+            dangling = (
+                ranks.join(
+                    norm.select(F.col("u").alias("node")).distinct(),
+                    "node",
+                    "left_anti",
+                )
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+            contrib = (
+                norm.join(
+                    ranks.select(F.col("node").alias("u"), "rank"), "u"
+                )
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
+            )
+            before = _persistent_rdd_ids(spark)
+            new_ranks = _truncate(
+                nodes.join(contrib, "node", "left").select(
+                    "node",
+                    (
+                        F.lit((1.0 - d) / n_nodes)
+                        + F.lit(d)
+                        * (
+                            F.coalesce("__in", F.lit(0.0))
+                            + F.lit(dangling / n_nodes)
+                        )
+                    ).alias("rank"),
+                )
+            )
+            new_ids = _persistent_rdd_ids(spark) - before
+            _unpersist_rdd_ids(spark, prev_ids)
+            prev_ids = new_ids
+            ranks = new_ranks
+    except BaseException:
+        _unpersist_rdd_ids(spark, base_ids | prev_ids)
+        raise
+    _unpersist_rdd_ids(spark, base_ids)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

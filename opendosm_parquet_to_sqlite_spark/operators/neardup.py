@@ -662,3 +662,76 @@ def span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_span_ratio"),
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 8,
+    prefix_len: int = 12,
+    key_len: int = 48,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked edit-distance near-dup pairs: candidate pairs share an exact
+    normalized prefix (the BLOCK), and survive if the Levenshtein distance
+    between their normalized key strings (first `key_len` chars) is at most
+    `max_dist`.  Edit distance catches the near-dup class the set-based
+    family (Jaccard/MinHash/SimHash) is weakest on — small in-place
+    character edits (typo noise, OCR damage) that leave most shingles
+    intact but also matter when shingles are long relative to the edit.
+
+    Blocking is the standard entity-resolution move: Levenshtein is
+    O(key_len²) per PAIR, so the all-pairs product must never form.  An
+    exact-prefix block admits only pairs whose first `prefix_len`
+    normalized chars agree — a deliberate recall trade (an edit inside the
+    prefix splits the pair into different blocks; shorten `prefix_len` or
+    add a second pass on reversed keys to recover those).  Within a block
+    the pair join is a self equi-join on the prefix with `id_a < id_b`.
+
+    `max_block` caps block width the same way `max_doc_freq` caps hot
+    shingles in jaccard_pairs: blocks wider than the cap are dropped
+    ENTIRELY before the self-join (an anti-join on a counted block list),
+    because a viral prefix (boilerplate openers) would otherwise
+    reintroduce the quadratic hazard.  Dropped blocks cost recall, not
+    correctness, and the cap makes worst-case pair volume
+    ≤ max_block² / 2 per block by construction.
+
+    Output: id_a, id_b, dist (long) — one row per surviving pair.
+
+    Shape: narrow normalize/prefix projection → (optional) block-count
+    agg + anti-join → one prefix-keyed exchange for the self-join →
+    per-pair levenshtein + filter.  The text never shuffles beyond the
+    `key_len`-char keys; distance runs JVM-side (built-in levenshtein,
+    whole-stage codegen), zero Python.
+    """
+    key = F.lower(F.trim(F.col(text_col))).substr(1, key_len)
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        key.alias("__key"),
+        key.substr(1, prefix_len).alias("__blk"),
+    ).filter(F.length("__key") > 0)
+    if max_block is not None:
+        hot = (
+            keyed.groupBy("__blk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_block))
+            .select("__blk")
+        )
+        keyed = keyed.join(hot, "__blk", "left_anti")
+    a = keyed.select(
+        F.col("__blk"),
+        F.col("__id").alias("id_a"),
+        F.col("__key").alias("__key_a"),
+    )
+    b = keyed.select(
+        F.col("__blk"),
+        F.col("__id").alias("id_b"),
+        F.col("__key").alias("__key_b"),
+    )
+    pairs = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein("__key_a", "__key_b")
+    return (
+        pairs.filter(dist <= int(max_dist))
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+    )

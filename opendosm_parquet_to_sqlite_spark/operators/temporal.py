@@ -395,3 +395,125 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    tiebreak_col: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over the time-ordered
+    series: s_1 = v_1, s_i = alpha*v_i + (1-alpha)*s_{i-1}.  The linear
+    recurrence every monitoring/feature pipeline wants and no window frame
+    can express (window aggregates are associative; EWMA is order-coupled).
+
+    Implemented NATIVELY — no Python in the loop: per key, collect the
+    (ts, tiebreak, value) structs, array_sort for the deterministic time
+    order, then a single higher-order `aggregate` folds the recurrence
+    left-to-right while APPENDING each state, so the per-row smoothed
+    series comes back from one lambda; posexplode restores one row per
+    input.  The fold runs inside codegen'd Catalyst expressions — the
+    same FP operations in the same order as a sequential scan, which is
+    what makes the result oracle-matchable against a recursive-CTE
+    reference.
+
+    Output: key cols + tiebreak/ts + value + `out_col` (rounded 6 dp).
+
+    Shape: ONE key exchange (the collect_list groupBy); everything after
+    is a narrow in-partition fold.  Per-key memory is O(series length) —
+    same envelope as any keyed sort-window over the same data; for keys
+    whose history exceeds executor memory, slice time first
+    (operators/skew.py's carry-band trick applies: fold slices in order,
+    seeding each slice with the previous slice's final state).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tb = tiebreak_col if tiebreak_col is not None else ts_col
+    a = float(alpha)
+    fields = [F.col(ts_col)] + (
+        [F.col(tb)] if tb != ts_col else []
+    ) + [F.col(value_col)]
+    packed = df.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct(*fields))).alias("__seq")
+    )
+    states = F.aggregate(
+        F.col("__seq"),
+        F.lit(None).cast("array<double>"),
+        lambda acc, x: F.when(
+            acc.isNull(),
+            F.array(x[value_col].cast("double")),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.lit(a) * x[value_col].cast("double")
+                    + F.lit(1.0 - a) * F.element_at(acc, -1)
+                ),
+            )
+        ),
+    )
+    exploded = packed.select(
+        *keys, F.posexplode(F.arrays_zip(F.col("__seq"), states.alias("__st")))
+    )
+    return exploded.select(
+        *keys,
+        F.col("col.__seq")[ts_col].alias(ts_col),
+        *([F.col("col.__seq")[tb].alias(tb)] if tb != ts_col else []),
+        F.col("col.__seq")[value_col].alias(value_col),
+        F.round(F.col("col.__st"), 6).alias(out_col),
+    )
+
+
+def scd2_compress(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval derivation: collapse a
+    per-key event stream of attribute observations into validity intervals
+    [valid_from, valid_to) — one row per RUN of equal consecutive values,
+    with the open current interval carrying valid_to = NULL.  This is the
+    change-data-capture → dimension-table compaction every warehouse
+    pipeline runs; the reference's latest-per-group dedup (src/main.rs:
+    252-278) is exactly the degenerate "keep only the current row" case.
+
+    Semantics: order each key's rows by (ts, tiebreak); a row is a CHANGE
+    POINT iff its attribute differs from the previous row's (NULL-safe:
+    NULL -> 'x' and 'x' -> NULL are both changes, NULL -> NULL is not).
+    Each change point opens an interval; valid_to is the next change
+    point's valid_from; version numbers the intervals per key from 1.
+
+    Output: key cols + attr + valid_from, valid_to (NULL = current),
+    version (long), is_current.
+
+    Shape: ONE key exchange shared by BOTH window passes (lag to flag
+    changes, then lead over the filtered change points — same partition
+    key, so Catalyst reuses the sort without a second shuffle).  No
+    self-joins; per-key state is the window sort buffer.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tb = tiebreak_col if tiebreak_col is not None else ts_col
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(ts_col), F.col(tb)
+    )
+    prev = F.lag(F.col(attr_col)).over(w)
+    first = F.row_number().over(w) == 1
+    changed = df.withColumn(
+        "__chg", first | ~F.col(attr_col).eqNullSafe(prev)
+    ).filter(F.col("__chg"))
+    w2 = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(ts_col), F.col(tb)
+    )
+    out = changed.select(
+        *keys,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())

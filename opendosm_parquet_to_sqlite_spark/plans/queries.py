@@ -3143,3 +3143,224 @@ def q_group_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return aggregates.group_percentiles(
         ev, "value", "event_type", percentiles=[0.5, 0.9, 0.99]
     )
+
+
+# --- round-6 wave 2: entity resolution, recurrences, SCD2, dependence, -------
+# --- cube closure, referential integrity, graph centrality -------------------
+
+
+@query(
+    "dedup_levenshtein",
+    """
+    WITH keyed AS (
+        SELECT doc_id AS id,
+               substr(lower(trim(text)), 1, 48) AS k,
+               substr(lower(trim(text)), 1, 12) AS blk
+        FROM documents
+        WHERE length(substr(lower(trim(text)), 1, 48)) > 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+    FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.k, b.k) <= 8
+    """,
+    shadow=True,
+)
+def q_dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs: exact-prefix blocking, then
+    JVM-side levenshtein on 48-char normalized keys — the typo/OCR-noise
+    dup class the shingle family under-catches. The blocked self-join is
+    the only exchange; pair volume is bounded per block (max_block guard
+    available for viral prefixes)."""
+    docs = load_table(spark, sf, "documents")
+    return neardup.levenshtein_pairs(
+        docs, "text", "doc_id", max_dist=8, prefix_len=12, key_len=48
+    )
+
+
+@query(
+    "ewma_smooth",
+    """
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), ew AS (
+        SELECT user_id, event_id, value, rn, CAST(value AS DOUBLE) AS s
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.value, b.rn,
+               0.2 * b.value + 0.8 * e.s
+        FROM base b JOIN ew e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, value, round(s, 6) AS ewma FROM ew
+    """,
+    shadow=True,
+)
+def q_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.2) over the time-ordered event stream — the
+    order-coupled recurrence no window frame expresses, folded natively
+    by a higher-order aggregate after ONE key exchange. The oracle is a
+    genuine recursive CTE computing the same recurrence row-by-row: the
+    fold's FP operation order matches the sequential definition exactly,
+    which is what makes this hash-checkable."""
+    ev = load_table(spark, sf, "events")
+    out = temporal.ewma(
+        ev, "user_id", "ts", "value", alpha=0.2, tiebreak_col="event_id"
+    )
+    return out.select("user_id", "event_id", "value", "ewma")
+
+
+@query(
+    "scd2_intervals",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), chg AS (
+        SELECT user_id, event_id, ts, event_type FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '{TS_FMT_DUCK}') AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS version,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM chg
+    """,
+    shadow=True,
+)
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-type-2 compaction of the per-user event_type stream into
+    validity intervals — the CDC-to-dimension shape; the reference's
+    latest-per-group dedup (src/main.rs:252-278) is the keep-only-current
+    degenerate case. One key exchange shared by both window passes."""
+    ev = load_table(spark, sf, "events")
+    out = temporal.scd2_compress(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT_SPARK).alias("valid_to"),
+        "version",
+        "is_current",
+    )
+
+
+@query(
+    "mutual_information",
+    """
+    WITH cells AS (
+        SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT x, y, n,
+           round((n / CAST(sum(n) OVER () AS DOUBLE)), 6) AS p_xy,
+           round(log2((n / CAST(sum(n) OVER () AS DOUBLE)) /
+                 ((sum(n) OVER (PARTITION BY x) / CAST(sum(n) OVER () AS DOUBLE))
+                  * (sum(n) OVER (PARTITION BY y) / CAST(sum(n) OVER () AS DOUBLE)))),
+                 6) AS pmi,
+           round((n / CAST(sum(n) OVER () AS DOUBLE)) *
+                 log2((n / CAST(sum(n) OVER () AS DOUBLE)) /
+                 ((sum(n) OVER (PARTITION BY x) / CAST(sum(n) OVER () AS DOUBLE))
+                  * (sum(n) OVER (PARTITION BY y) / CAST(sum(n) OVER () AS DOUBLE)))),
+                 6) AS mi_contrib
+    FROM cells
+    """,
+    shadow=True,
+)
+def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell mutual-information decomposition of (lang, source) — the
+    dataset-card dependence check before stratifying a sampling pass on
+    either axis. One data-scale count agg; marginals are window sums
+    over the metadata-sized cell table."""
+    docs = load_table(spark, sf, "documents")
+    return aggregates.mutual_information(docs, "lang", "source")
+
+
+@query(
+    "cube_metrics",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    shadow=True,
+)
+def q_cube_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE closure of the grouping-set family (rollup_metrics and
+    pivot_metrics cover the other two): all four (status, priority)
+    grouping combinations in one pass — Spark expands the cube BEFORE the
+    exchange, so partial aggregation still combines map-side and the
+    shuffle carries one partial row per (mapper, grouping set, group).
+    gid is computed explicitly as grouping(a)*2 + grouping(b) on both
+    sides (no bit-order convention risk)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "orphan_check",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+    shadow=True,
+)
+def q_orphan_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity sweep: dimension rows no fact references
+    (left_anti join — the data-quality gate run before any star-join
+    pipeline trusts its keys). Anti joins broadcast the same way inner
+    joins do when the probe side is small; here orders is the big side,
+    so the anti join hashes on the key and never materializes matches."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query("event_pagerank")
+def q_event_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Damped stationary distribution of the first-order event-type
+    Markov chain: transition counts feed weighted PageRank (20 power
+    iterations, d=0.85). Iterative joins with eager lineage truncation —
+    the same discipline as connected components; per-iteration cost is
+    two (node, double) exchanges. Rows-only driver check (iterative FP
+    fixpoint; no SQL oracle) — tests/test_round6b.py pins the result
+    against a NumPy power iteration to 1e-9."""
+    ev = load_table(spark, sf, "events")
+    edges = temporal.transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+    return graph.pagerank(
+        edges, "from_event", "to_event", weight="n", damping=0.85, n_iter=20
+    )

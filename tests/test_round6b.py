@@ -1,0 +1,225 @@
+"""Round-6 wave-2 operators: blocked edit-distance pairs, native EWMA,
+SCD2 compaction, mutual information, weighted PageRank, bucketed joins.
+
+Each operator's oracle parity (where SQL-expressible) runs uniformly in
+tests/test_oracle_parity.py via SHADOW_ORACLES; this module pins the
+semantics pytest-side: hand-built cases, reference implementations
+(pandas / NumPy), and the physical-plan promises the docstrings make.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import (
+    aggregates,
+    graph,
+    neardup,
+    temporal,
+)
+
+
+# --- levenshtein_pairs -------------------------------------------------------
+
+
+def test_levenshtein_pairs_basic(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cog"),  # 1 edit
+            (3, "the quick brown fox leaps over seven lazy dogs"),  # few edits
+            (4, "completely different text with nothing shared"),
+            (5, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG  "),  # case/trim dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    out = neardup.levenshtein_pairs(
+        docs, "text", "doc_id", max_dist=8, prefix_len=12, key_len=48
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.dist for r in out}
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 5)] == 0  # normalization makes them identical
+    assert pairs[(2, 5)] == 1
+    # doc 3 diverges at char 20+ => same block, but distance > 8 from 4 only;
+    # vs 1: "jumps over the lazy dog" -> "leaps over seven lazy dogs"
+    assert all(d <= 8 for d in pairs.values())
+    assert not any(4 in p for p in pairs)
+
+
+def test_levenshtein_pairs_max_block_drops_viral_prefix(spark):
+    rows = [(i, f"common boilerplate opener variant {i}") for i in range(20)]
+    rows += [(100, "unique snowflake text aaa"), (101, "unique snowflake text aab")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = neardup.levenshtein_pairs(
+        docs, "text", "doc_id", max_dist=10, prefix_len=12, key_len=48,
+        max_block=5,
+    ).collect()
+    ids = {r.id_a for r in out} | {r.id_b for r in out}
+    # the 20-doc block exceeds the cap and is dropped entirely;
+    # the 2-doc block survives
+    assert ids == {100, 101}
+
+
+# --- ewma --------------------------------------------------------------------
+
+
+def _ewma_ref(values: list[float], alpha: float) -> list[float]:
+    out = []
+    for v in values:
+        out.append(v if not out else alpha * v + (1 - alpha) * out[-1])
+    return out
+
+
+def test_ewma_matches_sequential_reference(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for key in ["a", "b", "c"]:
+        for i in range(200):
+            rows.append((key, i, float(rng.normal())))
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    out = temporal.ewma(df, "k", "ts", "value", alpha=0.3).toPandas()
+    for key, grp in out.groupby("k"):
+        grp = grp.sort_values("ts")
+        vals = grp["value"].tolist()
+        ref = _ewma_ref(vals, 0.3)
+        got = grp["ewma"].tolist()
+        assert got == pytest.approx([round(r, 6) for r in ref], abs=1e-9)
+
+
+def test_ewma_tiebreak_orders_equal_timestamps(spark):
+    # two rows share ts=1; the tiebreak column must fix the fold order
+    df = spark.createDataFrame(
+        [("k", 1, 10, 100.0), ("k", 1, 11, 0.0), ("k", 2, 12, 50.0)],
+        "k string, ts long, eid long, value double",
+    )
+    out = (
+        temporal.ewma(df, "k", "ts", "value", alpha=0.5, tiebreak_col="eid")
+        .orderBy("ts", "eid")
+        .collect()
+    )
+    # order: 100 -> 0.5*0+0.5*100=50 -> 0.5*50+0.5*50=50
+    assert [r.ewma for r in out] == [100.0, 50.0, 50.0]
+
+
+# --- scd2_compress -----------------------------------------------------------
+
+
+def test_scd2_compress_runs_and_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", 1, 1, "A"),
+            ("u", 2, 2, "A"),   # same run
+            ("u", 3, 3, None),  # A -> NULL is a change
+            ("u", 4, 4, None),  # NULL -> NULL is not
+            ("u", 5, 5, "B"),   # NULL -> B is a change
+            ("v", 1, 6, "X"),
+        ],
+        "k string, ts long, eid long, attr string",
+    )
+    out = temporal.scd2_compress(df, "k", "ts", "attr", tiebreak_col="eid")
+    rows = sorted(
+        out.collect(), key=lambda r: (r.k, r.version)
+    )
+    u = [r for r in rows if r.k == "u"]
+    assert [(r.attr, r.valid_from, r.valid_to, r.version) for r in u] == [
+        ("A", 1, 3, 1),
+        (None, 3, 5, 2),
+        ("B", 5, None, 3),
+    ]
+    assert [r.is_current for r in u] == [False, False, True]
+    v = [r for r in rows if r.k == "v"]
+    assert len(v) == 1 and v[0].is_current and v[0].version == 1
+
+
+# --- mutual_information ------------------------------------------------------
+
+
+def test_mutual_information_independent_is_zero(spark):
+    # perfectly independent 2x2 grid, equal masses -> every pmi == 0
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(25)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = aggregates.mutual_information(df, "x", "y").collect()
+    assert len(out) == 4
+    assert all(r.pmi == 0.0 and r.mi_contrib == 0.0 for r in out)
+    assert all(r.p_xy == 0.25 for r in out)
+
+
+def test_mutual_information_deterministic_function(spark):
+    # y = f(x) (full dependence): MI equals H(X) = log2(2) = 1 bit
+    rows = [("a", "c")] * 50 + [("b", "d")] * 50
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = aggregates.mutual_information(df, "x", "y").collect()
+    total = sum(r.mi_contrib for r in out)
+    assert total == pytest.approx(1.0, abs=1e-5)
+
+
+# --- pagerank ----------------------------------------------------------------
+
+
+def _pagerank_ref(edges, damping, n_iter):
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for u, v, wt in edges:
+        w[idx[u], idx[v]] += wt
+    out_sum = w.sum(axis=1)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        dangling = 0.0
+        for i in range(n):
+            if out_sum[i] > 0:
+                contrib += rank[i] * w[i] / out_sum[i]
+            else:
+                dangling += rank[i]
+        rank = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    edges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+        ("c", "a", 1.0), ("d", "a", 1.0),  # e is dangling (only a target)
+        ("c", "e", 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(
+            df, "src", "dst", weight="w", damping=0.85, n_iter=25
+        ).collect()
+    }
+    ref = _pagerank_ref(edges, 0.85, 25)
+    assert set(got) == set(ref)
+    for node, r in ref.items():
+        assert got[node] == pytest.approx(r, abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_uniform_cycle_is_uniform(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = graph.pagerank(df, "src", "dst", weight="w", n_iter=10).collect()
+    for r in got:
+        assert r.rank == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_pagerank_leaves_no_resident_blocks(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().keySet().size()
+    graph.pagerank(df, "src", "dst", weight="w", n_iter=3).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().keySet().size()
+    # intermediate rounds and the normalized-edge/node base are released;
+    # only the final ranks checkpoint (backing the returned frame) may stay.
+    assert after - before <= 1
