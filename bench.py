@@ -110,6 +110,20 @@ HEADLINE = [
     "transition_matrix",
     # one-pass per-group percentile table (array percentile + posexplode)
     "group_percentiles",
+    # round-6 wave 2: blocked edit-distance pairs (prefix-keyed self-join),
+    # native EWMA fold (one key exchange), SCD2 interval compaction (one
+    # shared key exchange), per-cell MI (one data-scale agg), cube closure,
+    # referential-integrity anti-join, iterative weighted PageRank
+    "dedup_levenshtein",
+    "ewma_smooth",
+    "scd2_intervals",
+    "mutual_information",
+    "cube_metrics",
+    "orphan_check",
+    "event_pagerank",
+    # TPC-H Q5 shape: one fact-fact exchange + broadcast dims with a
+    # dim-dim equality bound at the fact row
+    "local_supplier_volume",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
@@ -146,6 +160,15 @@ def main() -> None:
     n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     if "--warmup" in sys.argv:
         n_warmup = int(sys.argv[sys.argv.index("--warmup") + 1])
+    # --only a,b,c: bench a subset (baseline-row recording for new queries
+    # without re-running the whole suite). The driver never passes this.
+    headline = list(HEADLINE)
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        headline = only
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
@@ -166,13 +189,13 @@ def main() -> None:
     ensure_ivf_index(spark, sf_dir, quantize=True)
 
     for _ in range(max(n_warmup, 0)):
-        for name in HEADLINE:
+        for name in headline:
             run_query(spark, name, sf_dir)
             release_cached()
 
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    runs: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(max(n_runs, 1)):
-        for name in HEADLINE:
+        for name in headline:
             runs[name].append(run_query(spark, name, sf_dir))
             release_cached()  # operator-internal persists end with their query
 

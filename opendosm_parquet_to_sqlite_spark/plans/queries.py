@@ -3364,3 +3364,71 @@ def q_event_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph.pagerank(
         edges, "from_event", "to_event", weight="n", damping=0.85, n_iter=20
     )
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+    shadow=True,
+)
+def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the multi-join closure
+    beyond Q1 (pricing_summary) and Q3 (shipping_priority).  The
+    interesting constraint is c_nationkey = s_nationkey — an equi-filter
+    BETWEEN two dimension attributes that only binds after both sides
+    reach the fact row.
+
+    Join order is chosen for the 100 TB shape: the date filter prunes
+    orders at the scan (pushed), orders⋈customer broadcasts the
+    region-filtered customer set, the result ⋈lineitem is the one
+    fact-fact hash exchange (orderkey), and supplier/nation/region ride
+    as broadcasts with the nationkey equality applied as a post-join
+    filter.  One data-scale exchange + the final partial-combined agg."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    oc = o.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        o.o_custkey == cust.c_custkey,
+    ).select("o_orderkey", "c_nationkey")
+    fact = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    ).join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+    enriched = (
+        fact.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return enriched.groupBy("n_name").agg(
+        F.round(F.sum("rev"), 2).alias("revenue")
+    )

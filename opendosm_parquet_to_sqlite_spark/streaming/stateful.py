@@ -280,3 +280,95 @@ def transition_counts_stream(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# --- streaming EWMA ----------------------------------------------------------
+
+EWMA_STATE_SCHEMA = "s double, last_ts long"
+EWMA_OUTPUT_SCHEMA = "key string, et long, value double, ewma double"
+
+
+def make_ewma_update_fn(alpha: float, ttl_ms: int | None = None):
+    """Per-key EWMA recurrence across microbatches: state is ONE double
+    (the last smoothed value) + the last event time — O(1) per key, the
+    smallest possible stateful footprint.  Rows within a microbatch are
+    sorted by event time before folding; ordering ACROSS microbatches is
+    the source's contract (same as every recurrence: a late row cannot be
+    retro-folded — route late data through the batch twin instead).
+
+    Module-level factory for the same reason as make_update_fn: the TTL
+    path is unit-testable with a fake GroupState without arming a real
+    processing-time timer."""
+    a = float(alpha)
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            s, last_ts = state.get
+        else:
+            s, last_ts = None, -(1 << 62)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if state.exists:
+                state.update((s, last_ts))
+            return
+        pdf = pd.concat(frames).sort_values(["et"], kind="mergesort")
+        out_s = []
+        for v in pdf["value"].astype("float64"):
+            s = v if s is None else a * v + (1.0 - a) * s
+            out_s.append(round(s, 6))
+        last_ts = int(pdf["et"].iloc[-1])
+        state.update((float(s), last_ts))
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "et": pdf["et"].astype("int64").values,
+                "value": pdf["value"].astype("float64").values,
+                "ewma": out_s,
+            }
+        )
+
+    if ttl_ms is None:
+        return update
+
+    def with_ttl(key, pdfs, state):
+        yield from update(key, pdfs, state)
+        if not state.hasTimedOut:
+            state.setTimeoutDuration(ttl_ms)
+
+    return with_ttl
+
+
+def ewma_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.temporal.ewma: emits every event with
+    its smoothed value as it arrives (append semantics), carrying the
+    recurrence across microbatches through one double of state per key.
+    Draining an ordered split reproduces the batch fold EXACTLY
+    (tests/test_stream_ewma.py) because both paths apply the same FP
+    operations in the same event-time order."""
+    src = sdf.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("et"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        make_ewma_update_fn(alpha, ttl_ms),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
