@@ -175,20 +175,31 @@ _DIACRITIC_HINTS: dict[str, str] = {
 }
 
 
-def lang_id_ngram(col: Column | str) -> Column:
+def lang_id_ngram(
+    df: "DataFrame", text_col: str, out_col: str = "lang_pred"
+) -> "DataFrame":
     """Extended language ID over ~18 languages: Unicode-script detection
     for non-Latin scripts (ru/el/ar/he/hi/ko/ja/zh), then weighted
     function-word + diacritic profile scoring for 10 Latin-script
-    languages. 'und' when nothing matches.
+    languages. 'und' when nothing matches.  Returns df + `out_col`.
 
-    Entirely native regexp_count expressions over ONE normalized
-    projection (~25 compiled regexes per row, each a single codegen'd
-    pass) — no Python, no shuffle, a pure narrow map that runs at scan
-    speed on 100 TB. Accuracy floor pinned on a labeled fixture in
-    tests/test_mixing.py; the 4-language SQL-mirrored lang_id stays
+    Entirely native regexp_count expressions (~25 compiled regexes per
+    row) — no Python, no shuffle, a pure narrow map that runs at scan
+    speed on 100 TB.  STAGED as three projections rather than one Column
+    on purpose: a single expression tree inlines the normalization into
+    every score term (expression CSE does not cross regexp boundaries),
+    and the resulting monolithic codegen method breaks Janino's 64 KB
+    limit — Spark then silently falls back to INTERPRETED eval for the
+    stage (observed: InternalCompilerException 'Code grows beyond
+    64 KB').  With the normalization bound as a real attribute, each
+    score expression stays small, the method splitter works, and the
+    whole map stays inside whole-stage codegen.  CollapseProject keeps
+    the stages separate because the intermediate columns are non-cheap
+    and multiply referenced.  Accuracy floor pinned on a labeled fixture
+    in tests/test_mixing.py; the 4-language SQL-mirrored lang_id stays
     untouched for the oracle contract.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = F.col(text_col)
     # one normalization: lowercase, every non-letter/digit run -> single
     # space, padded — so marker words match with lookaround space guards
     # regardless of punctuation, in any script
@@ -197,20 +208,28 @@ def lang_id_ngram(col: Column | str) -> Column:
         F.regexp_replace(F.lower(c), r"[^\p{L}\p{Nd}]+", " "),
         F.lit(" "),
     )
-    latin_chars = F.regexp_count(c, F.lit("[A-Za-z]"))
-    script_counts = {
-        lang: F.regexp_count(c, F.lit(rng)) for lang, rng in _SCRIPT_RANGES
-    }
-    scores: dict[str, Column] = {}
+    stage1 = df.withColumns(
+        {
+            "__norm": norm,
+            "__latin": F.regexp_count(c, F.lit("[A-Za-z]")),
+            **{
+                f"__sc_{lang}": F.regexp_count(c, F.lit(rng))
+                for lang, rng in _SCRIPT_RANGES
+            },
+        }
+    )
+    score_cols: dict[str, Column] = {}
     for lang, words in _LATIN_PROFILES.items():
         pat = "(?<= )(" + "|".join(words) + ")(?= )"
-        score = F.regexp_count(norm, F.lit(pat))
+        score = F.regexp_count(F.col("__norm"), F.lit(pat))
         if lang in _DIACRITIC_HINTS:
             score = score + 3 * F.regexp_count(
-                norm, F.lit(_DIACRITIC_HINTS[lang])
+                F.col("__norm"), F.lit(_DIACRITIC_HINTS[lang])
             )
-        scores[lang] = score
+        score_cols[f"__s_{lang}"] = score
+    stage2 = stage1.withColumns(score_cols)
     langs = list(_LATIN_PROFILES)
+    scores = {lg: F.col(f"__s_{lg}") for lg in langs}
     best = F.greatest(*[scores[lg] for lg in langs])
     latin_winner = F.lit("und")
     for lg in reversed(langs):
@@ -223,9 +242,13 @@ def lang_id_ngram(col: Column | str) -> Column:
     out = latin_winner
     for lang in ("zh", "hi", "he", "ar", "el", "ru", "ko"):
         out = F.when(
-            script_counts[lang] * 2 > latin_chars, F.lit(lang)
+            F.col(f"__sc_{lang}") * 2 > F.col("__latin"), F.lit(lang)
         ).otherwise(out)
-    return F.when(script_counts["ja"] >= 2, F.lit("ja")).otherwise(out)
+    out = F.when(F.col("__sc_ja") >= 2, F.lit("ja")).otherwise(out)
+    temp = ["__norm", "__latin"] + [
+        f"__sc_{lang}" for lang, _ in _SCRIPT_RANGES
+    ] + list(score_cols)
+    return stage2.withColumn(out_col, out).drop(*temp)
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -1410,8 +1410,8 @@ def q_text_lang_ngram(spark: SparkSession, sf: str) -> DataFrame:
     profiles for Latin ones — all native regexp_count, a pure narrow
     map."""
     docs = load_table(spark, sf, "documents")
-    return docs.select(
-        "doc_id", text.lang_id_ngram("text").alias("lang_pred")
+    return text.lang_id_ngram(docs, "text", "lang_pred").select(
+        "doc_id", "lang_pred"
     )
 
 

@@ -750,9 +750,11 @@ def test_lang_id_ngram_accuracy(spark):
         [(i, lang, s) for i, (lang, s) in enumerate(_LANG_FIXTURE)],
         ["i", "lang", "text"],
     )
-    out = df.select(
-        "i", "lang", text.lang_id_ngram(F.col("text")).alias("pred")
-    ).collect()
+    out = (
+        text.lang_id_ngram(df, "text", "pred")
+        .select("i", "lang", "pred")
+        .collect()
+    )
     wrong = [(r["lang"], r["pred"]) for r in out if r["lang"] != r["pred"]]
     acc = 1 - len(wrong) / len(out)
     assert acc >= 0.9, wrong
@@ -764,10 +766,10 @@ def test_lang_id_ngram_partitioning_independent(spark):
     df = spark.createDataFrame(
         [(i, s) for i, (_, s) in enumerate(_LANG_FIXTURE)], ["i", "text"]
     )
-    a = df.select("i", text.lang_id_ngram(F.col("text")).alias("p")).collect()
+    a = text.lang_id_ngram(df, "text", "p").select("i", "p").collect()
     b = (
-        df.repartition(7)
-        .select("i", text.lang_id_ngram(F.col("text")).alias("p"))
+        text.lang_id_ngram(df.repartition(7), "text", "p")
+        .select("i", "p")
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
