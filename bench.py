@@ -124,6 +124,10 @@ HEADLINE = [
     # TPC-H Q5 shape: one fact-fact exchange + broadcast dims with a
     # dim-dim equality bound at the fact row
     "local_supplier_volume",
+    # BPE trainer at 8 fixed merge rounds: one corpus pass + per-round
+    # vocab-table agg (the per-round plan is the regression surface,
+    # like classifier_2iter / event_pagerank)
+    "bpe_merges",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -3432,3 +3432,18 @@ def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     return enriched.groupBy("n_name").agg(
         F.round(F.sum("rev"), 2).alias("revenue")
     )
+
+
+@query("bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer training (8 merge rounds): ONE corpus
+    pass builds the Zipf-bounded word-frequency vocab; each round is one
+    (pair, Σfreq) partial-combined agg over the vocab + a 1-row collect
+    (the rule becomes a literal) + a native fold rebuild, with per-round
+    lineage truncation. Rows-only driver check (iterative; no SQL
+    oracle) — tests/test_bpe.py pins the exact merge sequence against a
+    pure-Python reference of the public algorithm."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf, "documents")
+    return bpe.bpe_train(docs, "text", n_merges=8, min_freq=2)
