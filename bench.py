@@ -128,6 +128,9 @@ HEADLINE = [
     # vocab-table agg (the per-round plan is the regression surface,
     # like classifier_2iter / event_pagerank)
     "bpe_merges",
+    # correlation screen + seasonality grid: single partial-combined aggs
+    "feature_corr",
+    "seasonal_profile",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -3447,3 +3447,63 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return bpe.bpe_train(docs, "text", n_merges=8, min_freq=2)
+
+
+@query(
+    "feature_corr",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_hour,
+           round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 6)
+               AS covar_hour,
+           round(corr(value, CAST(isodow(ts) - 1 AS DOUBLE)), 6) AS corr_dow
+    FROM events GROUP BY event_type
+    """,
+    shadow=True,
+)
+def q_feature_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group feature correlation screen: Pearson corr + sample
+    covariance of the value against cyclic time features — the
+    leakage/seasonality check run before a feature ships. One
+    partial-combined aggregation (corr/covar are co-moment aggregates,
+    mergeable map-side); weekday() == DuckDB isodow-1 (Monday=0) keeps
+    the day convention identical on both engines."""
+    ev = load_table(spark, sf, "events")
+    hour = F.hour("ts").cast("double")
+    dow = F.weekday("ts").cast("double")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(v, hour), 6).alias("corr_hour"),
+        F.round(F.covar_samp(v, hour), 6).alias("covar_hour"),
+        F.round(F.corr(v, dow), 6).alias("corr_dow"),
+    )
+
+
+@query(
+    "seasonal_profile",
+    """
+    SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_value,
+           round(stddev_samp(value), 6) AS std_value
+    FROM events GROUP BY 1, 2
+    """,
+    shadow=True,
+)
+def q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonality grid (the load/traffic
+    heatmap): one partial-combined aggregation to a ≤168-cell table.
+    Computed on TIMESTAMP_NTZ so the grid is timezone-independent —
+    the same event stream gives the same profile on any driver."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        F.weekday("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+    )
