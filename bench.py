@@ -131,6 +131,8 @@ HEADLINE = [
     # correlation screen + seasonality grid: single partial-combined aggs
     "feature_corr",
     "seasonal_profile",
+    # Efraimidis-Spirakis weighted sample (WindowGroupLimit top-k)
+    "sample_weighted",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

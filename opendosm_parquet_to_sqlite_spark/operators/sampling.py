@@ -447,3 +447,72 @@ def domain_mix(
         .filter(digest < (F.col("rate") - F.col("copy_idx")) * F.lit(2.0**32))
         .select(id_col, strata_col, "copy_idx")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: str | list[str] | None = None,
+    namespace: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group —
+    the Efraimidis–Spirakis exponential-key scheme (public algorithm):
+    each row gets key = -ln(u)/w with u uniform in (0,1], and the k
+    SMALLEST keys per group are an exact weighted sample without
+    replacement.  The u here is not a PRNG draw but a pure hash of
+    (namespace, id) — the same seedless-determinism contract as
+    stratified_sample/sample_per_group: a row's fate is a function of
+    its identity, reproducible under repartitioning, retries, and
+    incremental reruns, and portable to any engine with md5 (the oracle
+    recomputes the identical keys in SQL).
+
+    u = (hex52(md5(namespace:id)) + 1) / (2^52 + 1): 13 hex chars = 52
+    bits, exactly representable in a double on both engines; the +1
+    keeps u strictly positive so ln is finite.  Rows with weight <= 0 or
+    NULL are excluded (zero-weight items have selection probability 0 in
+    the scheme; excluding them is the continuous limit, and silent
+    inclusion would be wrong in both directions).
+
+    Shape: narrow key projection → per-group top-k window, which Spark
+    plans as WindowGroupLimit (partial per-partition top-k BEFORE the
+    group exchange, final after) — the same scale shape as
+    sample_per_group; the exchange carries at most partitions·groups·k
+    rows regardless of data size.
+    """
+    groups: list[str]
+    if group_cols is None:
+        groups = []
+    elif isinstance(group_cols, str):
+        groups = [group_cols]
+    else:
+        groups = list(group_cols)
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(namespace + ":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 52) + 1))
+    key = -F.log(u) / w
+    win = Window.partitionBy(
+        *[F.col(g) for g in groups]
+    ).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )

@@ -3507,3 +3507,36 @@ def q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("avg_value"),
         F.round(F.stddev_samp("value"), 6).alias("std_value"),
     )
+
+
+@query(
+    "sample_weighted",
+    """
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                    1, 13))::UBIGINT + 1)
+                   / 4503599627370497.0) / n_chars AS k
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+                   AS rn
+        FROM keyed
+    ) WHERE rn <= 10
+    """,
+    shadow=True,
+)
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement, 10 docs
+    per source weighted by length — seedless (key is a pure hash of the
+    doc id, so the sample is reproducible under any partitioning and
+    recomputable by the oracle in SQL). Planned as WindowGroupLimit:
+    per-partition top-k before the one group exchange."""
+    docs = load_table(spark, sf, "documents")
+    out = sampling.weighted_sample_per_group(
+        docs, "doc_id", "n_chars", k=10, group_cols="source"
+    )
+    return out.select("doc_id", "source", "n_chars")

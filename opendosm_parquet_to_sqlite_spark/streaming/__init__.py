@@ -27,6 +27,7 @@ from .incremental import (
     latest_per_key_stream,
     read_stream_parquet,
     run_available_now,
+    session_agg_stream,
     tumbling_window_agg_stream,
 )
 from .pipeline import stream_prices_to_sqlite
@@ -41,5 +42,6 @@ __all__ = [
     "rowwise_repetition_ok",
     "run_available_now",
     "stream_prices_to_sqlite",
+    "session_agg_stream",
     "tumbling_window_agg_stream",
 ]

@@ -118,6 +118,47 @@ def tumbling_window_agg_stream(
     )
 
 
+def session_agg_stream(
+    sdf: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    value_col: str | None = None,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked streaming session windows — the live twin of
+    operators.aggregates.session_agg, built on the SAME session_window
+    expression so a drained stream is row-identical to the batch
+    operator (tests/test_streaming.py pins it).
+
+    Semantics: sessions merge while consecutive gaps are <= gap; a
+    session closes (and emits, in append mode) once the watermark passes
+    its end — so state per key is bounded by the watermark delay, and
+    late events beyond it are dropped rather than reopening a closed
+    session (route those through the batch backfill twin).  Session
+    merging ACROSS microbatches is handled by Spark's session-window
+    state store; unlike the EWMA recurrence there is no ordering
+    contract on the source beyond the watermark."""
+    w = F.session_window(F.col("__ts"), gap)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.avg(value_col), 4).alias("avg_value"))
+    return (
+        sdf.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__ts", delay)
+        .groupBy(w, *key_cols)
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.date_format(
+                "session_window.start", "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            "n_events",
+            *(["avg_value"] if value_col is not None else []),
+        )
+    )
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -223,3 +223,72 @@ def test_pagerank_leaves_no_resident_blocks(spark):
     # intermediate rounds and the normalized-edge/node base are released;
     # only the final ranks checkpoint (backing the returned frame) may stay.
     assert after - before <= 1
+
+
+# --- weighted_sample_per_group ----------------------------------------------
+
+
+def _es_ref(rows, k):
+    """Reference Efraimidis-Spirakis selection with the same hash-u."""
+    import hashlib
+
+    def key(i, w):
+        h = hashlib.md5(f"ws:{i}".encode()).hexdigest()[:13]
+        u = (int(h, 16) + 1) / ((1 << 52) + 1)
+        return -math.log(u) / w
+
+    keyed = sorted((key(i, w), i) for i, w in rows)
+    return [i for _, i in keyed[:k]]
+
+
+def test_weighted_sample_matches_reference_selection(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, float(1 + (i % 7))) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(
+        r.id
+        for r in weighted_sample_per_group(df, "id", "w", k=15).collect()
+    )
+    assert got == sorted(_es_ref(rows, 15))
+
+
+def test_weighted_sample_huge_weight_always_selected_zero_excluded(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, 1.0) for i in range(1, 50)] + [(999, 1e12), (1000, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r.id for r in weighted_sample_per_group(df, "id", "w", k=5).collect()}
+    assert 999 in got  # -ln(u)/1e12 ~ 0: effectively certain selection
+    assert 1000 not in got  # zero weight excluded, not silently sampled
+    assert len(got) == 5
+
+
+def test_weighted_sample_partitioning_independent(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g" + str(i % 3), float(1 + i % 5)) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    a = sorted(
+        (r.g, r.id)
+        for r in weighted_sample_per_group(
+            df, "id", "w", k=7, group_cols="g"
+        ).collect()
+    )
+    b = sorted(
+        (r.g, r.id)
+        for r in weighted_sample_per_group(
+            df.repartition(13), "id", "w", k=7, group_cols="g"
+        ).collect()
+    )
+    assert a == b
+    from collections import Counter
+
+    per_group = Counter(g for g, _ in a)
+    assert all(v == 7 for v in per_group.values())

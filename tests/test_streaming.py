@@ -16,6 +16,7 @@ from opendosm_parquet_to_sqlite_spark.streaming import (
     latest_per_key_stream,
     read_stream_parquet,
     run_available_now,
+    session_agg_stream,
     tumbling_window_agg_stream,
 )
 
@@ -345,6 +346,47 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     )
     assert sorted(real) == want
     assert len(real) == len(set(real))  # append: each session exactly once
+
+
+def test_session_agg_stream_operator_matches_batch(spark, tmp_path):
+    """The packaged streaming session operator (watermark + cast inside)
+    drains row-identical to the batch session_agg — including avg_value,
+    which the ad-hoc pin above does not cover."""
+    ev = load_table(spark, SF0001, "events")
+    src = str(tmp_path / "sas_src")
+    ev.coalesce(1).write.parquet(src)
+    sentinel = ev.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).limit(1)
+    sentinel.select(ev.columns).write.mode("append").parquet(src)
+
+    sdf = read_stream_parquet(spark, src, ev.schema, max_files_per_trigger=1)
+    out = session_agg_stream(
+        sdf, "ts", ["user_id"], gap="30 minutes", value_col="value",
+        delay="0 seconds",
+    )
+    got: list[tuple] = []
+
+    def sink(df, _bid):
+        got.extend(
+            (r.user_id, r.session_start, r.n_events, r.avg_value)
+            for r in df.collect()
+        )
+
+    run_available_now(out, str(tmp_path / "sas_ck"), sink, output_mode="append")
+    real = [g for g in got if g[0] != -1]
+    want = sorted(
+        (r.user_id, r.session_start, r.n_events, r.avg_value)
+        for r in aggregates.session_agg(
+            ev, "ts", ["user_id"], gap="30 minutes", value_col="value"
+        ).collect()
+    )
+    assert sorted(real) == want
 
 
 # --- stream-static enrichment join -------------------------------------------
