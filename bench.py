@@ -133,6 +133,10 @@ HEADLINE = [
     "seasonal_profile",
     # Efraimidis-Spirakis weighted sample (WindowGroupLimit top-k)
     "sample_weighted",
+    # CDC snapshot diff (one keyed full-outer join, null-safe compare)
+    "snapshot_diff",
+    # declarative expectations gate (all rules in ONE agg pass)
+    "data_quality_report",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

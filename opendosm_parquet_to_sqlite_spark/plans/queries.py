@@ -27,6 +27,7 @@ from ..operators import (
     contamination,
     corpus,
     dedup,
+    diffing,
     features,
     graph,
     joins,
@@ -34,6 +35,7 @@ from ..operators import (
     neardup,
     privacy,
     projection,
+    quality_rules,
     sampling,
     search,
     similarity,
@@ -3540,3 +3542,138 @@ def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
         docs, "doc_id", "n_chars", k=10, group_cols="source"
     )
     return out.select("doc_id", "source", "n_chars")
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH old AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ), new AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100, 2)
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal, 'NEW'
+        FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN (o.c_name IS DISTINCT FROM n.c_name)
+                  OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                  OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+                     THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           o.c_acctbal AS c_acctbal_old, n.c_acctbal AS c_acctbal_new,
+           o.c_mktsegment AS c_mktsegment_old,
+           n.c_mktsegment AS c_mktsegment_new
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE NOT (o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+               AND NOT ((o.c_name IS DISTINCT FROM n.c_name)
+                     OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                     OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)))
+    """,
+    shadow=True,
+)
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC between two snapshots: added/removed/changed via one keyed
+    full-outer join with NULL-safe column comparison (no digests — no
+    cross-engine string-format hazard). The 'new' snapshot is derived
+    deterministically in-query (simulated deletes %7, acctbal bumps %10,
+    inserts %13 re-keyed +1e6) so the oracle restates the identical
+    scenario."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    changed = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            F.round(F.col("c_acctbal") + 100, 2),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    added = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    new = changed.unionByName(added)
+    out = diffing.snapshot_diff(
+        cust, new, "c_custkey",
+        compare_cols=["c_name", "c_acctbal", "c_mktsegment"],
+    )
+    return out.select(
+        "c_custkey",
+        "change_type",
+        "c_acctbal_old",
+        "c_acctbal_new",
+        "c_mktsegment_old",
+        "c_mktsegment_new",
+    )
+
+
+@query(
+    "data_quality_report",
+    """
+    WITH dim AS (SELECT DISTINCT s_suppkey FROM supplier)
+    SELECT 'not_null' AS rule, 'l_shipdate' AS col,
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range[1.0,50.0]', 'l_quantity',
+           CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                          AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_set', 'l_returnflag',
+           CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                          AND l_returnflag NOT IN ('A', 'N')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique', 'l_partkey',
+           CAST(count(l_partkey) - count(DISTINCT l_partkey) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'refers_to', 'l_suppkey',
+           CAST(sum(CASE WHEN l_suppkey IS NOT NULL
+                          AND l_suppkey NOT IN (SELECT s_suppkey FROM dim)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    """,
+    shadow=True,
+)
+def q_data_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative expectations gate: five rules (presence, range,
+    category set, uniqueness, FK coverage) compiled into ONE
+    partial-combined aggregation pass over the fact table — the report
+    costs one scan regardless of rule count. The oracle restates each
+    rule as conditional aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    report = quality_rules.quality_report(
+        li,
+        [
+            quality_rules.not_null("l_shipdate"),
+            quality_rules.in_range("l_quantity", 1.0, 50.0),
+            quality_rules.in_set("l_returnflag", ["A", "N"]),
+            quality_rules.unique("l_partkey"),
+            quality_rules.refers_to("l_suppkey", supp, "s_suppkey"),
+        ],
+    )
+    return report.select("rule", "col", "n_violations", "n_checked")

@@ -292,3 +292,92 @@ def test_weighted_sample_partitioning_independent(spark):
 
     per_group = Counter(g for g, _ in a)
     assert all(v == 7 for v in per_group.values())
+
+
+# --- snapshot_diff -----------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.diffing import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "id long, name string, v double",
+    )
+    out = {r.id: r.change_type for r in snapshot_diff(old, new, "id").collect()}
+    # 1 unchanged (dropped), 2 changed, 3 NULL->value = changed,
+    # 4 removed, 5 added
+    assert out == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_include_unchanged_and_null_null(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.diffing import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, None)], "id long, v double")
+    new = spark.createDataFrame([(1, None)], "id long, v double")
+    out = snapshot_diff(old, new, "id", include_unchanged=True).collect()
+    assert len(out) == 1 and out[0].change_type == "unchanged"
+
+
+# --- quality_report ----------------------------------------------------------
+
+
+def test_quality_report_rules(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import quality_rules as qr
+
+    df = spark.createDataFrame(
+        [
+            (1, "x@y.com", 5.0, "A"),
+            (2, None, 500.0, "B"),
+            (3, "nope", None, "A"),
+            (3, "z@w.org", -1.0, "C"),
+        ],
+        "id long, email string, score double, grade string",
+    )
+    dim = spark.createDataFrame([("A",), ("B",)], "g string")
+    rep = {
+        (r.rule, r.col): (r.n_violations, r.n_checked, r.violation_rate)
+        for r in qr.quality_report(
+            df,
+            [
+                qr.not_null("email"),
+                qr.in_range("score", 0.0, 100.0),
+                qr.matches("email", r"^[^@]+@[^@]+\.[a-z]+$"),
+                qr.unique("id"),
+                qr.refers_to("grade", dim, "g"),
+            ],
+        ).collect()
+    }
+    assert rep[("not_null", "email")][0] == 1
+    # NULL score is not a range violation; 500 and -1 are
+    assert rep[("in_range[0.0,100.0]", "score")][0] == 2
+    # NULL email passes matches; 'nope' fails
+    assert rep[("matches[^[^@]+@[^@]+\\.[a-z]+$]", "email")][0] == 1
+    assert rep[("unique", "id")][0] == 1  # one duplicated id value
+    assert rep[("refers_to", "grade")][0] == 1  # grade C
+    assert all(v[1] == 4 for v in rep.values())
+    assert rep[("not_null", "email")][2] == 0.25
+
+
+def test_quality_report_single_pass_plan(spark):
+    # all row-level rules + unique must compile into ONE aggregate over
+    # one scan: exactly one Exchange (the 1-row final agg), no joins
+    from opendosm_parquet_to_sqlite_spark.operators import quality_rules as qr
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("v")
+    )
+    rep = qr.quality_report(
+        df, [qr.not_null("v"), qr.in_range("v", 0, 5), qr.unique("v")]
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("FileScan") <= 1
