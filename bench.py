@@ -137,6 +137,9 @@ HEADLINE = [
     "snapshot_diff",
     # declarative expectations gate (all rules in ONE agg pass)
     "data_quality_report",
+    # rank normalization (keyed window) + range-range overlap equi-join
+    "quantile_normalize",
+    "interval_overlap",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -517,3 +517,68 @@ def scd2_compress(
         F.row_number().over(w2).cast("long").alias("version"),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    payload_left: list[str],
+    payload_right: list[str],
+) -> DataFrame:
+    """Range × range overlap join WITHOUT a cartesian product: pairs
+    (a, b) sharing the equi-keys with a.start <= b.end AND
+    b.start <= a.end (closed-interval overlap — the calendar/session/
+    validity-window workhorse Spark only offers as a BroadcastNestedLoop
+    theta join).
+
+    Mechanics (the range_join_bins idea extended to two range sides):
+    both sides explode to the fixed-width bins they span and pair by
+    (keys, bin) equi-join + exact boundary filter.  An overlapping pair
+    co-occurs in EVERY bin their spans share, so candidates would
+    duplicate — the dedup-free fix is to also require
+    floor(max(a.start, b.start) / W) == bin: the pair is counted only in
+    the bin where their overlap STARTS, which both sides provably span.
+    No distinct pass, no post-dedup shuffle.
+
+    Shape: explode (Σ span/W bins per row) → ONE (keys, bin) exchange →
+    boundary filter.  Candidate volume ≈ true pairs + same-bin
+    non-overlaps; bin_width tunes explode fanout vs candidate waste
+    (pick ≈ the typical interval length).  Time-local bins keep the
+    shuffle balanced for roughly uniform rates; a pathological mega-
+    interval contributes span/W bin rows — cap or split those upstream.
+    """
+    def binned(df, s, e, cols, side):
+        b0 = (F.col(s) / bin_width).cast("long")
+        b1 = (F.col(e) / bin_width).cast("long")
+        return df.select(
+            *[F.col(k) for k in on],
+            F.col(s).alias(f"__{side}_s"),
+            F.col(e).alias(f"__{side}_e"),
+            *[F.col(c) for c in cols],
+            F.explode(F.sequence(b0, b1)).alias("__bin"),
+        )
+
+    a = binned(left, left_start, left_end, payload_left, "a")
+    b = binned(right, right_start, right_end, payload_right, "b")
+    joined = a.join(b, [*on, "__bin"])
+    overlap = (F.col("__a_s") <= F.col("__b_e")) & (
+        F.col("__b_s") <= F.col("__a_e")
+    )
+    once = (
+        F.greatest(F.col("__a_s"), F.col("__b_s")) / bin_width
+    ).cast("long") == F.col("__bin")
+    return joined.filter(overlap & once).select(
+        *on,
+        F.col("__a_s").alias(left_start),
+        F.col("__a_e").alias(left_end),
+        F.col("__b_s").alias(right_start),
+        F.col("__b_e").alias(right_end),
+        *payload_left,
+        *payload_right,
+    )

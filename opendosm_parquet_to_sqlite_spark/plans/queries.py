@@ -3677,3 +3677,80 @@ def q_data_quality_report(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     return report.select("rule", "col", "n_violations", "n_checked")
+
+
+@query(
+    "quantile_normalize",
+    """
+    SELECT event_id, event_type, value,
+           round(percent_rank() OVER (
+               PARTITION BY event_type ORDER BY value
+           ), 6) AS value_qnorm
+    FROM events
+    """,
+    shadow=True,
+)
+def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-based per-group normalization to [0,1] — distribution-free
+    feature conditioning (heavy tails, multimodality, and cross-group
+    unit mismatch all flatten). One keyed exchange + in-partition sort;
+    the exact oracle-mirrorable path (percent_rank is engine-identical);
+    percentile_approx cutpoints are the mergeable 100 TB swap."""
+    ev = load_table(spark, sf, "events")
+    out = features.quantile_normalize(ev, "value", "event_type")
+    return out.select("event_id", "event_type", "value", "value_qnorm")
+
+
+@query(
+    "interval_overlap",
+    """
+    WITH a AS (
+        SELECT user_id, event_id AS a_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS a_s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS a_e
+        FROM events WHERE event_type = 'view'
+    ), b AS (
+        SELECT user_id, event_id AS b_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS b_s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 900 AS b_e
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT user_id, a_id, b_id, a_s, b_s
+    FROM a JOIN b USING (user_id)
+    WHERE a_s <= b_e AND b_s <= a_e
+    """,
+    shadow=True,
+)
+def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Range × range overlap join (view-attention windows × click
+    windows per user) WITHOUT a cartesian: both sides explode to
+    spanned bins, pair on (user, bin), and each pair counts once in its
+    overlap-START bin — no dedup pass. The oracle is the plain theta
+    join, so the equi-join reformulation is hash-proven equivalent."""
+    ev = load_table(spark, sf, "events")
+    # NTZ ts → epoch seconds without tz dependence: the engine reads ts
+    # as TIMESTAMP_NTZ; cast via UTC-pinned expr matches DuckDB epoch()
+    secs = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")) / 1000000
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        secs.cast("long").alias("s"),
+    )
+    a = base.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("s").alias("a_s"),
+        (F.col("s") + 3600).alias("a_e"),
+    )
+    b = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("s").alias("b_s"),
+        (F.col("s") + 900).alias("b_e"),
+    )
+    out = temporal.interval_overlap_join(
+        a, b, ["user_id"], "a_s", "a_e", "b_s", "b_e",
+        bin_width=3600, payload_left=["a_id"], payload_right=["b_id"],
+    )
+    return out.select("user_id", "a_id", "b_id", "a_s", "b_s")

@@ -381,3 +381,75 @@ def test_quality_report_single_pass_plan(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("FileScan") <= 1
+
+
+# --- interval_overlap_join ---------------------------------------------------
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    import random
+
+    rng = random.Random(11)
+    A = [("k" + str(rng.randint(0, 2)), i, rng.randint(0, 5000)) for i in range(80)]
+    B = [("k" + str(rng.randint(0, 2)), i, rng.randint(0, 5000)) for i in range(80)]
+    a = spark.createDataFrame(
+        [(k, i, s, s + rng.randint(0, 800)) for k, i, s in A],
+        "k string, a_id long, a_s long, a_e long",
+    )
+    b = spark.createDataFrame(
+        [(k, i, s, s + rng.randint(0, 400)) for k, i, s in B],
+        "k string, b_id long, b_s long, b_e long",
+    )
+    got = sorted(
+        (r.k, r.a_id, r.b_id)
+        for r in temporal.interval_overlap_join(
+            a, b, ["k"], "a_s", "a_e", "b_s", "b_e",
+            bin_width=500, payload_left=["a_id"], payload_right=["b_id"],
+        ).collect()
+    )
+    ref = sorted(
+        (r.k, r.a_id, r.b_id)
+        for r in a.join(b, "k")
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .collect()
+    )
+    assert got == ref
+    assert len(got) == len(set(got))  # pair-once: no bin duplicates
+
+
+def test_interval_overlap_touching_endpoints_inclusive(spark):
+    a = spark.createDataFrame([("k", 1, 0, 100)], "k string, a_id long, a_s long, a_e long")
+    b = spark.createDataFrame(
+        [("k", 1, 100, 200), ("k", 2, 101, 200)],
+        "k string, b_id long, b_s long, b_e long",
+    )
+    got = {
+        r.b_id
+        for r in temporal.interval_overlap_join(
+            a, b, ["k"], "a_s", "a_e", "b_s", "b_e",
+            bin_width=50, payload_left=["a_id"], payload_right=["b_id"],
+        ).collect()
+    }
+    assert got == {1}  # closed intervals touch at 100; 101 misses
+
+
+# --- quantile_normalize ------------------------------------------------------
+
+
+def test_quantile_normalize_ranks_and_nulls(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 20.0), ("g", 4, 40.0),
+         ("g", 5, None), ("h", 6, 7.0)],
+        "g string, id long, v double",
+    )
+    out = {r.id: r.v_qnorm for r in quantile_normalize(df, "v", "g").collect()}
+    assert out[1] == 0.0
+    assert out[2] == out[3] == pytest.approx(1 / 3, abs=1e-6)  # tied rank
+    assert out[4] == 1.0
+    assert out[5] is None  # NULL stays NULL, does not shift real ranks
+    assert out[6] == 0.0  # singleton group
+    assert len(out) == 6  # nothing dropped
