@@ -38,12 +38,32 @@ _ROWS_ONLY_PRIORITY = [
     # shadow-oracle queries: hash-checked in-repo (tests/oracle_check.py
     # runs their DuckDB SQL from SHADOW_ORACLES); driver-side rows-only
     # because the 50-entry window is already full of oracle-backed rows.
-    # Round 6 rotated the window again: the round-5 shadows (search_bm25,
-    # tfidf_per_doc, chunk_documents, sample_per_group, robust_scale)
-    # moved INTO the driver window, and five long-stable single-op slots
+    # Round 6 rotated the window TWICE: first the round-5 shadows
+    # (search_bm25, tfidf_per_doc, chunk_documents, sample_per_group,
+    # robust_scale) moved in and five long-stable single-op slots
     # (set_ops, cast_strict_roundtrip, sort_date_desc, agg_distinct,
-    # pivot_metrics) moved out here as shadows — in-repo hash coverage
-    # stays total either way.
+    # pivot_metrics) moved out; then the fourteen round-6 wave-2 queries
+    # (levenshtein/EWMA/SCD2/MI/cube/orphan/Q5/corr/seasonal/weighted-
+    # sample/diff/quality-rules/qnorm/interval-overlap) moved in and
+    # fourteen multi-round-green slots moved out here (union_months,
+    # json_extract, profile_nulls, window_hourly, cumulative_window,
+    # rollup_metrics, text_top_terms, text_fingerprint, text_pii_redact,
+    # dedup_keep_first, range_join, text_lang_id, multimodal_metadata,
+    # pack_sequences) — in-repo hash coverage stays total either way.
+    "union_months",
+    "json_extract",
+    "profile_nulls",
+    "window_hourly",
+    "cumulative_window",
+    "rollup_metrics",
+    "text_top_terms",
+    "text_fingerprint",
+    "text_pii_redact",
+    "dedup_keep_first",
+    "range_join",
+    "text_lang_id",
+    "multimodal_metadata",
+    "pack_sequences",
     "set_ops",
     "cast_strict_roundtrip",
     "sort_date_desc",

@@ -89,6 +89,7 @@ def q_scan_parquet(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
     FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-02'
     """,
+    shadow=True,
 )
 def q_union_months(spark: SparkSession, sf: str) -> DataFrame:
     """Monthly-partition union (SURVEY §2.6; reference picks one month per
@@ -476,6 +477,7 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
            ) AS prev_event_id
     FROM events
     """,
+    shadow=True,
 )
 def q_cumulative_window(spark: SparkSession, sf: str) -> DataFrame:
     """Running sum + lag per user over event time — the sessionless
@@ -537,6 +539,7 @@ def q_pivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    shadow=True,
 )
 def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP — one pass produces (flag, status),
@@ -604,6 +607,7 @@ def q_sort(spark: SparkSession, sf: str) -> DataFrame:
            round(avg(value), 4) AS avg_value
     FROM events GROUP BY 1, 2
     """,
+    shadow=True,
 )
 def q_window_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling event-time window agg (batch form; streaming/ shares it)."""
@@ -623,6 +627,7 @@ def q_window_hourly(spark: SparkSession, sf: str) -> DataFrame:
     FROM (SELECT p_name AS premise, p_type AS address, p_brand AS state
           FROM part)
     """,
+    shadow=True,
 )
 def q_profile_nulls(spark: SparkSession, sf: str) -> DataFrame:
     """Single-pass per-column null profile (data-quality pre-flight)."""
@@ -669,6 +674,7 @@ def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
       USING (doc_id)
     """,
+    shadow=True,
 )
 def q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     """Surviving rows after exact dedup (min doc_id per content digest) —
@@ -735,6 +741,7 @@ def q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
            round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events GROUP BY event_type
     """,
+    shadow=True,
 )
 def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured extraction over the events.props JSON column."""
@@ -805,6 +812,7 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
       ON e.ts >= r.start_ts AND e.ts <= r.end_ts
     GROUP BY range_id
     """,
+    shadow=True,
 )
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """Interval-containment join via time-bin equi-join (no cartesian/BNLJ):
@@ -1204,6 +1212,7 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
            END AS media_type
     FROM p
     """,
+    shadow=True,
 )
 def q_multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column metadata: size + digest + magic-byte container sniff,
@@ -1396,6 +1405,7 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
            END AS lang_pred
     FROM s
     """,
+    shadow=True,
 )
 def q_text_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-marker language ID heuristic."""
@@ -1432,6 +1442,7 @@ def q_text_lang_ngram(spark: SparkSession, sf: str) -> DataFrame:
     )
     GROUP BY term HAVING count(*) >= 50
     """,
+    shadow=True,
 )
 def q_text_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary statistics (term freq + doc freq, min-freq pruned) — the
@@ -1449,6 +1460,7 @@ def q_text_top_terms(spark: SparkSession, sf: str) -> DataFrame:
                               x -> lower(x)), ' ')) AS fingerprint
     FROM documents
     """,
+    shadow=True,
 )
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace-insensitive document fingerprint (md5 of normalized
@@ -1588,6 +1600,7 @@ def _pii_augmented(docs: DataFrame) -> DataFrame:
                 '<IP>', 'g')) AS clean_fp
     FROM aug
     """,
+    shadow=True,
 )
 def q_text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub: per-kind match counts + fingerprint of the redacted
@@ -1680,6 +1693,7 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
            n_tokens, cum_tokens
     FROM cums
     """,
+    shadow=True,
 )
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy block-local sequence packing: 64-token training sequences
@@ -3166,7 +3180,6 @@ def q_group_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id
     WHERE levenshtein(a.k, b.k) <= 8
     """,
-    shadow=True,
 )
 def q_dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked edit-distance near-dup pairs: exact-prefix blocking, then
@@ -3199,7 +3212,6 @@ def q_dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT user_id, event_id, value, round(s, 6) AS ewma FROM ew
     """,
-    shadow=True,
 )
 def q_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user EWMA (alpha=0.2) over the time-ordered event stream — the
@@ -3241,7 +3253,6 @@ def q_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
                AS is_current
     FROM chg
     """,
-    shadow=True,
 )
 def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """SCD-type-2 compaction of the per-user event_type stream into
@@ -3282,7 +3293,6 @@ def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
                  6) AS mi_contrib
     FROM cells
     """,
-    shadow=True,
 )
 def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
     """Per-cell mutual-information decomposition of (lang, source) — the
@@ -3304,7 +3314,6 @@ def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    shadow=True,
 )
 def q_cube_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE closure of the grouping-set family (rollup_metrics and
@@ -3333,7 +3342,6 @@ def q_cube_metrics(spark: SparkSession, sf: str) -> DataFrame:
         SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
     )
     """,
-    shadow=True,
 )
 def q_orphan_check(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity sweep: dimension rows no fact references
@@ -3382,7 +3390,6 @@ def q_event_pagerank(spark: SparkSession, sf: str) -> DataFrame:
       AND o_orderdate < DATE '1997-01-01'
     GROUP BY n_name
     """,
-    shadow=True,
 )
 def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): the multi-join closure
@@ -3462,7 +3469,6 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
            round(corr(value, CAST(isodow(ts) - 1 AS DOUBLE)), 6) AS corr_dow
     FROM events GROUP BY event_type
     """,
-    shadow=True,
 )
 def q_feature_corr(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group feature correlation screen: Pearson corr + sample
@@ -3493,7 +3499,6 @@ def q_feature_corr(spark: SparkSession, sf: str) -> DataFrame:
            round(stddev_samp(value), 6) AS std_value
     FROM events GROUP BY 1, 2
     """,
-    shadow=True,
 )
 def q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Day-of-week × hour-of-day seasonality grid (the load/traffic
@@ -3529,7 +3534,6 @@ def q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
         FROM keyed
     ) WHERE rn <= 10
     """,
-    shadow=True,
 )
 def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sample without replacement, 10 docs
@@ -3576,7 +3580,6 @@ def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
                      OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
                      OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)))
     """,
-    shadow=True,
 )
 def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """CDC between two snapshots: added/removed/changed via one keyed
@@ -3656,7 +3659,6 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS BIGINT)
     FROM lineitem
     """,
-    shadow=True,
 )
 def q_data_quality_report(spark: SparkSession, sf: str) -> DataFrame:
     """Declarative expectations gate: five rules (presence, range,
@@ -3688,7 +3690,6 @@ def q_data_quality_report(spark: SparkSession, sf: str) -> DataFrame:
            ), 6) AS value_qnorm
     FROM events
     """,
-    shadow=True,
 )
 def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Rank-based per-group normalization to [0,1] — distribution-free
@@ -3719,7 +3720,6 @@ def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     FROM a JOIN b USING (user_id)
     WHERE a_s <= b_e AND b_s <= a_e
     """,
-    shadow=True,
 )
 def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Range × range overlap join (view-attention windows × click
