@@ -107,6 +107,10 @@ _ROWS_ONLY_PRIORITY = [
     "quality_classifier_2iter",
     "text_lang_id_ngram",
     "multimodal_decode",
+    # iterative fixpoints (no SQL oracle; pytest-pinned against NumPy /
+    # pure-Python references):
+    "event_pagerank",
+    "bpe_merges",
     # demoted round 4: exact operator twin of the hash-checked
     # join_prices_items (same join_fact_dim broadcast shape)
     "join_prices_premises",
