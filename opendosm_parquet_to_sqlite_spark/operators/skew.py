@@ -161,3 +161,153 @@ def rolling_features_sliced(
         .filter(F.col("__owner"))
         .drop("__slice", "__owner")
     )
+
+
+def ewma_sliced(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    n_slices: int = 4,
+    tiebreak_col: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Time-sliced EWMA for monster keys — the scale path the plain
+    operator's docstring names (operators/temporal.py ewma holds a key's
+    WHOLE series in one task's collect_list; a years-long hot entity at
+    100 TB makes that task the straggler and, eventually, the OOM).
+
+    Unlike the trailing-window slice (rolling_features_sliced), EWMA's
+    recurrence never forgets — a slice cannot be seeded by replicating a
+    bounded carry band, because s_i depends on EVERY prior value.  But
+    the dependence is only through ONE number: the previous slice's
+    final state.  So the fix is sequential-over-slices, parallel-within:
+
+      slice the time axis into n_slices equal bands (global bounds, one
+      cheap agg); for k = 0..n-1: fold slice k per key with the
+      recurrence SEEDED by the carry table (key → final state of slices
+      0..k-1), emit the slice's rows, update the carry (one row per
+      key), lineage-truncate the carry.
+
+    Per-task memory drops from O(series) to O(series / n_slices); the
+    carry table is key-count-sized.  The n_slices driver-side rounds are
+    the price — the same sequential-outer/parallel-inner shape as every
+    iterative operator here (components, pagerank, BPE), with state one
+    double per key.  Output is row-identical to temporal.ewma (same fold
+    order, same FP operations, same rounding) — pinned in
+    tests/test_skew.py.
+    """
+    from .temporal import ewma as plain_ewma
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tb = tiebreak_col if tiebreak_col is not None else ts_col
+    a = float(alpha)
+    # numeric-ts contract: slicing arithmetic needs an orderable NUMERIC
+    # time axis (epoch seconds/micros); the plain operator has no such
+    # constraint
+    lo, hi = df.agg(
+        F.min(F.col(ts_col)), F.max(F.col(ts_col))
+    ).first()
+    if lo is None:
+        return plain_ewma(
+            df, keys, ts_col, value_col, alpha=a,
+            tiebreak_col=tiebreak_col, out_col=out_col,
+        )
+    span = (hi - lo) or 1
+    slice_id = F.least(
+        F.lit(int(n_slices) - 1),
+        (
+            (F.col(ts_col) - F.lit(lo))
+            * int(n_slices)
+            / F.lit(span)
+        ).cast("long"),
+    )
+    sliced = df.withColumn("__slice", slice_id)
+    # Every slice's carry checkpoint stays RESIDENT until the session drops
+    # the returned frame: the per-slice outputs reference their seed table
+    # lazily, so releasing a carry before the caller materializes the
+    # result would destroy data behind a truncated lineage. The footprint
+    # is n_slices × |keys| rows of (key, double) — metadata-sized.
+    carry = None  # DataFrame[keys..., __seed double] | None
+    outs = []
+    for k in range(int(n_slices)):
+        part = sliced.filter(F.col("__slice") == k).drop("__slice")
+        # fold this slice exactly like temporal.ewma, but seed the fold
+        # with the carried state where one exists
+        fields = [F.col(ts_col)] + (
+            [F.col(tb)] if tb != ts_col else []
+        ) + [F.col(value_col)]
+        packed = part.groupBy(*keys).agg(
+            F.array_sort(F.collect_list(F.struct(*fields))).alias("__seq")
+        )
+        if carry is not None:
+            packed = packed.join(carry, keys, "left")
+        else:
+            packed = packed.withColumn(
+                "__seed", F.lit(None).cast("double")
+            )
+        states = F.aggregate(
+            F.col("__seq"),
+            F.when(
+                F.col("__seed").isNotNull(), F.array(F.col("__seed"))
+            ).otherwise(F.lit(None).cast("array<double>")),
+            lambda acc, x: F.when(
+                acc.isNull(),
+                F.array(x[value_col].cast("double")),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.lit(a) * x[value_col].cast("double")
+                        + F.lit(1.0 - a) * F.element_at(acc, -1)
+                    ),
+                )
+            ),
+        )
+        folded = packed.select(
+            *keys,
+            F.col("__seed"),
+            F.col("__seq"),
+            states.alias("__st_raw"),
+        )
+        # seeded folds carry the seed as element 1 of the state array —
+        # slice it off so __st[i] is the state AFTER __seq[i] in both
+        # the seeded and unseeded cases (a zip against the raw array
+        # would pair every row with its predecessor's state)
+        folded = folded.withColumn(
+            "__st",
+            F.when(
+                F.col("__seed").isNotNull(),
+                F.slice(
+                    F.col("__st_raw"), 2, F.size(F.col("__st_raw")) - 1
+                ),
+            ).otherwise(F.col("__st_raw")),
+        )
+        exploded = folded.select(
+            *keys,
+            F.posexplode(F.arrays_zip(F.col("__seq"), F.col("__st"))),
+        )
+        outs.append(
+            exploded.select(
+                *keys,
+                F.col("col.__seq")[ts_col].alias(ts_col),
+                *([F.col("col.__seq")[tb].alias(tb)] if tb != ts_col else []),
+                F.col("col.__seq")[value_col].alias(value_col),
+                F.round(F.col("col.__st"), 6).alias(out_col),
+            )
+        )
+        new_carry = folded.select(
+            *keys, F.element_at(F.col("__st_raw"), -1).alias("__seed")
+        )
+        if carry is not None:
+            # keys silent this slice keep their old state
+            kept = carry.join(
+                new_carry.select(*keys), keys, "left_anti"
+            )
+            new_carry = new_carry.unionByName(kept)
+        carry = new_carry.localCheckpoint(eager=True)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -117,3 +117,66 @@ def test_sliced_rolling_boundary_exact(spark):
 def test_sliced_rejects_short_slice(spark, skewed):
     with pytest.raises(ValueError):
         rolling_features_sliced(skewed, ["user_id"], "et", "value", 100, 99)
+
+
+# --- time-sliced seeded EWMA -------------------------------------------------
+
+
+def test_ewma_sliced_row_identical_to_plain(spark):
+    import numpy as np
+
+    from opendosm_parquet_to_sqlite_spark.operators.skew import ewma_sliced
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import ewma
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # 90%-hot key plus two small ones; ts spans several slice bands
+    for i in range(900):
+        rows.append(("hot", int(i * 10), float(rng.normal())))
+    for key in ("a", "b"):
+        for i in range(50):
+            rows.append((key, int(i * 37), float(rng.normal())))
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    plain = sorted(
+        (r.k, r.ts, r.ewma)
+        for r in ewma(df, "k", "ts", "value", alpha=0.25).collect()
+    )
+    sliced = sorted(
+        (r.k, r.ts, r.ewma)
+        for r in ewma_sliced(
+            df, "k", "ts", "value", alpha=0.25, n_slices=5
+        ).collect()
+    )
+    assert sliced == plain
+
+
+def test_ewma_sliced_keys_absent_from_middle_slices(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.skew import ewma_sliced
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import ewma
+
+    # key "gap" has events only in the first and last band: its carry
+    # state must survive the silent middle slices unchanged
+    rows = [("gap", 0, 10.0), ("gap", 1000, 20.0)]
+    rows += [("busy", t, float(t % 7)) for t in range(0, 1001, 50)]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    plain = sorted(
+        (r.k, r.ts, r.ewma)
+        for r in ewma(df, "k", "ts", "value", alpha=0.5).collect()
+    )
+    sliced = sorted(
+        (r.k, r.ts, r.ewma)
+        for r in ewma_sliced(
+            df, "k", "ts", "value", alpha=0.5, n_slices=4
+        ).collect()
+    )
+    assert sliced == plain
+
+
+def test_ewma_sliced_single_slice_and_empty(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.skew import ewma_sliced
+
+    df = spark.createDataFrame([("k", 5, 1.0)], "k string, ts long, value double")
+    out = ewma_sliced(df, "k", "ts", "value", n_slices=3).collect()
+    assert [(r.k, r.ts, r.ewma) for r in out] == [("k", 5, 1.0)]
+    empty = spark.createDataFrame([], "k string, ts long, value double")
+    assert ewma_sliced(empty, "k", "ts", "value", n_slices=3).count() == 0
