@@ -242,3 +242,79 @@ def test_value_histogram_two_partial_agg_passes(spark):
     assert plan.count("partial_") >= 2  # bounds pass + count pass combine map-side
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    # formatted explain mentions each operator twice (tree + numbered
+    # detail) — count the detail headers only
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_ewma_single_exchange(spark):
+    plan = _plan(spark, "ewma_smooth")
+    # the recurrence costs exactly one key exchange (the collect_list
+    # agg); the fold and explode are narrow
+    assert _n_exchanges(plan) == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_shares_one_exchange_across_both_windows(spark):
+    plan = _plan(spark, "scd2_intervals")
+    # lag-flag window and lead/version window share the partition key ->
+    # Catalyst must reuse one exchange+sort, not plan two
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_cube_expands_before_partial_agg(spark):
+    plan = _plan(spark, "cube_metrics")
+    assert "Expand" in plan
+    # map-side combine survives the cube: partial aggregate below the
+    # one exchange
+    assert _n_exchanges(plan) == 1, plan
+    assert "partial_" in plan
+
+
+def test_mutual_information_one_data_scale_exchange(spark):
+    plan = _plan(spark, "mutual_information")
+    # the count agg is the only exchange that sees data-scale rows; the
+    # marginal windows run over the cell table (single-partition allowed)
+    assert "partial_count" in plan or "partial_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalize_no_join(spark):
+    plan = _plan(spark, "quantile_normalize")
+    # null/non-null split must stay a union of windows, never a join
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_interval_overlap_equi_join_no_cartesian(spark):
+    plan = _plan(spark, "interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    plan = _plan(spark, "snapshot_diff")
+    assert "FullOuter" in plan
+    assert plan.count("Join") - plan.count("JoinSide") <= 4  # one join (tree+detail mentions)
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_weighted_window_group_limit(spark):
+    plan = _plan(spark, "sample_weighted")
+    # the top-k must prune per-partition before the group exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_local_supplier_volume_no_cartesian_and_pruned_scan(spark):
+    plan = _plan(spark, "local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    # the date filter reaches the orders scan
+    assert "o_orderdate" in plan and "PushedFilters" in plan
+    # lineitem reads only the 4 referenced columns
+    assert "l_returnflag" not in plan
