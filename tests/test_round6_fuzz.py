@@ -1,0 +1,157 @@
+"""Hypothesis fuzz for the round-6 wave-2 operators: random inputs,
+cross-checked against pure-Python references and algebraic invariants.
+max_examples kept small — each example is a Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import temporal
+from opendosm_parquet_to_sqlite_spark.operators.diffing import snapshot_diff
+from opendosm_parquet_to_sqlite_spark.operators.skew import ewma_sliced
+
+HC = [HealthCheck.function_scoped_fixture]
+
+ewma_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # key
+        st.integers(min_value=0, max_value=100),      # ts
+        st.integers(min_value=0, max_value=10**6),    # tiebreak
+        st.floats(
+            allow_nan=False, allow_infinity=False,
+            min_value=-1e6, max_value=1e6, width=32,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1], r[2]),
+)
+
+
+def _ewma_py(rows, alpha):
+    """(key, ts, tb) -> ewma, folding in (ts, tb) order per key."""
+    out = {}
+    state = {}
+    for k, ts, tb, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        s = state.get(k)
+        s = v if s is None else alpha * v + (1 - alpha) * s
+        state[k] = s
+        out[(k, ts, tb)] = round(s, 6)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=HC)
+@given(rows=ewma_rows, n_slices=st.integers(min_value=1, max_value=5))
+def test_fuzz_ewma_plain_and_sliced_match_python(spark, rows, n_slices):
+    df = spark.createDataFrame(
+        [(k, t, tb, float(v)) for k, t, tb, v in rows],
+        "k int, ts long, tb long, value double",
+    )
+    ref = _ewma_py(rows, 0.3)
+    plain = {
+        (r.k, r.ts, r.tb): r.ewma
+        for r in temporal.ewma(
+            df, "k", "ts", "value", alpha=0.3, tiebreak_col="tb"
+        ).collect()
+    }
+    assert plain.keys() == ref.keys()
+    for key in ref:
+        assert math.isclose(plain[key], ref[key], rel_tol=0, abs_tol=1e-6)
+    sliced = {
+        (r.k, r.ts, r.tb): r.ewma
+        for r in ewma_sliced(
+            df, "k", "ts", "value", alpha=0.3, n_slices=n_slices,
+            tiebreak_col="tb",
+        ).collect()
+    }
+    assert sliced == plain  # bit-identical: same fold, same rounding
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),     # key
+        st.integers(min_value=0, max_value=300),   # start
+        st.integers(min_value=0, max_value=200),   # length
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=HC)
+@given(
+    a_rows=interval_rows,
+    b_rows=interval_rows,
+    bin_width=st.sampled_from([7, 50, 1000]),
+)
+def test_fuzz_interval_overlap_matches_theta(spark, a_rows, b_rows, bin_width):
+    a = spark.createDataFrame(
+        [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(a_rows)],
+        "k int, a_id long, a_s long, a_e long",
+    )
+    b = spark.createDataFrame(
+        [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(b_rows)],
+        "k int, b_id long, b_s long, b_e long",
+    )
+    got = sorted(
+        (r.k, r.a_id, r.b_id)
+        for r in temporal.interval_overlap_join(
+            a, b, ["k"], "a_s", "a_e", "b_s", "b_e",
+            bin_width=bin_width, payload_left=["a_id"],
+            payload_right=["b_id"],
+        ).collect()
+    )
+    ref = sorted(
+        (k, i, j)
+        for i, (k, s, ln) in enumerate(a_rows)
+        for j, (k2, s2, ln2) in enumerate(b_rows)
+        if k == k2 and s <= s2 + ln2 and s2 <= s + ln
+    )
+    assert got == ref
+
+
+diff_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # id
+        st.sampled_from(["x", "y", None]),       # attr
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=HC)
+@given(old=diff_rows, new=diff_rows)
+def test_fuzz_snapshot_diff_matches_dict_reference(spark, old, new):
+    schema = "id long, a string, v long"
+    o = spark.createDataFrame(old, schema)
+    n = spark.createDataFrame(new, schema)
+    got = {
+        r.id: r.change_type for r in snapshot_diff(o, n, "id").collect()
+    }
+    od = {r[0]: (r[1], r[2]) for r in old}
+    nd = {r[0]: (r[1], r[2]) for r in new}
+    ref = {}
+    for k in od.keys() | nd.keys():
+        if k not in od:
+            ref[k] = "added"
+        elif k not in nd:
+            ref[k] = "removed"
+        elif od[k] != nd[k]:
+            ref[k] = "changed"
+    assert got == ref
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=HC)
+@given(rows=diff_rows)
+def test_fuzz_snapshot_diff_self_is_empty(spark, rows):
+    df = spark.createDataFrame(rows, "id long, a string, v long")
+    assert snapshot_diff(df, df, "id").count() == 0
