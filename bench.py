@@ -140,6 +140,8 @@ HEADLINE = [
     # rank normalization (keyed window) + range-range overlap equi-join
     "quantile_normalize",
     "interval_overlap",
+    # bounded-memory top-k (per-partition Misra-Gries summaries)
+    "heavy_hitters",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

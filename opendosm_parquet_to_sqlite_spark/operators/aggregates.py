@@ -420,3 +420,68 @@ def mutual_information(
         F.round(pmi, 6).alias("pmi"),
         F.round(p_xy * pmi, 6).alias("mi_contrib"),
     )
+
+
+def heavy_hitters_mg(
+    df: DataFrame,
+    col: str,
+    k: int,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Approximate top-k frequent items via per-partition Misra-Gries
+    summaries (public algorithm) — the bounded-memory path for item
+    universes too large to hash-aggregate exactly (raw vocabulary over a
+    100 TB corpus: the exact groupBy's hash tables are vocabulary-sized
+    PER TASK; an MG summary is `capacity`-sized no matter what streams
+    through it).
+
+    Per partition: maintain at most `capacity` counters; when a batch
+    overflows the table, subtract the (capacity+1)-th largest count
+    from every counter and drop the non-positive ones (the batched
+    decrement step).  Each partition's total decrement Δp satisfies
+    Δp·(capacity+1) <= n_p, so after summing summaries per item:
+
+        true - N/(capacity+1) <= est <= true
+
+    and every item with true count > N/(capacity+1) SURVIVES — the
+    classic MG guarantee, test-pinned.  With capacity >= the distinct
+    count no decrement ever fires and the result is EXACT — which is
+    what makes the operator oracle-checkable at fixture scale while the
+    small-capacity regime carries the pytest error-bound pins.
+
+    Shape: mapInPandas (Arrow batches; the inner merge loops over the
+    batch's DISTINCT items via value_counts, not rows) emitting
+    <= capacity rows per partition → one (item, partial-sum) exchange of
+    summary rows only → deterministic TakeOrdered top-k (count DESC,
+    item ASC).  The raw stream never shuffles.
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+    colname = col
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[colname].dropna().value_counts()
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > cap:
+                vals = sorted(counters.values(), reverse=True)
+                delta = vals[cap]
+                counters = {
+                    i: c - delta for i, c in counters.items() if c > delta
+                }
+        yield pd.DataFrame(
+            {"item": list(counters), "mg_count": list(counters.values())}
+        )
+
+    summaries = df.select(F.col(col).cast("string").alias(colname)).mapInPandas(
+        mg, "item string, mg_count long"
+    )
+    merged = summaries.groupBy("item").agg(
+        F.sum("mg_count").alias("est_count")
+    )
+    return merged.orderBy(
+        F.col("est_count").desc(), F.col("item")
+    ).limit(int(k))

@@ -3754,3 +3754,34 @@ def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
         bin_width=3600, payload_left=["a_id"], payload_right=["b_id"],
     )
     return out.select("user_id", "a_id", "b_id", "a_s", "b_s")
+
+
+@query(
+    "heavy_hitters",
+    """
+    SELECT term AS item, CAST(count(*) AS BIGINT) AS est_count
+    FROM (
+        SELECT unnest(list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x != ''),
+                   x -> lower(x))) AS term
+        FROM documents
+    )
+    GROUP BY term
+    ORDER BY est_count DESC, item
+    LIMIT 30
+    """,
+    shadow=True,
+)
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-30 corpus terms via per-partition Misra-Gries summaries —
+    the bounded-memory top-k whose per-task state is `capacity`-sized
+    regardless of vocabulary. Run here with capacity >> distinct terms,
+    where MG provably never decrements and the counts are EXACT (hence
+    the SQL oracle); the small-capacity regime's undercount bound and
+    heavy-item survival guarantee are pinned in tests/test_sketches.py."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(text.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    return aggregates.heavy_hitters_mg(toks, "w", k=30, capacity=200000)

@@ -65,3 +65,70 @@ def test_session_agg_merges_at_gap_boundary(spark):
         (1, "2024-01-01 11:00:01", 1),
         (2, "2024-01-01 09:00:00", 1),
     ]
+
+
+# --- Misra-Gries heavy hitters -----------------------------------------------
+
+
+def _zipf_items(n, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [f"w{int(z)}" for z in rng.zipf(1.6, size=n) if z < 5000]
+
+
+def test_mg_exact_when_capacity_covers_universe(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.aggregates import (
+        heavy_hitters_mg,
+    )
+    from collections import Counter
+
+    items = _zipf_items(5000)
+    df = spark.createDataFrame([(w,) for w in items], "w string")
+    got = [
+        (r.item, r.est_count)
+        for r in heavy_hitters_mg(df, "w", k=20, capacity=100000).collect()
+    ]
+    true = Counter(items)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want  # exact counts AND exact deterministic order
+
+
+def test_mg_bounds_and_survival_at_small_capacity(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.aggregates import (
+        heavy_hitters_mg,
+    )
+    from collections import Counter
+
+    items = _zipf_items(20000)
+    n = len(items)
+    cap = 64
+    df = spark.createDataFrame([(w,) for w in items], "w string").repartition(8)
+    # pull the FULL merged summary (k large) to check the guarantees
+    got = {
+        r.item: r.est_count
+        for r in heavy_hitters_mg(df, "w", k=10**6, capacity=cap).collect()
+    }
+    true = Counter(items)
+    bound = n / (cap + 1)
+    for item, est in got.items():
+        assert est <= true[item]  # MG never overcounts
+        assert true[item] - est <= bound + 1e-9
+    # survival: every item heavier than the bound is present
+    for item, cnt in true.items():
+        if cnt > bound:
+            assert item in got, (item, cnt, bound)
+
+
+def test_mg_null_and_empty(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.aggregates import (
+        heavy_hitters_mg,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",)], "w string"
+    )
+    got = [(r.item, r.est_count) for r in heavy_hitters_mg(df, "w", 5).collect()]
+    assert got == [("a", 2), ("b", 1)]  # NULLs never become an item
+    empty = spark.createDataFrame([], "w string")
+    assert heavy_hitters_mg(empty, "w", 5).count() == 0
