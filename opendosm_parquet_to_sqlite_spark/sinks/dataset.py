@@ -170,3 +170,46 @@ def write_zordered(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_rows: int = 1_000_000,
+    compression: str = "zstd",
+) -> dict:
+    """Rewrite a parquet dataset into ceil(rows / target_file_rows)
+    right-sized files — the maintenance pass every long-lived dataset
+    needs, because incremental appends (streaming microbatches, daily
+    jobs, per-partition writers) accumulate small files until file-open
+    overhead and driver file-listing dominate scans (the classic small-
+    files problem; at 100 TB a 10 KB-file layout means hundreds of
+    millions of objects).
+
+    Write-then-swap: the compacted copy lands in `path + '.compact'`
+    first, then atomically (rename-wise) replaces the original — a
+    crashed compaction leaves the source intact, never a half-dataset.
+    Row content is preserved exactly (pinned in tests); only layout
+    changes.  Returns {'files_before', 'files_after', 'rows'}.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    before = len(_glob.glob(os.path.join(path, "*.parquet")))
+    n_files = max(1, -(-rows // int(target_file_rows)))
+    tmp = path.rstrip("/") + ".compact"
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len(_glob.glob(os.path.join(path, "*.parquet")))
+    return {"files_before": before, "files_after": after, "rows": rows}

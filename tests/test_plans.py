@@ -318,3 +318,47 @@ def test_local_supplier_volume_no_cartesian_and_pruned_scan(spark):
     assert "o_orderdate" in plan and "PushedFilters" in plan
     # lineitem reads only the 4 referenced columns
     assert "l_returnflag" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime row-level bloom filtering: a selective dim filter
+    on the build side injects a bloom_filter_might_contain probe into
+    the FACT scan, pruning rows before the shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    the matching fraction. The 10 GB application-side threshold is met
+    naturally at scale; the test lowers it to fire at fixture scale,
+    then pins both the injection and result parity."""
+    from .conftest import SF001
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    old_thr = spark.conf.get(thr_key)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(thr_key, "0")
+        import pyspark.sql.functions as F
+
+        orders = spark.read.parquet(f"{SF001}/orders.parquet")
+        li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+        sel = orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in opt.lower(), opt
+        n_bloom = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(thr_key, old_thr)
+    # parity: the bloom probe is a pre-filter, never a semantics change
+    orders = spark.read.parquet(f"{SF001}/orders.parquet")
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    import pyspark.sql.functions as F
+
+    sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    assert n_bloom == li.join(sel, li.l_orderkey == sel.o_orderkey).count()

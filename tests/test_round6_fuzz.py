@@ -155,3 +155,60 @@ def test_fuzz_snapshot_diff_matches_dict_reference(spark, old, new):
 def test_fuzz_snapshot_diff_self_is_empty(spark, rows):
     df = spark.createDataFrame(rows, "id long, a string, v long")
     assert snapshot_diff(df, df, "id").count() == 0
+
+
+# --- hostile-text fuzz for the blocked edit-distance op ----------------------
+
+dirty_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=HC)
+@given(texts=st.lists(dirty_text, min_size=0, max_size=12))
+def test_fuzz_levenshtein_pairs_hostile_unicode(spark, texts):
+    from opendosm_parquet_to_sqlite_spark.operators.neardup import (
+        levenshtein_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = levenshtein_pairs(
+        df, "text", "doc_id", max_dist=5, prefix_len=4, key_len=20
+    ).collect()
+    # invariants under any input: ordered pairs, bounded distance, and
+    # every reported distance matches an independent Python DP over the
+    # SAME normalized keys. Keys are derived via Spark's own trim/lower
+    # (not reimplemented in Python) because trim-vs-strip and ICU-vs-
+    # Python lowercasing legitimately differ on exotic whitespace/case —
+    # the property under test is the blocking+distance machinery, not
+    # cross-language unicode normalization parity.
+    keys = {
+        r.doc_id: r.k
+        for r in df.select(
+            "doc_id",
+            F.lower(F.trim(F.col("text"))).substr(1, 20).alias("k"),
+        ).collect()
+        if r.k
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    for r in out:
+        assert r.id_a < r.id_b
+        assert 0 <= r.dist <= 5
+        assert keys[r.id_a][:4] == keys[r.id_b][:4]
+        assert lev(keys[r.id_a], keys[r.id_b]) == r.dist
