@@ -142,6 +142,8 @@ HEADLINE = [
     "interval_overlap",
     # bounded-memory top-k (per-partition Misra-Gries summaries)
     "heavy_hitters",
+    # survivorship merge (per-column max_by, one partial-combined agg)
+    "golden_record",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

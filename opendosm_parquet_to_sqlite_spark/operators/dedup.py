@@ -128,3 +128,39 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
     """Return the surviving rows (min id per distinct text), full payload."""
     keep = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def golden_record(
+    df: DataFrame,
+    key_cols: str | list[str],
+    priority_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Survivorship merge (the MDM "golden record"): one row per key,
+    where EACH value column independently takes its highest-priority
+    non-null observation (priority = smallest `priority_col`; ties
+    broken by the smaller priority value being deterministic input
+    contract).  This is the column-wise generalization of the flagship
+    latest-per-group dedup: argmax picks whole ROWS, survivorship picks
+    per-COLUMN — a record assembled from multiple sources, each field
+    from the most trusted source that actually has it.
+
+    A key whose observations are all-null in some column keeps NULL
+    there (no value is invented); keys never disappear.
+
+    Shape: ONE partial-combined aggregation — each column compiles to
+    max_by(value, -priority) over the non-null observations, so every
+    mapper ships one champion per (local key, column) and the exchange
+    carries one partial row per key regardless of observation fan-in.
+    Same cost envelope as latest_per_group_maxby, `len(value_cols)`
+    aggregates wide.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    prio = F.col(priority_col)
+    aggs = [
+        F.max_by(
+            F.col(c), F.when(F.col(c).isNotNull(), -prio)
+        ).alias(c)
+        for c in value_cols
+    ]
+    return df.groupBy(*keys).agg(*aggs)

@@ -3785,3 +3785,58 @@ def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(text.tokens(F.lower(F.col("text")))).alias("w")
     )
     return aggregates.heavy_hitters_mg(toks, "w", k=30, capacity=200000)
+
+
+@query(
+    "golden_record",
+    """
+    WITH obs AS (
+        SELECT o_custkey AS custkey,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate DESC,
+                                                  o_orderkey
+               ) AS BIGINT) AS prio,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                    ELSE o_orderpriority END AS opriority,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE round(o_totalprice, 2) END AS price
+        FROM orders
+    )
+    SELECT custkey,
+           arg_max(status, -prio) FILTER (WHERE status IS NOT NULL)
+               AS status,
+           arg_max(opriority, -prio) FILTER (WHERE opriority IS NOT NULL)
+               AS opriority,
+           arg_max(price, -prio) FILTER (WHERE price IS NOT NULL)
+               AS price
+    FROM obs GROUP BY custkey
+    """,
+    shadow=True,
+)
+def q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship merge: per customer, each field independently from
+    the freshest order that HAS it (priority = recency rank; synthetic
+    per-field nulls simulate source gaps). One partial-combined
+    aggregation — the column-wise generalization of the flagship
+    latest-per-group, same max_by cost envelope."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    obs = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("long").alias("prio"),
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 4 != 0, F.col("o_orderpriority"))
+        .alias("opriority"),
+        F.when(F.col("o_orderkey") % 5 != 0, F.round("o_totalprice", 2))
+        .alias("price"),
+    )
+    return dedup.golden_record(
+        obs, "custkey", "prio", ["status", "opriority", "price"]
+    )

@@ -84,3 +84,45 @@ def test_enforce_unique_key_deterministic_survivor(spark):
         out = dedup.enforce_unique_key(df.repartition(parts), ["k"])
         assert out.columns == ["k", "s", "v"]
         assert {tuple(r) for r in out.collect()} == expected
+
+
+def test_golden_record_per_column_survivorship(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.dedup import (
+        golden_record,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, None, "b1"),
+            (1, 2, "a2", "b2"),
+            (1, 3, "a3", None),
+            (2, 5, None, None),
+        ],
+        "k long, prio long, a string, b string",
+    )
+    out = {
+        r.k: (r.a, r.b)
+        for r in golden_record(df, "k", "prio", ["a", "b"]).collect()
+    }
+    # each column independently from its best non-null source
+    assert out[1] == ("a2", "b1")
+    # all-null key survives with NULLs, never invented or dropped
+    assert out[2] == (None, None)
+
+
+def test_golden_record_plan_is_single_partial_agg(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.dedup import (
+        golden_record,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "x")], "k long, prio long, a string"
+    )
+    plan = (
+        golden_record(df, "k", "prio", ["a"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
