@@ -144,6 +144,8 @@ HEADLINE = [
     "heavy_hitters",
     # survivorship merge (per-column max_by, one partial-combined agg)
     "golden_record",
+    # crawl-frontier URL canonicalization + dedup (one canonical-key agg)
+    "dedup_urls",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -126,3 +126,65 @@ def url_host_stats(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form for pre-fetch dedup — the crawl-frontier pass
+    that keeps one representative per 'same page, different spelling':
+
+      1. scheme dropped (http/https identical for identity purposes)
+      2. host lowercased, leading 'www.' dropped
+      3. tracking params removed (utm_*, fbclid, gclid, ref) — they
+         change per click, not per page
+      4. remaining query params SORTED (param order is not identity)
+      5. trailing '/' dropped; empty query's '?' dropped
+
+    Pure native expressions (regexp + array ops on the query string) —
+    zero Python, composes at scan speed; the exact regex set is
+    dialect-portable, so the same steps restate in the DuckDB oracle.
+    """
+    u = F.coalesce(col, F.lit(""))
+    # 1-2: strip scheme; split host from path at the first '/'
+    no_scheme = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    # lowercase BEFORE stripping www. — the strip regex is case-
+    # sensitive, and 'WWW.' must not survive the canonical form
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(no_scheme, r"^([^/?#]*)", 1)),
+        r"^www\.",
+        "",
+    )
+    rest = F.regexp_extract(no_scheme, r"^[^/?#]*([^?#]*)", 1)  # path
+    query = F.regexp_extract(no_scheme, r"\?([^#]*)", 1)
+    # 3-4: drop tracking params, sort the rest
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="),
+        )
+    )
+    qstr = F.array_join(params, "&")
+    path = F.regexp_replace(rest, r"/$", "")
+    return F.concat(
+        host,
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+
+
+def dedup_urls(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """Frontier dedup: group by canonical form, keep the minimum id as
+    the deterministic survivor, count the variants collapsed.  One
+    partial-combined aggregation on the canonical string — the only
+    exchange carries (canonical, partials)."""
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

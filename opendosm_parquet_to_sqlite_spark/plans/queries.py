@@ -3840,3 +3840,108 @@ def q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.golden_record(
         obs, "custkey", "prio", ["status", "opriority", "price"]
     )
+
+
+@query(
+    "dedup_urls",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                   WHEN 0 THEN 'https://WWW.Site' || (doc_id % 40)
+                        || '.com/page/' || (doc_id % 9) || '/'
+                   WHEN 1 THEN 'http://site' || (doc_id % 40)
+                        || '.com/page/' || (doc_id % 9)
+                        || '?utm_source=mail&b=2&a=1'
+                   WHEN 2 THEN 'https://site' || (doc_id % 40)
+                        || '.com/page/' || (doc_id % 9) || '?a=1&b=2'
+                   ELSE 'https://site' || (doc_id % 40)
+                        || '.com/other/' || (doc_id % 6)
+               END AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   lower(regexp_extract(regexp_replace(url,
+                       '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                       '^([^/?#]*)', 1)),
+                   '^www\\.', '')
+               || regexp_replace(
+                   regexp_extract(regexp_replace(url,
+                       '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                       '^[^/?#]*([^?#]*)', 1), '/$', '')
+               || CASE WHEN list_aggregate(
+                       list_sort(list_filter(
+                           string_split(regexp_extract(regexp_replace(url,
+                               '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                               '\\?([^#]*)', 1), '&'),
+                           p -> p != '' AND NOT regexp_matches(p,
+                               '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))),
+                       'string_agg', '&') IS NOT NULL
+                   AND list_aggregate(
+                       list_sort(list_filter(
+                           string_split(regexp_extract(regexp_replace(url,
+                               '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                               '\\?([^#]*)', 1), '&'),
+                           p -> p != '' AND NOT regexp_matches(p,
+                               '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))),
+                       'string_agg', '&') != ''
+                   THEN '?' || list_aggregate(
+                       list_sort(list_filter(
+                           string_split(regexp_extract(regexp_replace(url,
+                               '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                               '\\?([^#]*)', 1), '&'),
+                           p -> p != '' AND NOT regexp_matches(p,
+                               '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))),
+                       'string_agg', '&')
+                   ELSE '' END AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url,
+           min(doc_id) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY canonical_url
+    """,
+    shadow=True,
+)
+def q_dedup_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-frontier URL dedup: scheme/case/www/trailing-slash/tracking-
+    param/param-order noise collapses to one canonical form per page
+    (synthetic variants derived from doc_id so the oracle restates the
+    identical scenario — docs %4==1 and %4==2 spell the SAME page two
+    ways and must merge). One canonical-keyed partial-combined agg."""
+    docs = load_table(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://WWW.Site"), (d % 40).cast("string"),
+                F.lit(".com/page/"), (d % 9).cast("string"), F.lit("/"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("http://site"), (d % 40).cast("string"),
+                F.lit(".com/page/"), (d % 9).cast("string"),
+                F.lit("?utm_source=mail&b=2&a=1"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("https://site"), (d % 40).cast("string"),
+                F.lit(".com/page/"), (d % 9).cast("string"),
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), (d % 40).cast("string"),
+                F.lit(".com/other/"), (d % 6).cast("string"),
+            )
+        )
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    return web.dedup_urls(raw, "url", "doc_id")

@@ -453,3 +453,54 @@ def test_quantile_normalize_ranks_and_nulls(spark):
     assert out[5] is None  # NULL stays NULL, does not shift real ranks
     assert out[6] == 0.0  # singleton group
     assert len(out) == 6  # nothing dropped
+
+
+# --- canonicalize_url / dedup_urls -------------------------------------------
+
+
+def test_canonicalize_url_rules(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.web import (
+        canonicalize_url,
+    )
+
+    cases = [
+        ("https://WWW.Example.com/A/B/", "example.com/A/B"),
+        ("http://example.com/A/B", "example.com/A/B"),
+        ("https://example.com/p?utm_source=x&b=2&a=1", "example.com/p?a=1&b=2"),
+        ("https://example.com/p?b=2&a=1", "example.com/p?a=1&b=2"),
+        ("https://example.com/p?utm_campaign=z&fbclid=1&ref=t", "example.com/p"),
+        ("example.com/p", "example.com/p"),        # scheme-less passthrough
+        ("https://example.com/", "example.com"),
+        (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", canonicalize_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_dedup_urls_merges_spelling_variants(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.web import dedup_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.Example.com/p/"),
+            (2, "http://example.com/p?utm_source=x"),
+            (3, "https://example.com/p"),
+            (4, "https://example.com/q"),
+        ],
+        "id long, url string",
+    )
+    out = {
+        r.canonical_url: (r.survivor_id, r.n_variants)
+        for r in dedup_urls(df, "url", "id").collect()
+    }
+    assert out["example.com/p"] == (1, 3)
+    assert out["example.com/q"] == (4, 1)
