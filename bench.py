@@ -146,6 +146,8 @@ HEADLINE = [
     "golden_record",
     # crawl-frontier URL canonicalization + dedup (one canonical-key agg)
     "dedup_urls",
+    # lexical+vector hybrid retrieval (RRF over two hash-checked rankers)
+    "hybrid_search",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

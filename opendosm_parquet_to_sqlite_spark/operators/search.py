@@ -226,3 +226,63 @@ def tfidf_top_terms_per_doc(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    doc_a: str = "doc_id",
+    doc_b: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (public RRF:
+    fused(d) = Σ 1/(k_rrf + rank_i(d)) over the lists that retrieved d)
+    — the standard hybrid-search combiner, score-scale-free by design:
+    BM25 scores and cosine similarities are not commensurable, but their
+    RANKS are, which is why RRF needs no per-list normalization and is
+    the default fusion in every lexical+vector stack.
+
+    A document retrieved by only one list contributes only that list's
+    term (the absent rank adds zero, not a penalty).  k_rrf=60 is the
+    public default; larger values flatten rank differences.
+
+    Output: query_col, doc_id, rrf_score (6 dp), rank (long, fused
+    top-k, ties broken by doc_id).
+
+    Shape: both inputs are already top-k-per-query tables — tiny by
+    construction (queries × k rows) — so the full-outer join and the
+    fused rank window cost nothing at any corpus scale; the heavy
+    lifting happened inside the upstream retrievers, which is the
+    architectural point: fusion composes ranked RESULTS, never corpora.
+    """
+    a = ranked_a.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_a).alias("doc_id"),
+        F.col(rank_col).alias("__ra"),
+    )
+    b = ranked_b.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_b).alias("doc_id"),
+        F.col(rank_col).alias("__rb"),
+    )
+    j = a.join(b, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        1.0 / (F.lit(float(k_rrf)) + F.col("__ra")), F.lit(0.0)
+    ) + F.coalesce(
+        1.0 / (F.lit(float(k_rrf)) + F.col("__rb")), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        rrf.desc(), F.col("doc_id")
+    )
+    return (
+        j.select(
+            "query_id",
+            "doc_id",
+            F.round(rrf, 6).alias("rrf_score"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= int(k))
+    )

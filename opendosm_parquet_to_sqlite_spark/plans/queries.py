@@ -3945,3 +3945,108 @@ def q_dedup_urls(spark: SparkSession, sf: str) -> DataFrame:
     )
     raw = docs.select("doc_id", url.alias("url"))
     return web.dedup_urls(raw, "url", "doc_id")
+
+
+@query(
+    "hybrid_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_LTOKS} AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS total_dl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks, unnest(t) AS u(term) GROUP BY 1, 2
+    ),
+    q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+    qt AS (
+        SELECT DISTINCT query_id, u.term
+        FROM (SELECT query_id, {_DUCK_QTOKS} AS t FROM q) s,
+             unnest(t) AS u(term)
+    ),
+    p AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+        FROM tf JOIN dl USING (doc_id)
+        WHERE term IN (SELECT term FROM qt)
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+    bscored AS (
+        SELECT qt.query_id, p.doc_id,
+               sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * p.tf * 2.2
+                    / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (total_dl / n_docs)))
+               ) AS score
+        FROM qt JOIN p USING (term) JOIN dfreq USING (term), stats
+        GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY round(score, 9) DESC, doc_id
+            ) AS rank
+            FROM bscored
+        ) WHERE rank <= 20
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 4),
+    vscored AS (
+        SELECT query_id, e.vec_id AS doc_id,
+               round(list_dot_product(e.v, qvec)
+                     / sqrt(list_dot_product(e.v, e.v)
+                            * list_dot_product(qvec, qvec)),
+                     6) AS cosine
+        FROM e, qv WHERE e.vec_id != query_id
+    ),
+    vec AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, doc_id
+            ) AS BIGINT) AS rank
+            FROM vscored
+        ) WHERE rank <= 20
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + l.rank), 0)
+                   + coalesce(1.0 / (60 + v.rank), 0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, round(rrf, 6) AS rrf_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id
+        ) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+    shadow=True,
+)
+def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) and exact-cosine top-20
+    (vector, doc_id-aligned embeddings) fused by reciprocal-rank fusion
+    (k=60) into a top-10 — the standard lexical+vector stack, composed
+    from the two hash-checked retrievers and itself hash-checked
+    end-to-end. Fusion joins ranked RESULTS (queries × k rows), never
+    corpora — the heavy plans stay inside the retrievers."""
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, schema="query_id long, query_text string"
+    )
+    lex = search.bm25_topk(docs, queries, "text", "doc_id", k=20)
+    qvecs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = similarity.brute_force_topk(emb, qvecs, k=20)
+    return search.rrf_fuse(
+        lex, vec, doc_a="doc_id", doc_b="neighbor_id", k_rrf=60, k=10
+    )

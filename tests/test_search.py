@@ -151,3 +151,47 @@ def test_bm25_plan_prunes_before_aggregation(spark, docs):
     # executedPlan prints top-down: the semi join must appear AFTER the
     # (doc,term) aggregate textually, i.e. deeper in the tree
     assert semi_at > agg_at
+
+
+def test_rrf_fuse_semantics(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {
+        r.doc_id: (r.rrf_score, r.rank)
+        for r in rrf_fuse(
+            lex, vec, doc_b="neighbor_id", k_rrf=60, k=10
+        ).collect()
+    }
+    # doc 11 in both lists wins; one-list docs get only their own term
+    assert out[11][0] == round(1 / 62 + 1 / 61, 6)
+    assert out[11][1] == 1
+    assert out[10][0] == round(1 / 61, 6)
+    assert out[13][0] == round(1 / 62, 6)
+    assert out[12][0] == round(1 / 63, 6)
+    # 10 (1/61) beats 13 (1/62) beats 12 (1/63)
+    assert [d for d, (_, rk) in sorted(out.items(), key=lambda kv: kv[1][1])] == [
+        11, 10, 13, 12
+    ]
+
+
+def test_rrf_fuse_tiebreak_by_doc_id(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 7, 1), (0, 5, 2)], "query_id long, doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(0, 5, 1), (0, 7, 2)], "query_id long, doc_id long, rank long"
+    )
+    out = rrf_fuse(lex, vec, k=10).orderBy("rank").collect()
+    # identical fused scores -> smaller doc_id ranks first
+    assert [r.doc_id for r in out] == [5, 7]
+    assert out[0].rrf_score == out[1].rrf_score
