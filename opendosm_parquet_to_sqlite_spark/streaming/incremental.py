@@ -84,6 +84,32 @@ def dedup_within_watermark(
     )
 
 
+def frontier_dedup_stream(
+    sdf: DataFrame,
+    url_col: str,
+    ts_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming crawl-frontier dedup: canonicalize each URL (the batch
+    operator's exact expression — scheme/case/www/trailing-slash/
+    tracking-param/param-order noise collapses) and drop repeats of the
+    same canonical form within the watermark horizon.  The live twin of
+    operators/web.dedup_urls for the discover-as-you-crawl loop: state
+    is one entry per DISTINCT canonical URL seen inside `delay`, evicted
+    by the watermark — the frontier never grows unboundedly.
+
+    Emits the FIRST arrival of each canonical form with the canonical
+    key attached (append semantics)."""
+    from ..operators.web import canonicalize_url
+
+    canon = sdf.withColumn(
+        "canonical_url", canonicalize_url(F.col(url_col))
+    )
+    return dedup_within_watermark(
+        canon, ["canonical_url"], ts_col, delay=delay
+    )
+
+
 def tumbling_window_agg_stream(
     sdf: DataFrame,
     ts_col: str,

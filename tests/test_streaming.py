@@ -536,3 +536,46 @@ def test_enrich_stream_live_rejects_stateful_modes(spark, tmp_path):
             lambda df, bid: None, str(tmp_path / "ck2"),
             how="full_outer",
         )
+
+
+def test_frontier_dedup_stream_collapses_url_variants(spark, tmp_path):
+    """Streaming URL frontier: spelling variants of the same page across
+    microbatches collapse to one emission (the first arrival)."""
+    from opendosm_parquet_to_sqlite_spark.streaming.incremental import (
+        frontier_dedup_stream,
+    )
+
+    schema = "id long, url string, et long"
+    parts = [
+        [(1, "https://WWW.Example.com/p/", 10)],
+        [(2, "http://example.com/p?utm_source=x", 20),
+         (3, "https://other.com/q", 30)],
+        [(4, "https://example.com/p", 40),
+         (5, "https://other.com/q?b=2&a=1", 50)],
+    ]
+    src = tmp_path / "frontier_src"
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, schema).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(str(src))
+    sdf = read_stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
+    # horizon must cover the fixture's whole span: within-watermark dedup
+    # legitimately re-admits a canonical form once its entry ages out
+    out = frontier_dedup_stream(sdf, "url", "et", delay="1 hour")
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r.id, r.canonical_url) for r in df.collect())
+
+    run_available_now(
+        out, str(tmp_path / "frontier_ck"), sink, output_mode="append"
+    )
+    by_canon = {}
+    for i, c in sorted(got):
+        by_canon.setdefault(c, i)
+    # first arrival per canonical page; variants 2 and 4 collapsed into 1
+    assert by_canon["example.com/p"] == 1
+    assert by_canon["other.com/q"] == 3
+    # other.com/q?a=1&b=2 is a DIFFERENT page (real params survive)
+    assert "other.com/q?a=1&b=2" in by_canon
+    assert len(got) == 3
