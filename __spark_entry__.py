@@ -85,6 +85,12 @@ _ROWS_ONLY_PRIORITY = [
     "cohort_retention",
     "transition_matrix",
     "group_percentiles",
+    # post-rotation round-6 additions (shadow oracles, hash-checked
+    # in-repo; candidates for the next window rotation):
+    "heavy_hitters",
+    "golden_record",
+    "dedup_urls",
+    "hybrid_search",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",
