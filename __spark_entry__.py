@@ -91,6 +91,8 @@ _ROWS_ONLY_PRIORITY = [
     "golden_record",
     "dedup_urls",
     "hybrid_search",
+    "skew_report",
+    "attribution_last_touch",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -148,6 +148,9 @@ HEADLINE = [
     "dedup_urls",
     # lexical+vector hybrid retrieval (RRF over two hash-checked rankers)
     "hybrid_search",
+    # key-distribution pre-flight + carry-forward attribution
+    "skew_report",
+    "attribution_last_touch",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

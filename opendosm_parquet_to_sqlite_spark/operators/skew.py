@@ -311,3 +311,55 @@ def ewma_sliced(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: str | list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostic — the pre-flight that decides whether
+    the skew remedies in this module (salting, time slicing) are needed
+    BEFORE a job straggles: per-key counts reduced to one summary row
+    with the concentration measures that matter for shuffle planning.
+
+    Output (single row): n_rows, n_keys, max_share (the hottest key's
+    fraction — a single-task ceiling for keyed windows), top_share (the
+    `top_n` hottest keys' combined fraction), gini (0 = perfectly
+    uniform, →1 = one key dominates; computed from the rank formula
+    G = (2·Σ i·c_i) / (n_keys·Σ c_i) − (n_keys+1)/n_keys over counts
+    sorted ascending — rank-based, so it needs one sort of the KEY
+    TABLE, never the data).
+
+    Rule of thumb the docstrings elsewhere assume: max_share ≳ 1/tasks
+    means the hottest key fills a whole task — keyed windows need the
+    sliced variants; aggregates are already safe (map-side partials).
+
+    Shape: one partial-combined (key, count) agg — the only data-scale
+    exchange — then windows over the KEY table (key-count-sized).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.orderBy(F.col("c").asc(), *[F.col(k) for k in keys])
+    w_desc = Window.orderBy(F.col("c").desc(), *[F.col(k) for k in keys])
+    ranked = counts.select(
+        F.col("c"),
+        F.row_number().over(w_rank).alias("i"),
+        F.row_number().over(w_desc).alias("r_desc"),
+    )
+    return ranked.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("max_share"),
+        F.round(
+            F.sum(F.when(F.col("r_desc") <= int(top_n), F.col("c"))
+                  .otherwise(F.lit(0))) / F.sum("c"),
+            6,
+        ).alias("top_share"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("c"))
+            / (F.count(F.lit(1)) * F.sum("c"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -582,3 +582,70 @@ def interval_overlap_join(
         *payload_left,
         *payload_right,
     )
+
+
+def attribute_last_touch(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    conversion_event: str,
+    touch_event: str,
+    lookback_seconds: int,
+    id_col: str,
+    ts_seconds: Column | None = None,
+) -> DataFrame:
+    """Last-touch attribution: each conversion event credits the most
+    recent preceding touch event by the same user, IF it happened within
+    the lookback window — the marketing-analytics workhorse, and the
+    same carry-forward shape as the as-of join (a join formulation would
+    be a per-user theta join; the window formulation is one keyed
+    exchange + sort).
+
+    Output: one row per conversion — id, user, epoch seconds, the
+    credited touch id (NULL when no touch in window) and the
+    touch-to-conversion delay in seconds (NULL likewise).
+
+    Shape: ONE user-keyed exchange + in-partition sort; last(ignorenulls)
+    carries the latest touch (ts, id) struct forward to every later row;
+    the lookback check is a narrow filter on the carried timestamp.
+    Skew note: single-user domination hits the keyed sort exactly like
+    rolling_features — the time-sliced remedy applies unchanged.
+    """
+    secs = (
+        ts_seconds
+        if ts_seconds is not None
+        else F.col(ts_col).cast("timestamp").cast("long")
+    )
+    base = df.select(
+        F.col(user_col).alias("user"),
+        secs.alias("s"),
+        F.col(event_col).alias("ev"),
+        F.col(id_col).alias("id"),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy(F.col("s"), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("ev") == touch_event,
+            F.struct(F.col("s").alias("ts"), F.col("id").alias("tid")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    carried = base.withColumn("__touch", touch)
+    conv = carried.filter(F.col("ev") == conversion_event)
+    in_window = F.col("__touch").isNotNull() & (
+        F.col("__touch.ts") >= F.col("s") - F.lit(int(lookback_seconds))
+    )
+    return conv.select(
+        F.col("id").alias("conversion_id"),
+        F.col("user").alias(user_col),
+        F.col("s").alias("conv_s"),
+        F.when(in_window, F.col("__touch.tid")).alias("touch_id"),
+        F.when(in_window, F.col("s") - F.col("__touch.ts"))
+        .cast("long")
+        .alias("delay_s"),
+    )

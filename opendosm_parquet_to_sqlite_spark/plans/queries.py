@@ -39,6 +39,7 @@ from ..operators import (
     sampling,
     search,
     similarity,
+    skew,
     temporal,
     text,
     web,
@@ -4049,4 +4050,78 @@ def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     vec = similarity.brute_force_topk(emb, qvecs, k=20)
     return search.rrf_fuse(
         lex, vec, doc_a="doc_id", doc_b="neighbor_id", k_rrf=60, k=10
+    )
+
+
+@query(
+    "skew_report",
+    """
+    WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c ASC, user_id) AS i,
+               row_number() OVER (ORDER BY c DESC, user_id) AS r_desc
+        FROM counts
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_share,
+           round(sum(CASE WHEN r_desc <= 10 THEN c ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 6) AS top_share,
+           round(2.0 * sum(i * c) / (count(*) * CAST(sum(c) AS DOUBLE))
+                 - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+    FROM ranked
+    """,
+    shadow=True,
+)
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-distribution pre-flight for the events stream keyed by user:
+    hottest-key share, top-10 share, Gini — the numbers that decide
+    whether the keyed-window slicing remedies are needed. One
+    data-scale count agg; everything else runs over the key table."""
+    ev = load_table(spark, sf, "events")
+    return skew.skew_report(ev, "user_id", top_n=10)
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH base AS (
+        SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               event_type AS ev, event_id AS id
+        FROM events
+    ), carried AS (
+        SELECT u, s, ev, id,
+               last_value(CASE WHEN ev = 'click'
+                               THEN struct_pack(ts := s, tid := id)
+                          END IGNORE NULLS) OVER (
+                   PARTITION BY u ORDER BY s, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch
+        FROM base
+    )
+    SELECT id AS conversion_id, u AS user_id, s AS conv_s,
+           CASE WHEN touch IS NOT NULL AND touch.ts >= s - 86400
+                THEN touch.tid END AS touch_id,
+           CASE WHEN touch IS NOT NULL AND touch.ts >= s - 86400
+                THEN s - touch.ts END AS delay_s
+    FROM carried WHERE ev = 'purchase'
+    """,
+    shadow=True,
+)
+def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's latest
+    preceding click within 24 h — one user-keyed exchange + sort with
+    last(ignorenulls) carry-forward (the as-of shape; a join
+    formulation would be a per-user theta join)."""
+    ev = load_table(spark, sf, "events")
+    secs = F.floor(
+        F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")) / 1000000
+    ).cast("long")
+    return temporal.attribute_last_touch(
+        ev, "user_id", "ts", "event_type",
+        conversion_event="purchase", touch_event="click",
+        lookback_seconds=86400, id_col="event_id", ts_seconds=secs,
     )

@@ -504,3 +504,65 @@ def test_dedup_urls_merges_spelling_variants(spark):
     }
     assert out["example.com/p"] == (1, 3)
     assert out["example.com/q"] == (4, 1)
+
+
+# --- skew_report / attribute_last_touch --------------------------------------
+
+
+def test_skew_report_uniform_and_dominated(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.skew import skew_report
+
+    uniform = spark.createDataFrame(
+        [(k, i) for k in range(10) for i in range(5)], "k long, i long"
+    )
+    r = skew_report(uniform, "k").first()
+    assert r.n_rows == 50 and r.n_keys == 10
+    assert r.max_share == 0.1
+    assert r.gini == pytest.approx(0.0, abs=1e-6)
+
+    hot = spark.createDataFrame(
+        [(0, i) for i in range(91)] + [(k, 0) for k in range(1, 10)],
+        "k long, i long",
+    )
+    r = skew_report(hot, "k").first()
+    assert r.n_rows == 100 and r.max_share == 0.91
+    assert r.gini > 0.8
+
+
+def test_attribute_last_touch_semantics(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        attribute_last_touch,
+    )
+
+    rows = [
+        # u1: click(10) -> purchase(20) attributed; click(30),
+        # purchase(100000) outside 1000s lookback -> NULL
+        (1, 10, "click", 100),
+        (1, 20, "purchase", 101),
+        (1, 30, "click", 102),
+        (1, 100000, "purchase", 103),
+        # u2: purchase with NO preceding click -> NULL; a click AFTER
+        # the purchase must never attribute backwards
+        (2, 5, "purchase", 200),
+        (2, 6, "click", 201),
+        # u3: two clicks -> LAST one wins
+        (3, 1, "click", 300),
+        (3, 2, "click", 301),
+        (3, 3, "purchase", 302),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, s long, event_type string, event_id long"
+    )
+    out = {
+        r.conversion_id: (r.touch_id, r.delay_s)
+        for r in attribute_last_touch(
+            df, "user_id", "s", "event_type",
+            conversion_event="purchase", touch_event="click",
+            lookback_seconds=1000, id_col="event_id",
+            ts_seconds=F.col("s"),
+        ).collect()
+    }
+    assert out[101] == (100, 10)
+    assert out[103] == (None, None)  # click too old
+    assert out[200] == (None, None)  # future click never credits
+    assert out[302] == (301, 1)      # last touch, not first
