@@ -93,6 +93,7 @@ _ROWS_ONLY_PRIORITY = [
     "hybrid_search",
     "skew_report",
     "attribution_last_touch",
+    "large_volume_customers",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

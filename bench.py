@@ -151,6 +151,8 @@ HEADLINE = [
     # key-distribution pre-flight + carry-forward attribution
     "skew_report",
     "attribution_last_touch",
+    # TPC-H Q18 shape (HAVING-agg semi-join back into the fact)
+    "large_volume_customers",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -4125,3 +4125,52 @@ def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
         conversion_event="purchase", touch_event="click",
         lookback_seconds=86400, id_col="event_id", ts_seconds=secs,
     )
+
+
+@query(
+    "large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 250
+    ) AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
+    """,
+    shadow=True,
+)
+def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    aggregate drives a semi-join back into the fact — the
+    find-the-whales pattern. The qualifying-orderkey set is derived by
+    one partial-combined agg and semi-joined (never materialized wide);
+    customer rides as a broadcast; the final per-order agg reuses the
+    orderkey exchange the semi-join already created."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    joined = (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return joined.groupBy(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
