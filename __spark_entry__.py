@@ -94,6 +94,7 @@ _ROWS_ONLY_PRIORITY = [
     "skew_report",
     "attribution_last_touch",
     "large_volume_customers",
+    "period_over_period",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -153,6 +153,8 @@ HEADLINE = [
     "attribution_last_touch",
     # TPC-H Q18 shape (HAVING-agg semi-join back into the fact)
     "large_volume_customers",
+    # month-over-month growth (one monthly agg + month-table lag window)
+    "period_over_period",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -4174,3 +4174,55 @@ def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
         F.round("o_totalprice", 2).alias("o_totalprice"),
     ).agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+
+
+@query(
+    "period_over_period",
+    """
+    WITH m AS (
+        SELECT event_type, strftime(ts, '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, month, n, total_value,
+           CAST(lag(n) OVER (
+               PARTITION BY event_type ORDER BY month
+           ) AS BIGINT) AS prev_n,
+           round(CASE WHEN lag(n) OVER (
+                          PARTITION BY event_type ORDER BY month) > 0
+                 THEN (n - lag(n) OVER (
+                          PARTITION BY event_type ORDER BY month))
+                      / CAST(lag(n) OVER (
+                          PARTITION BY event_type ORDER BY month) AS DOUBLE)
+                 END, 6) AS n_growth
+    FROM m
+    """,
+    shadow=True,
+)
+def q_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month report per event type: one partial-combined
+    monthly agg, then a lag window over the MONTH table (groups ×
+    months — metadata-sized). Growth is NULL for first months and
+    zero-baseline months, never a division blow-up."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events")
+    m = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("month")
+    prev = F.lag("n").over(w)
+    return m.select(
+        "event_type",
+        "month",
+        "n",
+        "total_value",
+        prev.cast("long").alias("prev_n"),
+        F.round(
+            F.when(prev > 0, (F.col("n") - prev) / prev.cast("double")), 6
+        ).alias("n_growth"),
+    )

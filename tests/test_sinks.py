@@ -179,3 +179,23 @@ def test_compact_small_files_preserves_rows_and_shrinks(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == list(range(2000))
     # no leftover temp/old dirs
     assert not glob.glob(p + ".compact") and not glob.glob(p + ".old")
+
+
+def test_partitioned_dataset_prunes_at_scan(spark, tmp_path):
+    """write_dataset(partition_by=...) must yield reads that prune
+    partitions at the SCAN (PartitionFilters in the plan), not filter
+    after reading everything — the claim the module docstring makes."""
+    from opendosm_parquet_to_sqlite_spark.sinks.dataset import write_dataset
+
+    p = str(tmp_path / "parted")
+    df = spark.range(1000).withColumn("part", (F.col("id") % 5).cast("string"))
+    write_dataset(df, p, partition_by=["part"])
+    import glob
+
+    assert len(glob.glob(p + "/part=*")) == 5  # hive layout on disk
+    scan = spark.read.parquet(p).filter(F.col("part") == "3")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan.split(
+        "PartitionFilters"
+    )[1][:80]
+    assert scan.count() == 200
