@@ -95,6 +95,7 @@ _ROWS_ONLY_PRIORITY = [
     "attribution_last_touch",
     "large_volume_customers",
     "period_over_period",
+    "user_event_profile",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -155,6 +155,8 @@ HEADLINE = [
     "large_volume_customers",
     # month-over-month growth (one monthly agg + month-table lag window)
     "period_over_period",
+    # deterministic collection aggregation (sorted set -> string)
+    "user_event_profile",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -4226,3 +4226,32 @@ def q_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
             F.when(prev > 0, (F.col("n") - prev) / prev.cast("double")), 6
         ).alias("n_growth"),
     )
+
+
+@query(
+    "user_event_profile",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS event_set,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    shadow=True,
+)
+def q_user_event_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user behavioral profile with a COLLECTION-valued result done
+    deterministically: collect_set is unordered by contract, so the set
+    is sorted before joining to a string — the convention that makes
+    collection aggregation hash-checkable at all (an unsorted
+    array_join would be partitioning-dependent). One partial-combined
+    agg; sets are bounded by the event-type universe."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("event_set"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
