@@ -96,6 +96,7 @@ _ROWS_ONLY_PRIORITY = [
     "large_volume_customers",
     "period_over_period",
     "user_event_profile",
+    "dedup_keep_best",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -157,6 +157,8 @@ HEADLINE = [
     "period_over_period",
     # deterministic collection aggregation (sorted set -> string)
     "user_event_profile",
+    # quality-aware cluster survivorship (components + one max_by agg)
+    "dedup_keep_best",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -292,3 +292,42 @@ def pagerank(
         raise
     _unpersist_rdd_ids(spark, base_ids)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def keep_best_per_cluster(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware cluster survivors: per connected component, keep
+    the member with the HIGHEST score (ties → smallest id) instead of
+    the smallest id.  Min-id survivorship (cluster_representatives) is
+    deterministic but quality-blind — when a near-dup cluster holds a
+    clean original and a truncated scrape, production dedup wants the
+    best copy, not the first-crawled one.
+
+    Output: cluster_id, keep_id, keep_score, n_members.
+
+    Shape: one join (components × doc scores, keyed on the id both
+    sides carry) → one partial-combined max_by aggregation over
+    struct(score, -id) — mappers ship one champion per local cluster;
+    no window, no per-cluster sort.
+    """
+    scored = components.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).alias("__score"),
+        ),
+        "doc_id",
+    )
+    return scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("__score"), (-F.col("doc_id")).alias("__nid")),
+        ).alias("keep_id"),
+        F.max(
+            F.struct(F.col("__score"), (-F.col("doc_id")).alias("__nid"))
+        )["__score"].alias("keep_score"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )

@@ -4255,3 +4255,45 @@ def q_user_event_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.count_distinct("event_type").cast("long").alias("n_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGE_CTES}
+    , clusters AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    ), members AS (
+        SELECT c.doc_id, c.cluster_id, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_score,
+           n_members
+    FROM (
+        SELECT cluster_id, doc_id, n_chars,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM members
+    ) WHERE rn = 1
+    """,
+    shadow=True,
+)
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware near-dup survivorship: per connected component keep
+    the LONGEST member (ties → smallest id) instead of the min-id one —
+    production dedup wants the best copy, not the first-crawled. The
+    component machinery is the hash-checked dup_clusters; the survivor
+    pick is one partial-combined max_by over struct(score, -id) — no
+    per-cluster window or sort."""
+    docs = load_table(spark, sf, "documents")
+    pairs = neardup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, max_doc_freq=_JACCARD_MAX_DF
+    )
+    comps = graph.connected_components(pairs, "id_a", "id_b")
+    out = graph.keep_best_per_cluster(comps, docs, "doc_id", "n_chars")
+    return out.select("cluster_id", "keep_id", "keep_score", "n_members")

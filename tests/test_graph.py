@@ -163,3 +163,27 @@ def test_corpus_clean_clustered_keeps_one_per_chain(spark):
     }
     assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
     assert kept_ids == [1, 50]
+
+
+def test_keep_best_per_cluster_semantics(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.graph import (
+        keep_best_per_cluster,
+    )
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 5), (8, 5)],
+        "doc_id long, n_chars long",
+    )
+    out = {
+        r.cluster_id: (r.keep_id, r.keep_score, r.n_members)
+        for r in keep_best_per_cluster(
+            comps, docs, "doc_id", "n_chars"
+        ).collect()
+    }
+    # cluster 1: score tie 50 between docs 2 and 3 -> smaller id wins
+    assert out[1] == (2, 50, 3)
+    assert out[7] == (7, 5, 2)
