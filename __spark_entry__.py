@@ -97,6 +97,7 @@ _ROWS_ONLY_PRIORITY = [
     "period_over_period",
     "user_event_profile",
     "dedup_keep_best",
+    "attribution_first_touch",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -159,6 +159,8 @@ HEADLINE = [
     "user_event_profile",
     # quality-aware cluster survivorship (components + one max_by agg)
     "dedup_keep_best",
+    # first-touch attribution (event-time RANGE-frame min)
+    "attribution_first_touch",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

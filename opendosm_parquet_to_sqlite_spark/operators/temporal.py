@@ -649,3 +649,62 @@ def attribute_last_touch(
         .cast("long")
         .alias("delay_s"),
     )
+
+
+def attribute_first_touch(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    conversion_event: str,
+    touch_event: str,
+    lookback_seconds: int,
+    id_col: str,
+    ts_seconds: Column | None = None,
+) -> DataFrame:
+    """First-touch attribution — the complement of attribute_last_touch:
+    each conversion credits the EARLIEST touch inside its lookback
+    window (the discovery channel, where last-touch credits the
+    closer).  Different mechanics than last-touch on purpose: a
+    carry-forward can only remember the LATEST touch (state is
+    overwritten), so first-touch uses an event-time RANGE frame —
+    min(struct(ts, id)) over [ts - lookback, ts), which Spark evaluates
+    with a sliding frame over the same single keyed sort the carry
+    variant needs.  Same one-exchange cost; the frame bound does the
+    lookback filtering that last-touch applies as a post-filter.
+
+    Output mirrors attribute_last_touch: conversion_id, user, conv_s,
+    touch_id (NULL when no touch in window), delay_s.
+    """
+    secs = (
+        ts_seconds
+        if ts_seconds is not None
+        else F.col(ts_col).cast("timestamp").cast("long")
+    )
+    base = df.select(
+        F.col(user_col).alias("user"),
+        secs.alias("s"),
+        F.col(event_col).alias("ev"),
+        F.col(id_col).alias("id"),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy(F.col("s"))
+        .rangeBetween(-int(lookback_seconds), -1)
+    )
+    first = F.min(
+        F.when(
+            F.col("ev") == touch_event,
+            F.struct(F.col("s").alias("ts"), F.col("id").alias("tid")),
+        )
+    ).over(w)
+    conv = base.withColumn("__touch", first).filter(
+        F.col("ev") == conversion_event
+    )
+    return conv.select(
+        F.col("id").alias("conversion_id"),
+        F.col("user").alias(user_col),
+        F.col("s").alias("conv_s"),
+        F.col("__touch.tid").alias("touch_id"),
+        (F.col("s") - F.col("__touch.ts")).cast("long").alias("delay_s"),
+    )

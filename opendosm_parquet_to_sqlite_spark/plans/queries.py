@@ -4297,3 +4297,43 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     comps = graph.connected_components(pairs, "id_a", "id_b")
     out = graph.keep_best_per_cluster(comps, docs, "doc_id", "n_chars")
     return out.select("cluster_id", "keep_id", "keep_score", "n_members")
+
+
+@query(
+    "attribution_first_touch",
+    """
+    WITH base AS (
+        SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               event_type AS ev, event_id AS id
+        FROM events
+    ), framed AS (
+        SELECT u, s, ev, id,
+               min(CASE WHEN ev = 'click'
+                        THEN struct_pack(ts := s, tid := id) END) OVER (
+                   PARTITION BY u ORDER BY s
+                   RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING
+               ) AS touch
+        FROM base
+    )
+    SELECT id AS conversion_id, u AS user_id, s AS conv_s,
+           touch.tid AS touch_id,
+           s - touch.ts AS delay_s
+    FROM framed WHERE ev = 'purchase'
+    """,
+    shadow=True,
+)
+def q_attribution_first_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch attribution within 24 h: the discovery-channel
+    credit, via an event-time RANGE frame min(struct) — the frame bound
+    does the lookback filtering a carry-forward cannot (carry state
+    only remembers the latest). Same single keyed exchange as the
+    last-touch twin."""
+    ev = load_table(spark, sf, "events")
+    secs = F.floor(
+        F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")) / 1000000
+    ).cast("long")
+    return temporal.attribute_first_touch(
+        ev, "user_id", "ts", "event_type",
+        conversion_event="purchase", touch_event="click",
+        lookback_seconds=86400, id_col="event_id", ts_seconds=secs,
+    )

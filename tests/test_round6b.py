@@ -566,3 +566,38 @@ def test_attribute_last_touch_semantics(spark):
     assert out[103] == (None, None)  # click too old
     assert out[200] == (None, None)  # future click never credits
     assert out[302] == (301, 1)      # last touch, not first
+
+
+def test_attribute_first_touch_semantics(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        attribute_first_touch,
+    )
+
+    rows = [
+        # u1: clicks at 10 and 15 before purchase(20): FIRST (10) wins
+        (1, 10, "click", 100),
+        (1, 15, "click", 101),
+        (1, 20, "purchase", 102),
+        # u1 second purchase at 2000: click 10/15 outside 1000s? 2000-1000
+        # = 1000 <= 10? no -> outside; NULL
+        (1, 3000, "purchase", 103),
+        # u2: click exactly at the conversion second is excluded (frame
+        # ends at -1)
+        (2, 5, "click", 200),
+        (2, 5, "purchase", 201),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, s long, event_type string, event_id long"
+    )
+    out = {
+        r.conversion_id: (r.touch_id, r.delay_s)
+        for r in attribute_first_touch(
+            df, "user_id", "s", "event_type",
+            conversion_event="purchase", touch_event="click",
+            lookback_seconds=1000, id_col="event_id",
+            ts_seconds=F.col("s"),
+        ).collect()
+    }
+    assert out[102] == (100, 10)     # first touch, not last
+    assert out[103] == (None, None)  # outside lookback
+    assert out[201] == (None, None)  # same-second touch excluded
