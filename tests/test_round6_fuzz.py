@@ -212,3 +212,87 @@ def test_fuzz_levenshtein_pairs_hostile_unicode(spark, texts):
         assert 0 <= r.dist <= 5
         assert keys[r.id_a][:4] == keys[r.id_b][:4]
         assert lev(keys[r.id_a], keys[r.id_b]) == r.dist
+
+
+# --- attribution fuzz --------------------------------------------------------
+
+attr_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # user
+        st.integers(min_value=0, max_value=500),        # ts
+        st.sampled_from(["click", "purchase", "view"]),
+        st.integers(min_value=0, max_value=10**6),      # id
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1], r[3]),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=HC)
+@given(rows=attr_rows, lookback=st.sampled_from([10, 100, 1000]))
+def test_fuzz_attribution_both_modes_match_python(spark, rows, lookback):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        attribute_first_touch,
+        attribute_last_touch,
+    )
+
+    df = spark.createDataFrame(
+        rows, "user_id long, s long, event_type string, event_id long"
+    )
+    # pure-Python reference over (ts, id)-ordered per-user streams
+    ref_last, ref_first = {}, {}
+    by_user: dict = {}
+    for u, ts, ev, i in sorted(rows, key=lambda r: (r[0], r[1], r[3])):
+        by_user.setdefault(u, []).append((ts, ev, i))
+    for u, evs in by_user.items():
+        for idx, (ts, ev, i) in enumerate(evs):
+            if ev != "purchase":
+                continue
+            prior = [
+                (t, j) for (t, e, j) in evs[:idx]
+                if e == "click" and t < ts  # same-second handling differs
+            ]
+            in_win = [(t, j) for (t, j) in prior if t >= ts - lookback]
+            ref_last[i] = (
+                (prior[-1][1], ts - prior[-1][0])
+                if prior and prior[-1][0] >= ts - lookback
+                else (None, None)
+            )
+            ref_first[i] = (
+                (in_win[0][1], ts - in_win[0][0]) if in_win else (None, None)
+            )
+    # restrict comparison to streams without same-second click/purchase
+    # collisions per user: the two operators legitimately differ there
+    # (carry-forward sees same-second earlier-id touches, the RANGE
+    # frame excludes the whole current second)
+    collide = {
+        (u, t)
+        for u, t, e, _ in rows
+        if e == "purchase"
+        for u2, t2, e2, _ in rows
+        if u2 == u and t2 == t and e2 == "click"
+    }
+    last = {
+        r.conversion_id: (r.touch_id, r.delay_s)
+        for r in attribute_last_touch(
+            df, "user_id", "s", "event_type",
+            conversion_event="purchase", touch_event="click",
+            lookback_seconds=lookback, id_col="event_id",
+            ts_seconds=F.col("s"),
+        ).collect()
+    }
+    first = {
+        r.conversion_id: (r.touch_id, r.delay_s)
+        for r in attribute_first_touch(
+            df, "user_id", "s", "event_type",
+            conversion_event="purchase", touch_event="click",
+            lookback_seconds=lookback, id_col="event_id",
+            ts_seconds=F.col("s"),
+        ).collect()
+    }
+    for u, ts, ev, i in rows:
+        if ev != "purchase" or (u, ts) in collide:
+            continue
+        assert last[i] == ref_last[i], (i, last[i], ref_last[i])
+        assert first[i] == ref_first[i], (i, first[i], ref_first[i])
