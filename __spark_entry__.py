@@ -98,6 +98,7 @@ _ROWS_ONLY_PRIORITY = [
     "user_event_profile",
     "dedup_keep_best",
     "attribution_first_touch",
+    "dedup_time_window",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

@@ -161,6 +161,8 @@ HEADLINE = [
     "dedup_keep_best",
     # first-touch attribution (event-time RANGE-frame min)
     "attribution_first_touch",
+    # time-windowed dedup (batch twin of the streaming watermark dedup)
+    "dedup_time_window",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -164,3 +164,43 @@ def golden_record(
         for c in value_cols
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def dedup_within_time_window(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_seconds: Column,
+    window_seconds: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-windowed exact dedup: a row survives unless the SAME key
+    occurred within the preceding `window_seconds` — the batch twin of
+    the streaming dedup_within_watermark (whose state eviction implies
+    exactly this semantics), giving the streaming operator a
+    hash-checkable batch restatement.  Emails re-sent within an hour,
+    repeated webhook deliveries, double-clicks: suppressed; genuine
+    recurrences beyond the horizon: kept.
+
+    Chain semantics: each occurrence is compared to its IMMEDIATE
+    predecessor (kept or dropped), so a chain of sub-window gaps
+    suppresses everything after the first row — matching the streaming
+    operator, whose per-key state refreshes on every arrival, not only
+    on emissions.
+
+    Shape: ONE key exchange + in-partition sort (lag window) + narrow
+    filter — the flagship cost envelope.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [ts_seconds] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    prev = F.lag(ts_seconds).over(w)
+    return (
+        df.withColumn("__prev_s", prev)
+        .filter(
+            F.col("__prev_s").isNull()
+            | (ts_seconds - F.col("__prev_s") > int(window_seconds))
+        )
+        .drop("__prev_s")
+    )

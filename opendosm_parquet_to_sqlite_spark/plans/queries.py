@@ -4337,3 +4337,42 @@ def q_attribution_first_touch(spark: SparkSession, sf: str) -> DataFrame:
         conversion_event="purchase", touch_event="click",
         lookback_seconds=86400, id_col="event_id", ts_seconds=secs,
     )
+
+
+@query(
+    "dedup_time_window",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events
+    ), lagged AS (
+        SELECT event_id, user_id, event_type, s,
+               lag(s) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY s, event_id
+               ) AS prev_s
+        FROM base
+    )
+    SELECT event_id, user_id, event_type, s
+    FROM lagged WHERE prev_s IS NULL OR s - prev_s > 3600
+    """,
+    shadow=True,
+)
+def q_dedup_time_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-windowed exact dedup (repeats of (user, event_type) within
+    an hour suppressed, chain semantics) — the hash-checkable batch
+    twin of the streaming watermark dedup. One key exchange + lag
+    window + narrow filter."""
+    ev = load_table(spark, sf, "events")
+    secs = F.floor(
+        F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")) / 1000000
+    ).cast("long")
+    base = ev.select(
+        "event_id", "user_id", "event_type", secs.alias("s")
+    )
+    out = dedup.dedup_within_time_window(
+        base, ["user_id", "event_type"], F.col("s"), 3600,
+        tiebreak_col="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type", "s")

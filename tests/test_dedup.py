@@ -126,3 +126,26 @@ def test_golden_record_plan_is_single_partial_agg(spark):
     )
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_dedup_time_window_chain_semantics(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.dedup import (
+        dedup_within_time_window,
+    )
+
+    rows = [
+        # chain of sub-window gaps: only the first survives
+        ("k", 0, 1), ("k", 50, 2), ("k", 100, 3),
+        # beyond the window from its predecessor: survives
+        ("k", 300, 4),
+        # other key unaffected
+        ("j", 10, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, id long")
+    kept = sorted(
+        r.id
+        for r in dedup_within_time_window(
+            df, "k", F.col("s"), 60, tiebreak_col="id"
+        ).collect()
+    )
+    assert kept == [1, 4, 5]
