@@ -163,6 +163,9 @@ HEADLINE = [
     "attribution_first_touch",
     # time-windowed dedup (batch twin of the streaming watermark dedup)
     "dedup_time_window",
+    # cluster-aware split: near-dup components hash as one unit (pair
+    # graph + union-find + one doc-keyed join + narrow band projection)
+    "split_leakage_free",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

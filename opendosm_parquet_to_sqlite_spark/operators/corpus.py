@@ -363,3 +363,57 @@ def quality_audit(
         (quality_ok & length_ok & repetition_ok & lang_ok).alias("keep"),
         reasons.alias("reject_reasons"),
     ).withColumnRenamed("repetition_ok2", "repetition_ok")
+
+
+def leakage_free_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    splits: list[tuple[str, float]] | None = None,
+    namespace: str = "split",
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that can never leak a near-duplicate of a
+    held-out document into train: the split is decided by the hash of each
+    document's near-dup CLUSTER representative, not of the document itself.
+
+    A plain hash split (sampling.split_assign) treats two 95%-identical
+    documents as independent coin flips — with probability ~2·p·(1-p) they
+    straddle train/test, and the eval set silently overlaps the training
+    set. Here every document maps to its connected-component representative
+    (minimum member id over the capped n-gram-Jaccard pair graph,
+    operators.graph union-find); documents in no pair are their own
+    representative. Hashing the representative makes the split constant
+    within each cluster by construction.
+
+    Output: (doc_id, rep_id, split). Deterministic: a pure function of
+    (namespace, cluster structure) — adding unrelated documents never
+    reassigns existing ones (the reference's stable-rebuild property,
+    src/main.rs:252-278, lifted to split assignment).
+
+    Shape: the pair graph is the capped inverted index
+    (neardup.ngram_jaccard_pairs — two gram-keyed exchanges); components
+    converge in O(log diameter) label rounds over PAIR-sized frames; the
+    final mapping is one doc-keyed LEFT join (cluster table is
+    pair-graph-sized, far smaller than the corpus, and broadcastable when
+    it fits) plus a narrow md5-band projection. The corpus text never
+    shuffles and nothing touches the driver.
+    """
+    pairs = neardup.ngram_jaccard_pairs(
+        df, text_col, id_col,
+        n=ngram_n, threshold=jaccard_threshold, max_doc_freq=max_doc_freq,
+    )
+    comps = graph.connected_components(pairs, "id_a", "id_b")
+    rep = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep_id"),
+        )
+    )
+    return sampling.split_assign(rep, "rep_id", splits, namespace).select(
+        "doc_id", "rep_id", "split"
+    )

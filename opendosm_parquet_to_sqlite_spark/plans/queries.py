@@ -4376,3 +4376,43 @@ def q_dedup_time_window(spark: SparkSession, sf: str) -> DataFrame:
         tiebreak_col="event_id",
     )
     return out.select("event_id", "user_id", "event_type", "s")
+
+
+@query(
+    "split_leakage_free",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGE_CTES}
+    , clusters AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    ), rep AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS rep_id
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ), banded AS (
+        SELECT doc_id, rep_id,
+               substring(md5('split:' || CAST(rep_id AS VARCHAR)), 1, 8)
+                   AS bucket
+        FROM rep
+    )
+    SELECT doc_id, rep_id,
+           CASE WHEN bucket < 'e6666666' THEN 'train'
+                WHEN bucket < 'f3333333' THEN 'val'
+                ELSE 'test' END AS split
+    FROM banded
+    """,
+    shadow=True,
+)
+def q_split_leakage_free(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-aware train/val/test split: near-dup clusters (capped
+    n-gram-Jaccard pairs -> union-find components) hash as ONE unit via
+    their min-id representative, so no near-duplicate of a held-out doc
+    can land in train. The whole composition — pair graph, clustering,
+    representative mapping, md5 banding — hash-matches a DuckDB
+    restatement (recursive transitive-closure CTE + identical digest
+    band cuts e6666666/f3333333 = rate_to_hex(0.9)/(0.95))."""
+    docs = load_table(spark, sf, "documents")
+    return corpus.leakage_free_split(
+        docs, "text", "doc_id",
+        ngram_n=3, jaccard_threshold=0.3, max_doc_freq=_JACCARD_MAX_DF,
+    )
