@@ -166,6 +166,9 @@ HEADLINE = [
     # cluster-aware split: near-dup components hash as one unit (pair
     # graph + union-find + one doc-keyed join + narrow band projection)
     "split_leakage_free",
+    # PQ ANN with exact rerank: 16-byte ADC code scan -> shortlist ->
+    # broadcast semi-join rescore of ~10% of the float corpus
+    "ann_pq",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

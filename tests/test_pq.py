@@ -1,0 +1,108 @@
+"""Product quantization: codebook training, m-byte encoding, ADC scan,
+and the exact-rerank composition. ann_pq is rows-only in the registry
+(code assignment is engine-defined); these tests pin the semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _recall(exact, approx):
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    return len(e & a) / len(e)
+
+
+def test_codes_are_m_bytes_and_deterministic(emb):
+    books = similarity.train_pq_codebooks(emb, m=8, n_codes=32)
+    assert books.shape[0] == 8 and books.shape[2] == 8  # dim 64
+    c1 = similarity.pq_encode(emb, books).toPandas()
+    c2 = similarity.pq_encode(emb, books).toPandas()
+    assert (c1.pq_codes.apply(len) == 8).all()
+    m1 = dict(zip(c1.vec_id, c1.pq_codes))
+    m2 = dict(zip(c2.vec_id, c2.pq_codes))
+    assert m1 == m2
+    # codes index into the book
+    n_codes = books.shape[1]
+    for b in c1.pq_codes:
+        assert max(b) < n_codes
+
+
+def test_adc_exact_when_corpus_is_codebook_spanned(spark):
+    """Reconstruction-exact regime: every subvector IS a codebook entry,
+    so ADC cosine == exact cosine and recall is 1.0 without rerank."""
+    rng = np.random.RandomState(7)
+    atoms = rng.randn(4, 8)  # 4 distinct subvectors, dsub=8
+    # unit-norm atoms => every concatenation has norm sqrt(m), so row
+    # normalization scales every subvector identically and the per-subspace
+    # value set stays exactly 4 points — k-means recovers them exactly
+    atoms /= np.linalg.norm(atoms, axis=1, keepdims=True)
+    rows = []
+    for i in range(60):
+        v = np.concatenate([atoms[rng.randint(4)] for _ in range(8)])
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.train_pq_codebooks(
+        df, m=8, n_codes=8, train_sample=60
+    )
+    codes = similarity.pq_encode(df, books)
+    qs = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(df, qs, k=5).toPandas()
+    adc = similarity.pq_topk(codes, qs, books, k=5).toPandas()
+    assert _recall(exact, adc) == 1.0
+    # scores agree to quantization-free precision
+    e = {(r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()}
+    for r in adc.itertuples():
+        assert abs(e[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-4
+
+
+def test_rerank_recall_floor_on_fixture(emb, queries):
+    exact = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    books = similarity.train_pq_codebooks(emb, m=16, n_codes=64)
+    codes = similarity.pq_encode(emb, books)
+    rr = similarity.pq_topk_rerank(
+        emb, codes, queries, books, k=5, shortlist=50
+    ).toPandas()
+    assert _recall(exact, rr) >= 0.9
+    # reranked scores are EXACT cosines (match brute force to 1e-6)
+    e = {(r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()}
+    for r in rr.itertuples():
+        if (r.query_id, r.neighbor_id) in e:
+            assert abs(e[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-6
+
+
+def test_raw_adc_recall_floor(emb, queries):
+    """Raw ADC (no rerank) floor on the near-random fixture — documents
+    the regime the rerank exists for."""
+    exact = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    books = similarity.train_pq_codebooks(emb, m=16, n_codes=64)
+    codes = similarity.pq_encode(emb, books)
+    adc = similarity.pq_topk(codes, queries, books, k=5).toPandas()
+    assert _recall(exact, adc) >= 0.3
+
+
+def test_validation_errors(emb):
+    with pytest.raises(ValueError, match="n_codes"):
+        similarity.train_pq_codebooks(emb, m=8, n_codes=300)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.train_pq_codebooks(emb, m=7)
