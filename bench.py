@@ -169,6 +169,9 @@ HEADLINE = [
     # PQ ANN with exact rerank: 16-byte ADC code scan -> shortlist ->
     # broadcast semi-join rescore of ~10% of the float corpus
     "ann_pq",
+    # MERGE INTO relational core: one keyed full-outer join classifying
+    # kept/updated/inserted/deleted (delta-sized alternative to rebuild)
+    "merge_upsert",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

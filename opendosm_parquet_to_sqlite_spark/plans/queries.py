@@ -31,6 +31,7 @@ from ..operators import (
     features,
     graph,
     joins,
+    merge,
     multimodal,
     neardup,
     privacy,
@@ -4435,3 +4436,62 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
         emb, codes, queries, books, k=5, shortlist=50
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "merge_upsert",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 6) AS o_totalprice
+        FROM orders
+    ), u AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice * 1.1, 6) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N',
+               round(o_totalprice / 2, 6)
+        FROM orders WHERE o_orderkey % 13 = 0
+    ), m AS (
+        SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+               coalesce(u.o_custkey, t.o_custkey) AS o_custkey,
+               coalesce(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+               coalesce(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+               (u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL)
+                   AS matched
+        FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM m WHERE NOT (matched AND o_totalprice > 400000)
+    """,
+    shadow=True,
+)
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO relational core (operators/merge.py): update set =
+    10%-repriced existing orders (matched -> update) + shifted-key new
+    orders (not matched -> insert), with a delete clause dropping
+    matched rows repriced past 400k. One keyed full-outer join; hash-
+    matches the DuckDB MERGE restatement. The reference's only update
+    strategy is drop-and-rebuild (src/main.rs:252-278); this is the
+    delta-sized alternative its daily cron actually wants."""
+    orders = load_table(spark, sf, "orders")
+    target = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+    upd = target.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 6)
+    )
+    ins = (
+        target.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") / 2, 6))
+    )
+    return merge.merge_plan(
+        target,
+        upd.unionByName(ins),
+        ["o_orderkey"],
+        delete_condition=F.col("o_totalprice") > 400000,
+    )
