@@ -172,6 +172,9 @@ HEADLINE = [
     # MERGE INTO relational core: one keyed full-outer join classifying
     # kept/updated/inserted/deleted (delta-sized alternative to rebuild)
     "merge_upsert",
+    # mergeable-partials maintenance: 3 batch aggs + key-sized merge
+    # finalizing identically to the one-shot GROUP BY (monoid property)
+    "incremental_agg",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

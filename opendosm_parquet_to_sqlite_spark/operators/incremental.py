@@ -1,0 +1,125 @@
+"""Incremental aggregate maintenance: keep per-key MERGEABLE partials as a
+standing state table and fold each new batch in — the aggregation analog
+of ingest_increment (operators/corpus.py). The reference recomputes its
+whole output table every run (src/main.rs:252-278); at 100 TB the daily
+job must instead touch only the daily delta: state size is KEY-count-
+bound, batch cost is BATCH-size-bound, and the historical corpus is
+never rescanned.
+
+The algebra: (count, sum, sumsq, min, max) per key is a commutative
+monoid under (+, +, +, min, max) — merge order, batch boundaries, and
+re-partitioning cannot change the result (pinned by a hypothesis fuzz
+over random splits). Derived stats (avg, variance, stddev) are computed
+only at FINALIZE time from the partials; they are not themselves
+mergeable and never stored.
+
+Scale shape: each batch contributes one partial-combined aggregation
+(map-side combine on the batch only) + one key-sized merge with the
+state table. With the state bucket-written on the key (sinks.bucketed)
+the merge is exchange-free on the standing side. Variance uses the
+sumsq formulation guarded by max(_, 0) — catastrophic cancellation can
+produce tiny negative values; at extreme dynamic ranges switch the
+value column to a shifted/scaled unit upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATE_COLS = ["n", "s", "ss", "mn", "mx"]
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """One batch's mergeable partials per key: n, sum, sumsq, min, max
+    over the non-null values of `value_col` (NULLs contribute nothing,
+    matching SQL aggregate semantics at finalize time)."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.coalesce(F.sum(v), F.lit(0.0)).alias("s"),
+        F.coalesce(F.sum(v * v), F.lit(0.0)).alias("ss"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold any number of state tables into one: union + one key-sized
+    re-aggregation (sum/sum/sum/min/max are the monoid ops)."""
+    if not states:
+        raise ValueError("need at least one state table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def finalize_agg(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the user-facing stats from the partials: count, sum, avg,
+    min, max, population stddev — all rounded to 6 dp so the result is
+    engine-portable (hash-checked vs DuckDB). Keys with only NULL values
+    (n == 0) yield NULL sum/avg/std/min/max, exactly matching a plain
+    SQL GROUP BY over the same data (SQL sum of zero values is NULL)."""
+    n = F.col("n")
+    mean = F.col("s") / n
+    var = F.greatest(F.col("ss") / n - mean * mean, F.lit(0.0))
+    nz = n > 0
+    return state.select(
+        *keys,
+        n.alias("n_values"),
+        F.round(F.when(nz, F.col("s")), 6).alias("sum_value"),
+        F.round(F.when(nz, mean), 6).alias("avg_value"),
+        F.round(F.when(nz, F.col("mn")), 6).alias("min_value"),
+        F.round(F.when(nz, F.col("mx")), 6).alias("max_value"),
+        F.round(F.when(nz, F.sqrt(var)), 6).alias("std_value"),
+    )
+
+
+def maintain_agg_dataset(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> dict:
+    """Fold `batch` into the standing state parquet at `state_path`
+    (created on first call) with the repo's write-then-swap atomicity:
+    the merged state materializes beside the original before the rename,
+    so a crashed maintenance run leaves the previous state intact and
+    the batch can simply be re-applied. Returns {'keys_before',
+    'keys_after'}.
+
+    NOT idempotent per batch by design (aggregation is additive — the
+    exactly-once contract belongs to the caller's batch tracking, e.g.
+    the streaming checkpoint or a processed-batch manifest); crash
+    recovery = re-run the failed batch, never a partial one.
+    """
+    import os
+    import shutil
+
+    incoming = agg_state(batch, keys, value_col)
+    if os.path.exists(state_path):
+        standing = spark.read.parquet(state_path)
+        before = standing.count()
+        merged = merge_agg_states([standing, incoming], keys)
+    else:
+        before = 0
+        merged = incoming
+    tmp = state_path.rstrip("/") + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(state_path):
+        old = state_path.rstrip("/") + ".old"
+        os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, state_path)
+    after = spark.read.parquet(state_path).count()
+    return {"keys_before": before, "keys_after": after}

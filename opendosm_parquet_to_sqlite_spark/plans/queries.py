@@ -4495,3 +4495,44 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         ["o_orderkey"],
         delete_condition=F.col("o_totalprice") > 400000,
     )
+
+
+@query(
+    "incremental_agg",
+    """
+    SELECT event_type, user_id % 8 AS user_band,
+           CAST(count(value) AS BIGINT) AS n_values,
+           round(sum(value), 6) AS sum_value,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(stddev_pop(value), 6) AS std_value
+    FROM events
+    GROUP BY event_type, user_id % 8
+    """,
+    shadow=True,
+)
+def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    events arrive as three batches (event_id % 3 — arbitrary but
+    deterministic), each contributing only its own mergeable partials
+    (n/sum/sumsq/min/max per key); the folded state finalizes to the
+    stats table. Hash-matches the one-shot GROUP BY over the whole
+    table — the monoid property that makes never-rescan maintenance
+    sound. State is key-count-sized; each batch costs one partial-
+    combined agg + a key-sized merge."""
+    from ..operators import incremental
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", (F.col("user_id") % 8).alias("user_band"),
+        "value",
+    )
+    keys = ["event_type", "user_band"]
+    batches = [
+        incremental.agg_state(
+            ev.filter(F.col("event_id") % 3 == i), keys, "value"
+        )
+        for i in range(3)
+    ]
+    state = incremental.merge_agg_states(batches, keys)
+    return incremental.finalize_agg(state, keys)
