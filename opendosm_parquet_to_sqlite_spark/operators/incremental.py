@@ -88,21 +88,37 @@ def maintain_agg_dataset(
     batch: DataFrame,
     keys: list[str],
     value_col: str,
+    batch_id: int | None = None,
 ) -> dict:
     """Fold `batch` into the standing state parquet at `state_path`
     (created on first call) with the repo's write-then-swap atomicity:
     the merged state materializes beside the original before the rename,
     so a crashed maintenance run leaves the previous state intact and
     the batch can simply be re-applied. Returns {'keys_before',
-    'keys_after'}.
+    'keys_after', 'applied'}.
 
-    NOT idempotent per batch by design (aggregation is additive — the
-    exactly-once contract belongs to the caller's batch tracking, e.g.
-    the streaming checkpoint or a processed-batch manifest); crash
-    recovery = re-run the failed batch, never a partial one.
+    Aggregation is additive, so re-applying an already-applied batch
+    would double-count — at-least-once delivery (Spark's foreachBatch
+    contract) is NOT enough. Passing `batch_id` closes the gap: the id
+    is recorded in a `_applied_batch` marker INSIDE the state directory
+    (underscore-prefixed files are invisible to parquet readers, like
+    _SUCCESS), so marker and state swap in the SAME atomic rename. A
+    redelivered batch whose id is <= the marker is skipped ('applied':
+    False) — genuine exactly-once from at-least-once delivery, the
+    standard idempotent-sink recipe. Ids must be monotonically
+    increasing (streaming batch ids are). Without batch_id the caller
+    owns deduplication.
     """
     import os
     import shutil
+
+    marker = os.path.join(state_path, "_applied_batch")
+    if batch_id is not None and os.path.exists(marker):
+        with open(marker) as fh:
+            last = int(fh.read().strip())
+        if batch_id <= last:
+            n = spark.read.parquet(state_path).count()
+            return {"keys_before": n, "keys_after": n, "applied": False}
 
     incoming = agg_state(batch, keys, value_col)
     if os.path.exists(state_path):
@@ -114,6 +130,9 @@ def maintain_agg_dataset(
         merged = incoming
     tmp = state_path.rstrip("/") + ".next"
     merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
     if os.path.exists(state_path):
         old = state_path.rstrip("/") + ".old"
         os.rename(state_path, old)
@@ -122,4 +141,4 @@ def maintain_agg_dataset(
     else:
         os.rename(tmp, state_path)
     after = spark.read.parquet(state_path).count()
-    return {"keys_before": before, "keys_after": after}
+    return {"keys_before": before, "keys_after": after, "applied": True}

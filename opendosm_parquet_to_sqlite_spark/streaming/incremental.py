@@ -279,3 +279,38 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def maintain_agg_stream(
+    stream: DataFrame,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of operators.incremental.maintain_agg_dataset:
+    every microbatch folds its mergeable partials (n/sum/sumsq/min/max
+    per key) into the standing state parquet via write-then-swap. The
+    monoid property (fuzz-pinned batch-side) is what makes the pairing
+    sound: microbatch boundaries are arbitrary splits, and arbitrary
+    splits cannot change the finalized result — a drained stream's state
+    equals the one-shot batch aggregation exactly
+    (tests/test_streaming.py pins it).
+
+    Exactly-once from at-least-once: foreachBatch may REDELIVER a batch
+    (crash after maintenance, before checkpoint commit) and additive
+    state would double-count it — so the streaming batch_id is passed
+    through to maintain_agg_dataset, which records it in a marker that
+    swaps atomically WITH the state and skips any batch id it has
+    already applied. Each microbatch costs one batch-sized partial agg
+    + a key-sized merge; the stream's history is never re-read.
+    """
+    from ..operators import incremental as _inc
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _inc.maintain_agg_dataset(
+            batch_df.sparkSession, state_path, batch_df, keys, value_col,
+            batch_id=batch_id,
+        )
+
+    run_available_now(stream, checkpoint_dir, _fold, output_mode="append")

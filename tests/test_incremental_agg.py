@@ -123,3 +123,51 @@ def test_dataset_maintenance_roundtrip(spark, events, tmp_path):
     assert _canon(final) == _canon(whole)
     assert not os.path.exists(state_path + ".next")
     assert not os.path.exists(state_path + ".old")
+
+
+def test_streaming_maintenance_matches_batch(spark, events, tmp_path):
+    """Drained stream state == one-shot batch aggregation, exactly —
+    microbatch boundaries are arbitrary splits and the partials are a
+    monoid, so the streaming twin inherits batch correctness."""
+    from opendosm_parquet_to_sqlite_spark.streaming.incremental import (
+        maintain_agg_stream,
+        read_stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+    state_path = str(tmp_path / "state")
+    maintain_agg_stream(
+        sdf, state_path, ["event_type"], "value", str(tmp_path / "ckpt")
+    )
+    final = incremental.finalize_agg(
+        spark.read.parquet(state_path), ["event_type"]
+    )
+    whole = incremental.finalize_agg(
+        incremental.agg_state(events, ["event_type"], "value"),
+        ["event_type"],
+    )
+    assert _canon(final) == _canon(whole)
+
+
+def test_redelivered_batch_is_skipped(spark, events, tmp_path):
+    """At-least-once redelivery cannot double-count: a batch id at or
+    below the atomic marker is a no-op."""
+    state_path = str(tmp_path / "state")
+    r1 = incremental.maintain_agg_dataset(
+        spark, state_path, events, ["event_type"], "value", batch_id=0
+    )
+    assert r1["applied"] is True
+    s1 = _canon(spark.read.parquet(state_path))
+    r2 = incremental.maintain_agg_dataset(
+        spark, state_path, events, ["event_type"], "value", batch_id=0
+    )
+    assert r2["applied"] is False
+    assert _canon(spark.read.parquet(state_path)) == s1
+    r3 = incremental.maintain_agg_dataset(
+        spark, state_path, events, ["event_type"], "value", batch_id=1
+    )
+    assert r3["applied"] is True
+    assert _canon(spark.read.parquet(state_path)) != s1
