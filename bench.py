@@ -175,6 +175,9 @@ HEADLINE = [
     # mergeable-partials maintenance: 3 batch aggs + key-sized merge
     # finalizing identically to the one-shot GROUP BY (monoid property)
     "incremental_agg",
+    # IVFADC: cells prune rows touched, PQ codes prune per-row cost,
+    # exact rerank restores recall (pinned equal to plain IVF output)
+    "ann_ivfpq",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -1139,12 +1139,15 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode each vector as `m` uint8 codes packed into ONE binary cell
     (nearest sub-codebook entry per subspace, after unit normalization).
     Vectorized: one argmin over a (batch × n_codes) distance matrix per
     subspace per Arrow batch; the codebook ships to executors as a
-    closure literal (m·n_codes·dsub floats — KBs)."""
+    closure literal (m·n_codes·dsub floats — KBs). `extra_cols` ride
+    along in the same narrow projection (e.g. an IVF cell id) so callers
+    never need a second corpus-keyed join to re-attach them."""
     from pyspark.sql.functions import pandas_udf
 
     books = np.asarray(codebooks, dtype=np.float64)
@@ -1162,7 +1165,80 @@ def pq_encode(
             codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
         return pd.Series([c.tobytes() for c in codes])
 
-    return df.select(F.col(id_col), enc(F.col(vec_col)).alias(out_col))
+    extras = [F.col(c) for c in (extra_cols or [])]
+    return df.select(
+        F.col(id_col), *extras, enc(F.col(vec_col)).alias(out_col)
+    )
+
+
+def _adc_udf(books: "np.ndarray"):
+    """ADC cosine scorer over PQ codes: per DISTINCT query in the Arrow
+    batch, one (m × n_codes) lookup table of subspace dot products; each
+    row's score is m table lookups. Shared by the flat-PQ and IVF+PQ
+    paths."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(books, dtype=np.float64)
+    m, _, dsub = books.shape
+    n2 = (books**2).sum(axis=2)
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, qid: pd.Series, qv: pd.Series) -> pd.Series:
+        C = np.stack(codes.apply(np.frombuffer, dtype=np.uint8))
+        out = np.empty(len(C), dtype=np.float64)
+        qids = qid.to_numpy()
+        for u in pd.unique(qids):
+            sel = qids == u
+            q = np.asarray(qv[sel].iloc[0], dtype=np.float64)
+            qn = np.linalg.norm(q)
+            if qn == 0:
+                out[sel] = 0.0
+                continue
+            qsub = q.reshape(m, dsub)
+            lut = np.einsum("sd,skd->sk", qsub, books)
+            rows = C[sel]
+            s_idx = np.arange(m)[None, :]
+            dot = lut[s_idx, rows].sum(axis=1)
+            xnorm = np.sqrt(n2[s_idx, rows].sum(axis=1))
+            xnorm[xnorm == 0] = 1.0
+            out[sel] = dot / (xnorm * qn)
+        return pd.Series(np.round(out, 6))
+
+    return adc
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    cand: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Re-score a (query_id, neighbor_id) candidate table exactly against
+    the float corpus: candidates broadcast back as a semi-join filter on
+    the corpus scan, native-expression cosine on survivors, final top-k
+    window. Shared tail of every shortlist-then-rerank search path."""
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    survivors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).join(F.broadcast(cand.select(query_id_col, "neighbor_id")), "neighbor_id")
+    scored = survivors.join(q, query_id_col).select(
+        query_id_col,
+        "neighbor_id",
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
 
 
 def pq_topk(
@@ -1187,34 +1263,7 @@ def pq_topk(
     per DISTINCT query per Arrow batch, not per row — the PQ trick that
     makes scan cost independent of dim.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    books = np.asarray(codebooks, dtype=np.float64)
-    m, _, dsub = books.shape
-    n2 = (books**2).sum(axis=2)  # (m, n_codes) per-entry squared norms
-
-    @pandas_udf("double")
-    def adc(codes: pd.Series, qid: pd.Series, qv: pd.Series) -> pd.Series:
-        C = np.stack(codes.apply(np.frombuffer, dtype=np.uint8))
-        out = np.empty(len(C), dtype=np.float64)
-        qids = qid.to_numpy()
-        for u in pd.unique(qids):
-            sel = qids == u
-            q = np.asarray(qv[sel].iloc[0], dtype=np.float64)
-            qn = np.linalg.norm(q)
-            if qn == 0:
-                out[sel] = 0.0
-                continue
-            qsub = q.reshape(m, dsub)
-            lut = np.einsum("sd,skd->sk", qsub, books)  # (m, n_codes)
-            rows = C[sel]
-            s_idx = np.arange(m)[None, :]
-            dot = lut[s_idx, rows].sum(axis=1)
-            xnorm = np.sqrt(n2[s_idx, rows].sum(axis=1))
-            xnorm[xnorm == 0] = 1.0
-            out[sel] = dot / (xnorm * qn)
-        return pd.Series(np.round(out, 6))
-
+    adc = _adc_udf(codebooks)
     q = F.broadcast(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     )
@@ -1270,22 +1319,84 @@ def pq_topk_rerank(
         corpus_codes, queries, codebooks, k=shortlist,
         codes_col=codes_col, id_col=id_col, query_id_col=query_id_col,
     ).select(query_id_col, "neighbor_id")
-    q = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    return _exact_rerank(
+        corpus, cand, queries, k, id_col, vec_col, query_id_col
     )
-    survivors = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    ).join(F.broadcast(cand), "neighbor_id")
-    scored = survivors.join(q, query_id_col).select(
-        query_id_col,
-        "neighbor_id",
-        F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("cosine"),
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 64,
+    shortlist: int = 50,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC — the FAISS-style composition of both pruning axes and the
+    100 TB search shape: the IVF coarse quantizer prunes WHICH rows are
+    touched (~n_probe/n_centroids of the corpus on balanced cells), PQ
+    prunes WHAT each touched row costs (m one-byte table lookups instead
+    of a dim-float dot product), and the exact rerank on the shortlist
+    buys back ADC's quantization-noise recall.
+
+    One corpus pass computes cell + codes together (pq_encode's
+    extra_cols — no second corpus-keyed join); the probe set broadcasts,
+    so the only per-query work is the code scan of probed cells, the
+    shortlist window, and an exact rescore of `shortlist` rows. The
+    float corpus never shuffles; candidate/probe tables are
+    queries-sized.
+    """
+    cent = train_ivf_centroids(
+        corpus, n_centroids, train_sample, id_col=id_col, vec_col=vec_col
+    )
+    books = train_pq_codebooks(
+        corpus, m=m, n_codes=n_codes, train_sample=train_sample,
+        id_col=id_col, vec_col=vec_col,
+    )
+    coded = pq_encode(
+        corpus.withColumn(
+            "__cell", _assign_cell_udf(cent)(F.col(vec_col))
+        ),
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra_cols=["__cell"],
+    )
+    probe = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(
+                _probe_cells_udf(cent, n_probe)(F.col(vec_col))
+            ).alias("__cell"),
+        )
+    )
+    adc = _adc_udf(books)
+    scored = (
+        coded.join(probe, "__cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            adc(
+                F.col("pq_codes"), F.col(query_id_col), F.col("__qvec")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    cand = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cosine", "rank")
+        .filter(F.col("rank") <= shortlist)
+        .select(query_id_col, "neighbor_id")
+    )
+    return _exact_rerank(
+        corpus, cand, queries, k, id_col, vec_col, query_id_col
     )

@@ -4536,3 +4536,21 @@ def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
     ]
     state = incremental.merge_agg_states(batches, keys)
     return incremental.finalize_agg(state, keys)
+
+
+@query("ann_ivfpq")  # rows-only: cell + code assignment is engine-defined
+def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC (FAISS-style IVF×PQ): coarse cells prune WHICH rows are
+    touched (n_probe/n_centroids of the corpus), 16-byte PQ codes prune
+    WHAT each touched row costs, exact rerank on the shortlist buys back
+    quantization recall — pinned EQUAL to plain ivf_topk output
+    (tests/test_pq.py) at 16× less scan memory."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivfpq_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, m=16, n_codes=64,
+        shortlist=50,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -106,3 +106,34 @@ def test_validation_errors(emb):
         similarity.train_pq_codebooks(emb, m=8, n_codes=300)
     with pytest.raises(ValueError, match="divisible"):
         similarity.train_pq_codebooks(emb, m=7)
+
+
+def test_ivfpq_equals_plain_ivf(emb, queries):
+    """The composition pin: with a generous shortlist, IVFADC returns
+    EXACTLY plain IVF's neighbors and scores (same probed cells, exact
+    rerank) — PQ pruning changed the cost, not the answer."""
+    ivf = similarity.ivf_topk(
+        emb, queries, dim=64, k=5, n_centroids=16, n_probe=4
+    ).toPandas()
+    ivfpq = similarity.ivfpq_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, shortlist=50
+    ).toPandas()
+    a = {(r.query_id, r.neighbor_id): r.cosine for r in ivf.itertuples()}
+    b = {(r.query_id, r.neighbor_id): r.cosine for r in ivfpq.itertuples()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+
+
+def test_ivfpq_more_probes_higher_recall(emb, queries):
+    exact = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    r = {}
+    for n_probe in (4, 16):
+        out = similarity.ivfpq_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=n_probe,
+            shortlist=50,
+        ).toPandas()
+        a = set(zip(out.query_id, out.neighbor_id))
+        r[n_probe] = len(e & a) / len(e)
+    assert r[16] >= r[4] >= 0.5
+    assert r[16] >= 0.95  # probing every cell ~= flat PQ + rerank
