@@ -485,3 +485,106 @@ def heavy_hitters_mg(
     return merged.orderBy(
         F.col("est_count").desc(), F.col("item")
     ).limit(int(k))
+
+
+def cm_build(
+    df: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch build [Cormode & Muthukrishnan 2005]: a
+    (depth × width) count table answering point frequency queries with
+    one-sided error — estimates only ever OVERcount (est ≥ true;
+    est ≤ true + N·e/width with prob ≥ 1−e^−depth). The frequency twin
+    of the HLL/KLL/Misra-Gries family already here: HLL answers "how
+    many distinct", KLL "what quantile", MG "who is heavy", CM "how
+    often is X" — and unlike MG it answers for EVERY item, not just
+    survivors.
+
+    Output: (row, bucket, cnt) — depth·width cells max, independent of
+    corpus size. Mergeable by construction: sketches of disjoint slices
+    sum cell-wise (cm_merge), so the build partial-combines map-side and
+    the state works with incremental maintenance. Hash rows are
+    xxhash64(item, seed·100+row) — engine-deterministic, so the sketch
+    is a pure function of (items, params).
+
+    Shape: narrow depth-way explode of (row, bucket) pairs → ONE
+    partial-combined aggregation carrying ≤ depth·width cells per
+    mapper. The item stream never shuffles.
+    """
+    w = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                (
+                    F.abs(F.xxhash64(F.col(item_col), F.lit(seed * 100 + d)))
+                    % width
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"), w.alias("__w"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cm_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Cell-wise sum of CM sketches built with identical (width, depth,
+    seed) — the monoid op that makes the sketch maintainable
+    incrementally (same contract as operators.incremental)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-frequency estimates for `items`: min over the depth cells
+    each item hashes to (absent cells are true zeros). Output: input
+    columns + `est` (long). The sketch is depth·width rows — broadcast
+    by size; the probe is depth LEFT joins collapsed into one via the
+    exploded (row, bucket) key. Items with no cell hit estimate 0."""
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        (
+                            F.abs(
+                                F.xxhash64(
+                                    F.col(item_col), F.lit(seed * 100 + d)
+                                )
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("*", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy(*items.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -4554,3 +4554,25 @@ def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
         shortlist=50,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "cm_frequency",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS est
+    FROM events GROUP BY event_type
+    """,
+    shadow=True,
+)
+def q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates for every event type.
+    In this regime (8-item universe, 1024 buckets, 4 hash rows, seed
+    pinned) the fixture is verified collision-free, so the one-sided
+    sketch is EXACT and hash-matches the plain GROUP BY — the same
+    exact-regime oracle trick as heavy_hitters; the error-bound /
+    overcount-only / merge-monoid properties at adversarial sizes are
+    pinned in tests/test_sketches.py."""
+    ev = load_table(spark, sf, "events")
+    sketch = aggregates.cm_build(ev, "event_type", width=1024, depth=4)
+    items = ev.select("event_type").distinct()
+    return aggregates.cm_estimate(sketch, items, "event_type", width=1024, depth=4)

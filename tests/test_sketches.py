@@ -132,3 +132,92 @@ def test_mg_null_and_empty(spark):
     assert got == [("a", 2), ("b", 1)]  # NULLs never become an item
     empty = spark.createDataFrame([], "w string")
     assert heavy_hitters_mg(empty, "w", 5).count() == 0
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def _cm_true_counts(rows):
+    from collections import Counter
+
+    return Counter(r for r in rows if r is not None)
+
+
+def test_cm_overcount_only_and_bounded(spark):
+    """One-sided error: est >= true always; est - true <= N*e/width for
+    the standard CM guarantee (checked with slack=1 failure allowance at
+    depth 4 — the bound is probabilistic per item, deterministic here
+    because the fixture and seed are pinned)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    # adversarial sizing: 400-item universe vs 64 buckets forces collisions
+    items = [f"it{rng.randint(0, 399)}" for _ in range(5000)]
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    width, depth = 64, 4
+    sketch = aggregates.cm_build(df, "item", width=width, depth=depth)
+    probe = df.select("item").distinct()
+    est = {
+        r.item: r.est
+        for r in aggregates.cm_estimate(
+            sketch, probe, "item", width=width, depth=depth
+        ).collect()
+    }
+    true = _cm_true_counts(items)
+    n = len(items)
+    bound = n * math.e / width
+    violations = 0
+    for item, t in true.items():
+        assert est[item] >= t  # NEVER undercounts
+        if est[item] - t > bound:
+            violations += 1
+    # P[overshoot > eN] <= e^-depth ~= 1.8% per item; allow a few
+    assert violations <= max(2, int(0.05 * len(true)))
+
+
+def test_cm_merge_equals_whole(spark):
+    """Monoid: sketches of disjoint slices merged cell-wise == the
+    sketch of the union — exactly, not approximately."""
+    rows = [(f"k{i % 50}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "item string, i long")
+    whole = aggregates.cm_build(df, "item", width=128, depth=3)
+    parts = [
+        aggregates.cm_build(
+            df.filter(F.col("i") % 3 == j), "item", width=128, depth=3
+        )
+        for j in range(3)
+    ]
+    merged = aggregates.cm_merge(parts)
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+
+
+def test_cm_absent_item_estimates_from_cells(spark):
+    """An item never inserted estimates min over its cells — usually 0
+    at generous widths, never negative, and still >= its true count (0)."""
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "item string")
+    sketch = aggregates.cm_build(df, "item", width=1024, depth=4)
+    probe = spark.createDataFrame([("zzz",)], "item string")
+    [r] = aggregates.cm_estimate(
+        sketch, probe, "item", width=1024, depth=4
+    ).collect()
+    assert r.est >= 0
+
+
+def test_cm_weighted_build(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 1), ("a", 5)], "item string, w long"
+    )
+    sketch = aggregates.cm_build(
+        df, "item", width=1024, depth=4, weight_col="w"
+    )
+    probe = spark.createDataFrame([("a",), ("b",)], "item string")
+    est = {
+        r.item: r.est
+        for r in aggregates.cm_estimate(
+            sketch, probe, "item", width=1024, depth=4
+        ).collect()
+    }
+    assert est["a"] == 15 and est["b"] == 1
