@@ -362,3 +362,39 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         "o_orderkey"
     )
     assert n_bloom == li.join(sel, li.l_orderkey == sel.o_orderkey).count()
+
+
+def test_merge_upsert_one_full_outer_join_no_cartesian(spark):
+    plan = _plan(spark, "merge_upsert")
+    # the relational core is ONE keyed full-outer sort-merge join; the
+    # uniqueness-guard window rides the update side's existing exchange
+    # budget (<= 3 total: target, updates, window)
+    assert plan.count("SortMergeJoin FullOuter") >= 1 or "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert _n_exchanges(plan) <= 3, plan
+
+
+def test_incremental_agg_partial_combines_every_batch(spark):
+    plan = _plan(spark, "incremental_agg")
+    # each batch's state agg partial-combines map-side; the merge agg
+    # adds no extra corpus-scale exchange beyond the three batch aggs
+    assert plan.count("partial_") >= 3
+    assert _n_exchanges(plan) == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cm_frequency_broadcast_probe_no_smj(spark):
+    plan = _plan(spark, "cm_frequency")
+    # sketch build = one partial-combined agg; the estimate probe joins
+    # the depth*width sketch by BROADCAST, never a sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _n_exchanges(plan) == 2, plan
+
+
+def test_ann_pq_code_scan_is_broadcast_only(spark):
+    plan = _plan(spark, "ann_pq")
+    # queries + candidate sets broadcast; the corpus is never
+    # hash-partitioned (the only exchange is the final top-k window's)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
