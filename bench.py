@@ -178,6 +178,12 @@ HEADLINE = [
     # IVFADC: cells prune rows touched, PQ codes prune per-row cost,
     # exact rerank restores recall (pinned equal to plain IVF output)
     "ann_ivfpq",
+    # count-min point frequencies (one partial-combined agg + broadcast probe)
+    "cm_frequency",
+    # k-anonymity risk audit (one agg + HAVING)
+    "k_anonymity",
+    # PSI drift report (bounds pass + bin-count pass, value stream never shuffles)
+    "feature_drift",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -219,3 +219,113 @@ def quantile_normalize(
         out, F.lit(None).cast("double")
     )
     return nn.unionByName(nulls)
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    n_bins: int = 10,
+    floor: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between two slices of the same feature
+    — the standard drift score for "did this week's data move under the
+    model": psi = Σ_bins (p_a − p_b)·ln(p_a / p_b) over equi-width bins
+    spanning the COMBINED range, with probabilities floored at `floor`
+    so one-sided-empty bins contribute a large-but-finite term instead
+    of ±inf. Rule-of-thumb reading: <0.1 stable, 0.1–0.25 drifting,
+    >0.25 shifted. NULL values are excluded from both distributions
+    (missingness drift is profile_nulls' job, not a bin).
+
+    Output per group: psi (6 dp), n_a/n_b (non-null counts), mean_a/
+    mean_b (6 dp). Bins observed in NEITHER side contribute exactly 0
+    (floor vs floor), so only observed bins are materialized.
+
+    Shape: union with a side tag → per-group bounds+means agg (one
+    exchange of group-sized rows) → broadcast bounds back → per
+    (group, side, bin) counts (partial-combined; bin-table-sized
+    exchange) → dense side-pivot + psi sum over ≤ n_bins rows per
+    group. Two passes over the union are inherent (bounds must precede
+    binning — same structure as robust_scale); the value stream itself
+    never shuffles. Fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    groups: list[str]
+    if group_cols is None:
+        groups = []
+    elif isinstance(group_cols, str):
+        groups = [group_cols]
+    else:
+        groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+    u = (
+        df_a.select(*groups, v.alias("__v"))
+        .withColumn("__side", F.lit("a"))
+        .unionByName(
+            df_b.select(*groups, v.alias("__v")).withColumn(
+                "__side", F.lit("b")
+            )
+        )
+        .filter(F.col("__v").isNotNull())
+    )
+    side_stats = u.groupBy(*groups, "__side").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__v").alias("__mean"),
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+    )
+    bounds = side_stats.groupBy(*groups).agg(
+        F.min("__mn").alias("__lo"), F.max("__mx").alias("__hi")
+    )
+    if groups:
+        binned = u.join(F.broadcast(bounds), groups)
+    else:
+        binned = u.crossJoin(F.broadcast(bounds))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bin_ = F.when(width > 0, F.least(
+        F.floor((F.col("__v") - F.col("__lo")) / width),
+        F.lit(n_bins - 1),
+    )).otherwise(F.lit(0)).cast("long")
+    counts = binned.select(*groups, "__side", bin_.alias("__bin")).groupBy(
+        *groups, "__bin", "__side"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    # dense side pivot over OBSERVED bins only (unobserved-on-both bins
+    # contribute floor-vs-floor = exactly 0)
+    pivoted = counts.groupBy(*groups, "__bin").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == "a", F.col("__c"))), F.lit(0)
+        ).alias("__ca"),
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == "b", F.col("__c"))), F.lit(0)
+        ).alias("__cb"),
+    )
+    totals = side_stats.groupBy(*groups).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == "a", F.col("__n"))), F.lit(0)
+        ).alias("__na"),
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == "b", F.col("__n"))), F.lit(0)
+        ).alias("__nb"),
+        F.sum(F.when(F.col("__side") == "a", F.col("__mean"))).alias(
+            "__mean_a"
+        ),
+        F.sum(F.when(F.col("__side") == "b", F.col("__mean"))).alias(
+            "__mean_b"
+        ),
+    )
+    if groups:
+        j = pivoted.join(F.broadcast(totals), groups)
+    else:
+        j = pivoted.crossJoin(F.broadcast(totals))
+    fl = F.lit(float(floor))
+    pa = F.greatest(F.col("__ca") / F.greatest(F.col("__na"), F.lit(1)), fl)
+    pb = F.greatest(F.col("__cb") / F.greatest(F.col("__nb"), F.lit(1)), fl)
+    term = (pa - pb) * F.log(pa / pb)
+    out = j.groupBy(*groups).agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+        F.round(F.first("__mean_a"), 6).alias("mean_a"),
+        F.round(F.first("__mean_b"), 6).alias("mean_b"),
+    )
+    return out

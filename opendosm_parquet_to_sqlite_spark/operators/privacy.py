@@ -66,3 +66,41 @@ def pii_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         sum(counts.values(), F.lit(0)).cast("long").alias("pii_total"),
         F.md5(redact_pii(c)).alias("clean_fp"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Re-identification risk audit: every quasi-identifier equivalence
+    class smaller than `k` — the k-anonymity criterion [Sweeney 2002].
+    A class of size 1 is a unique fingerprint; size < k means an
+    attacker who knows the quasi-identifiers narrows a person to < k
+    candidates. The release-gate complement of the redaction pass above:
+    redact_pii scrubs DIRECT identifiers, this audits INDIRECT ones.
+
+    Output: one row per risky class — quasi columns + `class_size`
+    (+ `n_sensitive_values` when `sensitive_col` is given: a risky class
+    with ONE sensitive value also fails l-diversity, the stronger leak —
+    every candidate shares the secret, so narrowing to <k is already
+    full disclosure).
+
+    Shape: ONE partial-combined aggregation keyed by the quasi columns +
+    a narrow HAVING filter. The (usually tiny) risky-class table is what
+    reaches the caller; the corpus never re-shuffles. Fully
+    SQL-expressible, hash-checked vs DuckDB (plans.queries).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive_values")
+        )
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(*aggs)
+        .filter(F.col("class_size") < k)
+    )

@@ -4576,3 +4576,106 @@ def q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
     sketch = aggregates.cm_build(ev, "event_type", width=1024, depth=4)
     items = ev.select("event_type").distinct()
     return aggregates.cm_estimate(sketch, items, "event_type", width=1024, depth=4)
+
+
+@query(
+    "k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 500) AS BIGINT) AS acctbal_band,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT c_name) AS BIGINT) AS n_sensitive_values
+    FROM customer
+    GROUP BY 1, 2, 3 HAVING count(*) < 5
+    """,
+    shadow=True,
+)
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over (nation, segment, balance band): every
+    equivalence class an attacker could narrow below k=5 candidates,
+    with the per-class distinct sensitive-value count (l-diversity
+    signal). One partial-combined agg + HAVING; hash-checked."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_name",
+        F.floor(F.col("c_acctbal") / 500).cast("long").alias("acctbal_band"),
+    )
+    out = privacy.k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "acctbal_band"], k=5,
+        sensitive_col="c_name",
+    )
+    return out.select(
+        "c_nationkey", "c_mktsegment", "acctbal_band",
+        F.col("class_size").cast("long"),
+        F.col("n_sensitive_values").cast("long"),
+    )
+
+
+@query(
+    "feature_drift",
+    """
+    WITH u AS (
+        SELECT event_type, value AS v,
+               CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+        FROM events WHERE value IS NOT NULL
+    ), side_stats AS (
+        SELECT event_type, side, count(*) AS n, avg(v) AS mean,
+               min(v) AS mn, max(v) AS mx
+        FROM u GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(mn) AS lo, max(mx) AS hi
+        FROM side_stats GROUP BY 1
+    ), binned AS (
+        SELECT u.event_type, u.side,
+               CASE WHEN hi > lo THEN least(
+                   CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+               ELSE 0 END AS bin
+        FROM u JOIN bounds USING (event_type)
+    ), counts AS (
+        SELECT event_type, bin, side, count(*) AS c
+        FROM binned GROUP BY 1, 2, 3
+    ), pivoted AS (
+        SELECT event_type, bin,
+               coalesce(sum(CASE WHEN side = 'a' THEN c END), 0) AS ca,
+               coalesce(sum(CASE WHEN side = 'b' THEN c END), 0) AS cb
+        FROM counts GROUP BY 1, 2
+    ), totals AS (
+        SELECT event_type,
+               coalesce(sum(CASE WHEN side = 'a' THEN n END), 0) AS na,
+               coalesce(sum(CASE WHEN side = 'b' THEN n END), 0) AS nb,
+               sum(CASE WHEN side = 'a' THEN mean END) AS mean_a,
+               sum(CASE WHEN side = 'b' THEN mean END) AS mean_b
+        FROM side_stats GROUP BY 1
+    )
+    SELECT p.event_type,
+           round(sum(
+               (greatest(ca / greatest(na, 1), 0.0001)
+                - greatest(cb / greatest(nb, 1), 0.0001))
+               * ln(greatest(ca / greatest(na, 1), 0.0001)
+                    / greatest(cb / greatest(nb, 1), 0.0001))
+           ), 6) AS psi,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(max(mean_a), 6) AS mean_a,
+           round(max(mean_b), 6) AS mean_b
+    FROM pivoted p JOIN totals USING (event_type)
+    GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """PSI drift between the even/odd event halves per event type (a
+    deterministic stand-in for week-over-week slices): equi-width bins
+    over the combined range, floored probabilities, plus side means.
+    Whole composition hash-matches the DuckDB restatement. True halves
+    are exchangeable samples, so psi lands near 0 — the score's null
+    regime; the operator's sensitivity is pinned on synthetic shifted
+    data in tests/test_drift.py."""
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    out = features.psi_drift(a, b, "value", "event_type", n_bins=10)
+    return out.select(
+        "event_type", "psi",
+        F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+        "mean_a", "mean_b",
+    )

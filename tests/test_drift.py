@@ -1,0 +1,91 @@
+"""psi_drift + k_anonymity_report semantics. Oracle parity of both
+composed queries runs in tests/test_oracle_parity.py; this module pins
+sensitivity, invariances, and edge cases on synthetic data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import features, privacy
+
+
+def _mk(spark, values, group="g"):
+    return spark.createDataFrame(
+        [(group, float(v)) for v in values], "g string, v double"
+    )
+
+
+def test_identical_distributions_score_zero(spark):
+    rng = np.random.RandomState(3)
+    vals = rng.randn(2000)
+    a = _mk(spark, vals)
+    [r] = features.psi_drift(a, _mk(spark, vals), "v", "g").collect()
+    assert r.psi == 0.0
+    assert r.n_a == r.n_b == 2000
+    assert r.mean_a == r.mean_b
+
+
+def test_shifted_distribution_scores_high(spark):
+    rng = np.random.RandomState(4)
+    base = rng.randn(2000)
+    a = _mk(spark, base)
+    b = _mk(spark, base + 2.0)  # 2-sigma mean shift
+    [r] = features.psi_drift(a, b, "v", "g").collect()
+    assert r.psi > 0.25  # "shifted" per the standard reading
+    small = _mk(spark, base + 0.05)  # negligible shift
+    [r2] = features.psi_drift(a, small, "v", "g").collect()
+    assert r2.psi < 0.1  # "stable"
+    assert r.psi > r2.psi
+
+
+def test_psi_symmetry_and_nonnegativity(spark):
+    rng = np.random.RandomState(5)
+    a = _mk(spark, rng.randn(1000))
+    b = _mk(spark, rng.randn(1000) * 1.5)
+    [ab] = features.psi_drift(a, b, "v", "g").collect()
+    [ba] = features.psi_drift(b, a, "v", "g").collect()
+    # each term (pa-pb)ln(pa/pb) >= 0, and the sum is symmetric in sides
+    assert ab.psi >= 0
+    assert abs(ab.psi - ba.psi) < 1e-9
+
+
+def test_constant_feature_and_nulls(spark):
+    a = spark.createDataFrame(
+        [("g", 5.0), ("g", 5.0), ("g", None)], "g string, v double"
+    )
+    b = spark.createDataFrame(
+        [("g", 5.0), ("g", 5.0)], "g string, v double"
+    )
+    [r] = features.psi_drift(a, b, "v", "g").collect()
+    assert r.psi == 0.0      # degenerate range -> single bin both sides
+    assert r.n_a == 2        # NULL excluded from the distribution
+
+
+def test_k_anonymity_flags_small_classes_only(spark):
+    rows = [("kl", "m", i) for i in range(10)] + [("sg", "f", 99)]
+    df = spark.createDataFrame(rows, "city string, sex string, pid long")
+    out = privacy.k_anonymity_report(df, ["city", "sex"], k=5).collect()
+    assert len(out) == 1
+    assert (out[0].city, out[0].sex, out[0].class_size) == ("sg", "f", 1)
+
+
+def test_k_anonymity_l_diversity_signal(spark):
+    rows = [("a", "flu"), ("a", "flu"), ("b", "flu"), ("b", "cold")]
+    df = spark.createDataFrame(rows, "zip string, dx string")
+    out = {
+        r.zip: r
+        for r in privacy.k_anonymity_report(
+            df, ["zip"], k=5, sensitive_col="dx"
+        ).collect()
+    }
+    # class 'a': 2 members, ONE sensitive value -> full disclosure
+    assert out["a"].n_sensitive_values == 1
+    assert out["b"].n_sensitive_values == 2
+
+
+def test_k_anonymity_validates_k(spark):
+    df = spark.createDataFrame([("x", 1)], "a string, b long")
+    with pytest.raises(ValueError, match="k must be"):
+        privacy.k_anonymity_report(df, ["a"], k=1)
