@@ -184,6 +184,8 @@ HEADLINE = [
     "k_anonymity",
     # PSI drift report (bounds pass + bin-count pass, value stream never shuffles)
     "feature_drift",
+    # unicode canonical dedup keys (narrow projection, NFC pandas_udf + native tail)
+    "text_canonical",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

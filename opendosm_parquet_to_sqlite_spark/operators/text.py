@@ -815,3 +815,59 @@ def tokenize_to_ids(
             ).cast("long").alias("n_oov"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "text_canon",
+    fp_col: str = "canon_fp",
+) -> DataFrame:
+    """Unicode canonicalization for dedup robustness: the SAME visible
+    string can arrive as different byte sequences (é as U+00E9 vs
+    e+U+0301; zero-width joiners pasted from web text; case and run-on
+    whitespace variants) and every digest-keyed operator in this repo —
+    dedup_exact, unique_key_enforce, ingest_increment — would treat them
+    as distinct documents. Canonical form: Unicode NFC → lowercase (JVM
+    lower(), which matches DuckDB's and keeps ß unchanged — unlike
+    Python casefold, documented difference) → strip zero-width/BOM
+    characters → collapse whitespace runs → trim. Emits the normalized
+    text plus its md5 (`fp_col`), the drop-in key for exact dedup.
+
+    Shape: NFC is the ONLY non-JVM step (Spark has no native Unicode
+    normalizer) — an Arrow-batched pandas_udf around stdlib
+    unicodedata; everything after is native regexp/lower/md5 inside
+    whole-stage codegen. Narrow projection, zero exchanges; NULL text
+    stays NULL (and NULL fp), so no row silently appears or vanishes.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and the locally-imported `pd` alias is unresolvable to
+    # Spark's hint inference — pass series-to-series explicitly
+    def _nfc(vs):
+        import unicodedata
+
+        return vs.map(
+            lambda s: unicodedata.normalize("NFC", s)
+            if s is not None
+            else None,
+        )
+
+    nfc = pandas_udf(_nfc, "string")
+
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(nfc(F.col(text_col))),
+                "[\\u200B\\u200C\\u200D\\uFEFF]",
+                "",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.withColumn(out_col, canon).withColumn(
+        fp_col, F.md5(F.col(out_col))
+    )

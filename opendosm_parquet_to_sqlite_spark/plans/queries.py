@@ -4679,3 +4679,33 @@ def q_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_a").cast("long"), F.col("n_b").cast("long"),
         "mean_a", "mean_b",
     )
+
+
+@query(
+    "text_canonical",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(
+               lower(nfc_normalize(text)),
+               '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS canon_fp,
+           CAST(length(trim(regexp_replace(regexp_replace(
+               lower(nfc_normalize(text)),
+               '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS BIGINT) AS canon_len
+    FROM documents
+    """,
+    shadow=True,
+)
+def q_text_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode canonical dedup keys: NFC + lower + zero-width strip +
+    whitespace collapse, md5-fingerprinted — what dedup_exact should key
+    on when the corpus mixes encodings. NFC parity is cross-
+    implementation (Python unicodedata vs DuckDB nfc_normalize), so the
+    hash check here proves the canonical form is engine-portable."""
+    docs = load_table(spark, sf, "documents")
+    out = text.normalize_text(docs, "text")
+    return out.select(
+        "doc_id", "canon_fp",
+        F.length("text_canon").cast("long").alias("canon_len"),
+    )
