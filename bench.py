@@ -186,6 +186,9 @@ HEADLINE = [
     "feature_drift",
     # unicode canonical dedup keys (narrow projection, NFC pandas_udf + native tail)
     "text_canonical",
+    # winnowing (MOSS) copied-passage pairs: row-window min selection +
+    # capped inverted index (two 32-byte-key exchanges)
+    "winnow_pairs",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -735,3 +735,119 @@ def levenshtein_pairs(
         pairs.filter(dist <= int(max_dist))
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints [Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm]: hash every k-gram, then keep the
+    MINIMUM hash of each sliding window of `window` consecutive k-gram
+    hashes. Guarantee: any shared run of ≥ window+k−1 tokens between two
+    documents produces at least one IDENTICAL selected fingerprint —
+    local fingerprinting with a density bound (~2/(window+1) of grams
+    selected), unlike MinHash (whole-doc similarity, no locality) or
+    text_fingerprint (every gram, no sparsification).
+
+    The "hash" is the md5 STRING of the k-gram with lexicographic min —
+    deliberately engine-portable (identical in DuckDB), so the whole
+    selection is hash-checkable; a production variant would swap in
+    xxhash64 for 8-byte fingerprints, changing WHICH grams are selected
+    but not the guarantee.
+
+    Output: (doc_id, fp) — distinct selected fingerprints per document.
+    Shape: gram posexplode → ONE doc-keyed exchange + in-partition sort
+    → ROWS-frame window min + count → start-position filter → distinct.
+    The exchange carries (doc_id, pos, 32-byte hash) rows — never text.
+    An all-array formulation (transform over sequence of slices) was
+    measured 40× slower here: Catalyst inlines the whole
+    tokens→grams→md5 array expression into EVERY window's slice (the
+    CollapseProject/HOF re-evaluation trap text.gram_join documents),
+    turning O(grams·window) into O(grams²·window) work per doc. The
+    row-window form evaluates each gram hash exactly once. Empty/short
+    docs (< window+k−1 tokens) emit no rows.
+    """
+    from pyspark.sql import Window as W
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(text_ngram_list(F.col("__toks"), k)).alias(
+            "__pos", "__gram"
+        ),
+    ).select("doc_id", "__pos", F.md5("__gram").alias("__h"))
+    frame = (
+        W.partitionBy("doc_id").orderBy("__pos").rowsBetween(0, window - 1)
+    )
+    whole = W.partitionBy("doc_id")
+    wmin = grams.select(
+        "doc_id",
+        "__pos",
+        F.min("__h").over(frame).alias("fp"),
+        F.count(F.lit(1)).over(whole).alias("__n"),
+    )
+    return (
+        wmin.filter(F.col("__pos") <= F.col("__n") - window)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 20,
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowed fingerprints: docs
+    sharing ≥ min_shared selected fingerprints — the copied-passage
+    detector (quotes, mirrored paragraphs, boilerplate reuse) that
+    whole-document Jaccard dilutes away on long documents.
+
+    Same inverted-index discipline as ngram_jaccard_pairs: fingerprints
+    hotter than max_doc_freq are dropped BEFORE pair explosion (the f²
+    fanout control; a fingerprint shared by 10k docs is boilerplate, not
+    plagiarism), bucket member lists explode to ordered (id_a < id_b)
+    pairs, one (pair)-keyed count. Output: (id_a, id_b, n_shared).
+
+    Shape: two exchanges total — by fingerprint, then by pair — both
+    carrying 32-byte keys + counts, never text.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    buckets = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    if max_doc_freq is not None:
+        buckets = buckets.filter(F.size("ids") <= int(max_doc_freq))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.size(F.col("ids"))
+                        ),
+                        lambda b: F.struct(
+                            a.alias("id_a"), b.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

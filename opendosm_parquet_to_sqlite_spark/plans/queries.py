@@ -4709,3 +4709,53 @@ def q_text_canonical(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "canon_fp",
         F.length("text_canon").cast("long").alias("canon_len"),
     )
+
+
+@query(
+    "winnow_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                   AS g
+        FROM toks
+    ), hs AS (
+        SELECT doc_id, [md5(x) for x in g] AS h FROM grams
+    ), sel AS (
+        SELECT doc_id, unnest(list_distinct(
+            [list_min(h[i:i+3]) for i in range(1, len(h)-2)]
+        )) AS fp
+        FROM hs
+    ), ok_fp AS (
+        SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 20
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT * FROM sel SEMI JOIN ok_fp USING (fp)) a
+        JOIN (SELECT * FROM sel SEMI JOIN ok_fp USING (fp)) b
+            USING (fp)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    shadow=True,
+)
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS) copied-passage candidates: min-hash-per-window
+    fingerprint selection (any shared run of >= window+k-1 tokens
+    guarantees a shared fingerprint), hot fingerprints capped before
+    pair explosion, docs sharing >= 2 selected fingerprints. md5-string
+    hashing keeps selection engine-portable, so the WHOLE pipeline —
+    selection included — hash-matches the DuckDB restatement."""
+    docs = load_table(spark, sf, "documents")
+    out = neardup.winnow_pairs(
+        docs, "text", "doc_id", k=5, window=4, min_shared=2,
+        max_doc_freq=20,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared")
+    )
