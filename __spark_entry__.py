@@ -99,6 +99,16 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_keep_best",
     "attribution_first_touch",
     "dedup_time_window",
+    # round-6 continuation additions (shadow oracles, hash-checked
+    # in-repo; candidates for the next window rotation):
+    "split_leakage_free",
+    "merge_upsert",
+    "incremental_agg",
+    "cm_frequency",
+    "k_anonymity",
+    "feature_drift",
+    "text_canonical",
+    "winnow_pairs",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",
@@ -121,6 +131,10 @@ _ROWS_ONLY_PRIORITY = [
     "quality_classifier_2iter",
     "text_lang_id_ngram",
     "multimodal_decode",
+    # PQ family (approximate by design; recall + exact-regime pins in
+    # tests/test_pq.py):
+    "ann_pq",
+    "ann_ivfpq",
     # iterative fixpoints (no SQL oracle; pytest-pinned against NumPy /
     # pure-Python references):
     "event_pagerank",
