@@ -314,3 +314,40 @@ def maintain_agg_stream(
         )
 
     run_available_now(stream, checkpoint_dir, _fold, output_mode="append")
+
+
+def drift_monitor_stream(
+    stream: DataFrame,
+    baseline_path: str,
+    value_col: str,
+    group_cols: list[str],
+    checkpoint_dir: str,
+    report_sink,
+    n_bins: int = 10,
+) -> None:
+    """Live drift monitor: every microbatch is PSI-scored against the
+    pinned baseline parquet (operators.features.psi_drift — same bins,
+    same floors, so a batch score here equals the batch operator run on
+    the same slice, test-pinned). report_sink(psi_df, batch_id) receives
+    each microbatch's per-group report; route it to an alert table or
+    threshold check (psi > 0.25 = shifted, the standard reading).
+
+    The baseline is re-read per microbatch from `baseline_path` (the
+    enrich_stream_live escape hatch: a pinned DataFrame would freeze its
+    file listing), so re-baselining is an atomic parquet overwrite away.
+    Per-batch cost: baseline-bounds agg + batch-sized bin counts — the
+    batch's value stream never shuffles; empty microbatches emit an
+    empty report rather than a spurious all-drifted one.
+    """
+    from ..operators import features as _features
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        baseline = batch_df.sparkSession.read.parquet(baseline_path)
+        report = _features.psi_drift(
+            baseline, batch_df, value_col, group_cols, n_bins=n_bins
+        )
+        report_sink(report, batch_id)
+
+    run_available_now(stream, checkpoint_dir, _score, output_mode="append")
