@@ -135,6 +135,7 @@ _ROWS_ONLY_PRIORITY = [
     # tests/test_pq.py):
     "ann_pq",
     "ann_ivfpq",
+    "ann_ivfpq_persisted",
     # iterative fixpoints (no SQL oracle; pytest-pinned against NumPy /
     # pure-Python references):
     "event_pagerank",

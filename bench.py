@@ -189,6 +189,8 @@ HEADLINE = [
     # winnowing (MOSS) copied-passage pairs: row-window min selection +
     # capped inverted index (two 32-byte-key exchanges)
     "winnow_pairs",
+    # persisted IVFADC probe: partition-pruned m-byte code scan + rerank
+    "ann_ivfpq_persisted",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -4759,3 +4759,37 @@ def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared")
     )
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
+    """Idempotent build of the persisted IVFADC (IVF×PQ) index over sf's
+    embeddings — same sharing contract as ensure_ivf_index: probe
+    timings measure the recurring probe, not the one-time build."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    path = f"/tmp/spark_graft_ivfpq_{tag}"
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        emb = load_table(spark, sf, "embeddings")
+        similarity.build_ivfpq_index(
+            emb, path, n_centroids=16, m=16, n_codes=64
+        )
+    return path
+
+
+@query("ann_ivfpq_persisted")  # rows-only: approximate by design
+def q_ann_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 probe against the PERSISTED IVFADC index: centroids +
+    codebooks load to the driver (KBs), the probe reads only probed cell
+    PARTITIONS of the m-byte code table (16× smaller than the float
+    layout), ADC LUT scan, exact rerank against the original corpus.
+    Pinned equal to the in-memory ivfpq_topk (tests/test_pq.py)."""
+    path = ensure_ivfpq_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.probe_ivfpq_index(
+        spark, path, queries, corpus=emb, k=5, n_probe=4, shortlist=50
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

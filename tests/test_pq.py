@@ -137,3 +137,66 @@ def test_ivfpq_more_probes_higher_recall(emb, queries):
         r[n_probe] = len(e & a) / len(e)
     assert r[16] >= r[4] >= 0.5
     assert r[16] >= 0.95  # probing every cell ~= flat PQ + rerank
+
+
+def test_persisted_ivfpq_matches_inmemory(spark, emb, queries, tmp_path):
+    """build_ivfpq_index -> probe_ivfpq_index (with rerank corpus) equals
+    the in-memory ivfpq_topk exactly — same seeds, same centroids, same
+    codebooks, same answers from a 16x-smaller persisted layout."""
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(
+        emb, path, n_centroids=16, m=16, n_codes=64
+    )
+    probed = similarity.probe_ivfpq_index(
+        spark, path, queries, corpus=emb, k=5, n_probe=4, shortlist=50
+    ).toPandas()
+    mem = similarity.ivfpq_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, m=16, n_codes=64,
+        shortlist=50,
+    ).toPandas()
+    a = {(r.query_id, r.neighbor_id): r.cosine for r in probed.itertuples()}
+    b = {(r.query_id, r.neighbor_id): r.cosine for r in mem.itertuples()}
+    assert a == b
+
+
+def test_persisted_ivfpq_codes_only_probe(spark, emb, queries, tmp_path):
+    """Without a rerank corpus the probe returns ADC scores directly —
+    compressed-only search, k rows per query."""
+    path = str(tmp_path / "ivfpq2")
+    similarity.build_ivfpq_index(emb, path, n_centroids=16, m=16, n_codes=64)
+    out = similarity.probe_ivfpq_index(
+        spark, path, queries, corpus=None, k=5, n_probe=4
+    ).toPandas()
+    assert len(out) == 50
+    assert set(out.groupby("query_id").size()) == {5}
+
+
+def test_persisted_ivfpq_validates_dim(spark, emb, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "ivfpq3")
+    similarity.build_ivfpq_index(
+        emb.limit(100), path, n_centroids=4, m=8, n_codes=16
+    )
+    bad = spark.createDataFrame(
+        [(0, [0.1] * 32)], "query_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        similarity.probe_ivfpq_index(spark, path, bad)
+
+
+def test_persisted_ivfpq_probe_prunes_partitions(spark, emb, queries, tmp_path):
+    """The cell equi-join reaches the cell-partitioned parquet as a
+    partition filter — the probe only READS probed cells."""
+    import contextlib, io
+
+    path = str(tmp_path / "ivfpq4")
+    similarity.build_ivfpq_index(emb, path, n_centroids=16, m=16, n_codes=64)
+    df = similarity.probe_ivfpq_index(
+        spark, path, queries.limit(1), corpus=None, k=5, n_probe=2
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
