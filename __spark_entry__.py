@@ -99,16 +99,19 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_keep_best",
     "attribution_first_touch",
     "dedup_time_window",
-    # round-6 continuation additions (shadow oracles, hash-checked
-    # in-repo; candidates for the next window rotation):
-    "split_leakage_free",
-    "merge_upsert",
-    "incremental_agg",
-    "cm_frequency",
-    "k_anonymity",
-    "feature_drift",
-    "text_canonical",
-    "winnow_pairs",
+    # demoted in the round-6 THIRD rotation (multi-round-green singles;
+    # shadow oracles keep their hash proof in-repo) — the eight
+    # continuation queries (split_leakage_free, merge_upsert,
+    # incremental_agg, cm_frequency, k_anonymity, feature_drift,
+    # text_canonical, winnow_pairs) took their driver slots:
+    "join_salted",
+    "topk_per_group",
+    "session_window",
+    "asof_join",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "sample_stratified",
+    "pack_sequences_split",
     "scan_parquet",
     "date_trunc10",
     "round_f64_to_i64",

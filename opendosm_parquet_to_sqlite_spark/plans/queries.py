@@ -377,6 +377,7 @@ def q_star_denorm(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
+    shadow=True,
 )
 def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-salted equi-join — same result set as the plain join (the salt
@@ -654,6 +655,7 @@ def q_profile_nulls(spark: SparkSession, sf: str) -> DataFrame:
         FROM events
     ) WHERE rank <= 3
     """,
+    shadow=True,
 )
 def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 most recent events per (user, type) — the flagship generalized
@@ -706,6 +708,7 @@ def q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
            count(*) AS n_events
     FROM sess GROUP BY user_id, sid
     """,
+    shadow=True,
 )
 def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user — merged-gap
@@ -775,6 +778,7 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     FROM p ASOF LEFT JOIN r
       ON p.user_id = r.user_id AND p.pts >= r.ts
     """,
+    shadow=True,
 )
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """Backward as-of join: for each probe (event ts + 30 min), the latest
@@ -842,6 +846,7 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
     FROM documents GROUP BY md5(text)
     """,
+    shadow=True,
 )
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact content dedup via md5 digest — shuffle carries digests only."""
@@ -923,6 +928,7 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                 / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
                 6) >= 0.4
     """,
+    shadow=True,
 )
 def q_dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.4 (exact O(n²) baseline — the
@@ -1660,6 +1666,7 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
                         WHEN 'src1' THEN '40000000'
                         ELSE '1999999a' END
     """,
+    shadow=True,
 )
 def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash sampling per source stratum (data mixing:
@@ -1745,6 +1752,7 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
            n_tokens, cum_tokens
     FROM cums
     """,
+    shadow=True,
 )
 def q_pack_sequences_split(spark: SparkSession, sf: str) -> DataFrame:
     """Packing with document SPLITTING: every doc is chopped into
@@ -4402,7 +4410,6 @@ def q_dedup_time_window(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE 'test' END AS split
     FROM banded
     """,
-    shadow=True,
 )
 def q_split_leakage_free(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster-aware train/val/test split: near-dup clusters (capped
@@ -4465,7 +4472,6 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM m WHERE NOT (matched AND o_totalprice > 400000)
     """,
-    shadow=True,
 )
 def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE INTO relational core (operators/merge.py): update set =
@@ -4510,7 +4516,6 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     FROM events
     GROUP BY event_type, user_id % 8
     """,
-    shadow=True,
 )
 def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/incremental.py):
@@ -4562,7 +4567,6 @@ def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_type, CAST(count(*) AS BIGINT) AS est
     FROM events GROUP BY event_type
     """,
-    shadow=True,
 )
 def q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min sketch point-frequency estimates for every event type.
@@ -4588,7 +4592,6 @@ def q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
     FROM customer
     GROUP BY 1, 2, 3 HAVING count(*) < 5
     """,
-    shadow=True,
 )
 def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity audit over (nation, segment, balance band): every
@@ -4660,7 +4663,6 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     FROM pivoted p JOIN totals USING (event_type)
     GROUP BY 1
     """,
-    shadow=True,
 )
 def q_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
     """PSI drift between the even/odd event halves per event type (a
@@ -4695,7 +4697,6 @@ def q_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
                '\\s+', ' ', 'g'))) AS BIGINT) AS canon_len
     FROM documents
     """,
-    shadow=True,
 )
 def q_text_canonical(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode canonical dedup keys: NFC + lower + zero-width strip +
@@ -4742,7 +4743,6 @@ def q_text_canonical(spark: SparkSession, sf: str) -> DataFrame:
     SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
     FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
     """,
-    shadow=True,
 )
 def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing (MOSS) copied-passage candidates: min-hash-per-window
