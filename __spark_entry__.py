@@ -104,6 +104,7 @@ _ROWS_ONLY_PRIORITY = [
     # continuation queries (split_leakage_free, merge_upsert,
     # incremental_agg, cm_frequency, k_anonymity, feature_drift,
     # text_canonical, winnow_pairs) took their driver slots:
+    "returned_item_revenue",
     "join_salted",
     "topk_per_group",
     "session_window",

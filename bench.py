@@ -191,6 +191,8 @@ HEADLINE = [
     "winnow_pairs",
     # persisted IVFADC probe: partition-pruned m-byte code scan + rerank
     "ann_ivfpq_persisted",
+    # TPC-H Q10 shape: co-keyed fact join + broadcast dims + TakeOrdered
+    "returned_item_revenue",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -4793,3 +4793,57 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, queries, corpus=emb, k=5, n_probe=4, shortlist=50
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "returned_item_revenue",
+    """
+    SELECT c.c_custkey, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    shadow=True,
+)
+def q_returned_item_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue): the who-is-returning-
+    the-most report — returnflag-filtered fact joins orders on the
+    shared orderkey (one co-keyed exchange pair), customer + nation
+    BROADCAST, one partial-combined agg, global top-20 via TakeOrdered
+    (no full sort). Fully tie-broken ordering keeps the limit
+    deterministic and hash-checkable."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    ords = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    ).limit(20)
