@@ -105,6 +105,7 @@ _ROWS_ONLY_PRIORITY = [
     # incremental_agg, cm_frequency, k_anonymity, feature_drift,
     # text_canonical, winnow_pairs) took their driver slots:
     "returned_item_revenue",
+    "dedup_exact_canonical",
     "join_salted",
     "topk_per_group",
     "session_window",

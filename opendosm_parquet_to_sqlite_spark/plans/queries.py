@@ -4847,3 +4847,34 @@ def q_returned_item_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return agg.orderBy(
         F.col("revenue").desc(), F.col("c_custkey")
     ).limit(20)
+
+
+@query(
+    "dedup_exact_canonical",
+    """
+    WITH canon AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(
+                   lower(nfc_normalize(text)),
+                   '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                   '\\s+', ' ', 'g'))) AS canon_fp
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, canon_fp,
+           CAST(count(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY canon_fp
+    """,
+    shadow=True,
+)
+def q_dedup_exact_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keyed on the CANONICAL fingerprint (normalize_text ∘
+    dedup): encoding variants (NFD twins, zero-width pastes, case and
+    whitespace noise) collapse to one survivor where raw-md5 dedup_exact
+    would keep every variant. Same digest-agg shape — the shuffle
+    carries (16-byte fp, id), never text."""
+    docs = load_table(spark, sf, "documents")
+    canon = text.normalize_text(docs, "text")
+    return canon.groupBy("canon_fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    ).select("doc_id", "canon_fp", "n_variants")
