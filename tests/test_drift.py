@@ -139,3 +139,41 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
     assert set(got) == expected
     # and the shifted batch reads as shifted, the clean one as stable
     assert min(expected) < 0.1 and max(expected) > 0.25
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    a=st.lists(st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 2)),
+               min_size=2, max_size=60),
+    b=st.lists(st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 2)),
+               min_size=2, max_size=60),
+)
+def test_psi_fuzz_vs_numpy_reference(spark, a, b):
+    """Random slices vs a NumPy restatement of the same binning/floor
+    math — catches drift between the distributed expression DAG and the
+    definition."""
+    import numpy as np
+
+    da, db = _mk(spark, a), _mk(spark, b)
+    [r] = features.psi_drift(da, db, "v", "g", n_bins=10).collect()
+
+    va, vb = np.array(a), np.array(b)
+    lo = min(va.min(), vb.min())
+    hi = max(va.max(), vb.max())
+    if hi > lo:
+        w = (hi - lo) / 10.0
+        bins_a = np.minimum(np.floor((va - lo) / w), 9).astype(int)
+        bins_b = np.minimum(np.floor((vb - lo) / w), 9).astype(int)
+    else:
+        bins_a = np.zeros(len(va), dtype=int)
+        bins_b = np.zeros(len(vb), dtype=int)
+    psi = 0.0
+    for bin_ in set(bins_a) | set(bins_b):
+        pa = max((bins_a == bin_).sum() / len(va), 1e-4)
+        pb = max((bins_b == bin_).sum() / len(vb), 1e-4)
+        psi += (pa - pb) * np.log(pa / pb)
+    assert abs(r.psi - round(psi, 6)) < 2e-6
+    assert r.n_a == len(a) and r.n_b == len(b)

@@ -96,3 +96,40 @@ def test_dataset_survives_failed_merge(spark, target, tmp_path):
     with pytest.raises(Exception):
         merge.merge_upsert_dataset(spark, path, bad, ["k"])
     assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 2, 3]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+_key = st.integers(0, 9)
+_val = st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 3))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    target=st.dictionaries(_key, _val, max_size=8),
+    updates=st.dictionaries(_key, _val, max_size=8),
+    delete_above=st.one_of(st.none(), st.floats(-50, 50, allow_nan=False)),
+)
+def test_merge_plan_fuzz_vs_reference(spark, target, updates, delete_above):
+    """Random target/update key sets (overlapping, disjoint, empty) with
+    an optional delete clause vs a dict-based reference MERGE."""
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in target.items()], "k long, v double"
+    ) if target else spark.createDataFrame([], "k long, v double")
+    udf_ = spark.createDataFrame(
+        [(k, v) for k, v in updates.items()], "k long, v double"
+    ) if updates else spark.createDataFrame([], "k long, v double")
+    cond = None if delete_above is None else (F.col("v") > delete_above)
+    got = {
+        r.k: r.v
+        for r in merge.merge_plan(tdf, udf_, ["k"], cond).collect()
+    }
+    # reference: update wins; insert new; delete only matched rows
+    ref = dict(target)
+    for k, v in updates.items():
+        matched = k in ref
+        ref[k] = v
+        if matched and delete_above is not None and v > delete_above:
+            del ref[k]
+    assert got == ref
