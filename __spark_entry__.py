@@ -106,6 +106,8 @@ _ROWS_ONLY_PRIORITY = [
     # text_canonical, winnow_pairs) took their driver slots:
     "returned_item_revenue",
     "dedup_exact_canonical",
+    "embedding_drift",
+    "fold_assign",
     "join_salted",
     "topk_per_group",
     "session_window",

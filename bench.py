@@ -193,6 +193,10 @@ HEADLINE = [
     "ann_ivfpq_persisted",
     # TPC-H Q10 shape: co-keyed fact join + broadcast dims + TakeOrdered
     "returned_item_revenue",
+    # canonical-fp exact dedup; embedding mean-vector drift; k-fold bands
+    "dedup_exact_canonical",
+    "embedding_drift",
+    "fold_assign",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -151,3 +151,63 @@ def random_project(
         raise ValueError("embedding frame is empty — nothing to project")
     W = random_projection_matrix(len(first[0]), r, seed)
     return project(df, id_col, vec_col, W, None, out_col)
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    group_cols: str | list[str] | None = None,
+) -> DataFrame:
+    """Embedding-distribution drift between two slices: per group, the
+    cosine similarity of the slice MEAN vectors plus their norms and
+    counts — the vector complement to the scalar PSI report
+    (operators.features.psi_drift). Mean-direction movement is the
+    cheap, mergeable first moment of embedding drift: it catches
+    encoder-version skew, topic shift, and pipeline bugs (a re-encoded
+    shard pointing somewhere new) without any pairwise work.
+
+    Output per group: cos_means (6 dp; NULL when either mean is the
+    zero vector), norm_a/norm_b (mean-vector norms, 6 dp), n_a/n_b.
+    Reading: cos_means ≈ 1 stable; the discriminating threshold depends
+    on dim and corpus — calibrate on known-good slices (at dim 64,
+    independent random slices of the same distribution sit ≥ ~0.9;
+    disjoint topics near 0).
+
+    Shape: per slice, ONE posexplode → (group, dim-index) partial-
+    combined avg — the exchange carries group·dim rows (dim-sized, not
+    corpus-sized); the dim-indexed mean tables join and fold to cosine
+    natively. Embeddings themselves never shuffle. Fully
+    SQL-expressible → hash-checked vs DuckDB (plans.queries).
+    """
+    groups: list[str]
+    if group_cols is None:
+        groups = []
+    elif isinstance(group_cols, str):
+        groups = [group_cols]
+    else:
+        groups = list(group_cols)
+
+    def _mean_by_dim(df: DataFrame, tag: str) -> DataFrame:
+        e = df.select(
+            *groups, F.posexplode(F.col(vec_col)).alias("__i", "__x")
+        )
+        return e.groupBy(*groups, "__i").agg(
+            F.avg("__x").alias(f"__m_{tag}"),
+            F.count(F.lit(1)).alias(f"__n_{tag}"),
+        )
+    ma = _mean_by_dim(df_a, "a")
+    mb = _mean_by_dim(df_b, "b")
+    j = ma.join(mb, [*groups, "__i"])
+    dot = F.sum(F.col("__m_a") * F.col("__m_b"))
+    na = F.sqrt(F.sum(F.col("__m_a") * F.col("__m_a")))
+    nb = F.sqrt(F.sum(F.col("__m_b") * F.col("__m_b")))
+    return j.groupBy(*groups).agg(
+        F.round(
+            F.when((na > 0) & (nb > 0), dot / (na * nb)), 6
+        ).alias("cos_means"),
+        F.round(na, 6).alias("norm_a"),
+        F.round(nb, 6).alias("norm_b"),
+        F.max("__n_a").alias("n_a"),
+        F.max("__n_b").alias("n_b"),
+    )

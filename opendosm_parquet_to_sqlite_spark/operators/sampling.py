@@ -516,3 +516,24 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= int(k))
         .drop("__rn")
     )
+
+
+def fold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    namespace: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: the digest
+    space carves into k equal md5 bands (split_assign with uniform
+    fractions), emitted as an int `fold` in [0, k). Same determinism
+    contract as every sampler here: a pure function of (namespace, id) —
+    adding rows never reassigns existing ones, reruns and repartitions
+    agree, and fold_assign(k)(x) stays stable across engines (the band
+    cuts are plain hex-prefix compares, restatable in any SQL). Narrow
+    projection, no shuffle."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    splits = [(str(i), 1.0 / k) for i in range(k)]
+    out = split_assign(df, id_col, splits, namespace)
+    return out.withColumn("fold", F.col("split").cast("int")).drop("split")

@@ -4878,3 +4878,81 @@ def q_dedup_exact_canonical(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_variants"),
     ).select("doc_id", "canon_fp", "n_variants")
+
+
+@query(
+    "embedding_drift",
+    """
+    WITH a AS (
+        SELECT u.label, u.i, avg(u.x) AS m, count(*) AS n
+        FROM (
+            SELECT label, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings WHERE vec_id % 2 = 0
+        ) u(label, x, i) GROUP BY 1, 2
+    ), b AS (
+        SELECT u.label, u.i, avg(u.x) AS m, count(*) AS n
+        FROM (
+            SELECT label, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings WHERE vec_id % 2 = 1
+        ) u(label, x, i) GROUP BY 1, 2
+    )
+    SELECT a.label,
+           round(CASE WHEN sqrt(sum(a.m * a.m)) > 0
+                       AND sqrt(sum(b.m * b.m)) > 0
+                 THEN sum(a.m * b.m)
+                      / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m)))
+                 END, 6) AS cos_means,
+           round(sqrt(sum(a.m * a.m)), 6) AS norm_a,
+           round(sqrt(sum(b.m * b.m)), 6) AS norm_b,
+           CAST(max(a.n) AS BIGINT) AS n_a,
+           CAST(max(b.n) AS BIGINT) AS n_b
+    FROM a JOIN b ON a.label = b.label AND a.i = b.i
+    GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding mean-vector drift per label between the even/odd
+    halves (deterministic stand-ins for encoder-version slices):
+    cosine of slice means + norms + counts. Exchangeable halves score
+    cos_means near 1 — the null regime; sensitivity to injected shift
+    is pinned in tests/test_drift.py. Per slice: one posexplode +
+    (label, dim)-keyed partial agg — dim-sized exchanges, embeddings
+    never shuffle."""
+    from ..operators import projection
+
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = projection.embedding_drift(a, b, "embedding", "label")
+    return out.select(
+        "label", "cos_means", "norm_a", "norm_b",
+        F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+    )
+
+
+@query(
+    "fold_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '33333333' THEN 0
+                WHEN substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '66666666' THEN 1
+                WHEN substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '9999999a' THEN 2
+                WHEN substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'cccccccd' THEN 3
+                ELSE 4 END AS fold
+    FROM documents
+    """,
+    shadow=True,
+)
+def q_fold_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment: equal md5 bands (cuts =
+    rate_to_hex(i/5)), engine-restatable as plain hex-prefix compares —
+    the fold map is stable under adds/reruns/repartitions."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.fold_assign(docs.select("doc_id"), "doc_id", k=5)

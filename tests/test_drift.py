@@ -177,3 +177,41 @@ def test_psi_fuzz_vs_numpy_reference(spark, a, b):
         psi += (pa - pb) * np.log(pa / pb)
     assert abs(r.psi - round(psi, 6)) < 2e-6
     assert r.n_a == len(a) and r.n_b == len(b)
+
+
+def test_embedding_drift_same_vs_shifted(spark):
+    """Same-distribution halves score cos_means ~1; an injected
+    direction shift drops it sharply; norms and counts report."""
+    import numpy as np
+    from opendosm_parquet_to_sqlite_spark.operators import projection
+
+    rng = np.random.RandomState(21)
+    base_dir = rng.randn(16)
+    mk = lambda n, shift: [
+        ("g", [float(x) for x in (base_dir + shift + 0.1 * rng.randn(16))])
+        for _ in range(n)
+    ]
+    schema = "g string, embedding array<float>"
+    a = spark.createDataFrame(mk(200, 0.0), schema)
+    b_same = spark.createDataFrame(mk(200, 0.0), schema)
+    b_shift = spark.createDataFrame(
+        mk(200, 3.0 * rng.randn(16)), schema
+    )
+    [same] = projection.embedding_drift(a, b_same, "embedding", "g").collect()
+    [shift] = projection.embedding_drift(a, b_shift, "embedding", "g").collect()
+    assert same.cos_means > 0.99
+    assert shift.cos_means < 0.9
+    assert same.n_a == same.n_b == 200
+
+
+def test_embedding_drift_zero_mean_is_null(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import projection
+
+    schema = "g string, embedding array<float>"
+    a = spark.createDataFrame(
+        [("g", [1.0, -1.0]), ("g", [-1.0, 1.0])], schema
+    )  # mean = zero vector
+    b = spark.createDataFrame([("g", [1.0, 1.0])], schema)
+    [r] = projection.embedding_drift(a, b, "embedding", "g").collect()
+    assert r.cos_means is None
+    assert r.norm_a == 0.0

@@ -87,3 +87,24 @@ def test_every_doc_assigned_exactly_once(spark, docs):
     assert out.count() == docs.count()
     assert out.select("doc_id").distinct().count() == docs.count()
     assert out.filter(~F.col("split").isin("train", "val", "test")).count() == 0
+
+
+def test_fold_assign_partitions_and_is_stable(spark):
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = sampling.fold_assign(df, "doc_id", k=5).toPandas()
+    assert len(out) == 2000 and out.fold.between(0, 4).all()
+    sizes = out.groupby("fold").size()
+    assert len(sizes) == 5 and (sizes > 2000 / 5 * 0.7).all()
+    # stability: assignment of existing ids is unchanged by new rows
+    bigger = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    )
+    out2 = sampling.fold_assign(bigger, "doc_id", k=5).toPandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.fold_a == merged.fold_b).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        sampling.fold_assign(df, "doc_id", k=1)
