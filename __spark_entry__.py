@@ -108,6 +108,7 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_exact_canonical",
     "embedding_drift",
     "fold_assign",
+    "release_gate",
     "join_salted",
     "topk_per_group",
     "session_window",

@@ -197,6 +197,8 @@ HEADLINE = [
     "dedup_exact_canonical",
     "embedding_drift",
     "fold_assign",
+    # ship/no-ship checklist in ONE agg pass (5 checks, 5 rows)
+    "release_gate",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

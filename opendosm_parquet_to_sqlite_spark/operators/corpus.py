@@ -417,3 +417,106 @@ def leakage_free_split(
     return sampling.split_assign(rep, "rep_id", splits, namespace).select(
         "doc_id", "rep_id", "split"
     )
+
+
+def release_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 100,
+    max_null_rate: float = 0.01,
+    max_dup_rate: float = 0.2,
+    max_low_quality_rate: float = 0.5,
+    max_pii_rate: float = 0.05,
+) -> DataFrame:
+    """The ship/no-ship checklist for a corpus release, as ONE
+    aggregation pass: five checks, each a row (check, value, threshold,
+    pass) — the composition a pipeline owner actually gates a publish
+    on, built from the same signals the individual operators report
+    (quality_audit says WHY a doc fails; this says whether the DATASET
+    may ship).
+
+      volume            n_docs >= min_docs
+      null_text_rate    NULL/blank docs / all docs       <= max
+      dup_rate          1 - distinct digests / non-null  <= max
+      low_quality_rate  quality < 0.5 share              <= max
+                        (NULL-text docs land in null_text_rate, not
+                        here — the CASE treats NULL quality as pass)
+      pii_rate          docs with any email/phone/IP     <= max
+
+    Shape: one narrow projection (quality + PII counts + digest) → ONE
+    partial-combined aggregation (the distinct-digest term adds the
+    usual expand) → a 5-row explode. The corpus is scanned once;
+    nothing doc-scale shuffles except the 16-byte digest distinct.
+    Fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    c = F.col(text_col)
+    base = df.select(
+        c.alias("__t"),
+        text.quality_score(c).alias("__q"),
+        (
+            privacy.pii_count(c, "email")
+            + privacy.pii_count(c, "phone")
+            + privacy.pii_count(c, "ipv4")
+        ).alias("__pii"),
+        F.md5(c).alias("__d"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("__t").isNull() | (F.trim(F.col("__t")) == ""),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("null_rate"),
+        F.round(
+            1
+            - F.countDistinct(F.col("__d"))
+            / F.greatest(F.count(F.col("__d")), F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.avg(F.when(F.col("__q") < 0.5, 1.0).otherwise(0.0)), 6
+        ).alias("lowq_rate"),
+        F.round(
+            F.avg(F.when(F.col("__pii") > 0, 1.0).otherwise(0.0)), 6
+        ).alias("pii_rate"),
+    )
+    checks = F.array(
+        F.struct(
+            F.lit("volume").alias("check"),
+            F.col("n_docs").alias("value"),
+            F.lit(float(min_docs)).alias("threshold"),
+            (F.col("n_docs") >= min_docs).alias("pass"),
+        ),
+        F.struct(
+            F.lit("null_text_rate").alias("check"),
+            F.col("null_rate").alias("value"),
+            F.lit(float(max_null_rate)).alias("threshold"),
+            (F.col("null_rate") <= max_null_rate).alias("pass"),
+        ),
+        F.struct(
+            F.lit("dup_rate").alias("check"),
+            F.col("dup_rate").alias("value"),
+            F.lit(float(max_dup_rate)).alias("threshold"),
+            (F.col("dup_rate") <= max_dup_rate).alias("pass"),
+        ),
+        F.struct(
+            F.lit("low_quality_rate").alias("check"),
+            F.col("lowq_rate").alias("value"),
+            F.lit(float(max_low_quality_rate)).alias("threshold"),
+            (F.col("lowq_rate") <= max_low_quality_rate).alias("pass"),
+        ),
+        F.struct(
+            F.lit("pii_rate").alias("check"),
+            F.col("pii_rate").alias("value"),
+            F.lit(float(max_pii_rate)).alias("threshold"),
+            (F.col("pii_rate") <= max_pii_rate).alias("pass"),
+        ),
+    )
+    return agg.select(F.explode(checks).alias("c")).select(
+        "c.check", "c.value", "c.threshold", "c.pass"
+    )

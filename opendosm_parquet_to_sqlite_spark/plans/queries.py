@@ -4956,3 +4956,61 @@ def q_fold_assign(spark: SparkSession, sf: str) -> DataFrame:
     the fold map is stable under adds/reruns/repartitions."""
     docs = load_table(spark, sf, "documents")
     return sampling.fold_assign(docs.select("doc_id"), "doc_id", k=5)
+
+
+_QUALITY_DUCK = """round((least(len(list_filter(string_split_regex(trim(text),
+    '\\s+'), x -> x != '')) / 64.0, 1.0)
+  + (1.0 - least(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / greatest(length(text), 1), 6) * 4, 1.0))
+  + (1.0 - least(abs(round(len(list_filter(
+        list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''),
+        x -> list_contains(['the','a','of','and','to','in','is'], lower(x))))
+        / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x != '')), 1), 6) - 0.4), 1.0)))
+  / 3.0, 6)"""
+
+_PII_TOTAL_DUCK = """(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+  + len(regexp_extract_all(text, '\\+?[0-9][0-9]{1,2}-[0-9]{3,4}-[0-9]{4}'))
+  + len(regexp_extract_all(text,
+    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')))"""
+
+
+@query(
+    "release_gate",
+    f"""
+    WITH s AS (
+        SELECT text AS t, {_QUALITY_DUCK} AS q, {_PII_TOTAL_DUCK} AS pii,
+               md5(text) AS d
+        FROM documents
+    ), a AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               round(avg(CASE WHEN t IS NULL OR trim(t) = ''
+                         THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+               round(1 - count(DISTINCT d) * 1.0 / greatest(count(d), 1), 6)
+                   AS dup_rate,
+               round(avg(CASE WHEN q < 0.5 THEN 1.0 ELSE 0.0 END), 6)
+                   AS lowq_rate,
+               round(avg(CASE WHEN pii > 0 THEN 1.0 ELSE 0.0 END), 6)
+                   AS pii_rate
+        FROM s
+    )
+    SELECT 'volume' AS check_name, n_docs AS value, 100.0 AS threshold,
+           n_docs >= 100 AS pass FROM a
+    UNION ALL SELECT 'null_text_rate', null_rate, 0.01,
+           null_rate <= 0.01 FROM a
+    UNION ALL SELECT 'dup_rate', dup_rate, 0.2, dup_rate <= 0.2 FROM a
+    UNION ALL SELECT 'low_quality_rate', lowq_rate, 0.5,
+           lowq_rate <= 0.5 FROM a
+    UNION ALL SELECT 'pii_rate', pii_rate, 0.05, pii_rate <= 0.05 FROM a
+    """,
+    shadow=True,
+)
+def q_release_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Ship/no-ship corpus checklist in ONE aggregation pass: volume,
+    null-text rate, exact dup rate, low-quality share, PII share — each
+    a (check, value, threshold, pass) row. The whole composition
+    hash-matches the DuckDB restatement."""
+    docs = load_table(spark, sf, "documents")
+    out = corpus.release_gate(docs, "text", "doc_id")
+    return out.withColumnRenamed("check", "check_name")

@@ -43,3 +43,50 @@ def test_clean_corpus_keeps_min_id_of_dup_group(spark):
                                      min_quality=0.0).collect())
     # 2 survives its exact-dup group {2,5}; 9 (near-dup of 2) removed; 1 kept
     assert out == [1, 2]
+
+
+# --- release_gate ------------------------------------------------------------
+
+
+def test_release_gate_verdicts(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import corpus as _c
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the river"
+    rows = (
+        [(i, f"{good} v{i}") for i in range(50)]      # unique, decent quality
+        + [(100 + i, "dup dup dup") for i in range(10)]   # 10 copies
+        + [(200, None), (201, "  ")]                      # null/blank
+        + [(300, f"contact me me@x.com or 1.2.3.4 {good}")]  # PII
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.check: r
+        for r in _c.release_gate(
+            df, "text", "doc_id",
+            min_docs=100, max_null_rate=0.01, max_dup_rate=0.05,
+            max_pii_rate=0.01,
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out["volume"].value == 63.0 and not out["volume"]["pass"]
+    # 2 of 63 null/blank
+    assert abs(out["null_text_rate"].value - 2 / 63) < 1e-6
+    assert not out["null_text_rate"]["pass"]
+    # 62 non-null texts (blank counts), 53 distinct digests -> 9/62
+    assert abs(out["dup_rate"].value - 9 / 62) < 1e-6
+    assert not out["dup_rate"]["pass"]
+    # exactly one PII doc of 63
+    assert abs(out["pii_rate"].value - 1 / 63) < 1e-6
+    assert not out["pii_rate"]["pass"]
+
+
+def test_release_gate_passes_clean_corpus(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import corpus as _c
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the river"
+    df = spark.createDataFrame(
+        [(i, f"{good} variant {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = _c.release_gate(df, "text", "doc_id", min_docs=100)
+    assert all(r["pass"] for r in out.collect())
