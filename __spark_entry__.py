@@ -109,6 +109,8 @@ _ROWS_ONLY_PRIORITY = [
     "embedding_drift",
     "fold_assign",
     "release_gate",
+    "triangle_count",
+    "join_size_report",
     "join_salted",
     "topk_per_group",
     "session_window",

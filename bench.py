@@ -199,6 +199,10 @@ HEADLINE = [
     "fold_assign",
     # ship/no-ship checklist in ONE agg pass (5 checks, 5 rows)
     "release_gate",
+    # per-node triangles over the near-dup graph (oriented wedge join)
+    "triangle_count",
+    # join pre-flight: exact |A JOIN B| from key-count tables only
+    "join_size_report",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -363,3 +363,55 @@ def skew_report(
             6,
         ).alias("gini"),
     )
+
+
+def join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Pre-flight for an equi-join: the EXACT output cardinality and its
+    concentration, from key-count tables alone — decide broadcast /
+    salt / bail BEFORE paying the join. |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)
+    — computed over the two key-count aggregations, never the join
+    itself (the whole point when the answer might be 10¹² rows: the
+    diagnostic's cost is two partial-combined aggs + a key-table join;
+    its output is one row).
+
+    The companion to skew_report (single-table key concentration): this
+    is the PAIRED version — hot_key_share names the single key pair
+    contributing the largest share of join output, the number that
+    predicts one reducer owning the join.
+
+    Output (one row): est_join_rows, n_left_rows, n_right_rows,
+    n_common_keys, amplification (est / max(inputs), 6 dp — >1 means
+    fanout), hot_key_share (6 dp).
+    """
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cl"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cr"))
+    j = lc.join(rc, keys).select(
+        (F.col("__cl") * F.col("__cr")).alias("__prod")
+    )
+    nl = left.count()
+    nr = right.count()
+    agg = j.agg(
+        F.coalesce(F.sum("__prod"), F.lit(0)).alias("est_join_rows"),
+        F.count(F.lit(1)).alias("n_common_keys"),
+        F.coalesce(F.max("__prod"), F.lit(0)).alias("__hot"),
+    )
+    return agg.select(
+        F.col("est_join_rows").cast("long"),
+        F.lit(nl).cast("long").alias("n_left_rows"),
+        F.lit(nr).cast("long").alias("n_right_rows"),
+        F.col("n_common_keys").cast("long"),
+        F.round(
+            F.col("est_join_rows") / F.lit(float(max(max(nl, nr), 1))), 6
+        ).alias("amplification"),
+        F.round(
+            F.when(
+                F.col("est_join_rows") > 0,
+                F.col("__hot") / F.col("est_join_rows"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("hot_key_share"),
+    )

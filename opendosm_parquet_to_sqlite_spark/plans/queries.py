@@ -5014,3 +5014,83 @@ def q_release_gate(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     out = corpus.release_gate(docs, "text", "doc_id")
     return out.withColumnRenamed("check", "check_name")
+
+
+@query(
+    "triangle_count",
+    f"""
+    WITH {_JACCARD_EDGE_CTES.split(', reach AS')[0]}
+    , e AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+    ), tri AS (
+        SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+        JOIN e c ON c.u = a.v AND c.v = b.v
+    ), corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+    shadow=True,
+)
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc triangle counts over the near-dup pair graph (template-
+    family detector: triangle-dense components are mutual-similarity
+    boilerplate; chains are drift). Node-iterator with low->high
+    orientation capping wedge fanout at O(sqrt(E)) per node; hash-
+    matches the DuckDB three-way-join restatement."""
+    docs = load_table(spark, sf, "documents")
+    pairs = neardup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3,
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
+    out = graph.triangle_count(pairs, "id_a", "id_b")
+    return out.select(
+        F.col("node").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+@query(
+    "join_size_report",
+    """
+    WITH lc AS (
+        SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1
+    ), rc AS (
+        SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1
+    ), j AS (
+        SELECT cl * cr AS prod FROM lc JOIN rc USING (k)
+    ), t AS (
+        SELECT coalesce(sum(prod), 0) AS est,
+               count(*) AS n_common,
+               coalesce(max(prod), 0) AS hot
+        FROM j
+    )
+    SELECT CAST(est AS BIGINT) AS est_join_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right_rows,
+           CAST(n_common AS BIGINT) AS n_common_keys,
+           round(est * 1.0 / greatest(
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM lineitem), 1), 6) AS amplification,
+           round(CASE WHEN est > 0 THEN hot * 1.0 / est ELSE 0.0 END, 6)
+               AS hot_key_share
+    FROM t
+    """,
+    shadow=True,
+)
+def q_join_size_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Join pre-flight for orders ⋈ lineitem on orderkey: exact output
+    cardinality + concentration from key-count tables only — the
+    paired companion to skew_report, costing two partial-combined aggs
+    instead of the join. Hash-checked."""
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    return skew.join_size_report(orders, li, ["k"])

@@ -187,3 +187,47 @@ def test_keep_best_per_cluster_semantics(spark):
     # cluster 1: score tie 50 between docs 2 and 3 -> smaller id wins
     assert out[1] == (2, 50, 3)
     assert out[7] == (7, 5, 2)
+
+
+# --- triangle_count ----------------------------------------------------------
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles, every node in 3; a pendant node in none; a
+    chain closes nothing."""
+    edges = [
+        # K4 on 1-4 (mixed orientations + a duplicate + a self edge)
+        (1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (3, 4), (2, 1), (2, 2),
+        # pendant
+        (4, 9),
+        # chain 10-11-12 (open wedge, no triangle)
+        (10, 11), (11, 12),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.n_triangles for r in
+           graph.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_total_matches_reference(spark):
+    """Random graph: 3 * total triangles == sum of per-node counts, and
+    the total matches a brute-force itertools reference."""
+    import itertools
+    import random
+
+    rng = random.Random(31)
+    nodes = list(range(30))
+    edges = set()
+    while len(edges) < 80:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r.node: r.n_triangles for r in
+           graph.triangle_count(df).collect()}
+    eset = set(edges)
+    ref = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    assert sum(got.values()) == 3 * ref

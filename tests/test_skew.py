@@ -180,3 +180,39 @@ def test_ewma_sliced_single_slice_and_empty(spark):
     assert [(r.k, r.ts, r.ewma) for r in out] == [("k", 5, 1.0)]
     empty = spark.createDataFrame([], "k string, ts long, value double")
     assert ewma_sliced(empty, "k", "ts", "value", n_slices=3).count() == 0
+
+
+# --- join_size_report --------------------------------------------------------
+
+
+def test_join_size_report_exactness_and_hot_share(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.skew import (
+        join_size_report,
+    )
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 10 + [2] * 3 + [3]], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 5 + [2] * 2 + [4]], "k long"
+    )
+    [r] = join_size_report(left, right, ["k"]).collect()
+    # exact: 10*5 + 3*2 = 56; verify against the actual join
+    actual = left.join(right, "k").count()
+    assert r.est_join_rows == 56 == actual
+    assert r.n_common_keys == 2
+    assert r.n_left_rows == 14 and r.n_right_rows == 8
+    assert abs(r.hot_key_share - 50 / 56) < 1e-6
+    assert abs(r.amplification - 56 / 14) < 1e-6
+
+
+def test_join_size_report_disjoint_keys(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.skew import (
+        join_size_report,
+    )
+
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(3,)], "k long")
+    [r] = join_size_report(left, right, ["k"]).collect()
+    assert r.est_join_rows == 0 and r.n_common_keys == 0
+    assert r.hot_key_share == 0.0
