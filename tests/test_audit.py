@@ -56,3 +56,34 @@ def test_assert_plan_passes_and_fails(spark):
         audit.assert_plan(df, n_exchanges=0)
     with pytest.raises(KeyError):
         audit.assert_plan(df, not_a_fact=1)
+
+
+def test_new_query_plan_shapes_via_assert_plan(spark):
+    """Dogfood assert_plan on this round's newest queries — regressions
+    in these shapes fail here, not in a bench mystery."""
+    # release_gate: no joins at all; one corpus scan
+    audit.assert_plan(
+        QUERIES["release_gate"](spark, SF0001),
+        n_sortmerge_joins=0, n_cartesian=0, n_scans=1,
+    )
+    # join_size_report: key-count aggs only — the join is key-table-sized
+    audit.assert_plan(
+        QUERIES["join_size_report"](spark, SF0001),
+        n_cartesian=0, n_scans=("<=", 4),
+    )
+    # embedding_drift: no corpus-sized join; exchanges are dim-sized aggs
+    audit.assert_plan(
+        QUERIES["embedding_drift"](spark, SF0001),
+        n_cartesian=0, n_sortmerge_joins=("<=", 1),
+    )
+    # fold_assign: pure narrow projection
+    audit.assert_plan(
+        QUERIES["fold_assign"](spark, SF0001),
+        n_exchanges=0, n_scans=1, has_python_udf=False,
+    )
+    # returned_item_revenue: both dims broadcast, no cartesian
+    audit.assert_plan(
+        QUERIES["returned_item_revenue"](spark, SF0001),
+        n_broadcast_joins=(">=", 2),
+        n_cartesian=0,
+    )
