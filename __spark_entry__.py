@@ -111,6 +111,7 @@ _ROWS_ONLY_PRIORITY = [
     "release_gate",
     "triangle_count",
     "join_size_report",
+    "count_anomaly",
     "join_salted",
     "topk_per_group",
     "session_window",

@@ -203,6 +203,8 @@ HEADLINE = [
     "triangle_count",
     # join pre-flight: exact |A JOIN B| from key-count tables only
     "join_size_report",
+    # seasonally-adjusted volume anomalies (leave-one-out baseline)
+    "count_anomaly",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -109,6 +109,34 @@ def maintain_agg_dataset(
     increasing (streaming batch ids are). Without batch_id the caller
     owns deduplication.
     """
+    return maintain_state_dataset(
+        spark,
+        state_path,
+        lambda: agg_state(batch, keys, value_col),
+        lambda standing, incoming: merge_agg_states(
+            [standing, incoming], keys
+        ),
+        batch_id=batch_id,
+    )
+
+
+def maintain_state_dataset(
+    spark,
+    state_path: str,
+    build_incoming,
+    merge,
+    batch_id: int | None = None,
+) -> dict:
+    """The generic monoid-state maintenance step every incremental
+    operator here shares: `build_incoming()` produces the batch's state
+    DataFrame, `merge(standing, incoming)` folds it into the standing
+    table, and the result swaps in atomically with the optional
+    batch-id marker (exactly-once discipline — see
+    maintain_agg_dataset's docstring). Reused by the per-key stats
+    state (maintain_agg_dataset) and the count-min sketch state
+    (maintain_cm_dataset); any cell-wise-mergeable state (HLL
+    registers, KLL sketches, inverted-index postings) plugs in the
+    same way."""
     import os
     import shutil
 
@@ -120,11 +148,11 @@ def maintain_agg_dataset(
             n = spark.read.parquet(state_path).count()
             return {"keys_before": n, "keys_after": n, "applied": False}
 
-    incoming = agg_state(batch, keys, value_col)
+    incoming = build_incoming()
     if os.path.exists(state_path):
         standing = spark.read.parquet(state_path)
         before = standing.count()
-        merged = merge_agg_states([standing, incoming], keys)
+        merged = merge(standing, incoming)
     else:
         before = 0
         merged = incoming
@@ -142,3 +170,33 @@ def maintain_agg_dataset(
         os.rename(tmp, state_path)
     after = spark.read.parquet(state_path).count()
     return {"keys_before": before, "keys_after": after, "applied": True}
+
+
+def maintain_cm_dataset(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+    batch_id: int | None = None,
+) -> dict:
+    """Count-min sketch as STANDING state: each batch's sketch merges
+    cell-wise into the persisted (row, bucket, cnt) table — point
+    frequencies over the full history at depth·width state, the stream
+    never re-read. Same exactly-once marker discipline as the stats
+    state; (width, depth, seed) must match across batches (the cells
+    are meaningless otherwise — parameters are the caller's contract,
+    mirroring the neardup index param guard)."""
+    from . import aggregates as _agg
+
+    return maintain_state_dataset(
+        spark,
+        state_path,
+        lambda: _agg.cm_build(
+            batch, item_col, width=width, depth=depth, seed=seed
+        ),
+        lambda standing, incoming: _agg.cm_merge([standing, incoming]),
+        batch_id=batch_id,
+    )

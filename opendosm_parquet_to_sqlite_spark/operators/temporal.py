@@ -708,3 +708,69 @@ def attribute_first_touch(
         F.col("__touch.tid").alias("touch_id"),
         (F.col("s") - F.col("__touch.ts")).cast("long").alias("delay_s"),
     )
+
+
+def count_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonally-adjusted volume anomalies: each (day, hour) bucket's
+    event count scored against the (day-of-week, hour) seasonal
+    baseline built from the SAME stream — the ops question "is this
+    hour's traffic weird FOR a Tuesday 3pm", which a global mean would
+    answer wrongly twice a day.
+
+    The baseline is LEAVE-ONE-OUT: each bucket scores against its cell's
+    OTHER observations. This matters, not as a nicety — a naive
+    include-self baseline caps the largest attainable |z| in an n-
+    observation cell at (n−1)/√n ≈ √n (the spike inflates its own mean
+    AND std), so with a month of history (4-5 obs/cell) even a 10×
+    spike cannot cross z=3. LOO removes the masking: the spike scores
+    against the history it deviates from. Implemented from the cell's
+    (n, Σ, Σx²) partials natively — no per-bucket re-aggregation.
+    Cells with < 3 remaining-obs-degrees (n < 4... strictly r−1 < 1)
+    or zero remaining variance yield NULL z and never flag.
+
+    Output: (day, hour, n, expected_n, z, is_anomaly) per observed
+    day-hour; expected_n is the LOO mean.
+
+    Shape: one partial-combined (day, hour) count agg → one ≤168-cell
+    (n, Σ, Σx²) agg over THAT table → broadcast join back → narrow LOO
+    arithmetic — events scan once; everything downstream is day-hour-
+    table-sized. Timezone-independent on TIMESTAMP_NTZ like
+    seasonal_profile.
+    """
+    hourly = df.groupBy(
+        F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+        F.hour(ts_col).cast("long").alias("hour"),
+        F.weekday(ts_col).cast("long").alias("__dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy("__dow", "hour").agg(
+        F.count(F.lit(1)).alias("__cn"),
+        F.sum("n").alias("__sum"),
+        F.sum(F.col("n") * F.col("n")).alias("__ss"),
+    )
+    j = hourly.join(F.broadcast(base), ["__dow", "hour"])
+    x = F.col("n").cast("double")
+    r = F.col("__cn") - 1  # remaining observations
+    # guards double as ANSI-mode division protection (r can be 0)
+    m = F.when(r >= 1, (F.col("__sum") - x) / r)
+    var = F.when(
+        r >= 2,
+        F.greatest(
+            (F.col("__ss") - x * x - r * m * m) / (r - 1), F.lit(0.0)
+        ),
+    )
+    s = F.sqrt(var)
+    z = F.when((r >= 2) & (s > 0), F.round((x - m) / s, 6))
+    return j.select(
+        "day",
+        "hour",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(r >= 1, m), 6).alias("expected_n"),
+        z.alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(z_threshold)))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

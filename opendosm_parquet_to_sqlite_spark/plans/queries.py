@@ -5094,3 +5094,50 @@ def q_join_size_report(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_orderkey").alias("k")
     )
     return skew.join_size_report(orders, li, ["k"])
+
+
+@query(
+    "count_anomaly",
+    """
+    WITH hourly AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    ), base AS (
+        SELECT dow, hour, count(*) AS cn, sum(n) AS sm,
+               sum(n * n) AS ss
+        FROM hourly GROUP BY 1, 2
+    ), loo AS (
+        SELECT h.day, h.hour, h.n,
+               b.cn - 1 AS r,
+               CASE WHEN b.cn >= 2
+                    THEN (b.sm - h.n) * 1.0 / (b.cn - 1) END AS m,
+               CASE WHEN b.cn >= 3 THEN
+                    greatest((b.ss - h.n * h.n
+                         - (b.cn - 1) * ((b.sm - h.n) * 1.0 / (b.cn - 1))
+                                      * ((b.sm - h.n) * 1.0 / (b.cn - 1)))
+                        / (b.cn - 2), 0.0) END AS var
+        FROM hourly h JOIN base b USING (dow, hour)
+    )
+    SELECT day, hour, n,
+           round(CASE WHEN r >= 1 THEN m END, 6) AS expected_n,
+           CASE WHEN r >= 2 AND sqrt(var) > 0
+                THEN round((n - m) / sqrt(var), 6) END AS z,
+           CASE WHEN r >= 2 AND sqrt(var) > 0
+                THEN abs(round((n - m) / sqrt(var), 6)) > 3.0
+                ELSE false END AS is_anomaly
+    FROM loo
+    """,
+    shadow=True,
+)
+def q_count_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonally-adjusted volume anomalies per observed day-hour: the
+    (dow, hour) baseline answers "weird for a Tuesday 3pm"; the
+    LEAVE-ONE-OUT form removes self-masking (an include-self baseline
+    caps |z| at ~sqrt(cell size), hiding real spikes in short
+    histories). Events scan once; baseline is <=168 (n, sum, sumsq)
+    cells, broadcast back. Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    return temporal.count_anomaly(ev, "ts", z_threshold=3.0)

@@ -171,3 +171,29 @@ def test_redelivered_batch_is_skipped(spark, events, tmp_path):
     )
     assert r3["applied"] is True
     assert _canon(spark.read.parquet(state_path)) != s1
+
+
+def test_cm_state_maintenance_matches_whole(spark, tmp_path):
+    """Three batches folded into the persisted CM state == one sketch
+    over the union; estimates agree; redelivery skipped."""
+    from opendosm_parquet_to_sqlite_spark.operators import aggregates
+
+    rows = [(i, f"k{i % 37}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "i long, item string")
+    state = str(tmp_path / "cm")
+    for b in range(3):
+        r = incremental.maintain_cm_dataset(
+            spark, state, df.filter(F.col("i") % 3 == b), "item",
+            width=128, depth=3, batch_id=b,
+        )
+        assert r["applied"] is True
+    whole = aggregates.cm_build(df, "item", width=128, depth=3)
+    a = sorted(map(tuple, spark.read.parquet(state).collect()))
+    b_ = sorted(map(tuple, whole.collect()))
+    assert a == b_
+    # redelivery of batch 2 is a no-op
+    r = incremental.maintain_cm_dataset(
+        spark, state, df, "item", width=128, depth=3, batch_id=2
+    )
+    assert r["applied"] is False
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == a

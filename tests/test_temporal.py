@@ -197,3 +197,61 @@ def test_rolling_features_matches_bruteforce_random(spark):
         assert abs(got[eid][2] - sum(frame) / len(frame)) < 1e-6
         assert got[eid][3] == round(min(frame), 6)
         assert got[eid][4] == round(max(frame), 6)
+
+
+# --- count_anomaly -----------------------------------------------------------
+
+
+def test_count_anomaly_flags_injected_spike(spark):
+    """Steady 5-events-per-hour history with one 50-event hour: only
+    the spike hour flags, z matches the hand-computed value."""
+    from datetime import datetime, timedelta
+
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        count_anomaly,
+    )
+
+    rows = []
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    eid = 0
+    # 4 weeks of steady traffic: hour 10 and 11 daily, 5 events each
+    # (+/- 1 alternating so variance is nonzero)
+    for d in range(28):
+        for h in (10, 11):
+            n = 5 + (d % 2)
+            for _ in range(n):
+                rows.append((eid, t0 + timedelta(days=d, hours=h)))
+                eid += 1
+    # spike: day 29 (same weekday as day 1), hour 10, 50 events
+    for _ in range(50):
+        rows.append((eid, t0 + timedelta(days=28, hours=10)))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = count_anomaly(df, "ts", z_threshold=3.0).toPandas()
+    flagged = out[out.is_anomaly]
+    assert len(flagged) == 1
+    [r] = flagged.itertuples()
+    assert (r.day, r.hour, r.n) == ("2024-01-29", 10, 50)
+    assert r.z > 3.0
+    # all steady hours unflagged with finite z
+    steady = out[~out.is_anomaly]
+    assert (steady.z.abs() <= 3.0).all()
+
+
+def test_count_anomaly_constant_history_never_flags(spark):
+    from datetime import datetime, timedelta
+
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        count_anomaly,
+    )
+
+    t0 = datetime(2024, 3, 4, 9, 0, 0)
+    rows = [
+        (i * 10 + k, t0 + timedelta(days=7 * i))
+        for i in range(3)
+        for k in range(4)  # exactly 4 events, same weekday+hour, 3 weeks
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = count_anomaly(df, "ts").toPandas()
+    assert (~out.is_anomaly).all()
+    assert out.z.isna().all()  # zero-variance cells yield NULL z
