@@ -112,6 +112,8 @@ _ROWS_ONLY_PRIORITY = [
     "triangle_count",
     "join_size_report",
     "count_anomaly",
+    "contamination_fuzzy",
+    "vocab_drift",
     "join_salted",
     "topk_per_group",
     "session_window",

@@ -205,6 +205,10 @@ HEADLINE = [
     "join_size_report",
     # seasonally-adjusted volume anomalies (leave-one-out baseline)
     "count_anomaly",
+    # fuzzy decontamination (winnow fingerprints, broadcast eval set)
+    "contamination_fuzzy",
+    # OOV-mass vocabulary drift (type-table anti-join)
+    "vocab_drift",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -205,3 +205,54 @@ def ngram_overlap_bloom(
             .alias("contaminated"),
         )
     )
+
+
+def winnow_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """FUZZY decontamination via winnowing fingerprints: a corpus doc is
+    flagged when it shares ≥ min_shared SELECTED fingerprints with any
+    benchmark doc. Exact n-gram collision (ngram_overlap) requires a
+    verbatim k-gram survive the contamination; winnowed fingerprints
+    carry the MOSS guarantee instead — any copied run of ≥ window+k−1
+    tokens yields a shared fingerprint even when the surrounding text
+    was paraphrased, retokenized, or truncated — at ~2/(window+1) of
+    the gram-set size, so the broadcast side is several times smaller
+    than the exact-gram set for the same eval suite.
+
+    Output: (doc_id, n_overlap, contaminated) for every corpus doc —
+    same schema and reading as ngram_overlap, so callers swap freely.
+
+    Shape: benchmark fingerprints are DISTINCT + BROADCAST (eval-suite-
+    sized); corpus fingerprints stream out of the doc-keyed window
+    selection; one doc-keyed count + left join back. The corpus text
+    never shuffles beyond the fingerprint selection's single doc-keyed
+    exchange.
+    """
+    from .neardup import winnow_fingerprints
+
+    bench = F.broadcast(
+        winnow_fingerprints(benchmark, text_col, id_col, k=k, window=window)
+        .select("fp")
+        .distinct()
+    )
+    cand = winnow_fingerprints(corpus, text_col, id_col, k=k, window=window)
+    hits = (
+        cand.join(bench, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id"))
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_shared)
+        .cast("int")
+        .alias("contaminated"),
+    )

@@ -871,3 +871,67 @@ def normalize_text(
     return df.withColumn(out_col, canon).withColumn(
         fp_col, F.md5(F.col(out_col))
     )
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Vocabulary drift between two corpus slices: how much of slice B's
+    token MASS falls outside slice A's (min-freq-pruned) vocabulary —
+    the tokenizer-health companion to psi_drift (numeric features) and
+    embedding_drift (vectors). A rising OOV share is the earliest
+    symptom of a source change the downstream tokenizer was not fitted
+    for: new language, new markup, encoding corruption, spam injection.
+
+    Output (one row): oov_token_share (6 dp — share of B's token
+    occurrences whose type is not in A's vocab), n_new_types (distinct
+    unseen types in B), vocab_size_a, n_tokens_a, n_tokens_b.
+
+    Shape: each side is one token explode + (token)-keyed partial-
+    combined count; the pruned A-vocab joins B's TYPE table (type-
+    count-sized, not token-stream-sized) with a broadcast left-anti;
+    the final row folds the type tables. Raw text never shuffles.
+    """
+    ta = (
+        df_a.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    vocab_a = ta.filter(F.col("ca") >= int(min_freq)).select("tok")
+    tb = (
+        df_b.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    oov = tb.join(F.broadcast(vocab_a), "tok", "left_anti")
+    stats_a = ta.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).alias("n_tokens_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("ca") >= int(min_freq), 1)), F.lit(0)
+        ).alias("vocab_size_a"),
+    )
+    stats_b = tb.agg(F.coalesce(F.sum("cb"), F.lit(0)).alias("n_tokens_b"))
+    stats_oov = oov.agg(
+        F.coalesce(F.sum("cb"), F.lit(0)).alias("__oov_mass"),
+        F.count(F.lit(1)).alias("n_new_types"),
+    )
+    return (
+        stats_oov.crossJoin(F.broadcast(stats_a))
+        .crossJoin(F.broadcast(stats_b))
+        .select(
+            F.round(
+                F.when(
+                    F.col("n_tokens_b") > 0,
+                    F.col("__oov_mass") / F.col("n_tokens_b"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_token_share"),
+            F.col("n_new_types").cast("long"),
+            F.col("vocab_size_a").cast("long"),
+            F.col("n_tokens_a").cast("long"),
+            F.col("n_tokens_b").cast("long"),
+        )
+    )

@@ -5141,3 +5141,102 @@ def q_count_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     cells, broadcast back. Hash-checked."""
     ev = load_table(spark, sf, "events")
     return temporal.count_anomaly(ev, "ts", z_threshold=3.0)
+
+
+_WINNOW_SEL_DUCK = """
+    toksw AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ), gramsw AS (
+        SELECT doc_id,
+               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                   AS g
+        FROM toksw
+    ), hsw AS (
+        SELECT doc_id, [md5(x) for x in g] AS h FROM gramsw
+    ), selw AS (
+        SELECT doc_id, unnest(list_distinct(
+            [list_min(h[i:i+3]) for i in range(1, len(h)-2)]
+        )) AS fp
+        FROM hsw
+    )
+"""
+
+
+@query(
+    "contamination_fuzzy",
+    f"""
+    WITH {_WINNOW_SEL_DUCK},
+    bench AS (SELECT DISTINCT fp FROM selw WHERE doc_id % 97 = 0),
+    cand AS (SELECT doc_id, fp FROM selw WHERE doc_id % 97 <> 0),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM cand JOIN bench USING (fp) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           CAST(coalesce(h.n_overlap, 0) >= 1 AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+    shadow=True,
+)
+def q_contamination_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy decontamination: winnowed-fingerprint collision against the
+    doc_id %% 97 == 0 pseudo-eval-set — the MOSS guarantee makes any
+    copied run of >= window+k-1 tokens detectable even inside otherwise
+    rewritten documents, where exact 5-gram collision needs a verbatim
+    k-gram. Benchmark fingerprints broadcast at ~2/(window+1) the size
+    of the exact gram set. Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    out = contamination.winnow_overlap(
+        cand, bench, "text", "doc_id", k=5, window=4, min_shared=1
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+@query(
+    "vocab_drift",
+    """
+    WITH ta AS (
+        SELECT t AS tok, count(*) AS ca FROM (
+            SELECT unnest(list_filter(string_split_regex(trim(text),
+                '\\s+'), x -> x != '')) AS t
+            FROM documents WHERE doc_id % 2 = 0
+        ) GROUP BY 1
+    ), tb AS (
+        SELECT t AS tok, count(*) AS cb FROM (
+            SELECT unnest(list_filter(string_split_regex(trim(text),
+                '\\s+'), x -> x != '')) AS t
+            FROM documents WHERE doc_id % 2 = 1
+        ) GROUP BY 1
+    ), va AS (SELECT tok FROM ta WHERE ca >= 2),
+    oov AS (SELECT tb.* FROM tb ANTI JOIN va USING (tok))
+    SELECT round(CASE WHEN (SELECT sum(cb) FROM tb) > 0
+                 THEN (SELECT coalesce(sum(cb), 0) FROM oov) * 1.0
+                      / (SELECT sum(cb) FROM tb)
+                 ELSE 0.0 END, 6) AS oov_token_share,
+           (SELECT CAST(count(*) AS BIGINT) FROM oov) AS n_new_types,
+           (SELECT CAST(count(*) AS BIGINT) FROM va) AS vocab_size_a,
+           (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) FROM ta)
+               AS n_tokens_a,
+           (SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) FROM tb)
+               AS n_tokens_b
+    """,
+    shadow=True,
+)
+def q_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """OOV-mass vocabulary drift between the even/odd document halves:
+    the tokenizer-health companion to psi_drift/embedding_drift —
+    share of slice B's token occurrences outside slice A's min-freq-2
+    vocabulary, plus type counts. Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return text.vocab_drift(a, b, "text", min_freq=2)

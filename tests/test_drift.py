@@ -215,3 +215,35 @@ def test_embedding_drift_zero_mean_is_null(spark):
     [r] = projection.embedding_drift(a, b, "embedding", "g").collect()
     assert r.cos_means is None
     assert r.norm_a == 0.0
+
+
+def test_vocab_drift_detects_new_vocabulary(spark):
+    from opendosm_parquet_to_sqlite_spark.operators import text as _t
+
+    base = [(i, "alpha beta gamma delta epsilon") for i in range(20)]
+    a = spark.createDataFrame(base, "doc_id long, text string")
+    same = spark.createDataFrame(base, "doc_id long, text string")
+    [r0] = _t.vocab_drift(a, same, "text", min_freq=2).collect()
+    assert r0.oov_token_share == 0.0 and r0.n_new_types == 0
+    assert r0.vocab_size_a == 5 and r0.n_tokens_a == 100
+
+    # half of B's mass is brand-new vocabulary
+    b = spark.createDataFrame(
+        [(i, "alpha beta zork quux") for i in range(20)],
+        "doc_id long, text string",
+    )
+    [r1] = _t.vocab_drift(a, b, "text", min_freq=2).collect()
+    assert abs(r1.oov_token_share - 0.5) < 1e-6
+    assert r1.n_new_types == 2
+
+    # min_freq prunes hapaxes from A's vocab: a word seen once in A
+    # still counts as OOV in B
+    a2 = spark.createDataFrame(
+        [(0, "alpha rareword"), (1, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(0, "rareword rareword")], "doc_id long, text string"
+    )
+    [r2] = _t.vocab_drift(a2, b2, "text", min_freq=2).collect()
+    assert r2.oov_token_share == 1.0

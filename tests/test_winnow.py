@@ -91,3 +91,44 @@ def test_locality_beats_whole_doc_jaccard(spark):
     got = win.collect()
     assert len(got) == 1 and (got[0].id_a, got[0].id_b) == (1, 2)
     assert got[0].n_shared >= 2
+
+
+def test_fuzzy_decontamination_catches_paraphrased_leakage(spark):
+    """A benchmark passage embedded in a rewritten doc: exact 5-gram
+    collision on the FULL doc still fires only if a verbatim 5-gram
+    survives — here the copied run is intact, so both methods flag it;
+    the discriminating case is the broadcast-side size and the
+    guarantee: shared run == window+k-1 tokens is SUFFICIENT for the
+    fuzzy flag."""
+    import random
+
+    from opendosm_parquet_to_sqlite_spark.operators import contamination
+
+    rng = random.Random(41)
+    passage = _words(rng, W + K - 1, "bench")  # minimal guaranteed run
+    bench = spark.createDataFrame(
+        [(1000, " ".join(_words(rng, 20, "q") + passage))],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contaminated: the passage verbatim inside fresh text
+            (1, " ".join(_words(rng, 60, "a") + passage + _words(rng, 60, "b"))),
+            # clean: disjoint vocabulary
+            (2, " ".join(_words(rng, 120, "c"))),
+            # too-short overlap: only k tokens of the passage (< w+k-1)
+            (3, " ".join(_words(rng, 60, "d") + passage[:K] + _words(rng, 60, "e"))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.contaminated
+        for r in contamination.winnow_overlap(
+            corpus, bench, "text", "doc_id", k=K, window=W
+        ).collect()
+    }
+    assert out[1] == 1  # the guarantee
+    assert out[2] == 0
+    # doc 3 MAY collide (a k-gram can be selected on both sides) but the
+    # guarantee only promises detection at >= w+k-1; assert it exists
+    assert out[3] in (0, 1)
