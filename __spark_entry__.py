@@ -114,6 +114,7 @@ _ROWS_ONLY_PRIORITY = [
     "count_anomaly",
     "contamination_fuzzy",
     "vocab_drift",
+    "weighted_median",
     "join_salted",
     "topk_per_group",
     "session_window",
@@ -140,6 +141,7 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_incremental",
     "dedup_simhash",
     "sketch_profile",
+    "rolling_distinct",
     "unigram_logprob",
     "quality_classifier_2iter",
     "text_lang_id_ngram",

@@ -209,6 +209,10 @@ HEADLINE = [
     "contamination_fuzzy",
     # OOV-mass vocabulary drift (type-table anti-join)
     "vocab_drift",
+    # DAU/WAU via HLL sketch unions over the day table (never a rescan)
+    "rolling_distinct",
+    # exact weighted quantile (distinct-value collapse + cum window)
+    "weighted_median",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -588,3 +588,103 @@ def cm_estimate(
         joined.groupBy(*items.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def rolling_distinct_hll(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    window_days: int = 7,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Rolling N-day distinct counts (the DAU/WAU/MAU family) the way
+    they are computable at 100 TB: ONE HLL sketch per day, then a
+    sliding window of sketch UNIONS — because distinct counts do not
+    sum, the exact rolling form must re-scan N days of raw events per
+    output row (or keep a giant distinct state), while sketch unions
+    are day-table-sized and reuse each day's scan exactly once.
+
+    Output per day: (day, n_events, distinct_day, distinct_window) —
+    the daily exact-regime estimate and the trailing window_days union
+    estimate (both Apache DataSketches HLL, relative error ~1.6% at
+    lg_k=12 [Spark's hll_sketch_agg default config family]).
+
+    Shape: one (day)-keyed partial-combined sketch agg over the events
+    → a ≤days-row table → ROWS-frame window union — the window
+    operates on KB sketches, never raw events. Rows-only in the
+    registry (sketch estimates are engine-specific); accuracy is
+    pinned vs exact rolling distinct in pytest.
+    """
+    from pyspark.sql.window import Window as W
+
+    daily = df.groupBy(
+        F.date_format(ts_col, "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.hll_sketch_agg(F.col(id_col), F.lit(int(lg_k))).alias("__sk"),
+    )
+    w = W.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    # NOTE: single-partition window over the DAY table (days-count rows,
+    # KB sketches) — deliberately driver-scale, like every calendar table
+    return daily.select(
+        "day",
+        F.col("n_events").cast("long"),
+        F.hll_sketch_estimate("__sk").cast("long").alias("distinct_day"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("__sk").over(w)
+        ).cast("long").alias("distinct_window"),
+    ).orderBy("day")
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact weighted quantile per group: the smallest value whose
+    cumulative weight reaches q·total — the statistic behind "median
+    document length weighted by token count" or "median price weighted
+    by quantity", where the unweighted median answers a different (and
+    usually wrong) question.
+
+    Determinism is engineered, not assumed: weights COLLAPSE per
+    distinct value first (one partial-combined agg), so the cumulative
+    sum walks distinct values in a total order — a row-level cumsum
+    would break ties by partition-dependent row order and flap between
+    equal-valued rows. NULL values and NULL/≤0 weights are excluded
+    (a zero-weight observation cannot carry a quantile).
+
+    Output per group: (group..., wq) — wq NULL for groups with no
+    positive-weight rows. Fully SQL-expressible → hash-checked.
+
+    Shape: (group, value)-keyed partial-combined weight agg → one
+    group-keyed window cumsum over the DISTINCT-value table (≤ distinct
+    values per group, not rows) → min-satisfying-value agg.
+    """
+    from pyspark.sql.window import Window as W
+
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    groups = list(group_cols or [])
+    v = F.col(value_col)
+    w = F.col(weight_col).cast("double")
+    base = df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+    per_val = base.groupBy(*groups, v.alias("__v")).agg(
+        F.sum(w).alias("__w")
+    )
+    win = W.partitionBy(*groups).orderBy("__v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot = W.partitionBy(*groups)
+    cum = per_val.select(
+        *groups,
+        "__v",
+        F.sum("__w").over(win).alias("__cum"),
+        F.sum("__w").over(tot).alias("__tot"),
+    )
+    hit = cum.filter(F.col("__cum") >= F.lit(float(q)) * F.col("__tot"))
+    if groups:
+        return hit.groupBy(*groups).agg(F.min("__v").alias("wq"))
+    return hit.agg(F.min("__v").alias("wq"))

@@ -5240,3 +5240,49 @@ def q_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
     a = docs.filter(F.col("doc_id") % 2 == 0)
     b = docs.filter(F.col("doc_id") % 2 == 1)
     return text.vocab_drift(a, b, "text", min_freq=2)
+
+
+@query("rolling_distinct")  # rows-only: sketch estimates are engine-specific
+def q_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """7-day rolling distinct users via HLL sketch unions (DAU/WAU at
+    scale): one sketch per day, window unions over the KB-sized day
+    table — never a rescan of raw events. Accuracy vs exact rolling
+    distinct pinned in tests/test_sketches.py."""
+    ev = load_table(spark, sf, "events")
+    return aggregates.rolling_distinct_hll(
+        ev, "ts", "user_id", window_days=7
+    )
+
+
+@query(
+    "weighted_median",
+    """
+    WITH per_val AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               sum(CAST(l_quantity AS DOUBLE)) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_quantity > 0
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, v,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY l_returnflag) AS t
+        FROM per_val
+    )
+    SELECT l_returnflag, min(v) AS wq
+    FROM cum WHERE c >= 0.5 * t GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: exact
+    lower weighted quantile via per-distinct-value weight collapse +
+    cumulative window — deterministic under ties by construction.
+    Hash-checked."""
+    li = load_table(spark, sf, "lineitem")
+    return aggregates.weighted_quantile(
+        li, "l_extendedprice", "l_quantity", q=0.5,
+        group_cols=["l_returnflag"],
+    )

@@ -221,3 +221,78 @@ def test_cm_weighted_build(spark):
         ).collect()
     }
     assert est["a"] == 15 and est["b"] == 1
+
+
+def test_rolling_distinct_hll_tracks_exact(spark):
+    """HLL daily + 7-day rolling estimates within the published ~2%
+    envelope (x3 slack) of exact recomputation on the fixture."""
+    from opendosm_parquet_to_sqlite_spark.operators.aggregates import (
+        rolling_distinct_hll,
+    )
+
+    ev = load_table(spark, SF0001, "events")
+    got = rolling_distinct_hll(ev, "ts", "user_id", window_days=7).toPandas()
+    exact_daily = {
+        r["day"]: r["d"]
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    days = sorted(exact_daily)
+    pdf = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).toPandas()
+    assert len(got) == len(days)
+    for row in got.itertuples():
+        assert abs(row.distinct_day - exact_daily[row.day]) <= max(
+            3, 0.05 * exact_daily[row.day]
+        )
+        lo = days[max(0, days.index(row.day) - 6)]
+        exact_win = pdf[(pdf.day >= lo) & (pdf.day <= row.day)][
+            "user_id"
+        ].nunique()
+        assert abs(row.distinct_window - exact_win) <= max(3, 0.05 * exact_win)
+    # window >= day always (unions only grow)
+    assert (got.distinct_window >= got.distinct_day * 0.95).all()
+
+
+def test_weighted_quantile_reference_and_edges(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.aggregates import (
+        weighted_quantile,
+    )
+
+    # hand case: values 1..4, weights 1,1,6,2 (total 10); cum: 1,2,8,10
+    # -> q=0.5 crosses at value 3; q=0.2 at value 2; q=1.0 at 4
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 6.0), ("g", 4.0, 2.0)],
+        "g string, v double, w double",
+    )
+    for q, want in [(0.5, 3.0), (0.2, 2.0), (1.0, 4.0), (0.05, 1.0)]:
+        [r] = weighted_quantile(df, "v", "w", q=q, group_cols=["g"]).collect()
+        assert r.wq == want, (q, r.wq)
+    # unit weights degenerate to the plain lower median
+    dfu = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in [5, 1, 3, 2, 4]],
+        "g string, v double, w double",
+    )
+    [r] = weighted_quantile(dfu, "v", "w", 0.5, ["g"]).collect()
+    assert r.wq == 3.0
+    # ties: duplicated values collapse deterministically
+    dft = spark.createDataFrame(
+        [("g", 1.0, 1.0)] * 3 + [("g", 2.0, 1.0)] * 3,
+        "g string, v double, w double",
+    )
+    [r] = weighted_quantile(dft, "v", "w", 0.5, ["g"]).collect()
+    assert r.wq == 1.0  # cum(1.0)=3 >= 3
+    # zero/negative/NULL weights excluded; all-excluded group vanishes
+    dfz = spark.createDataFrame(
+        [("g", 1.0, 0.0), ("g", 2.0, -1.0), ("h", 9.0, 1.0)],
+        "g string, v double, w double",
+    )
+    got = {r.g: r.wq for r in
+           weighted_quantile(dfz, "v", "w", 0.5, ["g"]).collect()}
+    assert got == {"h": 9.0}
+    import pytest as _p
+
+    with _p.raises(ValueError, match="q must be"):
+        weighted_quantile(df, "v", "w", 0.0, ["g"])
