@@ -200,3 +200,42 @@ def maintain_cm_dataset(
         lambda standing, incoming: _agg.cm_merge([standing, incoming]),
         batch_id=batch_id,
     )
+
+
+def maintain_hll_dataset(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    id_col: str,
+    lg_k: int = 12,
+    batch_id: int | None = None,
+) -> dict:
+    """Per-key DISTINCT-count state via mergeable HLL sketches — the
+    third instance of the generic monoid maintainer (stats, count-min,
+    now HLL): each batch contributes one sketch per key, standing
+    sketches merge via hll_union. Distinct counts are the canonical
+    "cannot maintain incrementally without sketches" aggregate — exact
+    maintenance needs the full id set per key as state; this keeps
+    KBs per key with ~1.6% relative error at lg_k=12, and the union is
+    order/batching-insensitive (estimate equality under any split is
+    test-pinned). Query the state with hll_sketch_estimate(sketch)."""
+    from pyspark.sql import functions as F2
+
+    def build():
+        return batch.groupBy(*keys).agg(
+            F2.hll_sketch_agg(F2.col(id_col), F2.lit(int(lg_k))).alias(
+                "sketch"
+            )
+        )
+
+    def merge(standing, incoming):
+        return (
+            standing.unionByName(incoming)
+            .groupBy(*keys)
+            .agg(F2.hll_union_agg("sketch").alias("sketch"))
+        )
+
+    return maintain_state_dataset(
+        spark, state_path, build, merge, batch_id=batch_id
+    )

@@ -197,3 +197,39 @@ def test_cm_state_maintenance_matches_whole(spark, tmp_path):
     )
     assert r["applied"] is False
     assert sorted(map(tuple, spark.read.parquet(state).collect())) == a
+
+
+def test_hll_state_maintenance_estimates_match_whole(spark, tmp_path):
+    """Per-key distinct estimates from 3-batch-maintained HLL state ==
+    estimates from one whole-stream sketch, exactly (union is
+    order-insensitive), and within 5% of exact distinct counts."""
+    rows = [(i, f"k{i % 4}", i % 500) for i in range(6000)]
+    df = spark.createDataFrame(rows, "i long, k string, uid long")
+    state = str(tmp_path / "hll")
+    for b in range(3):
+        incremental.maintain_hll_dataset(
+            spark, state, df.filter(F.col("i") % 3 == b), ["k"], "uid",
+            batch_id=b,
+        )
+    got = {
+        r.k: r.est
+        for r in spark.read.parquet(state)
+        .select("k", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    whole = {
+        r.k: r.est
+        for r in df.groupBy("k")
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg("uid", F.lit(12))).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.k: r.d
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("uid").alias("d"))
+        .collect()
+    }
+    assert got == whole
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k])

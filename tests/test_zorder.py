@@ -136,3 +136,50 @@ def test_zorder_key_null_and_constant_columns(spark):
     assert len(rows) == 4  # nothing dropped
     # constant column collapses to bucket 0; NULLs coalesce to bucket 0
     assert all(r["__zorder"] is not None for r in rows)
+
+
+# --- rowgroup_stats / prunable_fraction (the audit as a public API) ----------
+
+
+def test_rowgroup_stats_audit_matches_footers(spark, events, tmp_path):
+    from opendosm_parquet_to_sqlite_spark.sinks.dataset import (
+        prunable_fraction,
+        rowgroup_stats,
+        write_zordered,
+    )
+
+    zpath = str(tmp_path / "z")
+    write_zordered(events, zpath, ["user_id", "value"], n_files=8)
+    stats = rowgroup_stats(spark, zpath, ["user_id", "value"])
+    pdf = stats.toPandas()
+    # one row per (file, row_group) per requested column; rows add up
+    assert set(pdf.column) == {"user_id", "value"}
+    per_col_rows = pdf.groupby("column").num_rows.sum()
+    n = events.count()
+    assert (per_col_rows == n).all()
+    # numeric casts populated and consistent with string stats
+    assert pdf.min_num.notna().all()
+    assert (pdf.min_num <= pdf.max_num).all()
+
+    # z-ordered layout prunes a mid band on BOTH clustered columns;
+    # a random (unsorted) copy prunes ~nothing
+    rpath = str(tmp_path / "r")
+    events.repartition(8).write.parquet(rpath)
+    rstats = rowgroup_stats(spark, rpath, ["user_id", "value"])
+    lo, hi = 100.0, 120.0
+    z_frac = prunable_fraction(stats, "user_id", lo, hi)
+    r_frac = prunable_fraction(rstats, "user_id", lo, hi)
+    assert z_frac > r_frac
+    # 8 z-ordered files = ~1.5 morton bits per dimension: a narrow band
+    # overlaps ~half the per-dim ranges, so ~25% prunable is the
+    # expected order; the random layout prunes ~0
+    assert z_frac >= 0.2
+
+
+def test_rowgroup_stats_empty_dir_raises(spark, tmp_path):
+    import pytest as _p
+
+    from opendosm_parquet_to_sqlite_spark.sinks.dataset import rowgroup_stats
+
+    with _p.raises(ValueError, match="no parquet files"):
+        rowgroup_stats(spark, str(tmp_path / "nope"))
