@@ -115,6 +115,7 @@ _ROWS_ONLY_PRIORITY = [
     "contamination_fuzzy",
     "vocab_drift",
     "weighted_median",
+    "interval_union",
     "join_salted",
     "topk_per_group",
     "session_window",

@@ -213,6 +213,8 @@ HEADLINE = [
     "rolling_distinct",
     # exact weighted quantile (distinct-value collapse + cum window)
     "weighted_median",
+    # interval coalescing (running-max gaps-and-islands, one exchange)
+    "interval_union",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -774,3 +774,66 @@ def count_anomaly(
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def interval_union(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    min_gap: float = 0.0,
+) -> DataFrame:
+    """Coalesce overlapping/adjacent intervals per key into maximal
+    disjoint islands — the generic interval-union primitive behind
+    sessionization, availability windows, outage stitching, and
+    blocklist compaction (SCD2 compaction is its change-aware cousin).
+    Intervals whose gap to the running union is ≤ min_gap merge;
+    half-open or closed semantics follow from min_gap (0 merges
+    touching intervals).
+
+    Deterministic islands via the classic gaps-and-islands shape: sort
+    by (start, end) per key, an island BREAKS where start exceeds the
+    running max of previous ends by more than min_gap (the running max
+    matters — a long interval can swallow several later short ones, and
+    comparing against merely the PREVIOUS end would split a covered
+    interval out of its island; test-pinned).
+
+    Output per island: key cols + (start, end, n_merged).
+
+    Shape: ONE key exchange + in-partition sort; two windows (running
+    max + island cumsum) share it; final island agg rides the same
+    partitioning. Invalid intervals (end < start, NULL bounds) are
+    dropped (documented, not silently absorbed).
+    """
+    from pyspark.sql.window import Window as W
+
+    s = F.col(start_col).cast("double")
+    e = F.col(end_col).cast("double")
+    base = df.filter(
+        s.isNotNull() & e.isNotNull() & (e >= s)
+    ).select(*key_cols, s.alias("__s"), e.alias("__e"))
+    w = W.partitionBy(*key_cols).orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max_end.isNull() | (F.col("__s") > prev_max_end + min_gap),
+        1,
+    ).otherwise(0)
+    marked = base.select(
+        *key_cols, "__s", "__e", brk.alias("__brk")
+    ).select(
+        *key_cols,
+        "__s",
+        "__e",
+        F.sum("__brk").over(w).alias("__island"),
+    )
+    return (
+        marked.groupBy(*key_cols, "__island")
+        .agg(
+            F.min("__s").alias("start"),
+            F.max("__e").alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
+    )

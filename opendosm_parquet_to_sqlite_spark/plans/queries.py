@@ -5286,3 +5286,49 @@ def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
         li, "l_extendedprice", "l_quantity", q=0.5,
         group_cols=["l_returnflag"],
     )
+
+
+@query(
+    "interval_union",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS DOUBLE) AS s,
+               CAST(floor(epoch(ts)) + 1800 AS DOUBLE) AS e
+        FROM events
+    ), marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                  OR s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS brk
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s, e,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    )
+    SELECT user_id, min(s) AS start, max(e) AS "end",
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM islands GROUP BY user_id, island
+    """,
+    shadow=True,
+)
+def q_interval_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user coalesced activity windows: each event opens a 30-min
+    interval; overlapping intervals merge into maximal islands via the
+    running-max gaps-and-islands shape (one key exchange, shared by
+    both windows and the island agg). Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    secs = F.floor(
+        F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")) / 1000000
+    ).cast("double")
+    iv = ev.select(
+        "user_id", secs.alias("ivs"), (secs + 1800).alias("ive")
+    )
+    return temporal.interval_union(iv, ["user_id"], "ivs", "ive")

@@ -255,3 +255,61 @@ def test_count_anomaly_constant_history_never_flags(spark):
     out = count_anomaly(df, "ts").toPandas()
     assert (~out.is_anomaly).all()
     assert out.z.isna().all()  # zero-variance cells yield NULL z
+
+
+# --- interval_union ----------------------------------------------------------
+
+
+def test_interval_union_running_max_matters(spark):
+    """A long interval swallowing later short ones: comparing against
+    merely the PREVIOUS end would split covered intervals out of the
+    island — the running max keeps them in."""
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        interval_union,
+    )
+
+    rows = [
+        ("k", 0.0, 100.0),   # long
+        ("k", 10.0, 20.0),   # covered
+        ("k", 30.0, 40.0),   # covered (prev end 20 < 30 would break!)
+        ("k", 90.0, 150.0),  # overlaps the long one's end
+        ("k", 200.0, 210.0), # separate island
+    ]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    got = sorted(
+        (r.start, r.end, r.n_merged)
+        for r in interval_union(df, ["k"], "s", "e").collect()
+    )
+    assert got == [(0.0, 150.0, 4), (200.0, 210.0, 1)]
+
+
+def test_interval_union_gap_and_touching(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        interval_union,
+    )
+
+    rows = [("k", 0.0, 10.0), ("k", 10.0, 20.0), ("k", 25.0, 30.0)]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    # touching merges at min_gap=0; the 5-wide gap stays split
+    got = sorted(
+        (r.start, r.end) for r in
+        interval_union(df, ["k"], "s", "e").collect()
+    )
+    assert got == [(0.0, 20.0), (25.0, 30.0)]
+    # min_gap=5 merges everything
+    got2 = sorted(
+        (r.start, r.end) for r in
+        interval_union(df, ["k"], "s", "e", min_gap=5.0).collect()
+    )
+    assert got2 == [(0.0, 30.0)]
+
+
+def test_interval_union_drops_invalid(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        interval_union,
+    )
+
+    rows = [("k", 5.0, 1.0), ("k", None, 3.0), ("k", 1.0, 2.0)]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    got = interval_union(df, ["k"], "s", "e").collect()
+    assert [(r.start, r.end, r.n_merged) for r in got] == [(1.0, 2.0, 1)]
