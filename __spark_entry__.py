@@ -116,6 +116,7 @@ _ROWS_ONLY_PRIORITY = [
     "vocab_drift",
     "weighted_median",
     "interval_union",
+    "neyman_allocation",
     "join_salted",
     "topk_per_group",
     "session_window",

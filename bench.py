@@ -215,6 +215,8 @@ HEADLINE = [
     "weighted_median",
     # interval coalescing (running-max gaps-and-islands, one exchange)
     "interval_union",
+    # Neyman minimum-variance sampling allocation (one stats agg)
+    "neyman_allocation",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -537,3 +537,80 @@ def fold_assign(
     splits = [(str(i), 1.0 / k) for i in range(k)]
     out = split_assign(df, id_col, splits, namespace)
     return out.withColumn("fold", F.col("split").cast("int")).drop("split")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Minimum-variance sample-budget allocation across strata [Neyman
+    1934]: n_h ∝ N_h·S_h — strata that are LARGE or internALLY VARIABLE
+    earn more of the budget, which is how a fixed labeling/eval budget
+    buys the tightest estimate of a corpus mean (uniform and
+    proportional allocation are both strictly worse unless all strata
+    share one stddev). The quality-audit budget question ("which 10k
+    docs do we hand-review") is exactly this.
+
+    Output per stratum: (stratum, n_rows, std_value, alloc_n,
+    alloc_rate 6 dp) with alloc_n = round(total_n · N_h S_h / Σ N S)
+    capped at N_h (can't sample more rows than exist; single-value
+    strata have S=0 and draw nothing — by design: their mean is already
+    exact from any single row).
+
+    Shape: ONE partial-combined stats agg to a strata-sized table;
+    allocation is narrow arithmetic over it. Feed the rates into
+    stratified_sample for the deterministic draw (neyman_sample)."""
+    s = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.stddev_pop(F.col(value_col)), F.lit(0.0)).alias(
+            "__s"
+        ),
+    )
+    tot = s.agg(
+        F.sum(F.col("n_rows") * F.col("__s")).alias("__tot")
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    alloc = F.when(
+        F.col("__tot") > 0,
+        F.round(
+            F.lit(int(total_n)) * F.col("n_rows") * F.col("__s")
+            / F.col("__tot")
+        ),
+    ).otherwise(F.lit(0.0))
+    alloc_capped = F.least(alloc, F.col("n_rows").cast("double"))
+    return j.select(
+        "stratum",
+        F.col("n_rows").cast("long"),
+        F.round(F.col("__s"), 6).alias("std_value"),
+        alloc_capped.cast("long").alias("alloc_n"),
+        F.round(alloc_capped / F.col("n_rows"), 6).alias("alloc_rate"),
+    )
+
+
+def neyman_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    value_col: str,
+    total_n: int,
+    namespace: str = "neyman",
+) -> DataFrame:
+    """Deterministic draw at the Neyman allocation: compute per-stratum
+    rates (one strata-sized collect — the domain_mix pattern) and apply
+    the md5-band stratified sampler. Same determinism contract as every
+    sampler here; realized sizes are Binomial around alloc_n (hash
+    banding is per-row, not exact-k — swap sample_per_group's
+    WindowGroupLimit cap when exact counts matter more than one-pass
+    narrowness)."""
+    rates = {
+        r["stratum"]: r["alloc_rate"]
+        for r in neyman_allocation(
+            df, strata_col, value_col, total_n
+        ).collect()
+    }
+    return stratified_sample(
+        df, strata_col, id_col, rates, default_rate=0.0,
+        namespace=namespace,
+    )

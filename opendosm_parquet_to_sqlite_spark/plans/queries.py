@@ -5332,3 +5332,32 @@ def q_interval_union(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", secs.alias("ivs"), (secs + 1800).alias("ive")
     )
     return temporal.interval_union(iv, ["user_id"], "ivs", "ive")
+
+
+@query(
+    "neyman_allocation",
+    """
+    WITH s AS (
+        SELECT event_type AS stratum,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               coalesce(stddev_pop(value), 0.0) AS sd
+        FROM events GROUP BY 1
+    ), t AS (SELECT sum(n_rows * sd) AS tot FROM s)
+    SELECT stratum, n_rows, round(sd, 6) AS std_value,
+           CAST(least(CASE WHEN t.tot > 0
+                      THEN round(1000 * s.n_rows * s.sd / t.tot)
+                      ELSE 0.0 END, n_rows * 1.0) AS BIGINT) AS alloc_n,
+           round(least(CASE WHEN t.tot > 0
+                      THEN round(1000 * s.n_rows * s.sd / t.tot)
+                      ELSE 0.0 END, n_rows * 1.0) / n_rows, 6)
+               AS alloc_rate
+    FROM s, t
+    """,
+    shadow=True,
+)
+def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-variance allocation of a 1000-row sample budget across
+    event types (n_h ∝ N_h·S_h, capped at N_h): the labeling-budget
+    optimizer behind neyman_sample. One stats agg; hash-checked."""
+    ev = load_table(spark, sf, "events")
+    return sampling.neyman_allocation(ev, "event_type", "value", 1000)

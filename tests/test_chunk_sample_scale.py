@@ -301,3 +301,54 @@ def test_robust_scale_approx_close_to_exact(spark):
     }
     diffs = [abs(exact[k] - approx[k]) for k in exact if exact[k] is not None]
     assert max(diffs) < 0.05  # sketch accuracy=10000 on 5k rows is tight
+
+
+# --- neyman allocation / sample ----------------------------------------------
+
+
+def test_neyman_allocation_favors_large_and_variable_strata(spark):
+    import random
+
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        neyman_allocation,
+        neyman_sample,
+    )
+    from pyspark.sql import functions as F2
+
+    rng = random.Random(51)
+    rows = []
+    rid = 0
+    # stratum A: large + high variance; B: large + low variance;
+    # C: small + high variance; D: constant (S=0)
+    for _ in range(2000):
+        rows.append((rid, "A", rng.gauss(0, 10))); rid += 1
+    for _ in range(2000):
+        rows.append((rid, "B", rng.gauss(0, 1))); rid += 1
+    for _ in range(200):
+        rows.append((rid, "C", rng.gauss(0, 10))); rid += 1
+    for _ in range(500):
+        rows.append((rid, "D", 7.0)); rid += 1
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    alloc = {r.stratum: r for r in
+             neyman_allocation(df, "s", "v", 1000).collect()}
+    # N*S: A=20000, B=2000, C=2000, D=0 -> A ~833, B ~83, C ~83, D 0
+    assert alloc["D"].alloc_n == 0
+    assert alloc["A"].alloc_n > 700
+    assert abs(alloc["B"].alloc_n - alloc["C"].alloc_n) < 30
+    assert sum(a.alloc_n for a in alloc.values()) <= 1050
+    # caps at stratum size
+    tiny = neyman_allocation(
+        df.filter(F2.col("s").isin("C", "D")), "s", "v", 5000
+    ).collect()
+    for r in tiny:
+        assert r.alloc_n <= r.n_rows
+
+    # the draw: realized sizes near allocation, deterministic
+    samp = neyman_sample(df, "s", "id", "v", 1000)
+    sizes = {r["s"]: r["n"] for r in
+             samp.groupBy("s").agg(F2.count("*").alias("n")).collect()}
+    assert "D" not in sizes
+    assert abs(sizes["A"] - alloc["A"].alloc_n) < 0.25 * alloc["A"].alloc_n
+    assert sorted(map(tuple, samp.collect())) == sorted(
+        map(tuple, neyman_sample(df, "s", "id", "v", 1000).collect())
+    )
