@@ -117,6 +117,7 @@ _ROWS_ONLY_PRIORITY = [
     "weighted_median",
     "interval_union",
     "neyman_allocation",
+    "bootstrap_ci",
     "join_salted",
     "topk_per_group",
     "session_window",

@@ -217,6 +217,8 @@ HEADLINE = [
     "interval_union",
     # Neyman minimum-variance sampling allocation (one stats agg)
     "neyman_allocation",
+    # Poisson bootstrap CI (x50 explode + one agg; portable-hash path)
+    "bootstrap_ci",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -5361,3 +5361,63 @@ def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     optimizer behind neyman_sample. One stats agg; hash-checked."""
     ev = load_table(spark, sf, "events")
     return sampling.neyman_allocation(ev, "event_type", "value", 1000)
+
+
+@query(
+    "bootstrap_ci",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v,
+               CAST(event_id AS VARCHAR) AS id
+        FROM events WHERE value IS NOT NULL
+    ), rep AS (
+        SELECT event_type, v, id, b
+        FROM base, range(0, 50) AS r(b)
+    ), weighted AS (
+        SELECT event_type, b, v,
+               CASE
+                 WHEN u < 0.367879 THEN 0
+                 WHEN u < 0.735759 THEN 1
+                 WHEN u < 0.919699 THEN 2
+                 WHEN u < 0.981012 THEN 3
+                 WHEN u < 0.996340 THEN 4
+                 ELSE 5 END AS w
+        FROM (
+            SELECT event_type, b, v,
+                   ('0x' || substr(md5('boot:' || CAST(b AS VARCHAR)
+                                       || ':' || id), 1, 13))::UBIGINT
+                   / 4503599627370496.0 AS u
+            FROM rep
+        )
+    ), means AS (
+        SELECT event_type, b,
+               CASE WHEN sum(w) > 0 THEN sum(v * w) / sum(w) END AS m
+        FROM weighted GROUP BY 1, 2
+    ), ci AS (
+        SELECT event_type,
+               round(quantile_cont(m, 0.025), 6) AS ci_lo,
+               round(quantile_cont(m, 0.975), 6) AS ci_hi
+        FROM means GROUP BY 1
+    ), stats AS (
+        SELECT event_type, round(avg(v), 6) AS mean_value,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM base GROUP BY 1
+    )
+    SELECT s.event_type, s.mean_value, c.ci_lo, c.ci_hi, s.n_rows
+    FROM stats s JOIN ci c USING (event_type)
+    """,
+    shadow=True,
+)
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """95% bootstrap CI for the mean event value per type, via the
+    POISSON bootstrap (Chamandy et al. 2012) — per-row deterministic
+    Poisson(1) weights from md5 bits make resampling per-row-decidable
+    (the classic bootstrap's exactly-n draw needs global coordination a
+    distributed scan cannot do). One ×50 narrow explode + one partial-
+    combined agg + a 50-row percentile per group; fully deterministic,
+    hash-checked."""
+    ev = load_table(spark, sf, "events")
+    return aggregates.bootstrap_ci(
+        ev, "value", "event_id", n_replicates=50, alpha=0.05,
+        group_cols=["event_type"],
+    )

@@ -296,3 +296,43 @@ def test_weighted_quantile_reference_and_edges(spark):
 
     with _p.raises(ValueError, match="q must be"):
         weighted_quantile(df, "v", "w", 0.0, ["g"])
+
+
+def test_bootstrap_ci_statistical_sanity(spark):
+    """CI brackets the true mean on a gaussian sample, narrows with n,
+    contains the sample mean, and is deterministic."""
+    import random
+
+    from opendosm_parquet_to_sqlite_spark.operators.aggregates import (
+        bootstrap_ci,
+    )
+
+    rng = random.Random(61)
+    rows_small = [(i, "g", rng.gauss(10, 2)) for i in range(200)]
+    rows_big = [(i, "g", rng.gauss(10, 2)) for i in range(5000)]
+    small = spark.createDataFrame(rows_small, "id long, g string, v double")
+    big = spark.createDataFrame(rows_big, "id long, g string, v double")
+    [rs] = bootstrap_ci(small, "v", "id", 50, 0.05, ["g"]).collect()
+    [rb] = bootstrap_ci(big, "v", "id", 50, 0.05, ["g"]).collect()
+    for r in (rs, rb):
+        assert r.ci_lo < r.mean_value < r.ci_hi
+        assert abs(r.mean_value - 10) < 1.0
+    # width shrinks ~1/sqrt(n): 5x more data -> materially narrower
+    assert (rb.ci_hi - rb.ci_lo) < 0.6 * (rs.ci_hi - rs.ci_lo)
+    # deterministic
+    [rs2] = bootstrap_ci(small, "v", "id", 50, 0.05, ["g"]).collect()
+    assert (rs.ci_lo, rs.ci_hi) == (rs2.ci_lo, rs2.ci_hi)
+
+
+def test_bootstrap_ci_tiny_group_survives_zero_weight_replicates(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.aggregates import (
+        bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 7.0)], "id long, g string, v double"
+    )
+    [r] = bootstrap_ci(df, "v", "id", 50, 0.05, ["g"]).collect()
+    # every non-degenerate replicate resamples the single value
+    assert r.ci_lo == r.ci_hi == 7.0
+    assert r.mean_value == 7.0 and r.n_rows == 1
