@@ -57,6 +57,28 @@ def _prepare_corpus(args) -> int:
     return 0
 
 
+def _release_gate(args) -> int:
+    """`--release-gate docs.parquet`: run the five-check ship/no-ship
+    checklist and exit nonzero when any check fails — the CI hook form
+    of operators.corpus.release_gate."""
+    from .caching import release_cached
+    from .operators.corpus import release_gate
+    from .session import get_spark
+
+    spark = get_spark(app_name="release-gate")
+    docs = spark.read.parquet(args.release_gate)
+    rows = release_gate(docs, "text", "doc_id").collect()
+    failed = [r for r in rows if not r["pass"]]
+    for r in rows:
+        status = "PASS" if r["pass"] else "FAIL"
+        print(
+            f"{status} {r['check']}: {r['value']} "
+            f"(threshold {r['threshold']})"
+        )
+    release_cached()
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="opendosm_parquet_to_sqlite_spark")
     sel = p.add_mutually_exclusive_group()
@@ -74,12 +96,20 @@ def main(argv: list[str] | None = None) -> int:
         "(columns doc_id, source, text) instead of the PriceCatcher ETL",
     )
     p.add_argument("--benchmark", help="eval-set parquet for decontamination")
+    p.add_argument(
+        "--release-gate",
+        metavar="DOCS_PARQUET",
+        help="run the ship/no-ship checklist on a corpus; exit 1 on any "
+        "failed check",
+    )
     p.add_argument("--corpus-out", default="./corpus_out")
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--budget", type=int, default=2048)
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    if args.release_gate:
+        return _release_gate(args)
     if args.prepare_corpus:
         return _prepare_corpus(args)
     from .plans.pipeline import run_pipeline
