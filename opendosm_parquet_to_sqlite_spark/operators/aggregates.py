@@ -739,11 +739,13 @@ def bootstrap_ci(
             F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))
         ).alias("__b"),
     )
-    # 52 uniform bits from the md5 prefix (13 hex digits fit a double
-    # exactly) — md5 instead of xxhash64 so the weights are engine-
-    # portable and the whole CI is hash-checkable against DuckDB.
-    # portable_hash=False swaps in xxhash64 (engine-specific weights,
-    # measured ~2.4x cheaper per row) — the production knob once the
+    # Uniform bits from the md5 prefix, compared LEXICOGRAPHICALLY
+    # against precomputed 13-hex-digit thresholds (rate_to_hex's trick:
+    # P[hex13 < fmt(c·16^13)] == c for a uniform digest) — no hex→int
+    # conversion at all; conv() was measured ~40% of the weight-derive
+    # cost. md5 instead of xxhash64 keeps the weights engine-portable
+    # (the whole CI hash-checks against DuckDB); portable_hash=False
+    # swaps in xxhash64 — cheaper still, engine-specific — once the
     # portable path has certified the implementation.
     if not portable_hash:
         u = (
@@ -752,28 +754,28 @@ def bootstrap_ci(
             )
             % 1048576
         ) / 1048576.0
+        w = F.lit(len(_POIS1_CUM) - 1)
+        for k in range(len(_POIS1_CUM) - 2, -1, -1):
+            w = F.when(u < _POIS1_CUM[k], F.lit(k)).otherwise(w)
     else:
-        u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.lit(namespace),
-                        F.col("__b").cast("string"),
-                        F.col("__id").cast("string"),
-                    )
-                ),
-                1,
-                13,
+        h13 = F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(namespace),
+                    F.col("__b").cast("string"),
+                    F.col("__id").cast("string"),
+                )
             ),
-            16,
-            10,
-        ).cast("double") / 4503599627370496.0
+            1,
+            13,
         )
-    w = F.lit(len(_POIS1_CUM) - 1)
-    for k in range(len(_POIS1_CUM) - 2, -1, -1):
-        w = F.when(u < _POIS1_CUM[k], F.lit(k)).otherwise(w)
+        ths = [
+            format(int(c * 16**13), "013x") for c in _POIS1_CUM[:-1]
+        ]
+        w = F.lit(len(_POIS1_CUM) - 1)
+        for k in range(len(ths) - 1, -1, -1):
+            w = F.when(h13 < ths[k], F.lit(k)).otherwise(w)
     # a replicate can draw weight 0 for EVERY row of a small group
     # (P = e^-n; 37% for a 1-row group) — such replicates yield NULL
     # means and drop out of the percentile (both engines skip NULLs),

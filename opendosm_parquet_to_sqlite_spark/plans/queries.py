@@ -5376,17 +5376,16 @@ def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     ), weighted AS (
         SELECT event_type, b, v,
                CASE
-                 WHEN u < 0.367879 THEN 0
-                 WHEN u < 0.735759 THEN 1
-                 WHEN u < 0.919699 THEN 2
-                 WHEN u < 0.981012 THEN 3
-                 WHEN u < 0.996340 THEN 4
+                 WHEN h < '5e2d5171e29b6' THEN 0
+                 WHEN h < 'bc5ab3aabcd79' THEN 1
+                 WHEN h < 'eb7164c729f5a' THEN 2
+                 WHEN h < 'fb239a38fbca1' THEN 3
+                 WHEN h < 'ff102363b2570' THEN 4
                  ELSE 5 END AS w
         FROM (
             SELECT event_type, b, v,
-                   ('0x' || substr(md5('boot:' || CAST(b AS VARCHAR)
-                                       || ':' || id), 1, 13))::UBIGINT
-                   / 4503599627370496.0 AS u
+                   substr(md5('boot:' || CAST(b AS VARCHAR)
+                              || ':' || id), 1, 13) AS h
             FROM rep
         )
     ), means AS (
