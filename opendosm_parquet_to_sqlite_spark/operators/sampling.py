@@ -546,7 +546,7 @@ def neyman_allocation(
     total_n: int,
 ) -> DataFrame:
     """Minimum-variance sample-budget allocation across strata [Neyman
-    1934]: n_h ∝ N_h·S_h — strata that are LARGE or internALLY VARIABLE
+    1934]: n_h ∝ N_h·S_h — strata that are LARGE or internally VARIABLE
     earn more of the budget, which is how a fixed labeling/eval budget
     buys the tightest estimate of a corpus mean (uniform and
     proportional allocation are both strictly worse unless all strata
