@@ -118,6 +118,7 @@ _ROWS_ONLY_PRIORITY = [
     "interval_union",
     "neyman_allocation",
     "bootstrap_ci",
+    "equidepth_histogram",
     "join_salted",
     "topk_per_group",
     "session_window",
@@ -157,6 +158,7 @@ _ROWS_ONLY_PRIORITY = [
     # iterative fixpoints (no SQL oracle; pytest-pinned against NumPy /
     # pure-Python references):
     "event_pagerank",
+    "dup_core",
     "bpe_merges",
     # demoted round 4: exact operator twin of the hash-checked
     # join_prices_items (same join_fact_dim broadcast shape)

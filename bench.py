@@ -219,6 +219,10 @@ HEADLINE = [
     "neyman_allocation",
     # Poisson bootstrap CI (x50 explode + one agg; portable-hash path)
     "bootstrap_ci",
+    # equi-depth histogram (exact octile edges + threshold bucketing)
+    "equidepth_histogram",
+    # 2-core of the near-dup graph (iterative peel, per-round truncation)
+    "dup_core",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

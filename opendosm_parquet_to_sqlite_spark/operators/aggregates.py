@@ -811,3 +811,61 @@ def bootstrap_ci(
         *groups, "mean_value", "ci_lo", "ci_hi",
         F.col("n_rows").cast("long"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bucket edges at the value QUANTILES, so
+    every bucket holds ~1/n of the rows — the histogram that stays
+    readable under heavy tails, where the equi-width form
+    (value_histogram) puts 99% of mass in one bar. Also the optimizer's
+    histogram of choice: equi-depth bounds per-bucket selectivity error
+    by 1/n regardless of the distribution.
+
+    Bucket membership is pure threshold arithmetic over the internal
+    cutpoints (bucket = Σ 1[v > c_i]), identically restatable in SQL —
+    ties at a cutpoint land in the lower bucket on both engines, and
+    duplicate cutpoints (mass spikes) simply yield empty buckets
+    between repeated edges rather than engine-divergent splits. NULLs
+    are excluded. Output: (group..., bucket, lo, hi, n_rows) with
+    lo/hi the actual quantile edges (6 dp).
+
+    Shape: one exact-percentile agg per group (array of n+1 quantiles;
+    the sort-based exact path — swap percentile_approx at 100 TB, same
+    mergeable pattern as robust_scale) → broadcast edges back → narrow
+    bucket projection → one partial-combined count agg.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    probs = [i / n_buckets for i in range(n_buckets + 1)]
+    base = df.filter(v.isNotNull())
+    gb = base.groupBy(*groups) if groups else base.groupBy()
+    edges = gb.agg(
+        F.percentile(
+            v, F.array(*[F.lit(p) for p in probs])
+        ).alias("__edges")
+    )
+    if groups:
+        j = base.join(F.broadcast(edges), groups)
+    else:
+        j = base.crossJoin(F.broadcast(edges))
+    bucket = sum(
+        (v > F.col("__edges")[i]).cast("int") for i in range(1, n_buckets)
+    )
+    counted = j.select(
+        *groups, bucket.alias("bucket"), F.col("__edges")
+    ).groupBy(*groups, "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("__edges").alias("__edges"),
+    )
+    return counted.select(
+        *groups,
+        F.col("bucket").cast("long"),
+        F.round(F.col("__edges")[F.col("bucket")], 6).alias("lo"),
+        F.round(F.col("__edges")[F.col("bucket") + 1], 6).alias("hi"),
+        F.col("n_rows").cast("long"),
+    )

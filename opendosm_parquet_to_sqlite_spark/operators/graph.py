@@ -390,3 +390,74 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node keeps degree
+    ≥ k — computed by the classic peel (repeatedly delete nodes of
+    degree < k until stable; the fixpoint is unique and order-
+    independent, which is what makes a synchronized distributed peel
+    correct). On a near-dup graph the 2-core separates mutually-linked
+    template families from star/chain shapes that one hub explains; in
+    spam/citation graphs cores rank structural embeddedness.
+
+    Output: (node, degree) for k-core members, degree measured INSIDE
+    the core.
+
+    Shape per round: one (node, degree) count agg over the CURRENT
+    edge set + two semi-joins dropping incident edges — all frames are
+    edge-list-sized longs; lineage truncates per round
+    (localCheckpoint, eager) exactly like connected_components, and
+    iteration count is bounded by the peel depth (≤ max degeneracy ≪
+    max_iter in practice; RuntimeError past max_iter).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # same block hygiene as connected_components: each round's
+    # localCheckpoint is released once the next round materializes, so a
+    # long peel keeps ONE resident block set (the survivor edges backing
+    # the returned DataFrame)
+    before = _persistent_rdd_ids(spark)
+    cur = e.localCheckpoint(eager=True)
+    prev_ids = _persistent_rdd_ids(spark) - before
+    n_cur = cur.count()
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        before = _persistent_rdd_ids(spark)
+        nxt = (
+            cur.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        new_ids = _persistent_rdd_ids(spark) - before
+        n_nxt = nxt.count()
+        _unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        if n_nxt == n_cur:
+            cur = nxt
+            break
+        cur, n_cur = nxt, n_nxt
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

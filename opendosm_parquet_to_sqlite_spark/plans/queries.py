@@ -5420,3 +5420,63 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         ev, "value", "event_id", n_replicates=50, alpha=0.05,
         group_cols=["event_type"],
     )
+
+
+@query(
+    "equidepth_histogram",
+    """
+    WITH edges AS (
+        SELECT event_type,
+               quantile_cont(value,
+                   [x * 0.125 for x in range(0, 9)]) AS e
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), bucketed AS (
+        SELECT v.event_type,
+               (CASE WHEN v.value > e[2] THEN 1 ELSE 0 END
+              + CASE WHEN v.value > e[3] THEN 1 ELSE 0 END
+              + CASE WHEN v.value > e[4] THEN 1 ELSE 0 END
+              + CASE WHEN v.value > e[5] THEN 1 ELSE 0 END
+              + CASE WHEN v.value > e[6] THEN 1 ELSE 0 END
+              + CASE WHEN v.value > e[7] THEN 1 ELSE 0 END
+              + CASE WHEN v.value > e[8] THEN 1 ELSE 0 END) AS bucket,
+               e
+        FROM (SELECT event_type, value FROM events
+              WHERE value IS NOT NULL) v
+        JOIN edges USING (event_type)
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           round(any_value(e[bucket + 1]), 6) AS lo,
+           round(any_value(e[bucket + 2]), 6) AS hi,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM bucketed GROUP BY 1, 2
+    """,
+    shadow=True,
+)
+def q_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """8-bucket equi-depth histogram of event values per type: edges at
+    exact octiles (readable under heavy tails; 1/n-bounded selectivity
+    error), membership by pure threshold arithmetic so both engines
+    agree on ties. Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    return aggregates.equidepth_histogram(
+        ev, "value", n_buckets=8, group_cols=["event_type"]
+    )
+
+
+@query("dup_core")  # rows-only: iterative fixpoint (no SQL oracle)
+def q_dup_core(spark: SparkSession, sf: str) -> DataFrame:
+    """2-core of the near-dup pair graph: mutually-linked template
+    families survive, star/chain shapes one hub explains peel away —
+    the structural complement to dup_clusters (which keeps every
+    connected shape). Iterative peel, reference-parity pinned in
+    tests/test_graph.py against a pure-Python peel."""
+    docs = load_table(spark, sf, "documents")
+    pairs = neardup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3,
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
+    out = graph.k_core(pairs, k=2, src="id_a", dst="id_b")
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("degree").cast("long").alias("core_degree"),
+    )

@@ -231,3 +231,63 @@ def test_triangle_count_total_matches_reference(spark):
         if (x, y) in eset and (y, z) in eset and (x, z) in eset
     )
     assert sum(got.values()) == 3 * ref
+
+
+# --- k_core ------------------------------------------------------------------
+
+
+def _py_k_core(edges, k):
+    """Reference peel on an adjacency dict."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def test_k_core_clique_with_tendrils(spark):
+    # K5 (every node degree 4) + a chain hanging off node 1
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(1, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.degree for r in graph.k_core(df, k=3).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}  # chain fully peeled
+    # k=1 keeps everything (self-loop-free connected structure)
+    got1 = {r.node: r.degree for r in graph.k_core(df, k=1).collect()}
+    assert set(got1) == set(range(5)) | {10, 11, 12}
+
+
+def test_k_core_cascading_peel(spark):
+    """Peeling must CASCADE: removing a low-degree node can drop a
+    neighbor below k — one pass is not enough."""
+    # path a-b-c-d: 2-core empty, but only after cascading removals
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    assert graph.k_core(df, k=2).count() == 0
+
+
+def test_k_core_matches_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(81)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.sample(range(40), 2)
+        edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    for k in (2, 3, 4):
+        got = {r.node: r.degree for r in graph.k_core(df, k=k).collect()}
+        assert got == _py_k_core(edges, k), k

@@ -336,3 +336,43 @@ def test_bootstrap_ci_tiny_group_survives_zero_weight_replicates(spark):
     # every non-degenerate replicate resamples the single value
     assert r.ci_lo == r.ci_hi == 7.0
     assert r.mean_value == 7.0 and r.n_rows == 1
+
+
+def test_equidepth_histogram_semantics(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.aggregates import (
+        equidepth_histogram,
+    )
+
+    # uniform 0..799: every one of 8 buckets holds ~100 rows
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(800)], "g string, v double"
+    )
+    out = {r.bucket: r for r in
+           equidepth_histogram(df, "v", 8, ["g"]).collect()}
+    assert len(out) == 8
+    assert all(95 <= out[b].n_rows <= 105 for b in out)
+    # edges are monotone and span the data
+    assert out[0].lo == 0.0 and out[7].hi == 799.0
+    for b in range(7):
+        assert out[b].hi == out[b + 1].lo
+
+    # heavy tail: equi-depth still balances (the point vs equi-width)
+    import random
+
+    rng = random.Random(71)
+    heavy = spark.createDataFrame(
+        [("g", rng.paretovariate(1.5)) for _ in range(4000)],
+        "g string, v double",
+    )
+    h = equidepth_histogram(heavy, "v", 8, ["g"]).toPandas()
+    assert len(h) == 8
+    assert h.n_rows.max() <= 1.2 * h.n_rows.min()
+
+    # mass spike at one value: ties land in the lower bucket, empty
+    # buckets appear between duplicate edges, counts conserve
+    spike = spark.createDataFrame(
+        [("g", 5.0)] * 900 + [("g", float(i)) for i in range(100)],
+        "g string, v double",
+    )
+    sp = equidepth_histogram(spike, "v", 8, ["g"]).toPandas()
+    assert sp.n_rows.sum() == 1000
