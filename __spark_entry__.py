@@ -119,6 +119,7 @@ _ROWS_ONLY_PRIORITY = [
     "neyman_allocation",
     "bootstrap_ci",
     "equidepth_histogram",
+    "shipmode_priority",
     "join_salted",
     "topk_per_group",
     "session_window",

@@ -223,6 +223,8 @@ HEADLINE = [
     "equidepth_histogram",
     # 2-core of the near-dup graph (iterative peel, per-round truncation)
     "dup_core",
+    # TPC-H Q12 shape (co-keyed join + conditional partial-combined agg)
+    "shipmode_priority",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

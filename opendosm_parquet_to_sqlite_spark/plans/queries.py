@@ -5480,3 +5480,49 @@ def q_dup_core(spark: SparkSession, sf: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("degree").cast("long").alias("core_degree"),
     )
+
+
+@query(
+    "shipmode_priority",
+    """
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+           CAST(sum(CASE WHEN o.o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
+      AND l.l_linenumber <= 2
+    GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (priority shipping split): date-filtered fact
+    joins orders on the shared orderkey, conditional-sum split by
+    priority class per ship MONTH (the fixture lacks l_shipmode; the
+    plan shape — co-keyed join + one partial-combined conditional
+    agg — is the point). Hash-checked."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_linenumber") <= 2)
+    ).select("l_orderkey", "l_shipdate")
+    ords = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = li.join(ords, li.l_orderkey == ords.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+            "high_line_count"
+        ),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+            "low_line_count"
+        ),
+    )
