@@ -2,9 +2,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+Prints per-query JSON lines, then ONE compact summary line LAST (sized to
+fit the driver's 2000-char tail-capture window — see emit()):
+  {"metric": "...", "value": total_sec, "unit": "sec", "sf": 0.1,
+   "n_queries": N, "worst_ratio": r, "geomean_ratio": g, "n_over_2x": k,
+   "queries": {worst-ratio subset}, "full_map": "BENCH_LOCAL.json"}
+The complete per-query map is written to BENCH_LOCAL.json in-repo.
 
 Execution is measured with a noop sink (df.write.format('noop')) so timings
 cover the full distributed plan — scan → shuffle → agg — without
@@ -313,7 +316,96 @@ def main() -> None:
     if n_runs > 1:
         out["n_runs"] = n_runs
         out["queries_min"] = {n: round(min(ts), 3) for n, ts in runs.items()}
-    print(json.dumps(out))
+    emit(out, timings, sf, n_warmup, n_runs)
+
+
+def _baseline_medians() -> dict[str, float]:
+    """Warm per-query baseline medians parsed from BASELINE.md.
+
+    Only rows at/after the 'Official WARM baseline' marker count — the
+    earlier tables are the historical cold-run record the round-6 verdict
+    retired from the gate. Returns {} if the file is missing/unparseable
+    (bench still reports timings; it just omits ratios).
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    medians: dict[str, float] = {}
+    try:
+        text = open(path, encoding="utf-8").read()
+    except OSError:
+        return medians
+    idx = text.find("Official WARM baseline")
+    if idx < 0:
+        return medians
+    for line in text[idx:].splitlines():
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|", line)
+        if m and m.group(1) != "query":
+            medians[m.group(1)] = float(m.group(2))
+    return medians
+
+
+def _geomean(xs: list[float]) -> float:
+    import math
+
+    return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else 0.0
+
+
+def emit(out: dict, timings: dict[str, float], sf: float, n_warmup: int, n_runs: int) -> None:
+    """Print bench results driver-readably.
+
+    The driver tail-captures the LAST ~2000 chars of stdout and json-parses
+    what it finds there; round 6's single full-map line outgrew that window
+    and was truncated from the front (BENCH_r06.parsed = null). So:
+      1. the FULL per-query map goes to BENCH_LOCAL.json in-repo (the judge
+         and regression tooling read that),
+      2. per-query detail lines print FIRST (they scroll out of the tail
+         harmlessly but survive in any full log),
+      3. the FINAL line is a compact summary guaranteed to fit the window:
+         total + per-query count + gate verdict (worst ratio vs the warm
+         BASELINE.md medians, geomean, #>2x) + as many of the worst-ratio
+         per-query timings as fit a hard 1800-char budget.
+    """
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_LOCAL.json"), "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    base = _baseline_medians()
+    ratios = {n: round(t / base[n], 3) for n, t in timings.items() if base.get(n)}
+    for name, t in timings.items():
+        line = {"query": name, "sec": t}
+        if name in ratios:
+            line["baseline"] = base[name]
+            line["ratio"] = ratios[name]
+        print(json.dumps(line))
+
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_warmup": n_warmup,
+        "n_runs": n_runs,
+        "full_map": "BENCH_LOCAL.json",
+    }
+    if ratios:
+        worst = max(ratios, key=ratios.get)
+        summary["worst_ratio"] = ratios[worst]
+        summary["worst_query"] = worst
+        summary["geomean_ratio"] = round(_geomean(list(ratios.values())), 3)
+        summary["n_over_2x"] = sum(1 for r in ratios.values() if r > 2.0)
+        summary["n_with_baseline"] = len(ratios)
+    # pack the worst-ratio (else slowest) queries into the summary's
+    # `queries` map until the serialized line nears the tail window
+    order = sorted(timings, key=lambda n: -ratios.get(n, 0.0)) if ratios else sorted(
+        timings, key=lambda n: -timings[n]
+    )
+    summary["queries"] = {}
+    for name in order:
+        summary["queries"][name] = timings[name]
+        if len(json.dumps(summary)) > 1800:
+            del summary["queries"][name]
+            break
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

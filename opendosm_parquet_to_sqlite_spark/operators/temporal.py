@@ -422,6 +422,12 @@ def ewma(
     reference.
 
     Output: key cols + tiebreak/ts + value + `out_col` (rounded 6 dp).
+    Rounding-tie convention: Spark's round() is HALF_UP applied to the
+    SHORTEST-decimal repr of the double (Java BigDecimal.valueOf), so an
+    exact-half shortest repr like 50799.1234375 rounds UP to 50799.123438
+    — Python's bankers' round(x, 6) gives ...437 there.  Pure-Python
+    references must round via Decimal(repr(s)).quantize(1e-6, HALF_UP)
+    (see tests/test_round6_fuzz.py::_round6_half_up).
 
     Shape: ONE key exchange (the collect_list groupBy); everything after
     is a narrow in-partition fold.  Per-key memory is O(series length) —

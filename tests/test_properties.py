@@ -121,6 +121,11 @@ def test_ngram_jaccard_matches_python_oracle(spark, docs):
             if i < j and sets[i] and sets[j]:
                 inter = len(sets[i] & sets[j])
                 if inter:
+                    # round() tie-hazard audit (round-6 verdict): a Python
+                    # vs Spark HALF_UP divergence needs a shortest repr
+                    # terminating in '5' at the 7th decimal; with union
+                    # sizes <= 7 the only terminating denominators are
+                    # 1/2/4 (<= 2 dp), so no tie is reachable here.
                     jac = round(inter / len(sets[i] | sets[j]), 6)
                     if jac >= 0.2:
                         expected[(i, j)] = jac

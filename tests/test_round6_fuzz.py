@@ -6,6 +6,7 @@ max_examples kept small — each example is a Spark job.
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -34,6 +35,16 @@ ewma_rows = st.lists(
 )
 
 
+def _round6_half_up(x: float) -> float:
+    """Round to 6 dp the way Spark's round() does: HALF_UP on the
+    SHORTEST-decimal repr of the double (Java BigDecimal.valueOf).
+    Python's bankers' round(x, 6) diverges on exact-half shortest reprs
+    (hypothesis found 50799.1234375 -> .123437 vs Spark's .123438), so the
+    reference must use this convention, not round().
+    """
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
 def _ewma_py(rows, alpha):
     """(key, ts, tb) -> ewma, folding in (ts, tb) order per key."""
     out = {}
@@ -42,7 +53,7 @@ def _ewma_py(rows, alpha):
         s = state.get(k)
         s = v if s is None else alpha * v + (1 - alpha) * s
         state[k] = s
-        out[(k, ts, tb)] = round(s, 6)
+        out[(k, ts, tb)] = _round6_half_up(s)
     return out
 
 

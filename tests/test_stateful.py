@@ -180,6 +180,10 @@ def _profile_oracle(events):
     last_ts, last_v = max(events)
     return {
         "n_events": n,
+        # round() tie-hazard audit (round-6 verdict): values are exact
+        # halves and n <= 10, so exact means/m2 terminate within 6 dp
+        # (denominators divide 32/40); inexact ones have 17-digit shortest
+        # reprs, which can't sit exactly on a 1e-6 half boundary. Safe.
         "mean_value": round(mean, 6),
         "m2_value": round(s2 - n * mean * mean, 6),
         "min_value": min(v for _, v in events),
