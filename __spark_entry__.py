@@ -85,18 +85,26 @@ _ROWS_ONLY_PRIORITY = [
     "cohort_retention",
     "transition_matrix",
     "group_percentiles",
-    # post-rotation round-6 additions (shadow oracles, hash-checked
-    # in-repo; candidates for the next window rotation):
-    "heavy_hitters",
-    "golden_record",
-    "dedup_urls",
-    "hybrid_search",
-    "skew_report",
-    "attribution_last_touch",
-    "large_volume_customers",
+    # demoted in the round-7 FOURTH rotation (multi-round driver-green;
+    # shadow oracles keep their hash proof in-repo) — the ten wave-3
+    # round-6 shadows (heavy_hitters, golden_record, dedup_urls,
+    # hybrid_search, skew_report, attribution_last_touch,
+    # large_volume_customers, dedup_keep_best, bootstrap_ci,
+    # weighted_median) took their driver slots:
+    "agg_count_by_nation",
+    "join_prices_items",
+    "time_resample",
+    "unique_key_enforce",
+    "ann_bruteforce",
+    "contamination_check",
+    "text_repetition",
+    "domain_mix",
+    "rolling_features",
+    "running_profile",
+    # remaining round-6 shadows (hash-checked in-repo; candidates for the
+    # next window rotation):
     "period_over_period",
     "user_event_profile",
-    "dedup_keep_best",
     "attribution_first_touch",
     "dedup_time_window",
     # demoted in the round-6 THIRD rotation (multi-round-green singles;
@@ -114,10 +122,8 @@ _ROWS_ONLY_PRIORITY = [
     "count_anomaly",
     "contamination_fuzzy",
     "vocab_drift",
-    "weighted_median",
     "interval_union",
     "neyman_allocation",
-    "bootstrap_ci",
     "equidepth_histogram",
     "shipmode_priority",
     "join_salted",
@@ -151,6 +157,11 @@ _ROWS_ONLY_PRIORITY = [
     "quality_classifier_2iter",
     "text_lang_id_ngram",
     "multimodal_decode",
+    # round-7 media near-dup family (decode + perceptual hash: not
+    # SQL-expressible; collision structure pinned in
+    # tests/test_mediadedup.py):
+    "dedup_image_phash",
+    "dedup_audio_fp",
     # PQ family (approximate by design; recall + exact-regime pins in
     # tests/test_pq.py):
     "ann_pq",

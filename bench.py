@@ -228,6 +228,10 @@ HEADLINE = [
     "dup_core",
     # TPC-H Q12 shape (co-keyed join + conditional partial-combined agg)
     "shipmode_priority",
+    # round-7: media perceptual-hash near-dup (mapInPandas decode+hash,
+    # then the same banded-Hamming pair search as text SimHash)
+    "dedup_image_phash",
+    "dedup_audio_fp",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

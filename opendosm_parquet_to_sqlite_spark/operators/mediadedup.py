@@ -1,0 +1,521 @@
+"""Cross-item media near-duplicate detection: perceptual fingerprints over
+DECODED pixels/PCM + the shared banded-Hamming pair machinery.
+
+North-star extension (the reference is text/number-only, src/main.rs:20,30):
+the image/audio analog of operators/neardup.py's SimHash — a training-data
+pipeline at 100 TB dedups every modality, and re-encoded media (same pixels,
+different bytes) defeats byte-level exact dedup by construction.
+
+Pipeline shape per modality:
+
+1. decode: payload bytes → grayscale pixel grid / mono PCM, inside the same
+   Arrow-batched mapInPandas contract as operators/multimodal.py — REAL
+   stdlib decode for PNG (png_pixels: zlib + full filter reconstruction)
+   and canonical 8/16-bit PCM WAV; deterministic FAKE media for other
+   containers so mixed corpora keep flowing in this codec-less container
+   (plug a PIL/libav-backed decode_fn for full coverage — the Spark-side
+   plumbing is identical).
+2. fingerprint: 64-bit perceptual hash computed in numpy INSIDE the decode
+   batch — dHash for images (adjacent-cell gradient signs over an exact
+   area-mean 8x9 thumbnail: invariant to any monotone brightness/contrast
+   map and to re-encoding, tolerant of small pixel noise), adjacent
+   log-band spectral-energy signs for audio (Welch-averaged |rfft|^2 →
+   64 band comparisons: invariant to amplitude scaling by construction,
+   since a gain multiplies every band by the same factor).
+3. pairs: neardup.hamming_band_pairs — the SAME pigeonhole banding that
+   powers text SimHash (dist ≤ d ⇒ one of d+1 fingerprint chunks is
+   identical → equi-join on chunks, exact bit_count verify). NEVER
+   all-pairs: shuffle volume is O(items · (d+1) · 16 bytes); payloads
+   never shuffle — only (id, fingerprint) rows do.
+
+Scale notes: the fingerprint step is embarrassingly parallel (one pass over
+payload bytes, 8 bytes out per item); at 100 TB the media bytes stay where
+the scan put them, and the pair search runs over an items-count-sized
+fingerprint table. Degenerate buckets (mass-duplicate media) are dropped by
+max_bucket_size exactly as in the text path — exact dedup owns those.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .multimodal import _PNG_SIG, png_pixels
+from .neardup import hamming_band_pairs
+from .text import spread_small_input
+
+FP_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+# --- numpy fingerprint kernels (run executor-side inside mapInPandas) --------
+
+
+def _bin_mean_axis0(a, n: int):
+    """Exact area-mean 1-D resample along axis 0 to n bins (fractional bin
+    edges integrate partial cells — this is true area averaging, not
+    nearest/bilinear sampling, so a re-encoded or filter-shuffled image
+    yields the IDENTICAL thumbnail and the test pins can demand equality).
+    Works for both down- and up-scaling."""
+    import numpy as np
+
+    m = a.shape[0]
+    pref = np.concatenate(
+        [np.zeros((1,) + a.shape[1:], dtype=np.float64), np.cumsum(a, axis=0)]
+    )
+    edges = np.linspace(0.0, float(m), n + 1)
+    out = np.empty((n,) + a.shape[1:], dtype=np.float64)
+    for i in range(n):
+        lo, hi = edges[i], edges[i + 1]
+        lo_i, hi_i = int(np.floor(lo)), int(np.ceil(hi))
+        s = pref[hi_i] - pref[lo_i]
+        if lo > lo_i:
+            s = s - a[lo_i] * (lo - lo_i)
+        if hi_i > hi:
+            s = s - a[hi_i - 1] * (hi_i - hi)
+        out[i] = s / (hi - lo)
+    return out
+
+
+def _to_signed64(v: int) -> int:
+    """Python int in [0, 2^64) → the int64 Spark's LongType stores."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash64(gray, hash_size: int = 8) -> int:
+    """64-bit difference hash of a grayscale float array (h, w).
+
+    Area-mean resize to (hash_size, hash_size+1), then bit r*8+c = 1 iff
+    thumb[r, c] > thumb[r, c+1]. Gradient signs are invariant under any
+    strictly-increasing pixel map (brightness/contrast/gamma), which is
+    what makes dHash the standard re-encode-robust image fingerprint.
+    Returns a SIGNED 64-bit int (bit 63 is a data bit; the banding layer
+    extracts chunks with shiftrightunsigned, so the sign is harmless).
+    """
+    thumb = _bin_mean_axis0(
+        _bin_mean_axis0(gray, hash_size).T, hash_size + 1
+    ).T  # (hash_size, hash_size+1)
+    v = 0
+    for r in range(hash_size):
+        for c in range(hash_size):
+            if thumb[r, c] > thumb[r, c + 1]:
+                v |= 1 << (r * hash_size + c)
+    return _to_signed64(v)
+
+
+def _gray_from_png(payload: bytes):
+    """PNG payload → (h, w) float64 luma grid via the stdlib decoder."""
+    import numpy as np
+
+    w, h, ch, raw = png_pixels(payload)
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+    if ch >= 3:  # RGB / RGBA → ITU-R 601 luma; alpha ignored
+        return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return px[:, :, 0]  # gray / gray+alpha
+
+
+def _fake_gray(payload: bytes):
+    """Deterministic pseudo-image for undecodable payloads: a stable 16x16
+    grid expanded from sha256 of the bytes. Keeps mixed-corpus pipelines
+    total (same philosophy as multimodal.fake_decode); NOT real pixels —
+    perceptual similarity is only meaningful on really-decoded media."""
+    import numpy as np
+
+    h = hashlib.sha256(payload).digest()
+    blocks = [hashlib.sha256(h + bytes([i])).digest() for i in range(8)]
+    return (
+        np.frombuffer(b"".join(blocks), dtype=np.uint8)[:256]
+        .reshape(16, 16)
+        .astype(np.float64)
+    )
+
+
+def gray_decode(payload: bytes):
+    """Default image decoder: real PNG luma where the payload is a valid
+    PNG, deterministic fake grid otherwise."""
+    if payload.startswith(_PNG_SIG):
+        try:
+            return _gray_from_png(payload)
+        except (ValueError, NotImplementedError, zlib.error, struct.error):
+            pass
+    return _fake_gray(payload)
+
+
+def wav_pcm(payload: bytes):
+    """Canonical WAV payload → (rate, mono float64 PCM in [-1, 1]).
+
+    Parses the fixed 44-byte canonical header (PCM fmt chunk first, data
+    chunk second — the layout multimodal.wav_metadata documents); 16-bit
+    and 8-bit PCM, any channel count (averaged to mono). Raises ValueError
+    for anything else — callers that must stay total use audio_decode.
+    """
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a canonical WAV")
+    channels = int.from_bytes(payload[22:24], "little")
+    rate = int.from_bytes(payload[24:28], "little")
+    bits = int.from_bytes(payload[34:36], "little")
+    data_size = int.from_bytes(payload[40:44], "little")
+    data = payload[44 : 44 + data_size]
+    if channels < 1 or rate < 1:
+        raise ValueError("bad WAV header")
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64)
+        x /= 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    if channels > 1:
+        n = len(x) // channels * channels
+        x = x[:n].reshape(-1, channels).mean(axis=1)
+    return rate, x
+
+
+def _fake_pcm(payload: bytes):
+    """Deterministic pseudo-PCM for undecodable payloads (same contract as
+    _fake_gray): 2048 stable samples from a sha256 stream."""
+    import numpy as np
+
+    h = hashlib.sha256(payload).digest()
+    blocks = [hashlib.sha256(h + bytes([i])).digest() for i in range(64)]
+    u = np.frombuffer(b"".join(blocks), dtype=np.uint8)[:2048].astype(np.float64)
+    return 8000, (u - 128.0) / 128.0
+
+
+def audio_decode(payload: bytes):
+    """Default audio decoder: real canonical-WAV PCM where valid,
+    deterministic fake PCM otherwise."""
+    try:
+        return wav_pcm(payload)
+    except (ValueError, struct.error):
+        return _fake_pcm(payload)
+
+
+def audio_fp64(x, rate: int, nfft: int = 512) -> int:
+    """64-bit spectral fingerprint of a mono PCM array.
+
+    Welch-style averaged power spectrum (hop nfft/2, Hann window), then 65
+    log-spaced band energies between bin 1 and nfft/2 (DC excluded), then
+    bit i = band[i] > band[i+1]. A gain g multiplies EVERY band by g², so
+    the comparisons — and the fingerprint — are amplitude-invariant by
+    construction; different harmonic content flips many band comparisons.
+    Short clips are zero-padded to one frame. Returns signed int64.
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    peak = np.max(np.abs(x))
+    if peak > 0:  # pre-normalize so quantization residue is the ONLY gain
+        x = x / peak  # artifact left (the band comparisons are already
+        # gain-invariant; this just keeps FP arithmetic in one regime)
+    if len(x) < nfft:
+        x = np.concatenate([x, np.zeros(nfft - len(x))])
+    hop = nfft // 2
+    win = np.hanning(nfft)
+    n_frames = 1 + (len(x) - nfft) // hop
+    spec = np.zeros(nfft // 2 + 1)
+    for f in range(n_frames):
+        seg = x[f * hop : f * hop + nfft] * win
+        spec += np.abs(np.fft.rfft(seg)) ** 2
+    spec /= n_frames
+    # 66 log-spaced STRICTLY increasing integer edges over [1, nfft/2]
+    # (geomspace collides at the low end; the forward/backward passes
+    # restore strict monotonicity without leaving the spectrum)
+    edges = np.round(np.geomspace(1, nfft // 2, 66)).astype(int)
+    for i in range(1, 66):
+        edges[i] = max(edges[i], edges[i - 1] + 1)
+    edges[-1] = min(edges[-1], nfft // 2)
+    for i in range(64, -1, -1):
+        edges[i] = min(edges[i], edges[i + 1] - 1)
+    bands = np.array(
+        [spec[edges[i] : edges[i + 1] + 1].mean() for i in range(65)]
+    )
+    v = 0
+    for i in range(64):
+        if bands[i] > bands[i + 1]:
+            v |= 1 << i
+    return _to_signed64(v)
+
+
+# --- Spark wrappers -----------------------------------------------------------
+
+
+def image_phash(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    hash_size: int = 8,
+    decode_fn: Callable[[bytes], object] | None = None,
+) -> DataFrame:
+    """(id, payload) → (doc_id, phash): 64-bit dHash per image via
+    Arrow-batched mapInPandas. decode_fn overrides the payload→gray-array
+    step (plug PIL for JPEG/WebP; default gray_decode is real-PNG + fake
+    fallback). Narrow: one pass over payloads, 16 bytes out per row."""
+    decode = decode_fn or gray_decode
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": [
+                        dhash64(decode(bytes(b)), hash_size)
+                        for b in pdf[payload_col]
+                    ],
+                }
+            )
+
+    # decode+hash is CPU-bound Python: spread a few-file scan across cores
+    # (metadata no-op when the input is already well-partitioned)
+    return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
+        run, FP_SCHEMA
+    )
+
+
+def audio_phash(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    nfft: int = 512,
+    decode_fn: Callable[[bytes], tuple] | None = None,
+) -> DataFrame:
+    """(id, payload) → (doc_id, phash): 64-bit spectral fingerprint per
+    clip via Arrow-batched mapInPandas (default audio_decode: canonical
+    WAV + fake fallback; plug libav/soundfile via decode_fn)."""
+    decode = decode_fn or audio_decode
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            fps = []
+            for b in pdf[payload_col]:
+                rate, x = decode(bytes(b))
+                fps.append(audio_fp64(x, rate, nfft))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "phash": fps}
+            )
+
+    return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
+        run, FP_SCHEMA
+    )
+
+
+def image_phash_pairs(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    hash_size: int = 8,
+    max_bucket_size: int | None = 1024,
+    decode_fn: Callable[[bytes], object] | None = None,
+) -> DataFrame:
+    """Image near-dup pairs: dHash fingerprints → banded Hamming search
+    (neardup.hamming_band_pairs, bits=64). Output (id_a, id_b, hamming),
+    id_a < id_b. Payload bytes never shuffle."""
+    fp = image_phash(df, payload_col, id_col, hash_size, decode_fn)
+    return hamming_band_pairs(
+        fp,
+        id_col="doc_id",
+        fp_col="phash",
+        max_hamming=max_hamming,
+        bits=64,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def audio_phash_pairs(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    nfft: int = 512,
+    max_bucket_size: int | None = 1024,
+    decode_fn: Callable[[bytes], tuple] | None = None,
+) -> DataFrame:
+    """Audio near-dup pairs: spectral fingerprints → banded Hamming search.
+    Same-content-different-gain clips land at hamming 0 (see audio_fp64)."""
+    fp = audio_phash(df, payload_col, id_col, nfft, decode_fn)
+    return hamming_band_pairs(
+        fp,
+        id_col="doc_id",
+        fp_col="phash",
+        max_hamming=max_hamming,
+        bits=64,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+# --- deterministic media fixture synthesis (for registered queries/tests) ----
+
+PAYLOAD_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def encode_png_gray(gray, level: int = 6) -> bytes:
+    """Minimal REAL grayscale 8-bit PNG encoder (stdlib only): filter-0
+    scanlines → one zlib IDAT → signed chunks. png_pixels round-trips it
+    pixel-exactly, so fixtures built here exercise the REAL decode path."""
+    import numpy as np
+
+    a = np.clip(np.asarray(gray), 0, 255).astype(np.uint8)
+    h, w = a.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav_pcm16(x, rate: int = 8000) -> bytes:
+    """Minimal canonical 16-bit mono WAV encoder (stdlib only)."""
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(x, dtype=np.float64), -1, 1) * 32767).astype("<i2")
+    data = pcm.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _base_gray(base: int, size: int):
+    """Deterministic (size, size) base image from sha256(base): smooth-ish
+    block pattern so dHash has real gradients to sign."""
+    import numpy as np
+
+    seed = hashlib.sha256(b"img-base-%d" % base).digest()
+    blocks = [
+        hashlib.sha256(seed + bytes([i])).digest()
+        for i in range((size * size) // 32 + 1)
+    ]
+    flat = np.frombuffer(b"".join(blocks), dtype=np.uint8)[: size * size]
+    g = flat.reshape(size, size).astype(np.float64)
+    # light smoothing (3-tap box both axes) to create coherent gradients
+    g = (np.roll(g, 1, 0) + g + np.roll(g, -1, 0)) / 3.0
+    g = (np.roll(g, 1, 1) + g + np.roll(g, -1, 1)) / 3.0
+    return g
+
+
+def synth_png_corpus(
+    df: DataFrame,
+    id_col: str,
+    n_bases: int = 50,
+    size: int = 24,
+    noise_px: int = 4,
+) -> DataFrame:
+    """Deterministic synthetic PNG corpus keyed off an id column: ids with
+    the same (id % n_bases) share a base image; each id perturbs noise_px
+    pixels by ±3 gray levels (keyed by sha256 of the id) — a re-encode-ish
+    perturbation dHash should survive, giving the registered query a known
+    collision structure over the text-only testdata tables (the media
+    analog of multimodal.binary_from_text)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        base_cache: dict[int, object] = {}
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                b = int(i) % n_bases
+                if b not in base_cache:
+                    base_cache[b] = _base_gray(b, size)
+                g = base_cache[b].copy()
+                pert = hashlib.sha256(b"img-pert-%d" % int(i)).digest()
+                for k in range(noise_px):
+                    r = pert[3 * k] % size
+                    c = pert[3 * k + 1] % size
+                    d = (pert[3 * k + 2] % 7) - 3
+                    g[r, c] = float(np.clip(g[r, c] + d, 0, 255))
+                payloads.append(encode_png_gray(g))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return spread_small_input(df.select(id_col)).mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+def synth_wav_corpus(
+    df: DataFrame,
+    id_col: str,
+    n_bases: int = 50,
+    n_samples: int = 2000,
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic synthetic WAV corpus: ids sharing (id % n_bases) carry
+    the SAME dense-spectrum content at a DIFFERENT per-id gain (0.2..1.0)
+    — exactly the variation the spectral fingerprint must collapse.
+
+    The content is a DENSE 40-tone mixture (seed-derived frequencies and
+    amplitudes), not a sparse 3-tone chord: with sparse content most
+    spectral bands hold only quantization noise, whose level varies with
+    gain, making adjacent-band comparisons coin flips. Dense spectra put
+    real signal in every band — the regime real speech/music occupies and
+    the one adjacent-band fingerprints are designed for."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(n_samples) / rate
+        base_cache: dict[int, object] = {}
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                b = int(i) % n_bases
+                if b not in base_cache:
+                    seed = hashlib.sha256(b"wav-base-%d" % b).digest()
+                    ext = seed + hashlib.sha256(seed).digest() + hashlib.sha256(
+                        seed + b"2"
+                    ).digest() + hashlib.sha256(seed + b"3").digest()
+                    x = np.zeros(n_samples)
+                    for k in range(40):
+                        f = 60 + int.from_bytes(ext[3 * k : 3 * k + 2], "big") % (
+                            rate // 2 - 120
+                        )
+                        amp = 0.2 + ext[3 * k + 2] / 255.0
+                        x += amp * np.sin(2 * np.pi * f * t + k)
+                    base_cache[b] = x / np.max(np.abs(x))
+                gain = 0.2 + (int(i) * 2654435761 % 1000) / 1250.0  # 0.2..1.0
+                payloads.append(encode_wav_pcm16(base_cache[b] * gain, rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return spread_small_input(df.select(id_col)).mapInPandas(run, PAYLOAD_SCHEMA)

@@ -534,6 +534,65 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
     return sums.select("doc_id", fp.alias("simhash"))
 
 
+def hamming_band_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 63,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """Pairs with hamming(fp) ≤ max_hamming over ANY 64-bit-or-less
+    fingerprint column, via chunk-banding.
+
+    Pigeonhole: split `bits` bits into (max_hamming+1) chunks; any pair
+    within distance d shares at least one identical chunk → equi-join on
+    chunks, then exact hamming verify with bit_count(xor). This is the
+    shared candidate machinery behind text SimHash (bits=63, sign bit
+    unused) and the media perceptual hashes (bits=64 dHash / band-energy
+    fingerprints, operators/mediadedup.py) — the fingerprint producer
+    differs per modality, the at-scale pair search does not.
+
+    max_bucket_size drops degenerate chunk buckets before their member
+    lists are collected (drop_oversized_buckets — same rationale as the
+    MinHash path). Output: (id_a, id_b, hamming), id_a < id_b, distinct.
+
+    64-bit note: a full-64-bit fingerprint is stored as a signed long; the
+    per-chunk extraction uses shiftrightunsigned so the sign bit behaves
+    as a data bit, and the LAST chunk's mask is clipped so no 1<<64 Python
+    literal reaches the plan. bit_count(xor) is sign-correct by definition.
+    """
+    chunks = max_hamming + 1
+    width = (bits + chunks - 1) // chunks  # ceil
+    ham = F.bit_count(F.col(f"p.a.{fp_col}").bitwiseXOR(F.col(f"p.b.{fp_col}")))
+    bands = []
+    for c in range(chunks):
+        lo = c * width
+        w = min(width, bits - lo)  # last chunk may be narrower
+        key = F.shiftrightunsigned(F.col(fp_col), lo)
+        if lo + w < 64:  # a full-long chunk needs no mask (and (1<<64)-1 overflows)
+            key = key.bitwiseAND(F.lit((1 << w) - 1))
+        bands.append(F.struct(F.lit(c).alias("chunk"), key.alias("key")))
+    banded = fp.select(
+        id_col, fp_col, F.explode(F.array(*bands)).alias("cb")
+    ).select(id_col, fp_col, "cb.chunk", "cb.key")
+    if max_bucket_size is not None:
+        banded = drop_oversized_buckets(banded, ["chunk", "key"], max_bucket_size)
+    hash_buckets = banded.groupBy("chunk", "key").agg(
+        F.sort_array(F.collect_list(F.struct(id_col, fp_col))).alias("ds")
+    )
+    return (
+        intra_bucket_pairs(hash_buckets.select("ds"))
+        .select(
+            F.col(f"p.a.{id_col}").alias("id_a"),
+            F.col(f"p.b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
@@ -542,52 +601,17 @@ def simhash_pairs(
     n: int = 1,
     max_bucket_size: int | None = 1024,
 ) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ max_hamming via chunk-banding.
-
-    Pigeonhole: split 63 bits into (max_hamming+1) chunks; any pair within
-    distance d shares at least one identical chunk → equi-join on chunks,
-    then exact hamming verify with bit_count(xor). max_bucket_size drops
-    degenerate chunk buckets before their member lists are collected
-    (drop_oversized_buckets — same rationale as the MinHash path).
-    """
-    chunks = max_hamming + 1
-    width = (63 + chunks - 1) // chunks  # ceil; width=63 when chunks=1 (fits a long mask)
+    """Pairs with hamming(simhash) ≤ max_hamming via chunk-banding — the
+    63-bit text instantiation of hamming_band_pairs (see there for the
+    pigeonhole argument and the bucket cap)."""
     sh = simhash(df, text_col, id_col, n)
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(
-                            F.col("simhash"), c * width
-                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cb"),
-    ).select("doc_id", "simhash", "cb.chunk", "cb.key")
-    if max_bucket_size is not None:
-        banded = drop_oversized_buckets(
-            banded, ["chunk", "key"], max_bucket_size
-        )
-    hash_buckets = banded.groupBy("chunk", "key").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
-    )
-    return (
-        intra_bucket_pairs(hash_buckets.select("ds"))
-        .select(
-            F.col("p.a.doc_id").alias("id_a"),
-            F.col("p.b.doc_id").alias("id_b"),
-            F.bit_count(
-                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return hamming_band_pairs(
+        sh,
+        id_col="doc_id",
+        fp_col="simhash",
+        max_hamming=max_hamming,
+        bits=63,
+        max_bucket_size=max_bucket_size,
     )
 
 

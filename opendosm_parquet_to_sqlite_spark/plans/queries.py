@@ -31,6 +31,7 @@ from ..operators import (
     features,
     graph,
     joins,
+    mediadedup,
     merge,
     multimodal,
     neardup,
@@ -299,6 +300,7 @@ def q_latest_per_group_maxby(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "unique_key_enforce",
     "SELECT count(*) AS n_rows, count(DISTINCT p_partkey) AS n_keys FROM part",
+    shadow=True,  # demoted round 7 (4th rotation): multi-round driver-green
 )
 def q_unique_key(spark: SparkSession, sf: str) -> DataFrame:
     """UNIQUE-INDEX analog as a query (src/main.rs:198,204)."""
@@ -315,6 +317,7 @@ def q_unique_key(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand, l_extendedprice
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
+    shadow=True,  # demoted round 7 (4th rotation): multi-round driver-green
 )
 def q_join_items(spark: SparkSession, sf: str) -> DataFrame:
     """Fact⋈dim on item key (implied by indexes src/main.rs:195,204);
@@ -429,6 +432,7 @@ def q_agg_by_brand(spark: SparkSession, sf: str) -> DataFrame:
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
     """,
+    shadow=True,  # demoted round 7 (4th rotation): multi-round driver-green
 )
 def q_agg_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     """Consumer group-by implied by the state index (src/main.rs:200)."""
@@ -1168,7 +1172,7 @@ _ANN_ORACLE = """
 """
 
 
-@query("ann_bruteforce", _ANN_ORACLE)
+@query("ann_bruteforce", _ANN_ORACLE, shadow=True)  # demoted round 7 (4th rotation)
 def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Exact top-5 cosine neighbors for queries vec_id<10: broadcast the
     query set, single corpus scan, no vector shuffle."""
@@ -1242,6 +1246,32 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     withp = multimodal.binary_from_text(docs, "text", "doc_id")
     return multimodal.decode_media_features(withp, "payload", "doc_id")
+
+
+@query("dedup_image_phash")  # rows-only: pixel decode not SQL-expressible
+def q_dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup pairs over a deterministic REAL-PNG corpus: docs
+    sharing (doc_id % 50) carry the same base image with per-doc pixel
+    perturbations (mediadedup.synth_png_corpus) → stdlib PNG decode →
+    64-bit dHash → banded Hamming pairs (neardup.hamming_band_pairs — the
+    SAME pigeonhole machinery as text SimHash, never all-pairs).
+    Collision structure is pinned exactly in tests/test_mediadedup.py;
+    this registration proves the distributed plan at table scale."""
+    docs = load_table(spark, sf, "documents")
+    png = mediadedup.synth_png_corpus(docs, "doc_id", n_bases=50)
+    return mediadedup.image_phash_pairs(png, "payload", "doc_id", max_hamming=6)
+
+
+@query("dedup_audio_fp")  # rows-only: PCM decode not SQL-expressible
+def q_dedup_audio_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup pairs over a deterministic canonical-WAV corpus:
+    docs sharing (doc_id % 50) carry the same dense-spectrum content at
+    different per-doc gains (mediadedup.synth_wav_corpus) → stdlib PCM
+    decode → 64-bit spectral fingerprint (gain-invariant by construction)
+    → banded Hamming pairs. Pinned in tests/test_mediadedup.py."""
+    docs = load_table(spark, sf, "documents")
+    wav = mediadedup.synth_wav_corpus(docs, "doc_id", n_bases=50)
+    return mediadedup.audio_phash_pairs(wav, "payload", "doc_id", max_hamming=6)
 
 
 @query("ann_ivf")  # rows-only: approximate by design
@@ -1525,6 +1555,7 @@ _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
     LEFT JOIN uni_stats u USING (doc_id)
     LEFT JOIN big_stats b USING (doc_id)
     """,
+    shadow=True,  # demoted round 7 (4th rotation): multi-round driver-green
 )
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition gate: distinct-token ratio, top-token and
@@ -1639,6 +1670,7 @@ def q_text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     FROM documents d LEFT JOIN hits h USING (doc_id)
     WHERE d.doc_id % 97 <> 0
     """,
+    shadow=True,  # demoted round 7 (4th rotation): multi-round driver-green
 )
 def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: 5-gram collision of every candidate doc
@@ -2125,6 +2157,7 @@ def q_tfidf_per_doc(spark: SparkSession, sf: str) -> DataFrame:
                AS BIGINT)
           < (rate - copy_idx) * 4294967296.0
     """,
+    shadow=True,  # demoted round 7 (4th rotation): multi-round driver-green
 )
 def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Reweight documents to a 50/30/20 target mixture over three domains
@@ -2271,6 +2304,7 @@ def q_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
     SELECT user_id, grid_ts, asof_event_id, round(asof_value, 6) AS asof_value
     FROM j
     """,
+    shadow=True,  # demoted round 7 (4th rotation): multi-round driver-green
 )
 def q_time_resample(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly-grid forward-fill resample of each user's event series:
@@ -2330,6 +2364,7 @@ def q_time_resample(spark: SparkSession, sf: str) -> DataFrame:
            last_ts, round(last.last_value, 6) AS last_value
     FROM agg JOIN last USING (key)
     """,
+    shadow=True,  # demoted round 7 (4th rotation): multi-round driver-green
 )
 def q_running_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user value profile — the BATCH twin of the stateful streaming
@@ -2378,6 +2413,7 @@ def q_running_profile(spark: SparkSession, sf: str) -> DataFrame:
     WINDOW w AS (PARTITION BY user_id ORDER BY et
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
+    shadow=True,  # demoted round 7 (4th rotation): multi-round driver-green
 )
 def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
     """Trailing 1-hour per-user rolling features over events — the
@@ -3781,7 +3817,6 @@ def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY est_count DESC, item
     LIMIT 30
     """,
-    shadow=True,
 )
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Top-30 corpus terms via per-partition Misra-Gries summaries —
@@ -3823,7 +3858,6 @@ def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
                AS price
     FROM obs GROUP BY custkey
     """,
-    shadow=True,
 )
 def q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
     """Survivorship merge: per customer, each field independently from
@@ -3912,7 +3946,6 @@ def q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_variants
     FROM canon GROUP BY canonical_url
     """,
-    shadow=True,
 )
 def q_dedup_urls(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-frontier URL dedup: scheme/case/www/trailing-slash/tracking-
@@ -4038,7 +4071,6 @@ def q_dedup_urls(spark: SparkSession, sf: str) -> DataFrame:
         FROM fused
     ) WHERE rank <= 10
     """,
-    shadow=True,
 )
 def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-20 (lexical) and exact-cosine top-20
@@ -4083,7 +4115,6 @@ def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
                  - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
     FROM ranked
     """,
-    shadow=True,
 )
 def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """Key-distribution pre-flight for the events stream keyed by user:
@@ -4118,7 +4149,6 @@ def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
                 THEN s - touch.ts END AS delay_s
     FROM carried WHERE ev = 'purchase'
     """,
-    shadow=True,
 )
 def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     """Last-touch attribution: each purchase credits the user's latest
@@ -4150,7 +4180,6 @@ def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     ) AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
     """,
-    shadow=True,
 )
 def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
@@ -4290,7 +4319,6 @@ def q_user_event_profile(spark: SparkSession, sf: str) -> DataFrame:
         FROM members
     ) WHERE rn = 1
     """,
-    shadow=True,
 )
 def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-aware near-dup survivorship: per connected component keep
@@ -5274,7 +5302,6 @@ def q_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag, min(v) AS wq
     FROM cum WHERE c >= 0.5 * t GROUP BY 1
     """,
-    shadow=True,
 )
 def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag: exact
@@ -5405,7 +5432,6 @@ def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     SELECT s.event_type, s.mean_value, c.ci_lo, c.ci_hi, s.n_rows
     FROM stats s JOIN ci c USING (event_type)
     """,
-    shadow=True,
 )
 def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     """95% bootstrap CI for the mean event value per type, via the

@@ -1,0 +1,246 @@
+"""Media perceptual-hash near-dup: fingerprint kernel pins (invariance /
+separation), banding exactness vs brute force, plan shape, fixture
+round-trips. The decode → fingerprint → banded-pair path must behave like
+the text SimHash family: collide on re-encodes/perturbations/gain changes,
+separate distinct content, and NEVER run all-pairs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import mediadedup as M
+from opendosm_parquet_to_sqlite_spark.operators.neardup import hamming_band_pairs
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# --- image kernel -------------------------------------------------------------
+
+
+def test_png_encode_decode_roundtrip_pixel_exact():
+    g = M._base_gray(3, 24)
+    decoded = M.gray_decode(M.encode_png_gray(g))
+    assert decoded.shape == (24, 24)
+    assert np.array_equal(decoded, np.clip(g, 0, 255).astype(np.uint8).astype(float))
+
+
+def test_dhash_identical_and_affine_invariant():
+    g = M.gray_decode(M.encode_png_gray(M._base_gray(5, 24)))
+    h0 = M.dhash64(g)
+    assert M.dhash64(g.copy()) == h0
+    # any strictly-increasing pixel map preserves every gradient sign
+    assert M.dhash64(g * 1.7 + 23.0) == h0
+    assert M.dhash64(np.sqrt(g + 1.0)) == h0
+
+
+def test_dhash_perturbation_small_distinct_large():
+    base = M.gray_decode(M.encode_png_gray(M._base_gray(11, 24)))
+    h0 = M.dhash64(base)
+    pert = base.copy()
+    for k in range(4):
+        d = hashlib.sha256(b"p%d" % k).digest()
+        pert[d[0] % 24, d[1] % 24] += (d[2] % 7) - 3
+    assert _ham(h0, M.dhash64(pert)) <= 6
+    other = M.gray_decode(M.encode_png_gray(M._base_gray(12, 24)))
+    assert _ham(h0, M.dhash64(other)) >= 12
+
+
+def test_dhash_reencode_invariant_across_compression_levels():
+    g = M._base_gray(7, 20)
+    h = [M.dhash64(M.gray_decode(M.encode_png_gray(g, level=lv))) for lv in (0, 6, 9)]
+    assert h[0] == h[1] == h[2]
+
+
+def test_dhash_resize_area_mean_exactness():
+    # a pure horizontal ramp sets EVERY dx bit (strictly decreasing cells)
+    ramp = np.tile(np.arange(32, 0, -1, dtype=float), (8, 1))
+    assert M.dhash64(ramp) == M._to_signed64((1 << 64) - 1)
+    # constant images: bin means differ only by float rounding, so the
+    # sign pattern is arbitrary — deterministic per input, but NOT stable
+    # under affine maps (ties re-resolve by scaled rounding noise). Real
+    # images have gradients, where affine invariance holds (tested above).
+    flat = np.full((17, 31), 99.0)
+    assert M.dhash64(flat) == M.dhash64(flat.copy())
+    # area-mean is exact on aligned dims: 16 rows / 8 bins = 2 rows each
+    g = M._base_gray(4, 16)
+    t = M._bin_mean_axis0(g, 8)
+    assert np.allclose(t, g.reshape(8, 2, 16).mean(axis=1))
+
+
+def test_fake_gray_deterministic_and_shape():
+    a = M._fake_gray(b"not an image")
+    assert a.shape == (16, 16)
+    assert np.array_equal(a, M._fake_gray(b"not an image"))
+    assert not np.array_equal(a, M._fake_gray(b"other bytes"))
+
+
+# --- audio kernel -------------------------------------------------------------
+
+
+def _dense_signal(b: int, n: int = 2000, rate: int = 8000):
+    seed = hashlib.sha256(b"wav-base-%d" % b).digest()
+    ext = (
+        seed
+        + hashlib.sha256(seed).digest()
+        + hashlib.sha256(seed + b"2").digest()
+        + hashlib.sha256(seed + b"3").digest()
+    )
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    for k in range(40):
+        f = 60 + int.from_bytes(ext[3 * k : 3 * k + 2], "big") % (rate // 2 - 120)
+        x += (0.2 + ext[3 * k + 2] / 255.0) * np.sin(2 * np.pi * f * t + k)
+    return x / np.max(np.abs(x))
+
+
+def test_wav_roundtrip_and_gain_invariance():
+    x = _dense_signal(1)
+    rate, pcm = M.wav_pcm(M.encode_wav_pcm16(x))
+    assert rate == 8000 and len(pcm) == len(x)
+    assert np.max(np.abs(pcm - x)) < 1e-3  # 16-bit quantization bound
+    fps = []
+    for gain in (0.2, 0.5, 1.0):
+        r, p = M.wav_pcm(M.encode_wav_pcm16(x * gain))
+        fps.append(M.audio_fp64(p, r))
+    # same content at any gain stays within the banding threshold
+    assert max(_ham(fps[0], f) for f in fps[1:]) <= 6
+
+
+def test_audio_fp_separates_content():
+    f1 = M.audio_fp64(_dense_signal(2), 8000)
+    f2 = M.audio_fp64(_dense_signal(3), 8000)
+    assert _ham(f1, f2) >= 12
+
+
+def test_audio_fp_short_clip_and_fake_fallback():
+    # shorter than one FFT frame: zero-padded, still deterministic
+    assert M.audio_fp64(np.ones(10), 8000) == M.audio_fp64(np.ones(10), 8000)
+    r, p = M.audio_decode(b"definitely not audio")
+    assert r == 8000 and len(p) == 2048
+    r2, p2 = M.audio_decode(b"definitely not audio")
+    assert np.array_equal(p, p2)
+
+
+def test_wav_pcm_rejects_non_wav_and_8bit_stereo_path():
+    with pytest.raises(ValueError):
+        M.wav_pcm(b"not a wav at all, but long enough to pass the length gate....")
+    # 8-bit stereo canonical WAV: header arithmetic + mono averaging
+    data = bytes([128, 130, 126, 140] * 50)  # L,R interleaved
+    payload = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+        + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    rate, pcm = M.wav_pcm(payload)
+    assert rate == 8000 and len(pcm) == len(data) // 2
+    assert abs(pcm[0] - (0.0 + 2 / 128.0) / 2) < 1e-9  # (128,130) averaged
+
+
+# --- banding exactness vs brute force ----------------------------------------
+
+
+def test_hamming_band_pairs_exact_vs_bruteforce(spark):
+    rng = np.random.default_rng(42)
+    fps = [
+        M._to_signed64(int(v))
+        for v in rng.integers(0, 1 << 64, size=30, dtype=np.uint64)
+    ]
+    # plant near-dups: ids 20..29 are ids 0..9 with <=3 flipped bits
+    for i in range(10):
+        v = fps[i] & ((1 << 64) - 1)
+        for b in rng.choice(64, size=int(rng.integers(0, 4)), replace=False):
+            v ^= 1 << int(b)
+        fps[20 + i] = M._to_signed64(int(v))
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "doc_id long, phash long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_band_pairs(
+            df, "doc_id", "phash", max_hamming=3, bits=64
+        ).collect()
+    }
+    expected = {
+        (i, j, _ham(fps[i], fps[j]))
+        for i in range(30)
+        for j in range(i + 1, 30)
+        if _ham(fps[i], fps[j]) <= 3
+    }
+    assert got == expected  # pigeonhole banding is EXACT, not approximate
+
+
+def test_hamming_band_pairs_zero_distance_single_chunk(spark):
+    # max_hamming=0 -> one chunk spanning all 64 bits (no mask, see the
+    # 64-bit note): reduces to exact fingerprint equality
+    df = spark.createDataFrame(
+        [(0, -5), (1, -5), (2, 7), (3, 7), (4, 9)], "doc_id long, phash long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_band_pairs(
+            df, "doc_id", "phash", max_hamming=0, bits=64
+        ).collect()
+    }
+    assert got == {(0, 1), (2, 3)}
+
+
+# --- distributed pipelines ----------------------------------------------------
+
+
+def test_image_pairs_collision_structure(spark):
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    png = M.synth_png_corpus(ids, "doc_id", n_bases=8)
+    pairs = M.image_phash_pairs(png, "payload", "doc_id", max_hamming=6).collect()
+    same = {(p.id_a, p.id_b) for p in pairs if p.id_a % 8 == p.id_b % 8}
+    cross = [(p.id_a, p.id_b) for p in pairs if p.id_a % 8 != p.id_b % 8]
+    expected_same = {
+        (a, b) for a in range(40) for b in range(a + 1, 40) if a % 8 == b % 8
+    }
+    assert same == expected_same  # every perturbed sibling pair found
+    assert cross == []  # and no cross-base false positives
+
+
+def test_audio_pairs_collision_structure(spark):
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    wav = M.synth_wav_corpus(ids, "doc_id", n_bases=8)
+    pairs = M.audio_phash_pairs(wav, "payload", "doc_id", max_hamming=6).collect()
+    same = {(p.id_a, p.id_b) for p in pairs if p.id_a % 8 == p.id_b % 8}
+    expected_same = {
+        (a, b) for a in range(40) for b in range(a + 1, 40) if a % 8 == b % 8
+    }
+    assert same == expected_same
+    assert all(p.id_a % 8 == p.id_b % 8 for p in pairs)
+
+
+def test_pairs_plan_is_banded_never_allpairs(spark):
+    ids = spark.range(20).withColumnRenamed("id", "doc_id")
+    png = M.synth_png_corpus(ids, "doc_id", n_bases=4)
+    plan = (
+        M.image_phash_pairs(png, "payload", "doc_id", max_hamming=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_phash_plug_in_decoder(spark):
+    # decode_fn contract: any bytes -> (h, w) array callable slots in
+    ids = spark.range(6).withColumnRenamed("id", "doc_id")
+    df = ids.withColumn("payload", F.encode(F.lit("x"), "utf-8"))
+
+    def decoder(payload: bytes):
+        return np.tile(np.arange(16.0, 0, -1), (8, 1))  # fixed ramp
+
+    rows = M.image_phash(df, "payload", "doc_id", decode_fn=decoder).collect()
+    assert len(rows) == 6
+    assert len({r.phash for r in rows}) == 1  # same pixels -> same hash
+    assert rows[0].phash == M._to_signed64((1 << 64) - 1)  # all-descending ramp
