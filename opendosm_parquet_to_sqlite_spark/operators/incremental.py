@@ -30,6 +30,40 @@ from pyspark.sql import functions as F
 STATE_COLS = ["n", "s", "ss", "mn", "mx"]
 
 
+def recover_swap(path: str, staging_suffixes: tuple[str, ...] = (".next", ".merge")) -> None:
+    """Repair the write-then-swap staging area around `path` before a run.
+
+    The swap is two sequential os.renames (state → .old, .next → state):
+    a crash in the window between them leaves NO dataset at `path` with
+    the previous state stranded at '.old'; a crash before either rename
+    leaves a stale staging dir that would make the next run's rename
+    raise. Recovery rules, in order:
+
+    - `path` missing but '.old' present → the crash hit mid-swap; rename
+      '.old' back (the previous state is intact and becomes current —
+      the batch marker was never updated, so re-applying the batch is
+      safe under the exactly-once discipline).
+    - `path` present and '.old' present → crash after the swap completed
+      but before cleanup; drop '.old'.
+    - any stale staging dir ('.next'/'.merge') → drop it; it is either
+      half-written or fully superseded by the recovery above.
+    """
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    old = base + ".old"
+    if os.path.exists(old):
+        if not os.path.exists(base):
+            os.rename(old, base)
+        else:
+            shutil.rmtree(old)
+    for suffix in staging_suffixes:
+        stale = base + suffix
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+
 def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """One batch's mergeable partials per key: n, sum, sumsq, min, max
     over the non-null values of `value_col` (NULLs contribute nothing,
@@ -136,10 +170,17 @@ def maintain_state_dataset(
     state (maintain_agg_dataset) and the count-min sketch state
     (maintain_cm_dataset); any cell-wise-mergeable state (HLL
     registers, KLL sketches, inverted-index postings) plugs in the
-    same way."""
+    same way.
+
+    Crash contract: the swap itself is two renames, NOT one atomic op —
+    recover_swap() runs first and repairs any state a previous crash
+    left (stranded '.old', stale '.next'), so the previous state is
+    recovered AT state_path and the batch can simply be re-applied
+    (the marker only advances after a completed swap)."""
     import os
     import shutil
 
+    recover_swap(state_path, (".next",))
     marker = os.path.join(state_path, "_applied_batch")
     if batch_id is not None and os.path.exists(marker):
         with open(marker) as fh:

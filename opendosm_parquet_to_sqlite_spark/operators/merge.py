@@ -37,9 +37,11 @@ def merge_plan(
 ) -> DataFrame:
     """MERGE semantics as one lazy plan:
 
-    - matched (key in both):   updated row (update columns win), unless
-      `delete_condition` (evaluated on the UPDATE row's columns) holds —
-      then the row is dropped.
+    - matched (key in both):   updated row (update columns win — including
+      a column legitimately SET to NULL), unless `delete_condition`
+      (evaluated on the UPDATE row's columns) is TRUE — then the row is
+      dropped. A NULL condition keeps the row, per SQL MERGE's
+      'WHEN MATCHED AND cond THEN DELETE'.
     - not matched by target:   inserted as-is.
     - not matched by updates:  target row kept unchanged.
 
@@ -101,16 +103,31 @@ def merge_plan(
     matched = F.col(f"__u_{keys[0]}").isNotNull() & F.col(
         f"__t_{keys[0]}"
     ).isNotNull()
+    # Column choice is decided by MATCH SIDE, not value nullness: the
+    # update keys are guarded non-null above, so __u_{k0} IS NOT NULL
+    # identifies "this output row comes from the update set" exactly —
+    # and an update row may legitimately SET a column to NULL (a
+    # coalesce here would silently resurrect the target value).
+    from_updates = F.col(f"__u_{keys[0]}").isNotNull()
     merged = j.select(
         *[
-            F.coalesce(F.col(f"__u_{c}"), F.col(f"__t_{c}")).alias(c)
+            F.when(from_updates, F.col(f"__u_{c}"))
+            .otherwise(F.col(f"__t_{c}"))
+            .alias(c)
             for c in target.columns
         ],
         matched.alias("__matched"),
-        F.col(f"__u_{keys[0]}").isNotNull().alias("__from_updates"),
+        from_updates.alias("__from_updates"),
     )
     if delete_condition is not None:
-        merged = merged.filter(~(F.col("__matched") & delete_condition))
+        # SQL MERGE 'WHEN MATCHED AND cond THEN DELETE' treats a NULL
+        # condition as NOT deleted; a bare ~(matched & cond) is
+        # three-valued and would silently DROP rows where cond is NULL
+        # (e.g. a predicate over a nullable column). coalesce to False
+        # keeps them.
+        merged = merged.filter(
+            ~F.coalesce(F.col("__matched") & delete_condition, F.lit(False))
+        )
     return merged.drop("__matched", "__from_updates")
 
 
@@ -127,11 +144,17 @@ def merge_upsert_dataset(
     The merged copy is fully materialized to `path + '.merge'` BEFORE the
     standing data is touched (the read and the overwrite cannot overlap —
     Spark reads lazily, so writing in place would consume half-overwritten
-    input). A crash before the final rename leaves the original intact.
+    input). The swap is two renames, not one atomic op: recover_swap()
+    (operators/incremental.py) runs first and repairs anything a previous
+    crash left mid-swap ('.old' stranded, stale '.merge'), so the
+    original dataset is always present at `path` when the merge starts.
     """
     import os
     import shutil
 
+    from .incremental import recover_swap
+
+    recover_swap(path, (".merge",))
     target = spark.read.parquet(path)
     before = target.count()
     merged = merge_plan(target, updates, keys, delete_condition)

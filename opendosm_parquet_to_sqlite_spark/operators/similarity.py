@@ -1426,7 +1426,11 @@ def build_ivfpq_index(
       path/codebooks — (sub, code, vec array<double>) — m·n_codes rows
       path/cells     — (vec_id, pq_codes binary, cell) PARTITIONED BY
                        cell → probes read n_probe/n_centroids of the data
-      path/meta      — build parameters, validated on probe
+      path/meta      — build parameters; probe validates the loaded
+                       centroid/codebook shapes and the query (and
+                       rerank-corpus) dims against it. A same-dim
+                       re-encoded corpus is undetectable from shapes —
+                       rebuild the index when the embedding model changes.
 
     The index stores ONLY codes; exact rerank (the recall-restoring
     tail) reads the float vectors from the ORIGINAL corpus, which stays
@@ -1496,9 +1500,23 @@ def probe_ivfpq_index(
         "cell"
     ).collect()
     cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    # Meta is the build's self-description; verify the loaded artifacts
+    # actually match it before trusting any score (a partially rebuilt
+    # or hand-mixed index directory must fail loudly, not rank wrongly).
+    if cent.shape != (meta["n_centroids"], meta["dim"]):
+        raise ValueError(
+            f"index at {path} is inconsistent: centroids shape "
+            f"{cent.shape} != meta (n_centroids={meta['n_centroids']}, "
+            f"dim={meta['dim']})"
+        )
     book_rows = spark.read.parquet(f"{path}/codebooks").orderBy(
         "sub", "code"
     ).collect()
+    if len(book_rows) != meta["m"] * meta["n_codes"]:
+        raise ValueError(
+            f"index at {path} is inconsistent: {len(book_rows)} codebook "
+            f"rows != meta m*n_codes = {meta['m'] * meta['n_codes']}"
+        )
     books = np.array([r["vec"] for r in book_rows], dtype=np.float64).reshape(
         meta["m"], meta["n_codes"], meta["dim"] // meta["m"]
     )
@@ -1510,6 +1528,15 @@ def probe_ivfpq_index(
             f"query dim {len(qrow[0])} != index dim {meta['dim']}"
             f" (index at {path})"
         )
+    if corpus is not None:
+        crow = corpus.select(vec_col).first()
+        if crow is not None and len(crow[0]) != meta["dim"]:
+            raise ValueError(
+                f"rerank corpus dim {len(crow[0])} != index dim "
+                f"{meta['dim']} (index at {path}) — same-dim re-encoded "
+                "corpora cannot be detected; rebuild the index when the "
+                "embedding model changes"
+            )
     cells = spark.read.parquet(f"{path}/cells")
     probe = F.broadcast(
         queries.select(

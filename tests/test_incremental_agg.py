@@ -125,6 +125,59 @@ def test_dataset_maintenance_roundtrip(spark, events, tmp_path):
     assert not os.path.exists(state_path + ".old")
 
 
+def test_crash_recovery_mid_swap_and_stale_staging(spark, events, tmp_path):
+    """Simulate every crash window of the two-rename swap and verify the
+    next run recovers: (a) state stranded at '.old' with nothing at the
+    path comes back; (b) a completed swap's leftover '.old' is cleaned;
+    (c) a stale '.next' from a crashed write doesn't break the rename."""
+    state_path = str(tmp_path / "state")
+    b0 = events.filter(F.col("event_id") % 3 == 0)
+    b1 = events.filter(F.col("event_id") % 3 == 1)
+    b2 = events.filter(F.col("event_id") % 3 == 2)
+    incremental.maintain_agg_dataset(spark, state_path, b0, ["event_type"], "value")
+
+    # (a) crash between rename 1 and rename 2: state gone, '.old' holds it
+    os.rename(state_path, state_path + ".old")
+    incremental.maintain_agg_dataset(spark, state_path, b1, ["event_type"], "value")
+    assert os.path.exists(state_path)
+    assert not os.path.exists(state_path + ".old")
+
+    # (b)+(c) crash after swap (stranded '.old') AND a stale half-write
+    os.makedirs(state_path + ".old")
+    open(os.path.join(state_path + ".old", "junk"), "w").write("x")
+    os.makedirs(state_path + ".next")
+    incremental.maintain_agg_dataset(spark, state_path, b2, ["event_type"], "value")
+    assert not os.path.exists(state_path + ".old")
+    assert not os.path.exists(state_path + ".next")
+
+    final = incremental.finalize_agg(
+        spark.read.parquet(state_path), ["event_type"]
+    )
+    whole = incremental.finalize_agg(
+        incremental.agg_state(events, ["event_type"], "value"), ["event_type"]
+    )
+    assert _canon(final) == _canon(whole)
+
+
+def test_merge_upsert_dataset_recovers_stranded_old(spark, tmp_path):
+    from opendosm_parquet_to_sqlite_spark.operators import merge as merge_ops
+
+    path = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    ).write.parquet(path)
+    # crash mid-swap: dataset stranded at '.old', stale '.merge' present
+    os.rename(path, path + ".old")
+    os.makedirs(path + ".merge")
+    upd = spark.createDataFrame([(2, 99.0), (3, 30.0)], "k long, v double")
+    res = merge_ops.merge_upsert_dataset(spark, path, upd, ["k"])
+    assert res == {"rows_before": 2, "rows_after": 3}
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: 10.0, 2: 99.0, 3: 30.0}
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".merge")
+
+
 def test_streaming_maintenance_matches_batch(spark, events, tmp_path):
     """Drained stream state == one-shot batch aggregation, exactly —
     microbatch boundaries are arbitrary splits and the partials are a

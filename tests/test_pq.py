@@ -185,6 +185,46 @@ def test_persisted_ivfpq_validates_dim(spark, emb, tmp_path):
         similarity.probe_ivfpq_index(spark, path, bad)
 
 
+def test_persisted_ivfpq_validates_artifact_consistency(spark, emb, tmp_path):
+    """A hand-mixed index directory (meta from one build, artifacts from
+    another) must fail loudly on probe, not rank wrongly."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "ivfpq5")
+    similarity.build_ivfpq_index(
+        emb.limit(100), path, n_centroids=4, m=8, n_codes=16
+    )
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "query_id long, embedding array<float>"
+    )
+    # corrupt: overwrite meta claiming a different build
+    spark.createDataFrame(
+        [(64, 8, 8, 16, 10_000, 42)],
+        "dim int, n_centroids int, m int, n_codes int, train_sample int,"
+        " seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with _pytest.raises(ValueError, match="inconsistent"):
+        similarity.probe_ivfpq_index(spark, path, q)
+
+
+def test_persisted_ivfpq_validates_rerank_corpus_dim(spark, emb, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    path = str(tmp_path / "ivfpq6")
+    similarity.build_ivfpq_index(
+        emb.limit(100), path, n_centroids=4, m=8, n_codes=16
+    )
+    q = emb.limit(1).select(
+        _F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bad_corpus = spark.createDataFrame(
+        [(0, [0.1] * 32)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="rerank corpus dim"):
+        similarity.probe_ivfpq_index(spark, path, q, corpus=bad_corpus)
+
+
 def test_persisted_ivfpq_probe_prunes_partitions(spark, emb, queries, tmp_path):
     """The cell equi-join reaches the cell-partitioned parquet as a
     partition filter — the probe only READS probed cells."""
