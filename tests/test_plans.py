@@ -398,3 +398,62 @@ def test_ann_pq_code_scan_is_broadcast_only(spark):
     # hash-partitioned (the only exchange is the final top-k window's)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- round-7: statistical family pins (round-6 verdict item 6) ----------------
+
+
+def test_bootstrap_ci_one_explode_then_summary_aggs(spark):
+    """Poisson bootstrap: ONE narrow explode multiplies rows by B inside
+    the scan stage; everything after is partial-combined aggregation over
+    (group, replicate) then a B-row percentile — never a corpus-scale
+    second exchange, never a sort-merge join. Exchange census: replicate
+    agg, B-row percentile agg, broadcast-back of the tiny CI table = 3."""
+    plan = _plan(spark, "bootstrap_ci")
+    assert plan.lower().count("explode") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("partial_") >= 2  # map-side combine on both aggs
+    assert _n_exchanges(plan) <= 4, plan
+
+
+def test_weighted_median_distinct_collapse_then_window(spark):
+    """Exact weighted quantile: collapse to distinct values (one keyed
+    partial-combined agg), then the cumulative-weight window — the value
+    stream crosses the wire once as (value, weight-sum) rows. Two keyed
+    exchanges, no join at data scale."""
+    plan = _plan(spark, "weighted_median")
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("partial_") >= 1
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_equidepth_histogram_two_agg_passes_broadcast_back(spark):
+    """Exact octile edges (percentile agg) + threshold bucketing: two
+    partial-combined aggregation passes with the octile-row table coming
+    back by BROADCAST — the data column never shuffles twice at full
+    width, and no sort-merge join sneaks in."""
+    plan = _plan(spark, "equidepth_histogram")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _n_exchanges(plan) <= 3, plan
+
+
+def test_value_histogram_partial_combined_no_join_at_scale(spark):
+    """Equi-width histogram: bounds pass + bin-count pass, both
+    partial-combined; the bounds come back as a broadcast, the value
+    stream shuffles only as bin counts."""
+    plan = _plan(spark, "value_histogram")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("partial_") >= 2
+    assert _n_exchanges(plan) <= 3, plan
+
+
+def test_heavy_hitters_single_summary_exchange(spark):
+    """Misra-Gries: per-partition capacity-bounded summaries merge through
+    ONE exchange of summary rows — the data never shuffles at full size,
+    and the plan has exactly one Exchange total."""
+    plan = _plan(spark, "heavy_hitters")
+    assert _n_exchanges(plan) == 1, plan
+    assert "SortMergeJoin" not in plan
