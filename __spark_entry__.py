@@ -162,6 +162,9 @@ _ROWS_ONLY_PRIORITY = [
     # tests/test_mediadedup.py):
     "dedup_image_phash",
     "dedup_audio_fp",
+    # round-7 exact-substring rung (shadow oracle: winnow candidates +
+    # diagonal-runs LCS, both restated verbatim in DuckDB):
+    "span_dedup_exact",
     # PQ family (approximate by design; recall + exact-regime pins in
     # tests/test_pq.py):
     "ann_pq",

@@ -232,6 +232,9 @@ HEADLINE = [
     # then the same banded-Hamming pair search as text SimHash)
     "dedup_image_phash",
     "dedup_audio_fp",
+    # round-7: exact longest-repeated-span per winnow candidate pair
+    # (position join + diagonal gaps-and-islands — pair-graph-sized)
+    "span_dedup_exact",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -875,3 +875,101 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def exact_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 20,
+    max_token_freq: int | None = 64,
+) -> DataFrame:
+    """EXACT longest repeated token span per candidate pair — the precise
+    rung above span_dedup's shingle approximation (that docstring names
+    this op as the known next step).
+
+    Two layers:
+
+    1. CANDIDATES: winnow_pairs (MOSS) — any pair sharing a run of
+       ≥ window+k−1 tokens is guaranteed a shared selected fingerprint,
+       so long-overlap pairs cannot be missed; min_shared trims noise.
+    2. EXACT SPAN, natively (no Python, no suffix automaton needed in a
+       distributed setting): join the two documents' token POSITIONS on
+       token equality, group matches by diagonal (pos_a − pos_b) — a
+       shared substring is exactly a run of consecutive pos_a on one
+       diagonal — and find each diagonal's longest run with the
+       gaps-and-islands trick (pos_a − row_number is constant within a
+       consecutive run). The per-pair maximum (ties → smallest start_a,
+       then start_b) is the longest common substring, EXACT by
+       construction, with both start offsets.
+
+    Output: (id_a, id_b, start_a, start_b, span_len), one row per
+    candidate pair whose longest exact shared span reaches min_len.
+    Token positions are 0-based.
+
+    Completeness contract: spans ≥ window+k−1 tokens are guaranteed to
+    surface their pair as a candidate (the winnowing guarantee); the
+    reported span for any surfaced pair is exact. Pairs whose overlap
+    is shorter than the guarantee may not surface — by design, this is
+    a COPIED-PASSAGE detector, not an all-pairs LCS.
+
+    Scale shape: the position join is pair-graph-sized, never
+    corpus²-sized — positions attach to the winnow candidate pairs by
+    doc-keyed equi-joins, and only (id, pos, token) rows shuffle, never
+    documents. The quadratic hazard is a token repeated m× in BOTH
+    documents (m² matched positions on m diagonals); max_token_freq
+    drops positions of tokens occurring more than the cap times within
+    a document (drop_oversized_buckets), bounding per-pair fanout at
+    cap² per distinct token — hyper-repeated tokens are boilerplate,
+    and runs composed of them are exact-dedup territory, not passage
+    reuse. The DuckDB shadow oracle restates BOTH layers verbatim
+    (md5 winnowing is engine-portable; the span layer is plain SQL),
+    so the whole operator is hash-checkable end to end.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = winnow_pairs(
+        df,
+        text_col,
+        id_col,
+        k=k,
+        window=window,
+        min_shared=min_shared,
+        max_doc_freq=max_doc_freq,
+    ).select("id_a", "id_b")
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("p", "tok"),
+    )
+    if max_token_freq is not None:
+        pos = drop_oversized_buckets(pos, ["doc_id", "tok"], max_token_freq)
+    a = pos.select(
+        F.col("doc_id").alias("id_a"), F.col("p").alias("pa"), "tok"
+    )
+    b = pos.select(
+        F.col("doc_id").alias("id_b"), F.col("p").alias("pb"), "tok"
+    )
+    matches = pairs.join(a, "id_a").join(b, ["id_b", "tok"]).select(
+        "id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    run_w = W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    islands = matches.withColumn(
+        "isl", F.col("pa") - F.row_number().over(run_w)
+    )
+    runs = islands.groupBy("id_a", "id_b", "diag", "isl").agg(
+        F.min("pa").alias("start_a"),
+        F.min("pb").alias("start_b"),
+        F.count(F.lit(1)).alias("span_len"),
+    )
+    best_w = W.partitionBy("id_a", "id_b").orderBy(
+        F.col("span_len").desc(), F.col("start_a").asc(), F.col("start_b").asc()
+    )
+    return (
+        runs.withColumn("__r", F.row_number().over(best_w))
+        .filter((F.col("__r") == 1) & (F.col("span_len") >= int(min_len)))
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )

@@ -4789,6 +4789,88 @@ def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "span_dedup_exact",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ), grams AS (
+        SELECT doc_id,
+               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                   AS g
+        FROM toks
+    ), hs AS (
+        SELECT doc_id, [md5(x) for x in g] AS h FROM grams
+    ), sel AS (
+        SELECT doc_id, unnest(list_distinct(
+            [list_min(h[i:i+3]) for i in range(1, len(h)-2)]
+        )) AS fp
+        FROM hs
+    ), ok_fp AS (
+        SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 20
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT * FROM sel SEMI JOIN ok_fp USING (fp)) a
+        JOIN (SELECT * FROM sel SEMI JOIN ok_fp USING (fp)) b
+            USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), pos0 AS (
+        SELECT doc_id, i - 1 AS p, w[i] AS tok
+        FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+    ), pos AS (
+        SELECT * FROM pos0
+        QUALIFY count(*) OVER (PARTITION BY doc_id, tok) <= 64
+    ), matches AS (
+        SELECT id_a, id_b, a.p AS pa, b.p AS pb, a.p - b.p AS diag
+        FROM pairs
+        JOIN pos a ON a.doc_id = id_a
+        JOIN pos b ON b.doc_id = id_b AND b.tok = a.tok
+    ), runs AS (
+        SELECT id_a, id_b,
+               CAST(min(pa) AS BIGINT) AS start_a,
+               CAST(min(pb) AS BIGINT) AS start_b,
+               count(*) AS span_len
+        FROM (
+            SELECT *, pa - row_number() OVER (
+                PARTITION BY id_a, id_b, diag ORDER BY pa
+            ) AS isl
+            FROM matches
+        )
+        GROUP BY id_a, id_b, diag, isl
+    )
+    SELECT id_a, id_b, start_a, start_b, CAST(span_len AS BIGINT) AS span_len
+    FROM runs
+    QUALIFY row_number() OVER (
+        PARTITION BY id_a, id_b
+        ORDER BY span_len DESC, start_a ASC, start_b ASC
+    ) = 1 AND span_len >= 8
+    """,
+    shadow=True,
+)
+def q_span_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT longest repeated token span per winnow candidate pair
+    (neardup.exact_span_pairs): the precise rung above span_dedup's
+    shingle approximation — matched token positions grouped by diagonal,
+    gaps-and-islands longest run, per-pair max with deterministic ties.
+    Both layers (md5 winnowing + plain-SQL span search) restate verbatim
+    in DuckDB, so the operator is hash-checked end to end."""
+    docs = load_table(spark, sf, "documents")
+    out = neardup.exact_span_pairs(
+        docs, "text", "doc_id", min_len=8, k=5, window=4, min_shared=2,
+        max_doc_freq=20, max_token_freq=64,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
 def ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
     """Idempotent build of the persisted IVFADC (IVF×PQ) index over sf's
     embeddings — same sharing contract as ensure_ivf_index: probe

@@ -132,3 +132,104 @@ def test_fuzzy_decontamination_catches_paraphrased_leakage(spark):
     # doc 3 MAY collide (a k-gram can be selected on both sides) but the
     # guarantee only promises detection at >= w+k-1; assert it exists
     assert out[3] in (0, 1)
+
+
+# --- exact_span_pairs: the precise rung above the shingle approximation ------
+
+
+def _lcs_tokens(a: list[str], b: list[str]) -> tuple[int, int, int]:
+    """Pure-Python longest common substring over token lists (O(n·m) DP);
+    ties resolved to smallest (start_a, start_b) — the operator's
+    deterministic tie rule. Returns (start_a, start_b, length)."""
+    best = (0, 0, 0)
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                cand = (i - cur[j], j - cur[j], cur[j])
+                if cur[j] > best[2] or (
+                    cur[j] == best[2]
+                    and (cand[0], cand[1]) < (best[0], best[1])
+                ):
+                    best = cand
+        prev = cur
+    return best
+
+
+def test_exact_span_planted_passage_exact_offsets(spark):
+    """Winnow guarantee -> exact refinement: a planted shared passage of
+    16 tokens surfaces the pair AND comes back with its exact offsets
+    and length."""
+    rng = random.Random(7)
+    passage = _words(rng, 16, "s")
+    pre_a, pre_b = _words(rng, 30, "a"), _words(rng, 45, "b")
+    rows = [
+        (1, " ".join(pre_a + passage + _words(rng, 20, "c"))),
+        (2, " ".join(pre_b + passage + _words(rng, 10, "d"))),
+        (3, " ".join(_words(rng, 80, "e"))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = neardup.exact_span_pairs(
+        df, "text", "doc_id", min_len=8, k=K, window=W, min_shared=1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert (r.start_a, r.start_b, r.span_len) == (30, 45, 16)
+
+
+def test_exact_span_matches_dp_reference_fuzz(spark):
+    """Random doc pairs with planted overlaps: the reported span equals
+    the O(n·m) DP longest-common-substring reference, including the
+    deterministic tie rule."""
+    rng = random.Random(23)
+    rows = []
+    tok_lists = {}
+    vocab = [f"w{i}" for i in range(25)]  # small vocab -> natural repeats
+    for d in range(8):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(20, 60))]
+        if d % 2 == 1:  # plant a long overlap with the previous doc
+            src = tok_lists[d - 1]
+            start = rng.randint(0, max(0, len(src) - 14))
+            toks[3 : 3 + 14] = src[start : start + 14]
+        tok_lists[d] = toks
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.start_a, r.start_b, r.span_len)
+        for r in neardup.exact_span_pairs(
+            df, "text", "doc_id", min_len=8, k=K, window=W, min_shared=1,
+            max_doc_freq=None, max_token_freq=None,
+        ).collect()
+    }
+    for (ia, ib), span in got.items():
+        ref = _lcs_tokens(tok_lists[ia], tok_lists[ib])
+        assert span == ref, (ia, ib, span, ref)
+    # every planted pair long enough for the guarantee must surface
+    for d in range(1, 8, 2):
+        ref = _lcs_tokens(tok_lists[d - 1], tok_lists[d])
+        if ref[2] >= 14:
+            assert (d - 1, d) in got
+
+
+def test_exact_span_token_freq_cap_bounds_fanout(spark):
+    """A token repeated beyond max_token_freq in a doc is dropped from the
+    position join (boilerplate guard): a 'span' made ONLY of that token
+    cannot be reported, while real mixed spans survive."""
+    passage = [f"p{i}" for i in range(12)]
+    boiler = ["the"] * 100
+    rows = [
+        (1, " ".join(passage + boiler)),
+        (2, " ".join(boiler + passage)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = neardup.exact_span_pairs(
+        df, "text", "doc_id", min_len=8, k=K, window=W, min_shared=1,
+        max_token_freq=64,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.span_len == 12  # the real passage, not the 100-token boiler run
+    assert (r.start_a, r.start_b) == (0, 100)
