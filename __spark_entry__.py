@@ -162,6 +162,7 @@ _ROWS_ONLY_PRIORITY = [
     # tests/test_mediadedup.py):
     "dedup_image_phash",
     "dedup_audio_fp",
+    "dedup_media_clusters",
     # round-7 exact-substring rung (shadow oracle: winnow candidates +
     # diagonal-runs LCS, both restated verbatim in DuckDB):
     "span_dedup_exact",

@@ -232,6 +232,8 @@ HEADLINE = [
     # then the same banded-Hamming pair search as text SimHash)
     "dedup_image_phash",
     "dedup_audio_fp",
+    # round-7: composed media dedup (pairs -> components -> keep-best)
+    "dedup_media_clusters",
     # round-7: exact longest-repeated-span per winnow candidate pair
     # (position join + diagonal gaps-and-islands — pair-graph-sized)
     "span_dedup_exact",

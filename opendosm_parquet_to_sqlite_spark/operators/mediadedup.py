@@ -519,3 +519,58 @@ def synth_wav_corpus(
             )
 
     return spread_small_input(df.select(id_col)).mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+def media_dup_clusters(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    modality: str = "image",
+    max_hamming: int = 6,
+    max_bucket_size: int | None = 1024,
+    decode_fn=None,
+) -> DataFrame:
+    """End-to-end media dedup: perceptual-hash pairs → connected
+    components → quality-aware survivorship — the media twin of the text
+    pipeline's dup_clusters + dedup_keep_best composition.
+
+    A re-encode chain (original → resized copy → re-compressed copy) is
+    a PATH in the pair graph, not a clique: pairwise Hamming between the
+    endpoints can exceed the threshold while each hop is under it, so
+    clustering (union-find), not pair filtering, is the correct dedup
+    unit — the same argument corpus_clean_clustered documents for text.
+
+    Survivor per cluster = the member with the LARGEST payload (bytes is
+    the honest codec-free quality proxy: for a fixed codec, more bytes =
+    less compression loss), ties → smallest id. Output: (cluster_id,
+    keep_id, keep_score, n_members) — keep_score is the payload size.
+
+    Shape: fingerprint pass (narrow mapInPandas) → banded pairs →
+    pointer-jumping components over the PAIR graph (pair-sized, not
+    corpus-sized) → one max_by aggregation. Payloads never shuffle;
+    their sizes do.
+    """
+    from .graph import connected_components, keep_best_per_cluster
+
+    if modality == "image":
+        pairs = image_phash_pairs(
+            df, payload_col, id_col,
+            max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+            decode_fn=decode_fn,
+        )
+    elif modality == "audio":
+        pairs = audio_phash_pairs(
+            df, payload_col, id_col,
+            max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+            decode_fn=decode_fn,
+        )
+    else:
+        raise ValueError(f"unknown modality {modality!r}")
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    sized = df.select(
+        F.col(id_col).alias(id_col),
+        F.length(F.col(payload_col)).cast("long").alias("__bytes"),
+    )
+    return keep_best_per_cluster(comps, sized, id_col, "__bytes")

@@ -1274,6 +1274,24 @@ def q_dedup_audio_fp(spark: SparkSession, sf: str) -> DataFrame:
     return mediadedup.audio_phash_pairs(wav, "payload", "doc_id", max_hamming=6)
 
 
+@query("dedup_media_clusters")  # rows-only: pixel decode not SQL-expressible
+def q_dedup_media_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end image dedup (mediadedup.media_dup_clusters): perceptual
+    pairs → union-find components → keep-largest-payload survivorship —
+    the media twin of dup_clusters + dedup_keep_best. Cluster structure
+    over the synthetic corpus is exact (one cluster per base image);
+    pinned in tests/test_mediadedup.py."""
+    docs = load_table(spark, sf, "documents")
+    png = mediadedup.synth_png_corpus(docs, "doc_id", n_bases=50)
+    out = mediadedup.media_dup_clusters(png, "payload", "doc_id")
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("keep_score").cast("long").alias("keep_score"),
+        "n_members",
+    )
+
+
 @query("ann_ivf")  # rows-only: approximate by design
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF top-k: k-means coarse quantizer (16 cells), 12-probe search —

@@ -244,3 +244,37 @@ def test_image_phash_plug_in_decoder(spark):
     assert len(rows) == 6
     assert len({r.phash for r in rows}) == 1  # same pixels -> same hash
     assert rows[0].phash == M._to_signed64((1 << 64) - 1)  # all-descending ramp
+
+
+def test_media_dup_clusters_structure_and_survivor(spark):
+    """One cluster per base image, every sibling a member, survivor =
+    largest payload (ties -> smallest id) — verified against the
+    per-base payload sizes computed directly."""
+    ids = spark.range(30).withColumnRenamed("id", "doc_id")
+    png = M.synth_png_corpus(ids, "doc_id", n_bases=6)
+    out = {
+        r.cluster_id: (r.keep_id, r.keep_score, r.n_members)
+        for r in M.media_dup_clusters(png, "payload", "doc_id").collect()
+    }
+    sizes = {
+        r.doc_id: r.sz
+        for r in png.selectExpr("doc_id", "length(payload) AS sz").collect()
+    }
+    assert set(out) == set(range(6))  # cluster_id = min member id = base
+    for base, (keep_id, keep_score, n) in out.items():
+        members = [d for d in range(30) if d % 6 == base]
+        assert n == len(members)
+        best = max(members, key=lambda d: (sizes[d], -d))
+        assert (keep_id, keep_score) == (best, sizes[best])
+
+
+def test_media_dup_clusters_audio_modality_and_bad_modality(spark):
+    ids = spark.range(12).withColumnRenamed("id", "doc_id")
+    wav = M.synth_wav_corpus(ids, "doc_id", n_bases=3)
+    out = M.media_dup_clusters(wav, "payload", "doc_id", modality="audio").collect()
+    assert {r.cluster_id for r in out} == {0, 1, 2}
+    assert all(r.n_members == 4 for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="modality"):
+        M.media_dup_clusters(wav, "payload", "doc_id", modality="video")
