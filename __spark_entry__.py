@@ -166,6 +166,13 @@ _ROWS_ONLY_PRIORITY = [
     # round-7 exact-substring rung (shadow oracle: winnow candidates +
     # diagonal-runs LCS, both restated verbatim in DuckDB):
     "span_dedup_exact",
+    # round-7 TPC-H shape completions (shadow oracles): Q4 semi-join
+    # priority check, Q7 nation-pair volume, Q14 promo share, Q16
+    # anti-joined distinct supplier counts
+    "order_priority_check",
+    "volume_shipping",
+    "promo_revenue",
+    "parts_supplier_count",
     # PQ family (approximate by design; recall + exact-regime pins in
     # tests/test_pq.py):
     "ann_pq",

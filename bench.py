@@ -237,6 +237,13 @@ HEADLINE = [
     # round-7: exact longest-repeated-span per winnow candidate pair
     # (position join + diagonal gaps-and-islands — pair-graph-sized)
     "span_dedup_exact",
+    # round-7 TPC-H shape completions: Q4 (EXISTS semi-join), Q7 (one
+    # fact-fact exchange + 4 broadcast legs), Q14 (conditional share),
+    # Q16 (broadcast anti-join + exact count_distinct)
+    "order_priority_check",
+    "volume_shipping",
+    "promo_revenue",
+    "parts_supplier_count",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

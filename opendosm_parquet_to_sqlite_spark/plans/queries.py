@@ -5652,3 +5652,188 @@ def q_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
             "low_line_count"
         ),
     )
+
+
+@query(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_order_priority_check(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): date-windowed orders
+    LEFT-SEMI joined to late-shipping lineitems (EXISTS compiles to a
+    semi-join — the fact is scanned once, no dedup pass), one
+    partial-combined count per priority class. The fixture lacks
+    l_commitdate/l_receiptdate; 'shipped >60 days after order' is the
+    lateness predicate with the same correlated-EXISTS plan shape."""
+    ords = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    shadow=True,
+)
+def q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between a nation pair, both
+    directions): ONE fact-fact exchange (lineitem ⋈ orders on orderkey);
+    supplier, customer, and both nation legs broadcast; the
+    pair-direction disjunction evaluates at the joined row (the
+    synthetic nation table names are NATION_0..24)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    ords = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__sn"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__cn"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+@query(
+    "promo_revenue",
+    """
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS promo_share_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): broadcast part probe at the
+    fact row, conditional-share aggregate per ship month — numerator and
+    denominator ride ONE partial-combined agg, never two scans."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+@query(
+    "parts_supplier_count",
+    """
+    SELECT p.p_brand, p.p_size % 5 AS size_class,
+           count(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    ANTI JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0) b
+        ON l.l_suppkey = b.s_suppkey
+    GROUP BY 1, 2
+    """,
+    shadow=True,
+)
+def q_parts_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): broadcast ANTI-join
+    removes the excluded supplier set BEFORE the distinct agg (the
+    blacklist is key-sized), broadcast part attaches brand/size, one
+    exact count_distinct per (brand, size class). The fixture lacks
+    partsupp; lineitem's (partkey, suppkey) pairs carry the same shape."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    excluded = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select("s_suppkey")
+    )
+    j = (
+        li.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.groupBy(
+        "p_brand", (F.col("p_size") % 5).alias("size_class")
+    ).agg(F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"))
