@@ -173,6 +173,8 @@ _ROWS_ONLY_PRIORITY = [
     "volume_shipping",
     "promo_revenue",
     "parts_supplier_count",
+    # round-7 exact two-sample KS drift (shadow oracle)
+    "ks_drift",
     # PQ family (approximate by design; recall + exact-regime pins in
     # tests/test_pq.py):
     "ann_pq",

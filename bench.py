@@ -244,6 +244,8 @@ HEADLINE = [
     "volume_shipping",
     "promo_revenue",
     "parts_supplier_count",
+    # round-7: exact two-sample KS (distinct-value collapse + cum window)
+    "ks_drift",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -329,3 +329,69 @@ def psi_drift(
         F.round(F.first("__mean_b"), 6).alias("mean_b"),
     )
     return out
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov distance per group — the
+    binning-free complement to psi_drift: D = sup_x |F_a(x) − F_b(x)|,
+    evaluated at every observed value (the supremum of a two-sample KS
+    statistic is always attained at a sample point). PSI depends on a
+    bin count; KS is parameter-free and reads directly as "worst-case
+    CDF gap" (0 identical, 1 disjoint supports).
+
+    Output per group: ks (6 dp), n_a, n_b (non-null counts). A group
+    seen on only one side has no defined comparison → ks NULL.
+
+    Shape: union with a side tag → per-(group, value) side counts (ONE
+    partial-combined agg: the raw value stream collapses to the
+    distinct-value table before anything else touches it) → per-group
+    cumulative window over distinct values → one max agg. Exchanges
+    carry (group, value, 2 counts) rows — distinct-value-table-sized,
+    never raw-row-sized. Exact KS is inherently distinct-value-bounded;
+    where a feature is continuous at 100 TB, quantize upstream (e.g.
+    round to the measurement precision) — binning then happens at WRITE
+    precision, not at an arbitrary n_bins. Fully SQL-expressible →
+    hash-checked vs DuckDB.
+    """
+    from pyspark.sql import Window as W
+
+    groups = (
+        [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols or [])
+    )
+    v = F.col(value_col).cast("double")
+    u = df_a.select(*groups, v.alias("__v")).withColumn(
+        "__side", F.lit("a")
+    ).unionByName(
+        df_b.select(*groups, v.alias("__v")).withColumn("__side", F.lit("b"))
+    ).filter(F.col("__v").isNotNull())
+    per_value = u.groupBy(*groups, "__v").agg(
+        F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__cb"),
+    )
+    cum_w = W.partitionBy(*groups).orderBy("__v")
+    whole = W.partitionBy(*groups)
+    stepped = per_value.select(
+        *groups,
+        F.sum("__ca").over(cum_w).alias("__cum_a"),
+        F.sum("__cb").over(cum_w).alias("__cum_b"),
+        F.sum("__ca").over(whole).alias("__na"),
+        F.sum("__cb").over(whole).alias("__nb"),
+    )
+    # try_divide: a group seen on only ONE side has no defined comparison
+    # — NULL out instead of raising under ANSI mode (oracle: NULLIF)
+    gap = F.abs(
+        F.try_divide(F.col("__cum_a"), F.col("__na"))
+        - F.try_divide(F.col("__cum_b"), F.col("__nb"))
+    )
+    return stepped.groupBy(*groups).agg(
+        F.round(F.max(gap), 6).alias("ks"),
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+    )

@@ -5837,3 +5837,45 @@ def q_parts_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy(
         "p_brand", (F.col("p_size") % 5).alias("size_class")
     ).agg(F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"))
+
+
+@query(
+    "ks_drift",
+    """
+    WITH u AS (
+        SELECT event_type, value AS v,
+               CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+        FROM events WHERE value IS NOT NULL
+    ), per_value AS (
+        SELECT event_type, v,
+               sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+        FROM u GROUP BY 1, 2
+    ), stepped AS (
+        SELECT event_type,
+               sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS cum_a,
+               sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS cum_b,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb
+        FROM per_value
+    )
+    SELECT event_type,
+           round(max(abs(cum_a / NULLIF(na, 0) - cum_b / NULLIF(nb, 0))), 6)
+               AS ks,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b
+    FROM stepped GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT two-sample KS distance between the even/odd event halves per
+    event type (features.ks_drift) — the binning-free twin of
+    feature_drift: worst-case CDF gap at every observed value, one
+    distinct-value-table-sized exchange. Exchangeable halves put ks near
+    0 (the null regime); sensitivity is pinned on shifted synthetic data
+    in tests/test_drift.py."""
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    return features.ks_drift(a, b, "value", "event_type")

@@ -247,3 +247,52 @@ def test_vocab_drift_detects_new_vocabulary(spark):
     )
     [r2] = _t.vocab_drift(a2, b2, "text", min_freq=2).collect()
     assert r2.oov_token_share == 1.0
+
+
+# --- exact two-sample KS (round 7) --------------------------------------------
+
+
+def test_ks_identical_zero_and_disjoint_one(spark):
+    rng = np.random.RandomState(9)
+    vals = rng.randn(500)
+    [r] = features.ks_drift(_mk(spark, vals), _mk(spark, vals), "v", "g").collect()
+    assert r.ks == 0.0 and r.n_a == r.n_b == 500
+    # disjoint supports -> worst-case CDF gap of exactly 1
+    [r2] = features.ks_drift(
+        _mk(spark, vals), _mk(spark, vals + 100.0), "v", "g"
+    ).collect()
+    assert r2.ks == 1.0
+
+
+def test_ks_matches_scipy_free_reference(spark):
+    """Exact parity with a pure-NumPy two-sample KS computed at every
+    observed point (what scipy.stats.ks_2samp computes)."""
+    rng = np.random.RandomState(10)
+    a = rng.randn(400)
+    b = rng.randn(300) * 1.5 + 0.3
+    [r] = features.ks_drift(_mk(spark, a), _mk(spark, b), "v", "g").collect()
+    pts = np.concatenate([a, b])
+    fa = np.searchsorted(np.sort(a), pts, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pts, side="right") / len(b)
+    assert abs(r.ks - round(float(np.max(np.abs(fa - fb))), 6)) < 1e-12
+
+
+def test_ks_one_sided_group_is_null_and_groups_isolate(spark):
+    a = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("only_a", 5.0)], "g string, v double"
+    )
+    b = spark.createDataFrame([("x", 1.0), ("x", 2.0)], "g string, v double")
+    out = {r.g: r.ks for r in features.ks_drift(a, b, "v", "g").collect()}
+    assert out["x"] == 0.0
+    assert out["only_a"] is None  # no comparison exists on one side
+
+
+def test_ks_more_sensitive_than_psi_on_shape_change(spark):
+    """Same mean/range but different shape: KS sees the CDF gap that
+    equi-width-bin PSI can underrate — the reason both live in the
+    toolbox."""
+    rng = np.random.RandomState(11)
+    a = rng.uniform(-1, 1, 3000)  # flat
+    b = np.clip(rng.randn(3000) * 0.25, -1, 1)  # peaked, same range/mean
+    [rk] = features.ks_drift(_mk(spark, a), _mk(spark, b), "v", "g").collect()
+    assert rk.ks > 0.2  # flat-vs-peaked measured ~0.25 at these params
