@@ -351,3 +351,31 @@ def drift_monitor_stream(
         report_sink(report, batch_id)
 
     run_available_now(stream, checkpoint_dir, _score, output_mode="append")
+
+
+def media_dedup_stream(
+    sdf: DataFrame,
+    payload_col: str,
+    ts_col: str,
+    modality: str = "image",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming media dedup: fingerprint each arriving payload (64-bit
+    perceptual hash via an Arrow pandas_udf — a map-type op, legal on
+    streams) and drop repeats of the same fingerprint within the
+    watermark horizon. The live twin of the batch dedup_image_phash /
+    dedup_audio_fp family for ingest-as-you-crawl: re-encoded copies of
+    the same pixels/PCM hash IDENTICALLY and collapse to the first
+    arrival; state is one entry per distinct fingerprint inside `delay`,
+    watermark-evicted.
+
+    Scope contract: streaming state dedups EXACT fingerprint matches
+    (hamming 0 — which is where re-encodes land). Near-dup banding
+    (hamming ≤ d) needs the pair search and belongs to the batch path;
+    run it over the accumulated corpus, as corpus_clean does for text.
+    Emits the first arrival with the fingerprint attached (append
+    semantics)."""
+    from ..operators.mediadedup import with_media_phash
+
+    hashed = with_media_phash(sdf, payload_col, modality=modality)
+    return dedup_within_watermark(hashed, ["phash"], ts_col, delay=delay)

@@ -579,3 +579,58 @@ def test_frontier_dedup_stream_collapses_url_variants(spark, tmp_path):
     # other.com/q?a=1&b=2 is a DIFFERENT page (real params survive)
     assert "other.com/q?a=1&b=2" in by_canon
     assert len(got) == 3
+
+
+def test_media_dedup_stream_collapses_reencodes(spark, tmp_path):
+    """Streaming media dedup: re-encoded copies of the same pixels
+    (different zlib levels -> different bytes, same content) collapse to
+    the first arrival across microbatches; distinct images pass."""
+    from opendosm_parquet_to_sqlite_spark.operators import mediadedup as M
+    from opendosm_parquet_to_sqlite_spark.streaming.incremental import (
+        media_dedup_stream,
+        read_stream_parquet,
+        run_available_now,
+    )
+
+    g1, g2 = M._base_gray(1, 24), M._base_gray(2, 24)
+    parts = [
+        [(1, M.encode_png_gray(g1, level=9), 10)],
+        [(2, M.encode_png_gray(g1, level=0), 20),   # re-encode of g1
+         (3, M.encode_png_gray(g2, level=6), 30)],  # new content
+        [(4, M.encode_png_gray(g2, level=9), 40)],  # re-encode of g2
+    ]
+    schema = "id long, payload binary, et long"
+    src = tmp_path / "media_src"
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, schema).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(str(src))
+    sdf = read_stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
+    out = media_dedup_stream(sdf, "payload", "et", modality="image",
+                             delay="1 hour")
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r.id, r.phash) for r in df.collect())
+
+    run_available_now(
+        out, str(tmp_path / "media_ck"), sink, output_mode="append"
+    )
+    by_hash = {}
+    for i, h in sorted(got):
+        by_hash.setdefault(h, i)
+    assert len(got) == 2                       # one survivor per content
+    assert sorted(by_hash.values()) == [1, 3]  # first arrivals win
+    # and the batch fingerprint column form agrees with the mapInPandas form
+    batch = spark.createDataFrame(
+        [p for part in parts for p in part], schema
+    )
+    col_form = {
+        r.id: r.phash
+        for r in M.with_media_phash(batch, "payload").collect()
+    }
+    map_form = {
+        r.doc_id: r.phash
+        for r in M.image_phash(batch, "payload", "id").collect()
+    }
+    assert col_form == map_form
