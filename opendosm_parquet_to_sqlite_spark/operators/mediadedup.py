@@ -43,6 +43,7 @@ import zlib
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -51,7 +52,7 @@ from pyspark.sql.types import (
 )
 
 from .multimodal import _PNG_SIG, png_pixels
-from .neardup import hamming_band_pairs
+from .neardup import hamming_band_pairs, hamming_chunk_rows
 from .text import spread_small_input
 
 FP_SCHEMA = StructType(
@@ -567,8 +568,6 @@ def media_dup_clusters(
     else:
         raise ValueError(f"unknown modality {modality!r}")
     comps = connected_components(pairs.select("id_a", "id_b"))
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     sized = df.select(
         F.col(id_col).alias(id_col),
         F.length(F.col(payload_col)).cast("long").alias("__bytes"),
@@ -589,8 +588,6 @@ def with_media_phash(
     batch shape; this column form is what STREAMING pipelines and
     passthrough enrichments need (works on both batch and streaming
     DataFrames: a scalar pandas_udf is a map-type op)."""
-    import pandas as pd  # noqa: F401  (executor-side import proof)
-    from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
     if modality == "image":
@@ -616,3 +613,133 @@ def with_media_phash(
         return pd.Series([fp(bytes(b)) for b in s], dtype="int64")
 
     return df.withColumn(out_col, _phash(F.col(payload_col)))
+
+
+# --- persisted fingerprint index (ingest-increment path) ----------------------
+
+
+def _media_fp(
+    df: DataFrame, payload_col: str, id_col: str, modality: str, decode_fn
+) -> DataFrame:
+    if modality == "image":
+        return image_phash(df, payload_col, id_col, decode_fn=decode_fn)
+    if modality == "audio":
+        return audio_phash(df, payload_col, id_col, decode_fn=decode_fn)
+    raise ValueError(f"unknown modality {modality!r}")
+
+
+def build_media_fp_index(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    path: str,
+    modality: str = "image",
+    max_hamming: int = 6,
+    decode_fn=None,
+) -> None:
+    """Persist a media-fingerprint near-dup index: the pigeonhole
+    (chunk, key) rows of every item's 64-bit perceptual hash, written as
+    plain parquet — (doc_id, phash, chunk, key), (d+1) 24-byte rows per
+    item. Indexing N new items costs O(N), never O(corpus): media bytes
+    are read ONCE at build/append time and never again (the incremental
+    twin of the text MinHash index, build_neardup_index).
+
+    Build parameters (modality, max_hamming) are stamped into the chunk
+    column's schema metadata — a probe with mismatched banding would
+    silently collapse recall, so probe_media_fp_index raises instead.
+
+    Append = build over the new batch with mode='append' (see
+    append_media_fp_index): the banding is stateless, so no retrain and
+    no rewrite of standing rows.
+    """
+    fp = _media_fp(df, payload_col, id_col, modality, decode_fn)
+    rows = hamming_chunk_rows(fp, "doc_id", "phash", max_hamming, 64)
+    rows = rows.withColumn(
+        "chunk",
+        F.col("chunk").alias(
+            "chunk", metadata={"modality": modality, "max_hamming": max_hamming}
+        ),
+    )
+    rows.write.mode("overwrite").parquet(path)
+
+
+def append_media_fp_index(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    path: str,
+    modality: str = "image",
+    max_hamming: int = 6,
+    decode_fn=None,
+) -> None:
+    """Append a new batch's fingerprint rows to the standing index —
+    O(batch) cost, no retrain (stateless banding), standing rows
+    untouched. Parameters must match the build's (the probe-side guard
+    reads the stamped metadata of whichever file schema wins the merge;
+    keeping them identical is the caller's contract, same as the IVF
+    and MinHash indexes)."""
+    fp = _media_fp(df, payload_col, id_col, modality, decode_fn)
+    rows = hamming_chunk_rows(fp, "doc_id", "phash", max_hamming, 64)
+    rows = rows.withColumn(
+        "chunk",
+        F.col("chunk").alias(
+            "chunk", metadata={"modality": modality, "max_hamming": max_hamming}
+        ),
+    )
+    rows.write.mode("append").parquet(path)
+
+
+def probe_media_fp_index(
+    spark,
+    path: str,
+    new_media: DataFrame,
+    payload_col: str,
+    id_col: str,
+    modality: str = "image",
+    max_hamming: int = 6,
+    decode_fn=None,
+) -> DataFrame:
+    """Near-dups of a new batch AGAINST the persisted index:
+    (new_id, index_id, hamming), hamming ≤ max_hamming.
+
+    The batch fingerprints and bands with the SAME parameters (stamped
+    metadata is validated — a silent mismatch would band differently
+    and return near-empty candidates), equi-joins the index's
+    (chunk, key) rows, and exact-verifies by bit_count(xor) of the two
+    phashes carried through the join. Cost scales with the batch +
+    collisions; the indexed corpus's media bytes are never re-read.
+    Self-pairs (same id on both sides) are excluded so re-probing an
+    already-indexed item reports only its OTHER near-dups."""
+    index = spark.read.parquet(path)
+    meta = index.schema["chunk"].metadata or {}
+    if meta:
+        got = (meta.get("modality"), meta.get("max_hamming"))
+        want = (modality, max_hamming)
+        if got != want:
+            raise ValueError(
+                f"index at {path} was built with (modality, max_hamming)="
+                f"{got}, probe called with {want} — parameters must match"
+            )
+    fp = _media_fp(new_media, payload_col, id_col, modality, decode_fn)
+    probe_rows = hamming_chunk_rows(fp, "doc_id", "phash", max_hamming, 64)
+    joined = probe_rows.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("phash").alias("__fp_new"),
+        "chunk",
+        "key",
+    ).join(
+        index.select(
+            F.col("doc_id").alias("index_id"),
+            F.col("phash").alias("__fp_idx"),
+            "chunk",
+            "key",
+        ),
+        ["chunk", "key"],
+    )
+    ham = F.bit_count(F.col("__fp_new").bitwiseXOR(F.col("__fp_idx")))
+    return (
+        joined.filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -534,6 +534,36 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
     return sums.select("doc_id", fp.alias("simhash"))
 
 
+def hamming_chunk_rows(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int,
+    bits: int,
+) -> DataFrame:
+    """Explode each fingerprint into its (chunk, key) pigeonhole rows —
+    (id, fp, chunk, key), one row per chunk. The shared banding-key
+    producer behind hamming_band_pairs (in-corpus pair search) and the
+    persisted media fingerprint index (mediadedup.build_media_fp_index —
+    the rows ARE the index layout). Chunk widths: ceil(bits/(d+1)), last
+    chunk clipped; a full-64-bit chunk takes no mask (1<<64 would
+    overflow a long literal), shiftrightunsigned keeps the sign bit a
+    data bit."""
+    chunks = max_hamming + 1
+    width = (bits + chunks - 1) // chunks  # ceil
+    bands = []
+    for c in range(chunks):
+        lo = c * width
+        w = min(width, bits - lo)  # last chunk may be narrower
+        key = F.shiftrightunsigned(F.col(fp_col), lo)
+        if lo + w < 64:  # a full-long chunk needs no mask
+            key = key.bitwiseAND(F.lit((1 << w) - 1))
+        bands.append(F.struct(F.lit(c).alias("chunk"), key.alias("key")))
+    return fp.select(
+        id_col, fp_col, F.explode(F.array(*bands)).alias("cb")
+    ).select(id_col, fp_col, "cb.chunk", "cb.key")
+
+
 def hamming_band_pairs(
     fp: DataFrame,
     id_col: str = "doc_id",
@@ -562,20 +592,8 @@ def hamming_band_pairs(
     as a data bit, and the LAST chunk's mask is clipped so no 1<<64 Python
     literal reaches the plan. bit_count(xor) is sign-correct by definition.
     """
-    chunks = max_hamming + 1
-    width = (bits + chunks - 1) // chunks  # ceil
     ham = F.bit_count(F.col(f"p.a.{fp_col}").bitwiseXOR(F.col(f"p.b.{fp_col}")))
-    bands = []
-    for c in range(chunks):
-        lo = c * width
-        w = min(width, bits - lo)  # last chunk may be narrower
-        key = F.shiftrightunsigned(F.col(fp_col), lo)
-        if lo + w < 64:  # a full-long chunk needs no mask (and (1<<64)-1 overflows)
-            key = key.bitwiseAND(F.lit((1 << w) - 1))
-        bands.append(F.struct(F.lit(c).alias("chunk"), key.alias("key")))
-    banded = fp.select(
-        id_col, fp_col, F.explode(F.array(*bands)).alias("cb")
-    ).select(id_col, fp_col, "cb.chunk", "cb.key")
+    banded = hamming_chunk_rows(fp, id_col, fp_col, max_hamming, bits)
     if max_bucket_size is not None:
         banded = drop_oversized_buckets(banded, ["chunk", "key"], max_bucket_size)
     hash_buckets = banded.groupBy("chunk", "key").agg(
