@@ -725,12 +725,25 @@ def probe_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k against a PERSISTED IVF index (build_ivf_index) — loads the
     (small) centroid table to the driver, probes n_probe cells per query,
     and scans ONLY those cell partitions of the stored corpus. Query dim
     is validated against the index metadata (a silent mismatch would score
-    garbage)."""
+    garbage).
+
+    `allowed` turns this into FILTERED ANN — "neighbors among documents
+    satisfying a metadata predicate" (lang, license, quality tier), the
+    realistic retrieval op over a curated corpus. Pass the permitted ids
+    as a one-column DataFrame (however derived — any predicate over any
+    table); the probed cell scan LEFT-SEMI joins it BEFORE any vector
+    math, so the expensive scoring touches only surviving rows and the
+    join runs after partition pruning (AQE broadcasts a small allowed
+    set at runtime). Recall caveat, standard for post-filtered IVF: a
+    highly selective filter thins probed cells — raise n_probe (results
+    are exact-over-the-filtered-corpus at n_probe = n_centroids, the
+    pytest pin)."""
     cent, meta = _load_ivf_meta(spark, path)
     qrow = queries.select(vec_col).first()
     if qrow is None:
@@ -741,6 +754,12 @@ def probe_ivf_index(
             f"query dim {qdim} != index dim {meta['dim']} (index at {path})"
         )
     cells = spark.read.parquet(f"{path}/cells")
+    if allowed is not None:
+        cells = cells.join(
+            allowed.select(F.col(allowed.columns[0]).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
     return _ivf_score(
         cells, queries, cent, k, n_probe, id_col, vec_col, query_id_col,
         cell_col="cell", quantized=bool(meta.get("quantized", 0)),

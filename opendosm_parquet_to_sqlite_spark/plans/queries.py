@@ -1340,6 +1340,26 @@ def q_ann_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query("ann_filtered")  # rows-only: approximate by design
+def q_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED ANN over the persisted IVF+SQ index: top-5 neighbors
+    among vectors whose label is even — the metadata-constrained
+    retrieval every curated-corpus search needs (lang/license/quality
+    predicates). The allowed-id set left-semi joins the probed cell scan
+    BEFORE any vector math; exactness over the filtered corpus at full
+    probe is pinned in tests/test_similarity.py."""
+    path = ensure_ivf_index(spark, sf, quantize=True)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.filter(F.col("label") % 2 == 0).select("vec_id")
+    out = similarity.probe_ivf_index(
+        spark, path, queries, k=5, n_probe=12, allowed=allowed
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("ann_quantized")  # rows-only: int8 rounding is engine-specific
 def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """Top-5 cosine scored DIRECTLY on int8-quantized codes (asymmetric

@@ -476,3 +476,32 @@ def test_ivf_rebalance_rejects_bad_fraction(spark, emb, tmp_path):
     similarity.build_ivf_index(emb.limit(50), path, n_centroids=4)
     with pytest.raises(ValueError):
         similarity.rebalance_ivf_index(spark, path, 0.0)
+
+
+def test_filtered_probe_exact_over_filtered_corpus_at_full_probe(
+    spark, emb, tmp_path
+):
+    """allowed-set filtered ANN == brute force over the filtered corpus
+    when every cell is probed (exactness pin); at partial probe results
+    are a subset of the allowed ids (the filter is a hard constraint,
+    never advisory)."""
+    path = str(tmp_path / "ivf_filt")
+    similarity.build_ivf_index(emb, path, n_centroids=16)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    out = similarity.probe_ivf_index(
+        spark, path, q, k=5, n_probe=16, allowed=allowed
+    )
+    bf = similarity.brute_force_topk(
+        emb.join(allowed, "vec_id", "left_semi"), q, k=5
+    )
+    assert {(r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in out.collect()} \
+        == {(r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in bf.collect()}
+    partial = similarity.probe_ivf_index(
+        spark, path, q, k=5, n_probe=4, allowed=allowed
+    ).collect()
+    assert all(r["neighbor_id"] % 2 == 0 for r in partial)
