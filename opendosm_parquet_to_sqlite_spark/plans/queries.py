@@ -5899,3 +5899,211 @@ def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     a = ev.filter(F.col("event_id") % 2 == 0)
     b = ev.filter(F.col("event_id") % 2 == 1)
     return features.ks_drift(a, b, "value", "event_type")
+
+
+@query(
+    "forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    shadow=True,
+)
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): pure filter + global
+    sum — the canonical pushdown probe. All three predicates reach the
+    parquet scan as PushedFilters (plan-pinned in tests/test_plans.py);
+    at 100 TB this is a scan whose row groups are min/max-pruned on
+    l_shipdate before a byte of l_extendedprice is decoded."""
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue")
+    )
+
+
+@query(
+    "customer_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join keeps zero-order customers (the row the inner join silently
+    drops — the classic Q13 trap), count per customer, then a second
+    tiny agg over the counts. The join condition's non-key predicate
+    rides the join, not a post-filter, so customers whose ONLY orders
+    are urgent still land in the c_count=0 bucket. Hash-checked."""
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    ords = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = cust.join(
+        ords, cust.c_custkey == ords.o_custkey, "left_outer"
+    ).groupBy("c_custkey").agg(
+        F.count(F.col("o_orderkey")).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    shadow=True,
+)
+def q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarter-filtered revenue per
+    supplier, then the argmax via a 1-row broadcast of the scalar max —
+    the view + scalar-subquery plan without a second fact scan. Revenue
+    is rounded BEFORE the max comparison on both sides so the equality
+    is over identical doubles, and ties surface identically."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "small_qty_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+        FROM lineitem GROUP BY 1
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND l.l_quantity < pa.qty_thresh
+    """,
+    shadow=True,
+)
+def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery (per-part average quantity) decorrelated into one
+    grouped agg joined back to the fact — the fact is scanned twice but
+    never nested-loop re-probed per row. The brand filter broadcasts
+    into BOTH scans via the part dim so the threshold join is
+    part-sized, not fact-sized... at 100 TB the agg side is pre-filtered
+    to the same brand subset by pushing the semi-join through."""
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # NOTE: thresholds must aggregate over ALL lineitems of the part
+    # (the oracle's pa CTE is unfiltered), so compute pa first, then
+    # restrict to the brand subset.
+    pa = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+@query(
+    "discounted_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    shadow=True,
+)
+def q_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    three AND-groups OR-ed across the join — Catalyst keeps the
+    join-side conjuncts it can prove common (p_partkey equi-key) and
+    evaluates the residual disjunction post-join in one codegen stage;
+    the part side still broadcasts. The point of the shape: OR-of-ANDs
+    does NOT break the equi-join or force a cartesian."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
