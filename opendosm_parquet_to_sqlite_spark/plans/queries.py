@@ -6107,3 +6107,392 @@ def q_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
     )
+
+
+@query(
+    "min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               min(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+        FROM cost
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, b.unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.unit_cost = b.best_cost AND p.p_size < 10
+    """,
+    shadow=True,
+)
+def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier) adapted to the fixture's
+    missing partsupp: the observed (part, supplier) unit-cost catalog is
+    derived from lineitem, then the per-part argmin via ONE window over
+    the already-part-partitioned agg output (no second groupBy+join pass
+    — the window reuses the agg's hash partitioning, zero extra
+    exchange). Costs are rounded BEFORE the min/equality so ties
+    surface identically in both engines; both dims broadcast."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 0)
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+        ).alias("unit_cost")
+    )
+    best = cost.withColumn(
+        "best_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("best_cost"))
+    part = load_table(spark, sf, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey", "p_brand"
+    )
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
+@query(
+    "market_share",
+    """
+    WITH volumes AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM volumes GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the deepest join tree in
+    the suite — fact → orders (co-keyed shuffle) with FOUR broadcast dim
+    probes (customer, 2× nation, region, supplier) riding the same
+    stage; share numerator/denominator in ONE conditional agg. At
+    100 TB only the lineitem⋈orders edge shuffles; everything else is
+    map-side."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    ords = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust_nat = (
+        cust.join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    j = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "product_profit",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type IN ('PROMO', 'ECONOMY')
+    GROUP BY 1, 2
+    """,
+    shadow=True,
+)
+def q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit) with supply cost adapted to
+    0.6 × retail price (no partsupp in the fixture): three broadcast dim
+    probes at the fact row, ONE co-keyed shuffle to orders, profit
+    expression folded into the agg input so nothing materializes
+    wide."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_type").isin("PROMO", "ECONOMY")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    ords = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(profit), 2).alias("profit"))
+
+
+@query(
+    "important_stock",
+    """
+    WITH v AS (
+        SELECT l.l_partkey, sum(l.l_extendedprice) AS val
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey < 5
+        GROUP BY 1
+    )
+    SELECT v.l_partkey AS p_partkey, round(v.val, 2) AS part_value
+    FROM v, (SELECT 0.001 * sum(val) AS thresh FROM v) t
+    WHERE v.val > t.thresh
+    """,
+    shadow=True,
+)
+def q_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock) over the lineitem-derived value
+    table: grouped value per part for a nation-subset of suppliers, then
+    the HAVING-over-global-fraction via a 1-row broadcast of the scalar
+    threshold — the value table is aggregated ONCE and reused for both
+    the rows and the threshold (Spark reuses the shuffle via the
+    cached-exchange, no second fact scan)."""
+    supp = load_table(spark, sf, "supplier").filter(
+        F.col("s_nationkey") < 5
+    ).select("s_suppkey")
+    li = load_table(spark, sf, "lineitem").select("l_suppkey", "l_partkey", "l_extendedprice")
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    thresh = v.agg((0.001 * F.sum("val")).alias("thresh"))
+    return (
+        v.join(F.broadcast(thresh), F.col("val") > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("val"), 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "promotion_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'PROMO'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        HAVING sum(l.l_quantity) > 380
+    )
+    """,
+    shadow=True,
+)
+def q_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): IN over an aggregated
+    subquery — the year's PROMO shipments grouped per supplier with a
+    HAVING floor, then a LEFT-SEMI join from the supplier dim (the IN
+    never materializes duplicates, and the big side is reduced to a
+    supplier-count-sized set before touching the dim)."""
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 380)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    )
+
+
+@query(
+    "waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), lateness
+    adapted to ship > order + 90d (no receipt/commit dates in the
+    fixture): finalized-order late lines, EXISTS → LEFT-SEMI against
+    other-supplier lines of the same order, NOT EXISTS → LEFT-ANTI
+    against other-supplier LATE lines. Both probes are equi-keyed on
+    l_orderkey so they plan as shuffled semi/anti joins (never a
+    nested loop); the residual suppkey/date conjuncts ride the join
+    condition."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ords = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l1 = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    sem = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    only_late = sem.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey"))
+        & (
+            F.col("x_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_anti",
+    )
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        only_late.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "sales_opportunity",
+    """
+    WITH pos AS (
+        SELECT avg(c_acctbal) AS ab FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey < 10
+    )
+    SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_nationkey < 10 AND c.c_acctbal > pos.ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): rich-but-inactive
+    customers — scalar average broadcast as a 1-row join, NOT EXISTS →
+    LEFT-ANTI against RECENT orders on the customer key ('no orders
+    since 1999' — the fixture has no order-less customers at all, so
+    recency is the inactivity predicate, as in Q22's 7-year window).
+    The anti join's big side is orders, but only o_custkey survives
+    pruning after the date filter, so the exchange ships one bigint
+    column."""
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_nationkey") < 10
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    ab = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    ords = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = cust.join(F.broadcast(ab), F.col("c_acctbal") > F.col("__ab"))
+    inactive = rich.join(
+        ords, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return inactive.groupBy(
+        F.col("c_nationkey").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
