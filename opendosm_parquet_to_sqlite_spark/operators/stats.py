@@ -1,0 +1,199 @@
+"""Inferential statistics over grouped columns — the hypothesis-testing /
+trend-fitting layer a dataset-monitoring pipeline runs on top of its drift
+metrics (PSI/KS in features.py tell you *that* distributions moved; these
+quantify relationships and significance).
+
+Reference scope note: the reference (src/main.rs) has no statistics layer;
+these are rebuild extensions in the SURVEY §2.13 spirit, same tables.
+
+Design rule for everything here: sufficient statistics, ONE partial-combined
+aggregation pass per operator, group-count-sized results.  Nothing in this
+module shuffles raw rows a second time and nothing collects — at 100 TB an
+OLS fit per group costs exactly one exchange of (group, six doubles).
+
+Determinism: every reported statistic is rounded at the operator boundary
+(6 dp) so Spark and a SQL oracle computing the same closed forms agree
+hash-exactly; degenerate groups (zero variance, empty sides) yield NULL via
+guarded denominators rather than NaN, matching SQL NULL semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _group_cols(group_cols: str | list[str] | None) -> list[str]:
+    if group_cols is None:
+        return []
+    return [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+
+def group_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression y = a·x + b from sufficient
+    statistics (n, Σx, Σy, Σxx, Σyy, Σxy) — ONE partial-combined agg; the
+    closed-form slope/intercept/r² are a driver-free projection on the
+    group-sized result.  Rows where either side is NULL are excluded
+    pairwise (SQL regr_* semantics).  Zero x-variance → NULL slope and
+    intercept (vertical line); r² additionally NULL when y is constant
+    (0/0), both via NULLIF guards so DuckDB's regr_r2 agrees.
+
+    Output: group cols + (n BIGINT, slope, intercept, r2) rounded to
+    `ndigits`.
+    """
+    gcols = _group_cols(group_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    both = x.isNotNull() & y.isNotNull()
+    fx, fy = F.when(both, x), F.when(both, y)
+    agg = df.groupBy(*gcols).agg(
+        F.count(fx).alias("__n"),
+        F.sum(fx).alias("__sx"),
+        F.sum(fy).alias("__sy"),
+        F.sum(fx * fx).alias("__sxx"),
+        F.sum(fy * fy).alias("__syy"),
+        F.sum(fx * fy).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    # n·Σxy − Σx·Σy and n·Σxx − (Σx)² — the scale-invariant cov/var forms
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = cov / F.nullif(varx, F.lit(0.0))
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = (cov * cov) / F.nullif(varx * vary, F.lit(0.0))
+    return agg.select(
+        *gcols,
+        F.col("__n").alias("n"),
+        F.round(slope, ndigits).alias("slope"),
+        F.round(intercept, ndigits).alias("intercept"),
+        F.round(r2, ndigits).alias("r2"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: ONE groupBy builds the contingency table (cells = observed
+    counts), marginals ride window sums OVER the cell table (category-
+    count-sized, not row-count-sized), and the statistic is a final tiny
+    agg.  NULL categories are excluded (SQL GROUP BY would keep them;
+    a NULL level is a missing observation, not a category).
+
+    Output: one row (chi2, dof BIGINT, n BIGINT).  dof =
+    (levels_a − 1)·(levels_b − 1).
+    """
+    from pyspark.sql.window import Window as W
+
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    wa = W.partitionBy(col_a)
+    wb = W.partitionBy(col_b)
+    wall = W.partitionBy()
+    with_marg = cells.select(
+        F.col("__o").cast("double").alias("o"),
+        F.sum("__o").over(wa).cast("double").alias("row_tot"),
+        F.sum("__o").over(wb).cast("double").alias("col_tot"),
+        F.sum("__o").over(wall).cast("double").alias("n"),
+        F.col(col_a).alias("a"),
+        F.col(col_b).alias("b"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return with_marg.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), ndigits).alias(
+            "chi2"
+        ),
+        (
+            (F.count_distinct(F.col("a")) - 1)
+            * (F.count_distinct(F.col("b")) - 1)
+        ).alias("dof"),
+        F.max(F.col("n")).cast("long").alias("n"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group two-sample Mann-Whitney U (rank-sum) with midrank tie
+    handling and the tie-corrected normal approximation — the
+    distribution-free "did the median move" companion to features.ks_drift.
+
+    Ranks come from ONE window pass over the per-group sort: rank() gives
+    the min rank of a tie run and a value-partitioned count gives the run
+    length, so midrank = rank + (ties−1)/2 without a self-join.  The z
+    statistic uses σ² = (na·nb/12)·((n+1) − Σ(t³−t)/(n(n−1))) — NULL when
+    either side is empty or all values tie (σ = 0), via NULLIF.
+
+    Output: group cols + (n_a, n_b BIGINT, u, z) rounded to `ndigits`.
+    U is side_a's U statistic (midrank sum minus na(na+1)/2).
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = _group_cols(group_cols)
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        *gcols,
+        v.alias("__v"),
+        (F.col(side_col) == F.lit(side_a)).cast("int").alias("__is_a"),
+    )
+    wrank = W.partitionBy(*gcols).orderBy("__v")
+    # peer count via a zero-width RANGE frame on the SAME sort — no second
+    # exchange for a (group, value) partitioning
+    wtie = (
+        W.partitionBy(*gcols)
+        .orderBy("__v")
+        .rangeBetween(W.currentRow, W.currentRow)
+    )
+    ranked = base.select(
+        *gcols,
+        "__is_a",
+        "__v",
+        (
+            F.rank().over(wrank).cast("double")
+            + (F.count(F.lit(1)).over(wtie).cast("double") - 1.0) / 2.0
+        ).alias("__midrank"),
+        F.count(F.lit(1)).over(wtie).cast("double").alias("__t"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("__is_a").cast("double").alias("__na"),
+        F.sum(1 - F.col("__is_a")).cast("double").alias("__nb"),
+        F.sum(F.col("__midrank") * F.col("__is_a")).alias("__ra"),
+        # Σ(t³−t) counts each tie run t times at size t → divide by t:
+        # Σ over rows of (t³−t)/t  ==  Σ over runs of (t³−t)
+        F.sum(
+            (F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+            / F.col("__t")
+        ).alias("__tie_term"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    n = na + nb
+    u = F.col("__ra") - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    sigma2 = (na * nb / 12.0) * (
+        (n + 1.0) - F.col("__tie_term") / F.nullif(n * (n - 1.0), F.lit(0.0))
+    )
+    z = (u - mu) / F.nullif(F.sqrt(sigma2), F.lit(0.0))
+    return agg.select(
+        *gcols,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u, ndigits).alias("u"),
+        F.round(z, ndigits).alias("z"),
+    )

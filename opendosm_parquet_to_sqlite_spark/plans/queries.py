@@ -42,6 +42,7 @@ from ..operators import (
     search,
     similarity,
     skew,
+    stats,
     temporal,
     text,
     web,
@@ -6496,3 +6497,126 @@ def q_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@query(
+    "group_ols",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+               sum(l_quantity * l_quantity) AS sxx,
+               sum(l_extendedprice * l_extendedprice) AS syy,
+               sum(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS slope,
+           round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+                  * sx) / n, 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+               AS r2
+    FROM s
+    """,
+    shadow=True,
+)
+def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag OLS of extendedprice on quantity (stats.group_ols):
+    sufficient statistics in ONE partial-combined agg, closed-form
+    slope/intercept/r² as a projection on the group-sized result. The
+    oracle restates the identical closed form from the identical sums
+    (not regr_* builtins, whose degenerate-case conventions differ
+    between engines). Hash-checked."""
+    li = load_table(spark, sf, "lineitem")
+    return stats.group_ols(
+        li, "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
+@query(
+    "chi_square",
+    """
+    WITH cells AS (
+        SELECT event_type AS a, user_id % 4 AS b, count(*) AS o
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    ), marg AS (
+        SELECT CAST(o AS DOUBLE) AS o,
+               CAST(sum(o) OVER (PARTITION BY a) AS DOUBLE) AS row_tot,
+               CAST(sum(o) OVER (PARTITION BY b) AS DOUBLE) AS col_tot,
+               CAST(sum(o) OVER () AS DOUBLE) AS n,
+               a, b
+        FROM cells
+    )
+    SELECT round(sum((o - row_tot * col_tot / n)
+                     * (o - row_tot * col_tot / n)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+           CAST(max(n) AS BIGINT) AS n
+    FROM marg
+    """,
+    shadow=True,
+)
+def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence of event_type × (user_id mod 4) — is event
+    mix associated with the user shard? (It shouldn't be: the null
+    regime.) One groupBy builds the contingency cells; marginals ride
+    window sums over the CELL table (category²-sized), never the raw
+    rows. Hash-checked against the same closed form."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "user_shard", F.col("user_id") % 4
+    )
+    return stats.chi_square_independence(ev, "event_type", "user_shard")
+
+
+@query(
+    "mann_whitney",
+    """
+    WITH base AS (
+        SELECT event_type, value AS v,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, is_a, v,
+               rank() OVER (PARTITION BY event_type ORDER BY v)
+                   + (count(*) OVER (PARTITION BY event_type, v) - 1)
+                     / 2.0 AS midrank,
+               CAST(count(*) OVER (PARTITION BY event_type, v) AS DOUBLE)
+                   AS t
+        FROM base
+    ), agg AS (
+        SELECT event_type,
+               CAST(sum(is_a) AS DOUBLE) AS na,
+               CAST(sum(1 - is_a) AS DOUBLE) AS nb,
+               sum(midrank * is_a) AS ra,
+               sum((t * t * t - t) / t) AS tie_term
+        FROM ranked GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ra - na * (na + 1) / 2.0, 6) AS u,
+           round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                 / NULLIF(sqrt((na * nb / 12.0)
+                     * ((na + nb + 1)
+                        - tie_term
+                          / NULLIF((na + nb) * (na + nb - 1), 0))), 0), 6)
+               AS z
+    FROM agg
+    """,
+    shadow=True,
+)
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type Mann-Whitney U between the even/odd event halves
+    (stats.mann_whitney_u) — the rank-based did-the-median-move test
+    beside ks_drift's CDF-gap. Midranks from one window pass (peer
+    counts via a zero-width RANGE frame on the same sort — no second
+    exchange); tie-corrected z. Exchangeable halves ⇒ z near 0; the
+    shifted-data sensitivity is pinned in tests/test_stats.py."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "side", (F.col("event_id") % 2 == 0).cast("int")
+    )
+    return stats.mann_whitney_u(ev, "value", "side", 1, "event_type")
