@@ -395,3 +395,41 @@ def ks_drift(
         F.max("__na").cast("long").alias("n_a"),
         F.max("__nb").cast("long").alias("n_b"),
     )
+
+
+def equal_frequency_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    group_cols: str | list[str] | None = None,
+    tiebreak_cols: str | list[str] | None = None,
+) -> DataFrame:
+    """Assign each row an equal-frequency bin id (1..n_bins) per group via
+    ntile — the discretization pass that turns a heavy-tailed numeric
+    feature into a categorical one for mixing/stratification. Unlike
+    equidepth_histogram (which REPORTS edges), this LABELS rows, and
+    ntile guarantees bin populations differ by at most one row even when
+    quantile edges collide under skew (duplicate-heavy columns break
+    edge-based binning; ntile does not).
+
+    Pass `tiebreak_cols` (a unique key) to make assignments reproducible
+    under any partitioning: equal values split across a bin boundary are
+    ordered by the tiebreak, so reruns bin identically — without it,
+    boundary rows land nondeterministically (same populations, different
+    members). One window exchange per group; nothing collected.
+
+    Output: input columns + bin (int).
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = (
+        [group_cols] if isinstance(group_cols, str)
+        else list(group_cols or [])
+    )
+    tcols = (
+        [tiebreak_cols] if isinstance(tiebreak_cols, str)
+        else list(tiebreak_cols or [])
+    )
+    order = [F.col(value_col)] + [F.col(c) for c in tcols]
+    w = W.partitionBy(*gcols).orderBy(*order)
+    return df.withColumn("bin", F.ntile(int(n_bins)).over(w))

@@ -935,3 +935,71 @@ def vocab_drift(
             F.col("n_tokens_b").cast("long"),
         )
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str,
+    min_pair_count: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information:
+    PMI(w1,w2) = ln( p(w1,w2) / (p(w1,·)·p(·,w2)) ) with probabilities
+    over the corpus's adjacent-pair stream — the multiword-expression
+    detector ("new york", "machine learning") whose output seeds
+    tokenizer merge rules and phrase-aware dedup shingles.
+
+    Marginals are computed FROM the bigram count table (sum over one
+    coordinate), not by re-scanning tokens: one token-scale explode+agg,
+    then everything downstream is bigram-vocab-sized.  The count floor
+    kills the PMI-loves-hapax pathology (a pair seen once between two
+    rare words maxes PMI); it also caps the output at the
+    frequent-bigram table.  Exact integer ratios into one ln() —
+    deterministic, SQL-mirrorable.
+
+    Output: (w1, w2, pair_count BIGINT, pmi) — pmi rounded to `ndigits`.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    with_toks = df.select(toks.alias("__toks"))
+    pairs = (
+        with_toks.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    "  slice(__toks, 1, size(__toks) - 1),"
+                    "  slice(__toks, 2, size(__toks) - 1),"
+                    "  (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("__bg")
+        )
+        .select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+    bg = persist_tracked(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    left = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = bg.agg(F.sum("c12").alias("n_pairs"))
+    kept = bg.filter(F.col("c12") >= int(min_pair_count))
+    return (
+        kept.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n_pairs").cast("double")
+                    / (
+                        F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                ),
+                ndigits,
+            ).alias("pmi"),
+        )
+    )

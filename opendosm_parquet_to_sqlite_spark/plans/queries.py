@@ -6620,3 +6620,68 @@ def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         "side", (F.col("event_id") % 2 == 0).cast("int")
     )
     return stats.mann_whitney_u(ev, "value", "side", 1, "event_type")
+
+
+@query(
+    "collocations_pmi",
+    r"""
+    WITH toks AS (
+        SELECT list_transform(
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x != ''), x -> lower(x)) AS t
+        FROM documents
+    ), pairs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+    ), bg AS (
+        SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+    ), lm AS (
+        SELECT w1, sum(c12) AS c1 FROM bg GROUP BY 1
+    ), rm AS (
+        SELECT w2, sum(c12) AS c2 FROM bg GROUP BY 1
+    ), tot AS (
+        SELECT sum(c12) AS n_pairs FROM bg
+    )
+    SELECT bg.w1, bg.w2, CAST(bg.c12 AS BIGINT) AS pair_count,
+           round(ln(CAST(bg.c12 AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+                    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+    FROM bg JOIN lm USING (w1) JOIN rm USING (w2), tot
+    WHERE bg.c12 >= 40
+    """,
+    shadow=True,
+)
+def q_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram collocations by PMI over the documents corpus
+    (text.collocations_pmi, floor 40): marginals summed FROM the bigram
+    table so only one token-scale explode exists; everything after is
+    bigram-vocab-sized. Exact integer ratios into one ln — hash-stable
+    at 6 dp. Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    return text.collocations_pmi(docs, "text", min_pair_count=40)
+
+
+@query(
+    "feature_binning",
+    """
+    SELECT event_id, event_type,
+           ntile(8) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS bin
+    FROM events WHERE value IS NOT NULL
+    """,
+    shadow=True,
+)
+def q_feature_binning(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency discretization of event values into 8 bins per
+    event type (features.equal_frequency_bins) — ntile labels rows with
+    max-one-row population skew even under duplicate-heavy values, and
+    the event_id tiebreak makes boundary assignment reproducible under
+    any partitioning (the property the hash check PROVES: DuckDB's
+    serial ntile equals Spark's distributed one). One window exchange."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    out = features.equal_frequency_bins(
+        ev, "value", 8, group_cols="event_type", tiebreak_cols="event_id"
+    )
+    return out.select(
+        "event_id", "event_type", F.col("bin").cast("long").alias("bin")
+    )
