@@ -6135,9 +6135,9 @@ def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier) adapted to the fixture's
     missing partsupp: the observed (part, supplier) unit-cost catalog is
     derived from lineitem, then the per-part argmin via ONE window over
-    the already-part-partitioned agg output (no second groupBy+join pass
-    — the window reuses the agg's hash partitioning, zero extra
-    exchange). Costs are rounded BEFORE the min/equality so ties
+    the agg output (no second groupBy+join pass; the window exchange
+    carries the catalog-sized (part, supplier) aggregate, never raw
+    lineitems). Costs are rounded BEFORE the min/equality so ties
     surface identically in both engines; both dims broadcast."""
     from pyspark.sql.window import Window as W
 

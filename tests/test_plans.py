@@ -8,6 +8,7 @@ from __future__ import annotations
 import contextlib
 import io
 
+from opendosm_parquet_to_sqlite_spark.plans.audit import assert_plan
 from opendosm_parquet_to_sqlite_spark.plans.queries import QUERIES
 
 from .conftest import SF0001
@@ -457,3 +458,100 @@ def test_heavy_hitters_single_summary_exchange(spark):
     plan = _plan(spark, "heavy_hitters")
     assert _n_exchanges(plan) == 1, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_forecast_revenue_pushes_all_filters_to_scan(spark):
+    """TPC-H Q6: the whole WHERE must reach the parquet scan as
+    PushedFilters — at 100 TB this is the min/max row-group pruning
+    path; a post-scan Filter on l_shipdate would read every byte."""
+    df = QUERIES["forecast_revenue"](spark, SF0001)
+    rep = assert_plan(
+        df, n_scans=1, n_cartesian=0, has_python_udf=False,
+        n_exchanges=("<=", 1),  # the single-row final agg only
+    )
+    pushed = rep["scans"][0]["pushed_filters"] or ""
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    # projection pruning: only the 4 referenced columns are read
+    assert "l_orderkey" not in (rep["scans"][0]["read_schema"] or "")
+
+
+def test_discounted_revenue_or_predicates_keep_equi_join(spark):
+    """TPC-H Q19: the OR-of-ANDs must NOT break the p_partkey equi-join
+    into a nested loop / cartesian — the residual disjunction rides the
+    broadcast hash join."""
+    df = QUERIES["discounted_revenue"](spark, SF0001)
+    assert_plan(
+        df, n_broadcast_joins=1, n_cartesian=0, n_nested_loop_joins=0,
+        n_sortmerge_joins=0,
+    )
+
+
+def test_customer_distribution_left_outer_keeps_zero_bucket(spark):
+    """TPC-H Q13: left outer + two group-count-sized aggs, no cartesian;
+    the order-side predicate must ride the join (not drop customers)."""
+    df = QUERIES["customer_distribution"](spark, SF0001)
+    assert_plan(df, n_cartesian=0, n_nested_loop_joins=0,
+                n_hash_exchanges=("<=", 2))
+
+
+def test_market_share_single_fact_exchange(spark):
+    """TPC-H Q8: six dim probes must all broadcast; the only hash
+    exchange in the plan is the final year agg (at toy scale even
+    lineitem⋈orders broadcasts; at 100 TB that edge becomes the one
+    keyed shuffle — either way the dims never shuffle the fact)."""
+    df = QUERIES["market_share"](spark, SF0001)
+    assert_plan(df, n_cartesian=0, n_nested_loop_joins=0,
+                n_broadcast_joins=(">=", 5))
+
+
+def test_important_stock_threshold_is_one_row_broadcast(spark):
+    """TPC-H Q11: the HAVING-fraction threshold joins as a 1-row
+    broadcast nested loop (the stats idiom) — never a shuffled join of
+    the value table against itself."""
+    df = QUERIES["important_stock"](spark, SF0001)
+    assert_plan(df, n_cartesian=0, n_nested_loop_joins=1,
+                n_sortmerge_joins=0)
+
+
+def test_group_ols_single_partial_combined_agg(spark):
+    """All six OLS moments ride ONE partial+final agg — one exchange,
+    group-sized rows, closed form as projection."""
+    df = QUERIES["group_ols"](spark, SF0001)
+    assert_plan(df, n_exchanges=1, n_hash_exchanges=1, n_scans=1,
+                has_python_udf=False)
+
+
+def test_mann_whitney_midranks_share_one_sort(spark):
+    """rank() and the peer count must share one hash exchange + sort
+    (zero-width RANGE frame on the same ordering), and the final agg
+    reuses that partitioning — one exchange total."""
+    df = QUERIES["mann_whitney"](spark, SF0001)
+    assert_plan(df, n_exchanges=1, n_hash_exchanges=1,
+                n_range_exchanges=0, has_python_udf=False)
+
+
+def test_chi_square_exchanges_are_cell_table_sized(spark):
+    """One raw-row exchange (the contingency agg); the marginal windows
+    exchange the CELL table only — bounded by |a|·|b|, never row count."""
+    df = QUERIES["chi_square"](spark, SF0001)
+    assert_plan(df, n_cartesian=0, n_exchanges=("<=", 4),
+                has_python_udf=False)
+
+
+def test_collocations_pmi_marginals_from_bigram_table(spark):
+    """The token-scale explode feeds exactly ONE aggregation (the bigram
+    count); both marginals and the total aggregate the bigram table, so
+    every downstream exchange is bigram-vocab-sized. The 1-row total is
+    the lone nested-loop broadcast."""
+    df = QUERIES["collocations_pmi"](spark, SF0001)
+    rep = assert_plan(df, n_cartesian=0, n_nested_loop_joins=("<=", 1),
+                      has_python_udf=False)
+    # one scan of documents — marginals must not rescan/re-explode text
+    assert rep["n_scans"] <= 2  # persisted bg may rescan its own cache
+
+
+def test_feature_binning_one_window_exchange(spark):
+    df = QUERIES["feature_binning"](spark, SF0001)
+    assert_plan(df, n_exchanges=1, n_hash_exchanges=1,
+                n_range_exchanges=0, has_python_udf=False)
