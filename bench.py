@@ -246,6 +246,34 @@ HEADLINE = [
     "parts_supplier_count",
     # round-7: exact two-sample KS (distinct-value collapse + cum window)
     "ks_drift",
+    # round-7 wave 3 — TPC-H shape completions (all 22 query shapes now
+    # have a benched analog): Q6 pure-pushdown scan, Q13 left-outer
+    # distribution, Q15 argmax-vs-scalar, Q17 decorrelated scalar
+    # subquery, Q19 OR-of-ANDs over one equi-join, Q2 windowed argmin
+    # catalog, Q8 six-dim-probe share, Q9 profit rollup, Q11
+    # HAVING-over-global-fraction, Q20 aggregated-IN semi-join, Q21
+    # EXISTS/NOT-EXISTS semi+anti pair, Q22 anti-join on recency
+    "forecast_revenue",
+    "customer_distribution",
+    "top_supplier",
+    "small_qty_revenue",
+    "discounted_revenue",
+    "min_cost_supplier",
+    "market_share",
+    "product_profit",
+    "important_stock",
+    "promotion_suppliers",
+    "waiting_suppliers",
+    "sales_opportunity",
+    # round-7 wave 3 — inferential stats (one sufficient-statistics agg /
+    # one shared-sort window each) + phrase mining + ntile labeling
+    "group_ols",
+    "chi_square",
+    "mann_whitney",
+    "collocations_pmi",
+    "feature_binning",
+    # round-7: metadata-filtered ANN over the persisted IVF index
+    "ann_filtered",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
