@@ -175,6 +175,30 @@ _ROWS_ONLY_PRIORITY = [
     "parts_supplier_count",
     # round-7 exact two-sample KS drift (shadow oracle)
     "ks_drift",
+    # round-7 wave 3 (shadow oracles, hash-checked in-repo): TPC-H
+    # closure (Q6/Q13/Q15/Q17/Q19/Q2/Q8/Q9/Q11/Q20/Q21/Q22), inferential
+    # stats, phrase mining, ntile binning, embedding pooling
+    "forecast_revenue",
+    "customer_distribution",
+    "top_supplier",
+    "small_qty_revenue",
+    "discounted_revenue",
+    "min_cost_supplier",
+    "market_share",
+    "product_profit",
+    "important_stock",
+    "promotion_suppliers",
+    "waiting_suppliers",
+    "sales_opportunity",
+    "group_ols",
+    "chi_square",
+    "mann_whitney",
+    "collocations_pmi",
+    "feature_binning",
+    "embedding_pool",
+    # round-7 filtered ANN (approximate by design at partial probe;
+    # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
+    "ann_filtered",
     # PQ family (approximate by design; recall + exact-regime pins in
     # tests/test_pq.py):
     "ann_pq",

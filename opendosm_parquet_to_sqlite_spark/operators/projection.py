@@ -211,3 +211,51 @@ def embedding_drift(
         F.max("__n_a").alias("n_a"),
         F.max("__n_b").alias("n_b"),
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    group_cols: str | list[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mean-pool embedding vectors per group — the chunk→document (or
+    doc→domain-centroid) aggregation every retrieval pipeline runs after
+    chunk-level embedding: pooled[i] = avg over the group of vec[i].
+
+    Shape: posexplode to (group, pos, value) rows feeding an IMMEDIATE
+    partial-combined agg — the explode multiplies rows ×d inside the map
+    stage only; what shuffles is groups×d partial sums, never the n×d
+    value stream. (The no-explode alternative — collect_list of whole
+    vectors per group — materializes every member vector in one
+    aggregation buffer: memory-unsafe for hot groups at 100 TB.) The
+    pooled array reassembles from the group×d table by sorting the
+    (pos, avg) structs array-side.
+
+    Ragged inputs pool positionally (a short vector contributes to fewer
+    positions) and `dim` reports the group's max length, so mixed-model
+    groups are visible rather than silently wrong.
+
+    Output: group cols + (n_vecs BIGINT, dim INT, pooled array<double>
+    with elements rounded to `ndigits`).
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ex = df.filter(F.col(vec_col).isNotNull()).select(
+        *gcols,
+        F.posexplode(F.col(vec_col)).alias("__pos", "__v"),
+    )
+    per_pos = ex.groupBy(*gcols, "__pos").agg(
+        F.round(F.avg("__v"), ndigits).alias("__a"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_pos.groupBy(*gcols)
+        .agg(
+            F.max("__n").alias("n_vecs"),
+            (F.max("__pos") + 1).cast("int").alias("dim"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__a"))),
+                lambda s: s["__a"],
+            ).alias("pooled"),
+        )
+    )

@@ -6685,3 +6685,44 @@ def q_feature_binning(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", F.col("bin").cast("long").alias("bin")
     )
+
+
+@query(
+    "embedding_pool",
+    """
+    WITH ex AS (
+        SELECT label, g.i - 1 AS pos, embedding[g.i] AS v
+        FROM embeddings,
+             LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+        WHERE embedding IS NOT NULL
+    ), per_pos AS (
+        SELECT label, pos, round(avg(v), 6) AS a, count(*) AS n
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+           CAST(max(pos) + 1 AS INT) AS dim,
+           array_to_string(list_transform(list(a ORDER BY pos),
+                                          x -> printf('%.6f', x)), ',')
+               AS pooled_str
+    FROM per_pos GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_embedding_pool(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-pooled embedding centroid per label (projection.
+    pool_embeddings) — the chunk→doc / doc→class pooling pass. The
+    explode feeds an immediate partial-combined agg so the shuffle is
+    labels×dim partial sums, never the raw vector stream. Pooled
+    elements serialize to a fixed-6dp string for the hash (array cell
+    formatting differs between pandas and DuckDB; values are rounded
+    identically before formatting)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = projection.pool_embeddings(emb, "embedding", "label")
+    return out.select(
+        "label",
+        "n_vecs",
+        "dim",
+        F.concat_ws(
+            ",", F.transform("pooled", lambda x: F.format_string("%.6f", x))
+        ).alias("pooled_str"),
+    )

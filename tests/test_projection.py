@@ -118,3 +118,43 @@ def test_empty_and_tiny_inputs_raise(spark):
     )
     with pytest.raises(ValueError, match="at least 2"):
         projection.pca_fit(one, "embedding", r=1)
+
+
+def test_pool_embeddings_mean_ragged_and_null(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.projection import (
+        pool_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0, 3.0]),
+            ("a", [3.0, 4.0, 5.0]),
+            ("a", None),              # excluded entirely
+            ("b", [1.0, 1.0]),
+            ("b", [2.0]),             # ragged: pos 1 pools over 1 vector
+        ],
+        "g string, v array<double>",
+    )
+    out = {r["g"]: r for r in pool_embeddings(df, "v", "g").collect()}
+    assert out["a"]["n_vecs"] == 2 and out["a"]["dim"] == 3
+    assert list(out["a"]["pooled"]) == [2.0, 3.0, 4.0]
+    assert out["b"]["n_vecs"] == 2 and out["b"]["dim"] == 2
+    assert list(out["b"]["pooled"]) == [1.5, 1.0]
+
+
+def test_pool_embeddings_shuffle_is_group_dim_sized(spark):
+    """The explode must feed a partial agg (map-side combine) — the plan
+    carries HashAggregate partial+final around one exchange keyed on
+    (group, pos); no collect_list of raw vectors before the shuffle."""
+    from opendosm_parquet_to_sqlite_spark.operators.projection import (
+        pool_embeddings,
+    )
+    from opendosm_parquet_to_sqlite_spark.plans.audit import plan_report
+
+    df = spark.createDataFrame(
+        [("g", [float(i), float(i + 1)]) for i in range(100)],
+        "g string, v array<double>",
+    )
+    rep = plan_report(pool_embeddings(df, "v", "g"))
+    assert rep["n_cartesian"] == 0 and not rep["has_python_udf"]
+    assert rep["n_hash_exchanges"] == 2  # (group,pos) partials + group reassembly
