@@ -111,3 +111,109 @@ def write_zordered(
     if target_file_rows is not None:
         writer = writer.option("maxRecordsPerFile", target_file_rows)
     writer.parquet(path)
+
+
+def dataset_file_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition small-file audit of a parquet dataset: file count,
+    bytes, min/avg/max file size — the "do we have a small-file problem"
+    pre-flight for compact_dataset. Reads ONLY the file listing (driver
+    metadata, no data IO); partition = the hive subdirectory relative to
+    the root ('' for an unpartitioned dataset).
+    """
+    import os
+
+    rows = []
+    for dirpath, _dirnames, filenames in os.walk(path):
+        rel = os.path.relpath(dirpath, path)
+        part = "" if rel == "." else rel
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                rows.append(
+                    (part, os.path.getsize(os.path.join(dirpath, fn)))
+                )
+    df = spark.createDataFrame(rows, "partition string, bytes long")
+    return df.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.min("bytes").alias("min_bytes"),
+        F.round(F.avg("bytes"), 1).alias("avg_bytes"),
+        F.max("bytes").alias("max_bytes"),
+    )
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> dict:
+    """Rewrite a parquet dataset into ~target-size files — the
+    maintenance pass that fixes the small-file problem streaming /
+    incremental writers accumulate (every microbatch appends files; a
+    year of 5-minute batches is 100k tiny files whose per-file
+    open/footer cost dominates the scan).
+
+    File count is sized from the dataset's ACTUAL bytes (driver file
+    listing, no data pass): n = ceil(total/target). Partitioned datasets
+    (`partition_col`) compact per partition via ONE shuffle keyed on
+    (partition, bucket) — repartition(n, partition, bucket) + in-task
+    sortWithinPartitions(partition) keeps each output file single-
+    partition so partition pruning still skips whole files.
+    Unpartitioned datasets repartition(n) round-robin (no key skew by
+    construction).
+
+    Write-then-swap (same contract as incremental.recover_swap): the
+    compacted copy lands at `path + '.next'`, then two renames swap it
+    in — a crash before the first rename leaves the original untouched.
+
+    Returns {"files_before", "files_after", "total_bytes"} so callers
+    can log/assert the compaction actually compacted.
+    """
+    import math
+    import os
+    import shutil
+
+    sizes = []
+    for dirpath, _d, filenames in os.walk(path):
+        sizes += [
+            os.path.getsize(os.path.join(dirpath, f))
+            for f in filenames
+            if f.endswith(".parquet")
+        ]
+    total = sum(sizes)
+    n = max(1, math.ceil(total / max(1, int(target_file_bytes))))
+    df = spark.read.parquet(path)
+    nxt, old = path + ".next", path + ".old"
+    for stale in (nxt, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    if partition_col:
+        # ceil-split per partition: a hot partition still gets multiple
+        # files, but each file holds exactly one partition value
+        (
+            df.withColumn(
+                "__bucket", F.spark_partition_id() % F.lit(max(1, n))
+            )
+            .repartition(n, F.col(partition_col), F.col("__bucket"))
+            .sortWithinPartitions(partition_col)
+            .drop("__bucket")
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(nxt)
+        )
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(nxt)
+    os.rename(path, old)
+    os.rename(nxt, path)
+    shutil.rmtree(old)
+    after = sum(
+        1
+        for dirpath, _d, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": len(sizes),
+        "files_after": after,
+        "total_bytes": total,
+    }

@@ -126,3 +126,63 @@ def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
     # must be FAR below the full domain (64) on average
     assert sum(spans_x) / len(spans_x) <= 24, spans_x
     assert sum(spans_y) / len(spans_y) <= 24, spans_y
+
+
+def test_compact_dataset_unpartitioned_reduces_files_keeps_rows(spark, tmp_path):
+    from opendosm_parquet_to_sqlite_spark.sources.layout import (
+        compact_dataset,
+        dataset_file_report,
+    )
+
+    path = str(tmp_path / "many_small")
+    # 40 tiny files via 40-way repartition
+    spark.range(4000).withColumn("v", F.col("id") * 2).repartition(40) \
+        .write.parquet(path)
+    before = dataset_file_report(spark, path).collect()
+    assert before[0]["n_files"] == 40
+    # huge target -> everything folds into one file
+    stats = compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 4000
+    assert out.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(4000))
+
+
+def test_compact_dataset_partitioned_preserves_pruning(spark, tmp_path):
+    from opendosm_parquet_to_sqlite_spark.sources.layout import (
+        compact_dataset,
+    )
+
+    path = str(tmp_path / "parts")
+    df = spark.range(1000).withColumn("p", (F.col("id") % 3).cast("string"))
+    df.repartition(30).write.partitionBy("p").parquet(path)
+    stats = compact_dataset(
+        spark, path, target_file_bytes=1 << 30, partition_col="p"
+    )
+    assert stats["files_after"] < stats["files_before"]
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    # hive layout intact -> a partition filter prunes at plan time
+    pruned = out.filter(F.col("p") == "1")
+    assert pruned.count() == sum(1 for i in range(1000) if i % 3 == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan
+
+
+def test_compact_dataset_stale_staging_dirs_cleaned(spark, tmp_path):
+    import os
+
+    from opendosm_parquet_to_sqlite_spark.sources.layout import (
+        compact_dataset,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(100).repartition(5).write.parquet(path)
+    os.makedirs(path + ".next")  # leftover from a crashed prior run
+    os.makedirs(path + ".old")
+    stats = compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    assert not os.path.exists(path + ".next")
+    assert not os.path.exists(path + ".old")
+    assert spark.read.parquet(path).count() == 100
