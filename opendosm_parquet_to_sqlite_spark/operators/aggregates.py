@@ -455,6 +455,19 @@ def heavy_hitters_mg(
     summary rows only → deterministic TakeOrdered top-k (count DESC,
     item ASC).  The raw stream never shuffles.
     """
+    return mg_summary(df, col, capacity).orderBy(
+        F.col("est_count").desc(), F.col("item")
+    ).limit(int(k))
+
+
+def mg_summary(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
+    """The capacity-bounded (item, est_count) summary heavy_hitters_mg
+    ranks — exposed separately because the summary itself is the
+    MERGEABLE object (standing heavy-hitter state maintains summaries,
+    not top-k lists: a top-k list forgets the runner-up that the next
+    batch promotes). Plan: per-partition MG via mapInPandas emitting
+    ≤ capacity rows per partition, then one summary-row exchange; the
+    raw stream never shuffles."""
     import pandas as pd
 
     cap = int(capacity)
@@ -479,12 +492,42 @@ def heavy_hitters_mg(
     summaries = df.select(F.col(col).cast("string").alias(colname)).mapInPandas(
         mg, "item string, mg_count long"
     )
-    merged = summaries.groupBy("item").agg(
+    return summaries.groupBy("item").agg(
         F.sum("mg_count").alias("est_count")
     )
-    return merged.orderBy(
-        F.col("est_count").desc(), F.col("item")
-    ).limit(int(k))
+
+
+def mg_truncate(summary: DataFrame, capacity: int) -> DataFrame:
+    """MG decrement step on a summary TABLE: if it holds more than
+    `capacity` items, subtract the (capacity+1)-th largest count from
+    every item and drop the non-positives — the same batched decrement
+    the per-partition pass uses, expressed as one window over the
+    (small) summary. Keeps merged standing state capacity-bounded while
+    preserving the one-sided-undercount guarantee."""
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("est_count").desc(), F.col("item"))
+    ranked = summary.withColumn("__rank", F.row_number().over(w))
+    delta = ranked.filter(F.col("__rank") == int(capacity) + 1).select(
+        F.col("est_count").alias("__delta")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(delta))
+        .select(
+            "item",
+            (F.col("est_count") - F.col("__delta")).alias("est_count"),
+        )
+        .filter(F.col("est_count") > 0)
+        .unionByName(
+            # no (capacity+1)-th row -> delta table empty -> cross join
+            # drops everything; recover the untouched summary
+            ranked.join(
+                F.broadcast(delta.select(F.lit(1).alias("__has"))),
+                F.lit(True),
+                "left_anti",
+            ).select("item", "est_count")
+        )
+    )
 
 
 def cm_build(

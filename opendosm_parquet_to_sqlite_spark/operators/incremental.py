@@ -280,3 +280,47 @@ def maintain_hll_dataset(
     return maintain_state_dataset(
         spark, state_path, build, merge, batch_id=batch_id
     )
+
+
+def maintain_mg_dataset(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    item_col: str,
+    capacity: int = 4096,
+    batch_id: int | None = None,
+) -> dict:
+    """Misra-Gries heavy-hitter summary as STANDING state — the fourth
+    instance of the generic monoid maintainer (stats, count-min, HLL,
+    now MG): each batch contributes its capacity-bounded summary, the
+    standing summary merges by per-item sum, and the MERGED table is
+    re-truncated with the same batched decrement (aggregates.
+    mg_truncate) so state stays ≤ capacity rows forever.  Merge-by-sum
+    + truncate preserves the one-sided guarantee (estimates never
+    overcount; total undercount ≤ Σ decrements, each bounded by its
+    pass's N/(capacity+1)) — the Agarwal-et-al mergeable-summaries
+    result, error-bound-pinned in tests.  capacity must match across
+    batches (caller's contract, as with the CM sketch parameters).
+    Query the state ordered by est_count for the current top-k."""
+    from . import aggregates as _agg
+
+    return maintain_state_dataset(
+        spark,
+        state_path,
+        lambda: _agg.mg_summary(batch, item_col, capacity=capacity),
+        lambda standing, incoming: _agg.mg_truncate(
+            merge_mg_states(standing, incoming), capacity
+        ),
+        batch_id=batch_id,
+    )
+
+
+def merge_mg_states(standing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Per-item sum of two MG summaries (the un-truncated merge)."""
+    from pyspark.sql import functions as F2
+
+    return (
+        standing.unionByName(incoming)
+        .groupBy("item")
+        .agg(F2.sum("est_count").alias("est_count"))
+    )

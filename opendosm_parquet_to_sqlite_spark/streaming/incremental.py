@@ -379,3 +379,32 @@ def media_dedup_stream(
 
     hashed = with_media_phash(sdf, payload_col, modality=modality)
     return dedup_within_watermark(hashed, ["phash"], ts_col, delay=delay)
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    state_path: str,
+    item_col: str,
+    checkpoint_dir: str,
+    capacity: int = 4096,
+) -> None:
+    """Streaming heavy hitters: every microbatch's Misra-Gries summary
+    folds into the capacity-bounded standing summary (operators.
+    incremental.maintain_mg_dataset) — the live "what's trending"
+    tracker whose state never grows past `capacity` rows no matter how
+    long the stream runs or how large the item universe is.  Same
+    exactly-once batch-id marker discipline as the other maintainers
+    (redelivered microbatches are skipped, not re-added — additive
+    state double-counts otherwise).  With capacity ≥ the universe the
+    drained state is EXACT counts under any microbatch split
+    (test-pinned); undersized capacity degrades to the documented
+    one-sided MG bound."""
+    from ..operators import incremental as _inc
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _inc.maintain_mg_dataset(
+            batch_df.sparkSession, state_path, batch_df, item_col,
+            capacity=capacity, batch_id=batch_id,
+        )
+
+    run_available_now(stream, checkpoint_dir, _fold, output_mode="append")

@@ -286,3 +286,80 @@ def test_hll_state_maintenance_estimates_match_whole(spark, tmp_path):
     assert got == whole
     for k in exact:
         assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k])
+
+
+def test_mg_state_exact_under_any_split_when_capacity_covers(spark, tmp_path):
+    """With capacity >= universe no decrement ever fires, so the drained
+    streaming state is EXACT counts regardless of microbatch boundaries."""
+    from opendosm_parquet_to_sqlite_spark.streaming.incremental import (
+        heavy_hitters_stream,
+        read_stream_parquet,
+    )
+
+    rows = [(f"item_{i % 17}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "item string")
+    src = str(tmp_path / "src")
+    df.repartition(5).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+    state_path = str(tmp_path / "state")
+    heavy_hitters_stream(
+        sdf, state_path, "item", str(tmp_path / "ckpt"), capacity=64
+    )
+    got = {
+        r["item"]: r["est_count"]
+        for r in spark.read.parquet(state_path).collect()
+    }
+    exact = {
+        r["item"]: r["cnt"]
+        for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == exact
+
+
+def test_mg_state_capacity_bound_and_one_sided_error(spark, tmp_path):
+    """Undersized capacity: state stays <= capacity rows, estimates never
+    overcount, and undercount stays within the summed per-pass bound
+    (mergeable-summaries guarantee) — so the genuinely heavy item
+    survives every truncation."""
+    # 1 heavy item (600) + 200 singletons per batch
+    heavy = [("HEAVY",)] * 300
+    noise1 = [(f"n1_{i}",) for i in range(200)]
+    noise2 = [(f"n2_{i}",) for i in range(200)]
+    b1 = spark.createDataFrame(heavy + noise1, "item string")
+    b2 = spark.createDataFrame(heavy + noise2, "item string")
+    state_path = str(tmp_path / "state")
+    cap = 32
+    incremental.maintain_mg_dataset(
+        spark, state_path, b1, "item", capacity=cap, batch_id=0
+    )
+    incremental.maintain_mg_dataset(
+        spark, state_path, b2, "item", capacity=cap, batch_id=1
+    )
+    state = spark.read.parquet(state_path).collect()
+    assert len(state) <= cap
+    got = {r["item"]: r["est_count"] for r in state}
+    assert "HEAVY" in got
+    n_total = 1000.0
+    assert got["HEAVY"] <= 600
+    # per-partition + merge decrements each bounded by N/(cap+1); the
+    # two-batch pipeline applies at most 3 bounded decrement passes
+    assert got["HEAVY"] >= 600 - 3 * n_total / (cap + 1)
+    assert all(v <= 600 for v in got.values())
+
+
+def test_mg_redelivered_batch_skipped(spark, tmp_path):
+    items = spark.createDataFrame([("a",), ("a",), ("b",)], "item string")
+    state_path = str(tmp_path / "state")
+    r1 = incremental.maintain_mg_dataset(
+        spark, state_path, items, "item", capacity=16, batch_id=0
+    )
+    r2 = incremental.maintain_mg_dataset(
+        spark, state_path, items, "item", capacity=16, batch_id=0
+    )
+    assert r1["applied"] and not r2["applied"]
+    got = {
+        r["item"]: r["est_count"]
+        for r in spark.read.parquet(state_path).collect()
+    }
+    assert got == {"a": 2, "b": 1}
