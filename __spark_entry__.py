@@ -196,6 +196,8 @@ _ROWS_ONLY_PRIORITY = [
     "collocations_pmi",
     "feature_binning",
     "embedding_pool",
+    "html_to_text",
+    "extract_links",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

@@ -188,3 +188,77 @@ def dedup_urls(
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+def html_to_text(col: Column) -> Column:
+    """Markup-strip a raw HTML column to whitespace-normalized text — the
+    first transform of every web-crawl ingestion pipeline, kept in the
+    Java/RE2 regex common subset so the DuckDB oracle runs byte-identical
+    patterns (no backrefs/lookahead):
+
+      1. drop <script>/<style> ELEMENTS wholly (their text is code, not
+         content) — non-greedy across newlines via [\\s\\S],
+      2. drop comments <!-- ... -->,
+      3. replace block-level closers + <br> with a space so words from
+         adjacent blocks don't concatenate,
+      4. strip every remaining tag,
+      5. decode the five XML entities + &nbsp; (literal replaces),
+      6. collapse whitespace runs, trim.
+
+    Narrow projection — one codegen stage, no UDF, no exchange. (A real
+    browser-grade extractor (trafilatura-class) is a plug-in boundary,
+    like the JPEG codec; this native path handles machine-generated and
+    well-formed pages, i.e. the bulk of a crawl.)
+    """
+    c = col
+    c = F.regexp_replace(c, r"(?i)<script[\s\S]*?</script>", " ")
+    c = F.regexp_replace(c, r"(?i)<style[\s\S]*?</style>", " ")
+    c = F.regexp_replace(c, r"<!--[\s\S]*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)>", " ")
+    c = F.regexp_replace(c, r"(?i)<br\s*/?>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", "")
+    for ent, rep in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Anchor extraction: one row per <a href> with its (markup-stripped)
+    anchor text — the link-graph edge list crawl frontiers and anchor-
+    text quality signals are built from.
+
+    Shape: one regexp_extract_all pulls every anchor ELEMENT as an array
+    (narrow), explode fans out to link rows, then href/text come from
+    per-row regexps — the document text itself never shuffles; what
+    explodes is anchor-count rows, and downstream consumers (host stats,
+    frontier dedup) aggregate immediately. Single/double/no-quote hrefs
+    all match; anchors without href are skipped.
+
+    Output: (id, href, anchor_text).
+    """
+    anchors = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(r"(?i)(<a\s[^>]*href[\s\S]*?</a>)"), 1
+            )
+        ).alias("__a"),
+    )
+    href = F.regexp_extract(
+        F.col("__a"), r"(?i)href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))", 1
+    )
+    # unwrap the quoting alternative that matched
+    href_clean = F.regexp_replace(href, "^[\"']|[\"']$", "")
+    return anchors.select(
+        "id",
+        href_clean.alias("href"),
+        html_to_text(F.col("__a")).alias("anchor_text"),
+    ).filter(F.col("href") != "")

@@ -6726,3 +6726,111 @@ def q_embedding_pool(spark: SparkSession, sf: str) -> DataFrame:
             ",", F.transform("pooled", lambda x: F.format_string("%.6f", x))
         ).alias("pooled_str"),
     )
+
+
+@query(
+    "html_to_text",
+    r"""
+    WITH page AS (
+        SELECT doc_id,
+               '<div class="doc"><h1>Doc ' || doc_id ||
+               '</h1><script>skip(1)</script><!-- meta --><p>' || text ||
+               '</p><br>&amp; tail</div>' AS html
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(html,
+                       '(?i)<script[\s\S]*?</script>', ' ', 'g'),
+                       '(?i)<style[\s\S]*?</style>', ' ', 'g'),
+                       '<!--[\s\S]*?-->', ' ', 'g'),
+                       '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)>',
+                       ' ', 'g'),
+                       '(?i)<br\s*/?>', ' ', 'g'),
+                       '<[^>]+>', '', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+               '\s+', ' ', 'g')) AS clean_text
+    FROM page
+    """,
+    shadow=True,
+)
+def q_html_to_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Markup-strip parity over synthesized pages (web.html_to_text):
+    each document is wrapped in a deterministic HTML shell (heading,
+    script, comment, entity, block closers) and stripped back to
+    whitespace-normalized text — the oracle runs the byte-identical
+    regex chain, proving the Java-regex / RE2 common-subset contract
+    holds on real corpus text. Narrow projection, zero exchanges."""
+    docs = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<div class="doc"><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><script>skip(1)</script><!-- meta --><p>"),
+        F.col("text"),
+        F.lit("</p><br>&amp; tail</div>"),
+    )
+    return docs.select(
+        "doc_id", web.html_to_text(html).alias("clean_text")
+    )
+
+
+@query(
+    "extract_links",
+    r"""
+    WITH page AS (
+        SELECT doc_id,
+               '<p><a href="https://site-' || (doc_id % 7) ||
+               '.example/d/' || doc_id || '">Doc <b>' || doc_id ||
+               '</b></a> see <a href=/rel/' || (doc_id % 3) ||
+               '>rel ' || (doc_id % 3) || '</a></p>' AS html
+        FROM documents
+    ), anchors AS (
+        SELECT doc_id AS id,
+               unnest(regexp_extract_all(html,
+                   '(?i)(<a\s[^>]*href[\s\S]*?</a>)', 1)) AS a
+        FROM page
+    )
+    SELECT id,
+           regexp_replace(
+               regexp_extract(a,
+                   '(?i)href\s*=\s*("([^"]*)"|''([^'']*)''|([^\s>]+))', 1),
+               '^["'']|["'']$', '', 'g') AS href,
+           trim(regexp_replace(regexp_replace(a, '<[^>]+>', '', 'g'),
+                               '\s+', ' ', 'g')) AS anchor_text
+    FROM anchors
+    WHERE regexp_extract(a,
+              '(?i)href\s*=\s*("([^"]*)"|''([^'']*)''|([^\s>]+))', 1) != ''
+    """,
+    shadow=True,
+)
+def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor/link extraction parity over synthesized pages
+    (web.extract_links): two anchors per doc across both quote styles —
+    the link-graph edge list (id, href, anchor_text). One
+    regexp_extract_all + explode; documents never shuffle. The oracle's
+    anchor-text path elides the entity/block steps html_to_text applies
+    (no entities inside these anchors), so the chains agree."""
+    docs = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<p><a href="https://site-'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">Doc <b>'),
+        F.col("doc_id").cast("string"),
+        F.lit("</b></a> see <a href=/rel/"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(">rel "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</a></p>"),
+    )
+    return web.extract_links(
+        docs.select("doc_id", html.alias("html")), "html", "doc_id"
+    )
