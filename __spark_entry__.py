@@ -198,6 +198,7 @@ _ROWS_ONLY_PRIORITY = [
     "embedding_pool",
     "html_to_text",
     "extract_links",
+    "js_drift",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

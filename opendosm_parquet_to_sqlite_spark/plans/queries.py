@@ -6834,3 +6834,49 @@ def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     return web.extract_links(
         docs.select("doc_id", html.alias("html")), "html", "doc_id"
     )
+
+
+@query(
+    "js_drift",
+    """
+    WITH u AS (
+        SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS c,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE user_id IS NOT NULL
+    ), cells AS (
+        SELECT event_type, c,
+               CAST(sum(is_a) AS DOUBLE) AS ca,
+               CAST(sum(1 - is_a) AS DOUBLE) AS cb
+        FROM u GROUP BY 1, 2
+    ), withp AS (
+        SELECT event_type, ca, cb,
+               ca / NULLIF(sum(ca) OVER (PARTITION BY event_type), 0) AS p,
+               cb / NULLIF(sum(cb) OVER (PARTITION BY event_type), 0) AS q
+        FROM cells
+    )
+    SELECT event_type,
+           round(0.5 * sum(CASE WHEN p > 0
+                                THEN p * ln(p / ((p + q) / 2.0))
+                                ELSE 0 END)
+                 + 0.5 * sum(CASE WHEN q > 0
+                                  THEN q * ln(q / ((p + q) / 2.0))
+                                  ELSE 0 END), 6) AS js,
+           CAST(sum(ca) AS BIGINT) AS n_a,
+           CAST(sum(cb) AS BIGINT) AS n_b
+    FROM withp GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_js_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence of the user-shard mix between the
+    even/odd event halves, per event type (features.js_divergence) —
+    the bounded symmetric drift metric for categorical features,
+    completing the drift triptych (PSI bins, KS CDFs, JS categories).
+    Raw rows collapse to the category table in ONE partial-combined
+    agg; exchangeable halves put js near 0. Hash-checked."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull()
+    ).withColumn("user_shard", (F.col("user_id") % 10).cast("string"))
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    return features.js_divergence(a, b, "user_shard", "event_type")

@@ -4,6 +4,8 @@ sensitivity, invariances, and edge cases on synthetic data."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -296,3 +298,61 @@ def test_ks_more_sensitive_than_psi_on_shape_change(spark):
     b = np.clip(rng.randn(3000) * 0.25, -1, 1)  # peaked, same range/mean
     [rk] = features.ks_drift(_mk(spark, a), _mk(spark, b), "v", "g").collect()
     assert rk.ks > 0.2  # flat-vs-peaked measured ~0.25 at these params
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.features import (
+        js_divergence,
+    )
+
+    same = spark.createDataFrame(
+        [("g", c) for c in "xxyyzz"], "g string, c string"
+    )
+    out = js_divergence(same, same, "c", "g").collect()[0]
+    assert out["js"] == pytest.approx(0.0, abs=1e-9)
+
+    a = spark.createDataFrame([("g", "a1"), ("g", "a2")], "g string, c string")
+    b = spark.createDataFrame([("g", "b1"), ("g", "b2")], "g string, c string")
+    out = js_divergence(a, b, "c", "g").collect()[0]
+    assert out["js"] == pytest.approx(math.log(2.0), abs=1e-6)
+
+
+def test_js_divergence_matches_pure_python(spark):
+    import collections
+
+    from opendosm_parquet_to_sqlite_spark.operators.features import (
+        js_divergence,
+    )
+
+    a_vals = [str(i % 5) for i in range(40)] + ["7"] * 10
+    b_vals = [str(i % 4) for i in range(30)] + ["9"] * 5
+    a = spark.createDataFrame([("g", v) for v in a_vals], "g string, c string")
+    b = spark.createDataFrame([("g", v) for v in b_vals], "g string, c string")
+    out = js_divergence(a, b, "c", "g").collect()[0]
+
+    pa = collections.Counter(a_vals)
+    pb = collections.Counter(b_vals)
+    cats = set(pa) | set(pb)
+    na, nb = len(a_vals), len(b_vals)
+    js = 0.0
+    for c in cats:
+        p, q = pa.get(c, 0) / na, pb.get(c, 0) / nb
+        m = (p + q) / 2
+        if p > 0:
+            js += 0.5 * p * math.log(p / m)
+        if q > 0:
+            js += 0.5 * q * math.log(q / m)
+    assert out["js"] == pytest.approx(js, abs=1e-6)
+    assert out["n_a"] == na and out["n_b"] == nb
+
+
+def test_js_divergence_one_sided_group_is_null(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.features import (
+        js_divergence,
+    )
+
+    a = spark.createDataFrame([("only_a", "x")], "g string, c string")
+    b = spark.createDataFrame([("only_b", "y")], "g string, c string")
+    out = {r["g"]: r for r in js_divergence(a, b, "c", "g").collect()}
+    assert out["only_a"]["js"] is None
+    assert out["only_b"]["js"] is None
