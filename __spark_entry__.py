@@ -202,6 +202,10 @@ _ROWS_ONLY_PRIORITY = [
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",
+    # round-7 kNN graph family (LSH hash-dependent; exhaustive-regime
+    # exact parity + cluster pins in tests/test_similarity.py)
+    "knn_graph",
+    "knn_clusters",
     # PQ family (approximate by design; recall + exact-regime pins in
     # tests/test_pq.py):
     "ann_pq",

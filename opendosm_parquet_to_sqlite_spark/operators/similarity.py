@@ -1595,3 +1595,96 @@ def probe_ivfpq_index(
     return _exact_rerank(
         corpus, cand, queries, k, id_col, vec_col, query_id_col
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 2,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = -1.0,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over an embedding column —
+    the edge list graph-based curation is built on (mutual-kNN
+    clustering, neighborhood-density quality scores, graph dedup). Each
+    node gets up to k outgoing edges to its highest-cosine LSH-bucket
+    co-occupants.
+
+    Shape: the multi-table sign-LSH pair machinery (lsh_cosine_pairs —
+    bucket-blocked tiled BLAS, candidate volume ≈ L·Σ|bucket|², never
+    n²) produces undirected candidate pairs; symmetrize (two directed
+    rows per pair — narrow), then ONE WindowGroupLimit per source node
+    keeps the top k by (cosine DESC, neighbor ASC). Recall follows the
+    LSH parameters: neighbors sharing no bucket in any table are
+    invisible — raise n_tables / lower n_planes to trade shuffle volume
+    for recall (exhaustive when buckets collapse to one; the pytest pin
+    checks exact parity in that regime).
+
+    Output: (src, dst, cosine, rank) — rank 1..k per src.
+    """
+    from pyspark.sql.window import Window as W
+
+    pairs = lsh_cosine_pairs(
+        df, float(min_cosine), dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"),
+            F.col("id_a").alias("dst"),
+            "cosine",
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def mutual_knn_clusters(
+    knn: DataFrame,
+) -> DataFrame:
+    """Mutual-kNN clustering: keep only RECIPROCATED edges (i in j's
+    top-k AND j in i's top-k — the standard density guard: a hub that
+    everyone points at but that points elsewhere does not glue clusters
+    together), then connected components over the mutual graph.
+
+    Input: a knn_graph edge list (src, dst, ...). Output: (node,
+    cluster) for EVERY source node — cluster is the component's minimum
+    node id (graph.connected_components' contract, so survivor
+    selection / leakage-free splitting compose exactly as with near-dup
+    clusters); a node with no reciprocated edge keeps its own id as a
+    singleton cluster rather than silently disappearing.
+
+    Shape: the reciprocity check is ONE self-semi-join on the reversed
+    key (edge-list-sized, k·n rows); components are the existing
+    min-label propagation + pointer jumping; the singleton fill is a
+    node-table-sized left join.
+    """
+    from . import graph as _graph
+
+    edges = knn.select("src", "dst")
+    mutual = edges.join(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ),
+        ["src", "dst"],
+        "left_semi",
+    ).filter(F.col("src") < F.col("dst"))
+    comps = _graph.connected_components(mutual, src="src", dst="dst")
+    labeled = comps.select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("cluster")
+    )
+    nodes = knn.select(F.col("src").alias("node")).distinct()
+    return nodes.join(labeled, "node", "left").select(
+        "node", F.coalesce(F.col("cluster"), F.col("node")).alias("cluster")
+    )

@@ -6880,3 +6880,27 @@ def q_js_drift(spark: SparkSession, sf: str) -> DataFrame:
     a = ev.filter(F.col("event_id") % 2 == 0)
     b = ev.filter(F.col("event_id") % 2 == 1)
     return features.js_divergence(a, b, "user_shard", "event_type")
+
+
+@query("knn_graph")  # rows-only: LSH bucketing is hash-dependent
+def q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate kNN graph over the embeddings table (similarity.
+    knn_graph, k=5): bucket-blocked tiled-BLAS candidate pairs →
+    symmetrize → one WindowGroupLimit per source node. Exact-parity in
+    the exhaustive regime + cluster-structure pins live in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return similarity.knn_graph(emb, k=5, dim=dim, n_planes=2, n_tables=8)
+
+
+@query("knn_clusters")  # rows-only: composed on the hash-dependent graph
+def q_knn_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-kNN clustering of the embeddings table: reciprocated kNN
+    edges (one reversed-key semi-join) → connected components → every
+    node labeled (singletons keep their own id). The graph-based
+    alternative to dedup_semantic's k-means cells."""
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    knn = similarity.knn_graph(emb, k=5, dim=dim, n_planes=2, n_tables=8)
+    return similarity.mutual_knn_clusters(knn)

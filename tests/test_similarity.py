@@ -505,3 +505,74 @@ def test_filtered_probe_exact_over_filtered_corpus_at_full_probe(
         spark, path, q, k=5, n_probe=4, allowed=allowed
     ).collect()
     assert all(r["neighbor_id"] % 2 == 0 for r in partial)
+
+
+def test_knn_graph_exact_in_exhaustive_regime(spark):
+    """n_planes=0 collapses every vector into one bucket -> the LSH path
+    IS exhaustive; the graph must equal the NumPy kNN exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.knn_graph(
+        df, k=3, dim=8, n_planes=0, n_tables=1
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"], r["cosine"]))
+    V = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = np.round(V @ V.T, 6)
+    for i in range(30):
+        order = sorted(
+            ((S[i, j], j) for j in range(30) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        want = [(rk + 1, j, s) for rk, (s, j) in enumerate(order)]
+        assert sorted(got[i]) == want, i
+
+
+def test_mutual_knn_clusters_separate_blobs(spark):
+    """Two tight blobs -> two components, membership exact; mutual
+    reciprocity (not mere reachability) is what keeps them apart."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(12, 6) * 0.05 + np.array([5, 0, 0, 0, 0, 0])
+    b = rng.randn(12, 6) * 0.05 + np.array([0, 5, 0, 0, 0, 0])
+    vecs = np.vstack([a, b])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    knn = similarity.knn_graph(df, k=4, dim=6, n_planes=0, n_tables=1)
+    comps = {r["node"]: r["cluster"]
+             for r in similarity.mutual_knn_clusters(knn).collect()}
+    assert set(comps) == set(range(24))  # every node labeled (singletons too)
+    # no cluster ever spans the two blobs
+    assert all(comps[i] < 12 for i in range(12))
+    assert all(comps[i] >= 12 for i in range(12, 24))
+    # and each blob's dominant mutual component captures most of it
+    from collections import Counter
+
+    blob_a = Counter(comps[i] for i in range(12)).most_common(1)[0][1]
+    blob_b = Counter(comps[i] for i in range(12, 24)).most_common(1)[0][1]
+    assert blob_a >= 8 and blob_b >= 8
+
+
+def test_knn_graph_rank_contract_and_edge_cap(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.knn_graph(df, k=2, dim=2, n_planes=0, n_tables=1)
+    rows = out.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src"], []).append(r["rank"])
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 2
