@@ -214,6 +214,7 @@ _ROWS_ONLY_PRIORITY = [
     # iterative fixpoints (no SQL oracle; pytest-pinned against NumPy /
     # pure-Python references):
     "event_pagerank",
+    "dup_communities",
     "dup_core",
     "bpe_merges",
     # demoted round 4: exact operator twin of the hash-checked

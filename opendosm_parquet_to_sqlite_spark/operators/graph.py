@@ -461,3 +461,101 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, public formulation) — the density-sensitive complement to
+    connected_components: components glue everything reachable into one
+    cluster; LPA lets dense subregions joined by thin bridges keep
+    separate labels (template families inside one giant near-dup
+    component, topical communities in a link graph).
+
+    Determinism: updates are SYNCHRONOUS (all nodes read round r−1's
+    labels) and the new label is the most frequent neighbor label with
+    ties broken by MINIMUM label — no randomness, so the result is
+    partitioning-independent and test-reproducible.  Synchronous LPA can
+     2-cycle on bipartite structures; iteration is capped at `max_iter`
+    and stops early when no label changes, and the 2-cycle resolves
+    deterministically toward the min-label side of the oscillation via
+    the tie-break.
+
+    Output: (node, community) — community = the converged label (a node
+    id; labels are ids, so min-tie-break keeps them stable).
+
+    Shape per iteration: edges symmetrize once up front (truncated, like
+    the other iterative ops); then one join (edges × labels, keyed on
+    neighbor) + one (node, label)-keyed count agg + one max_by per node
+    — exchanges carry (node, label, count) rows. Lineage truncates and
+    blocks release per round; at 100 TB the same flat plan repeats with
+    edges pre-partitioned by the join key.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    before = _persistent_rdd_ids(spark)
+    sym = _truncate(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+    )
+    base_ids = _persistent_rdd_ids(spark) - before
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev_ids: set = set()
+    try:
+        for _ in range(int(max_iter)):
+            neigh = (
+                sym.join(
+                    labels.select(F.col("node").alias("v"), "label"), "v"
+                )
+                .groupBy(F.col("u").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            # most frequent neighbor label, min label on ties: max of
+            # (count, -label) then negate back
+            new = (
+                neigh.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("__c"), (-F.col("label")).alias("__nl")
+                        )
+                    ).alias("__best")
+                )
+                .select("node", (-F.col("__best.__nl")).alias("label"))
+            )
+            before = _persistent_rdd_ids(spark)
+            new_labels = _truncate(new)
+            new_ids = _persistent_rdd_ids(spark) - before
+            changed = (
+                new_labels.select("node", F.col("label").alias("__new"))
+                .join(labels, "node")
+                .filter(F.col("__new") != F.col("label"))
+            )
+            converged = changed.isEmpty()
+            _unpersist_rdd_ids(spark, prev_ids)
+            prev_ids = new_ids
+            labels = new_labels
+            if converged:
+                break
+    except BaseException:
+        _unpersist_rdd_ids(spark, base_ids | prev_ids)
+        raise
+    _unpersist_rdd_ids(spark, base_ids)
+    return labels.select("node", F.col("label").alias("community"))

@@ -6904,3 +6904,22 @@ def q_knn_clusters(spark: SparkSession, sf: str) -> DataFrame:
     dim = len(emb.select("embedding").first()["embedding"])
     knn = similarity.knn_graph(emb, k=5, dim=dim, n_planes=2, n_tables=8)
     return similarity.mutual_knn_clusters(knn)
+
+
+@query("dup_communities")  # rows-only: iterative fixpoint (no SQL oracle)
+def q_dup_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-propagation communities over the near-dup pair graph
+    (graph.label_propagation) — the density-sensitive refinement of
+    dup_clusters: dense template families bridged by a shared boilerplate
+    edge keep separate labels instead of gluing into one mega-cluster.
+    Synchronous, min-label tie-break → deterministic (pinned vs a pure-
+    Python reference in tests/test_graph.py)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = neardup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3,
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
+    out = graph.label_propagation(pairs, src="id_a", dst="id_b")
+    return out.select(
+        F.col("node").alias("doc_id"), F.col("community").cast("long")
+    )

@@ -291,3 +291,61 @@ def test_k_core_matches_reference_on_random_graph(spark):
     for k in (2, 3, 4):
         got = {r.node: r.degree for r in graph.k_core(df, k=k).collect()}
         assert got == _py_k_core(edges, k), k
+
+
+def _lpa_ref(edges, max_iter=10):
+    """Pure-Python synchronous LPA with the same min-label tie-break."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(max_iter):
+        new = {}
+        for n in adj:
+            cnt = Counter(labels[m] for m in adj[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        if new == labels:
+            return new
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    # two 5-cliques joined by one bridge edge: components would merge
+    # them; LPA must keep two communities
+    cliq1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    cliq2 = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    edges = cliq1 + cliq2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(df).collect()
+    }
+    assert got == _lpa_ref(edges)
+    # communities separate across the bridge
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[i] for i in range(10, 15)}) == 1
+    assert got[0] != got[10]
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df1 = spark.createDataFrame(edges, "id_a long, id_b long").repartition(1)
+    df8 = spark.createDataFrame(edges, "id_a long, id_b long").repartition(8)
+    r1 = sorted(
+        (r["node"], r["community"])
+        for r in graph.label_propagation(df1).collect()
+    )
+    r8 = sorted(
+        (r["node"], r["community"])
+        for r in graph.label_propagation(df8).collect()
+    )
+    assert r1 == r8 == sorted(_lpa_ref(edges).items())
