@@ -274,6 +274,18 @@ HEADLINE = [
     "feature_binning",
     # round-7: metadata-filtered ANN over the persisted IVF index
     "ann_filtered",
+    # round-7 wave 4: chunk->doc embedding pooling (explode + immediate
+    # partial agg), HTML strip + anchor extraction (narrow regex chains),
+    # JS categorical drift (category-table exchanges), kNN graph +
+    # mutual-kNN clustering (bucketed BLAS + WindowGroupLimit +
+    # components), LPA communities (per-round flat plan)
+    "embedding_pool",
+    "html_to_text",
+    "extract_links",
+    "js_drift",
+    "knn_graph",
+    "knn_clusters",
+    "dup_communities",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
