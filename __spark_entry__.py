@@ -199,6 +199,9 @@ _ROWS_ONLY_PRIORITY = [
     "html_to_text",
     "extract_links",
     "js_drift",
+    "fd_violations",
+    "benford_check",
+    "column_entropy",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

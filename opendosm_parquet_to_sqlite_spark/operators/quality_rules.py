@@ -155,3 +155,154 @@ def quality_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
         "violation_rate",
         F.round(F.col("n_violations") / F.col("n_checked"), 6),
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: str | list[str],
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency audit: keys on the LHS that map to MORE THAN
+    ONE distinct RHS value — the "same premise code, different premise
+    name" class of dirty-dimension bug that silently fans out joins and
+    double-counts aggregates downstream. (The reference's lookup tables
+    assume item_code → item is functional; this is the check that
+    assumption deserves.)
+
+    Output: LHS cols + (n_values BIGINT, n_rows BIGINT, sample_values
+    array<string> — up to 5 distinct conflicting values, sorted, for the
+    error message). Only violating keys are returned; an empty result IS
+    the pass verdict.
+
+    Shape: ONE partial-combined agg keyed on LHS (count_distinct
+    partials + a capped sorted slice of collect_set for the samples) +
+    a HAVING filter. NULL RHS values are excluded (missing is handled by
+    not_null, not by the FD check); NULL LHS keys group as their own key
+    like any GROUP BY.
+    """
+    lcols = [lhs] if isinstance(lhs, str) else list(lhs)
+    base = df.filter(F.col(rhs).isNotNull())
+    return (
+        base.groupBy(*lcols)
+        .agg(
+            F.count_distinct(F.col(rhs)).alias("n_values"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.slice(
+                F.array_sort(F.collect_set(F.col(rhs).cast("string"))), 1, 5
+            ).alias("sample_values"),
+        )
+        .filter(F.col("n_values") > 1)
+    )
+
+
+def benford_check(
+    df: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    cheap anomaly sniff for machine-generated/fabricated numeric columns
+    (organic multi-scale magnitudes follow log10(1+1/d); synthetic or
+    truncated feeds don't). Reported as the chi-square distance and the
+    max absolute digit-share deviation, per group.
+
+    Only |v| >= 1 rows participate (leading digit of a decimal fraction
+    needs string gymnastics that differ across engines; magnitude-1+
+    covers prices/counts, the Benford use case). First digit via
+    floor(|v| / 10^floor(log10(|v|))) — pure arithmetic, engine-portable.
+
+    Output per group: (n BIGINT, chi2, max_dev) rounded to `ndigits`.
+
+    Shape: narrow digit projection → ONE partial-combined (group, digit)
+    agg (≤ 9 rows per group) → window shares → final tiny agg.
+    """
+    gcols = (
+        [group_cols] if isinstance(group_cols, str)
+        else list(group_cols or [])
+    )
+    from pyspark.sql.window import Window as W
+
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    cells = (
+        df.filter(v >= 1.0)
+        .select(*gcols, digit.alias("__d"))
+        .groupBy(*gcols, "__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wg = W.partitionBy(*gcols) if gcols else W.partitionBy()
+    n = F.sum("__c").over(wg)
+    share = F.col("__c") / n
+    expected = F.log10(1.0 + 1.0 / F.col("__d"))
+    scored = cells.select(
+        *gcols,
+        F.col("__c"),
+        n.alias("__n"),
+        share.alias("__share"),
+        expected.alias("__exp"),
+    )
+    return scored.groupBy(*gcols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.round(
+            F.sum(
+                (F.col("__share") - F.col("__exp"))
+                * (F.col("__share") - F.col("__exp"))
+                / F.col("__exp")
+            )
+            * F.max("__n"),
+            ndigits,
+        ).alias("chi2"),
+        F.round(
+            F.max(F.abs(F.col("__share") - F.col("__exp"))), ndigits
+        ).alias("max_dev"),
+    )
+
+
+def column_entropy(
+    df: DataFrame,
+    cols: list[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Shannon entropy (nats) + distinct ratio per column — the
+    key-vs-category detector profiling pipelines run before choosing
+    join/partition keys (entropy ≈ ln n_rows ⇒ near-unique key;
+    entropy ≈ 0 ⇒ constant; anything between sizes dictionary/bucketing
+    choices). One stacked pass: each column's values project to
+    (col_name, value_str) rows — a narrow union, no per-column scan
+    fan-out — then ONE (col, value) agg + one col-sized agg.
+
+    NULLs count as a regular category (a 99%-NULL column should read as
+    low-entropy, not as entropy-of-the-tail).
+
+    Output: (column, n_rows BIGINT, n_distinct BIGINT, entropy,
+    distinct_ratio) — rounded to `ndigits`.
+    """
+    stacked = None
+    for c in cols:
+        part = df.select(
+            F.lit(c).alias("column"),
+            F.coalesce(F.col(c).cast("string"), F.lit("␀")).alias("__v"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    counts = stacked.groupBy("column", "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    from pyspark.sql.window import Window as W
+
+    n = F.sum("__c").over(W.partitionBy("column"))
+    p = F.col("__c") / n
+    return (
+        counts.select("column", F.col("__c"), n.alias("__n"), p.alias("__p"))
+        .groupBy("column")
+        .agg(
+            F.max("__n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(F.col("__p") * F.log(F.col("__p"))), ndigits).alias(
+                "entropy"
+            ),
+            F.round(
+                F.count(F.lit(1)) / F.max("__n").cast("double"), ndigits
+            ).alias("distinct_ratio"),
+        )
+    )

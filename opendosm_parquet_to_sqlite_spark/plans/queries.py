@@ -6923,3 +6923,109 @@ def q_dup_communities(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.col("node").alias("doc_id"), F.col("community").cast("long")
     )
+
+
+@query(
+    "fd_violations",
+    """
+    SELECT l_partkey,
+           count(DISTINCT l_suppkey) AS n_values,
+           count(*) AS n_rows,
+           array_to_string(
+               list_sort(list_distinct(list(CAST(l_suppkey AS VARCHAR))))[1:5],
+               ',') AS sample_str
+    FROM lineitem
+    WHERE l_suppkey IS NOT NULL
+    GROUP BY 1
+    HAVING count(DISTINCT l_suppkey) > 1
+    """,
+    shadow=True,
+)
+def q_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit (quality_rules.fd_violations) probing
+    the deliberately NON-functional l_partkey → l_suppkey (a part ships
+    from many suppliers), so the violation report is populated and every
+    column — distinct count, row count, capped sorted samples — gets
+    hash-checked. ONE partial-combined agg + HAVING."""
+    li = load_table(spark, sf, "lineitem")
+    out = quality_rules.fd_violations(li, "l_partkey", "l_suppkey")
+    return out.select(
+        "l_partkey",
+        "n_values",
+        "n_rows",
+        F.concat_ws(",", "sample_values").alias("sample_str"),
+    )
+
+
+@query(
+    "benford_check",
+    """
+    WITH digits AS (
+        SELECT event_type,
+               CAST(floor(abs(value) / power(10, floor(log10(abs(value)))))
+                    AS INT) AS d
+        FROM events WHERE abs(value) >= 1.0
+    ), cells AS (
+        SELECT event_type, d, CAST(count(*) AS DOUBLE) AS c
+        FROM digits GROUP BY 1, 2
+    ), scored AS (
+        SELECT event_type, c,
+               sum(c) OVER (PARTITION BY event_type) AS n,
+               c / sum(c) OVER (PARTITION BY event_type) AS share,
+               log10(1.0 + 1.0 / d) AS exp_share
+        FROM cells
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           round(sum((share - exp_share) * (share - exp_share) / exp_share)
+                 * max(n), 6) AS chi2,
+           round(max(abs(share - exp_share)), 6) AS max_dev
+    FROM scored GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_benford_check(spark: SparkSession, sf: str) -> DataFrame:
+    """First-digit Benford conformance of event values per type
+    (quality_rules.benford_check) — the fabricated-feed sniff, first
+    digit by pure floor/log10 arithmetic so both engines agree exactly.
+    Digit cells (≤9/group) are the only exchange. Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    return quality_rules.benford_check(ev, "value", "event_type")
+
+
+@query(
+    "column_entropy",
+    """
+    WITH stacked AS (
+        SELECT 'event_type' AS col, coalesce(CAST(event_type AS VARCHAR), '␀') AS v FROM events
+        UNION ALL
+        SELECT 'user_id', coalesce(CAST(user_id AS VARCHAR), '␀') FROM events
+        UNION ALL
+        SELECT 'event_id', coalesce(CAST(event_id AS VARCHAR), '␀') FROM events
+    ), counts AS (
+        SELECT col, v, CAST(count(*) AS DOUBLE) AS c
+        FROM stacked GROUP BY 1, 2
+    ), shares AS (
+        SELECT col, c, sum(c) OVER (PARTITION BY col) AS n,
+               c / sum(c) OVER (PARTITION BY col) AS p
+        FROM counts
+    )
+    SELECT col AS "column",
+           CAST(max(n) AS BIGINT) AS n_rows,
+           count(*) AS n_distinct,
+           round(-sum(p * ln(p)), 6) AS entropy,
+           round(count(*) / max(n), 6) AS distinct_ratio
+    FROM shares GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column Shannon entropy + distinct ratio over three event
+    columns (quality_rules.column_entropy) — the key-vs-category
+    detector: event_id reads near ln(n) (unique key), event_type near
+    ln(5) (category). One stacked narrow union, one (col, value) agg,
+    one col-sized agg. Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    return quality_rules.column_entropy(
+        ev, ["event_type", "user_id", "event_id"]
+    )

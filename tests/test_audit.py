@@ -87,3 +87,72 @@ def test_new_query_plan_shapes_via_assert_plan(spark):
         n_broadcast_joins=(">=", 2),
         n_cartesian=0,
     )
+
+
+def test_fd_violations_detects_and_passes(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.quality_rules import (
+        fd_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a"), (1, "a"),          # functional
+            (2, "x"), (2, "y"), (2, "x"),  # violation: 2 values
+            (3, None), (3, "z"),         # NULL rhs excluded -> functional
+        ],
+        "k long, v string",
+    )
+    rows = fd_violations(df, "k", "v").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == 2 and r["n_values"] == 2 and r["n_rows"] == 3
+    assert list(r["sample_values"]) == ["x", "y"]
+    # a clean dependency returns EMPTY (the pass verdict)
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert fd_violations(clean, "k", "v").isEmpty()
+
+
+def test_benford_conforming_vs_uniform(spark):
+    import math as m
+
+    from opendosm_parquet_to_sqlite_spark.operators.quality_rules import (
+        benford_check,
+    )
+
+    # geometric magnitudes follow Benford closely; uniform 1-9 does not
+    benford_vals = [(("good"), float(1.05 ** i)) for i in range(60, 560)]
+    uniform_vals = [(("bad"), float(1 + i % 9)) for i in range(500)]
+    df = spark.createDataFrame(
+        benford_vals + uniform_vals, "g string, v double"
+    )
+    out = {r["g"]: r for r in benford_check(df, "v", "g").collect()}
+    assert out["good"]["max_dev"] < 0.03
+    assert out["bad"]["max_dev"] > 0.1
+    assert out["bad"]["chi2"] > out["good"]["chi2"] * 10
+    assert out["good"]["n"] == 500 and out["bad"]["n"] == 500
+    # sub-1 magnitudes are excluded by contract
+    tiny = spark.createDataFrame([("t", 0.5)], "g string, v double")
+    assert benford_check(tiny, "v", "g").isEmpty()
+    assert m.isfinite(out["good"]["chi2"])
+
+
+def test_column_entropy_key_vs_constant(spark):
+    import math as m
+
+    from opendosm_parquet_to_sqlite_spark.operators.quality_rules import (
+        column_entropy,
+    )
+
+    n = 256
+    df = spark.createDataFrame(
+        [(i, "const", "cat_%d" % (i % 4), None) for i in range(n)],
+        "key long, c string, cat string, nul string",
+    )
+    out = {r["column"]: r for r in
+           column_entropy(df, ["key", "c", "cat", "nul"]).collect()}
+    assert out["key"]["entropy"] == pytest.approx(m.log(n), abs=1e-6)
+    assert out["key"]["distinct_ratio"] == 1.0
+    assert out["c"]["entropy"] == 0.0 and out["c"]["n_distinct"] == 1
+    assert out["cat"]["entropy"] == pytest.approx(m.log(4), abs=1e-6)
+    # NULL is a category, not a hole: all-NULL column reads constant
+    assert out["nul"]["entropy"] == 0.0 and out["nul"]["n_distinct"] == 1
