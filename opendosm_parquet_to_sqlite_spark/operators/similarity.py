@@ -1623,6 +1623,14 @@ def knn_graph(
     for recall (exhaustive when buckets collapse to one; the pytest pin
     checks exact parity in that regime).
 
+    `min_cosine` bounds the CANDIDATE volume, not just the output: the
+    bucket scorer emits every in-bucket pair scoring ≥ min_cosine, and
+    only then does the per-node window prune to k. At the default −1
+    every in-bucket pair shuffles (fine at audit scale); at 100 TB set a
+    meaningful floor (e.g. 0.5 for normalized text embeddings) so the
+    pair stream is similarity-thinned before the exchange — neighbors
+    below the floor were never going to make a top-k that matters.
+
     Output: (src, dst, cosine, rank) — rank 1..k per src.
     """
     from pyspark.sql.window import Window as W
