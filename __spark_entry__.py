@@ -202,6 +202,8 @@ _ROWS_ONLY_PRIORITY = [
     "fd_violations",
     "benford_check",
     "column_entropy",
+    "preference_pairs",
+    "negative_samples",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",
@@ -209,6 +211,7 @@ _ROWS_ONLY_PRIORITY = [
     # exact parity + cluster pins in tests/test_similarity.py)
     "knn_graph",
     "knn_clusters",
+    "hard_negatives",
     # PQ family (approximate by design; recall + exact-regime pins in
     # tests/test_pq.py):
     "ann_pq",

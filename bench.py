@@ -286,6 +286,11 @@ HEADLINE = [
     "knn_graph",
     "knn_clusters",
     "dup_communities",
+    # round-7 wave 5: data-quality profiling (one partial-combined agg /
+    # digit-cell / stacked-column exchanges)
+    "fd_violations",
+    "benford_check",
+    "column_entropy",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -25,6 +25,7 @@ from ..operators import (
     classifier,
     cleanse,
     contamination,
+    contrastive,
     corpus,
     dedup,
     diffing,
@@ -7029,3 +7030,99 @@ def q_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return quality_rules.column_entropy(
         ev, ["event_type", "user_id", "event_id"]
     )
+
+
+@query(
+    "preference_pairs",
+    """
+    WITH scored AS (
+        SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, event_id, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v DESC, event_id ASC) AS rb,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v ASC, event_id ASC) AS rw,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM scored
+    ), best AS (
+        SELECT event_type, event_id AS chosen_id, v AS chosen_score, n
+        FROM ranked WHERE rb = 1
+    ), worst AS (
+        SELECT event_type, event_id AS rejected_id, v AS rejected_score
+        FROM ranked WHERE rw = 1
+    )
+    SELECT b.event_type, chosen_id, rejected_id,
+           chosen_score, rejected_score,
+           round(chosen_score - rejected_score, 6) AS margin
+    FROM best b JOIN worst w USING (event_type)
+    WHERE n >= 2 AND chosen_score - rejected_score > 0
+    """,
+    shadow=True,
+)
+def q_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """(chosen, rejected) preference pairs per event type by value score
+    (contrastive.preference_pairs) — the DPO data-prep shape. Champions
+    via max_by/min_by struct orderings in ONE partial-combined agg (the
+    flagship idiom); the oracle restates both extremes as rank-1 windows
+    with the identical (score, id) tie-break. Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    return contrastive.preference_pairs(
+        ev, "event_type", "event_id", "value"
+    )
+
+
+@query(
+    "negative_samples",
+    """
+    WITH pool AS (
+        SELECT vec_id AS cand_id, label AS cand_cluster
+        FROM embeddings
+        ORDER BY md5('neg-v1' || chr(31) || CAST(vec_id AS VARCHAR)),
+                 vec_id
+        LIMIT 64
+    ), fan AS (
+        SELECT e.vec_id AS anchor_id, e.label AS anchor_cluster,
+               p.cand_id, p.cand_cluster,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY md5('neg-v1' || chr(31)
+                                || CAST(e.vec_id AS VARCHAR) || chr(31)
+                                || CAST(p.cand_id AS VARCHAR)),
+                            p.cand_id
+               ) AS rk
+        FROM embeddings e JOIN pool p ON p.cand_cluster <> e.label
+    )
+    SELECT anchor_id, cand_id AS negative_id,
+           anchor_cluster, cand_cluster AS negative_cluster
+    FROM fan WHERE rk <= 3
+    """,
+    shadow=True,
+)
+def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """3 deterministic random negatives per anchor from a 64-row md5
+    pool, own label excluded (contrastive.negative_samples) — the
+    contrastive-training negative sampler. The md5-band idiom makes the
+    whole draw SQL-restatable, so even the "random" sampler is
+    hash-checked. Pool via one TakeOrdered; fan-out is anchors×pool
+    broadcast; one WindowGroupLimit keeps k."""
+    emb = load_table(spark, sf, "embeddings")
+    return contrastive.negative_samples(
+        emb, "vec_id", "label", k=3, pool_size=64
+    )
+
+
+@query("hard_negatives")  # rows-only: composed on the LSH kNN graph
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard negatives from the kNN graph: each anchor's most-similar
+    OTHER-label neighbors (contrastive.hard_negatives over
+    similarity.knn_graph + the label column) — the metric-learning
+    mining pass. Two node-sized label joins + one WindowGroupLimit."""
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    knn = similarity.knn_graph(emb, k=10, dim=dim, n_planes=2, n_tables=8)
+    clusters = emb.select(
+        F.col("vec_id").alias("node"), F.col("label").alias("cluster")
+    )
+    return contrastive.hard_negatives(knn, clusters, k=2)
