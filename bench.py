@@ -291,6 +291,11 @@ HEADLINE = [
     "fd_violations",
     "benford_check",
     "column_entropy",
+    # round-7 wave 6: contrastive/preference pair prep (pool broadcast +
+    # WindowGroupLimit; label joins on the kNN edge list; one max_by agg)
+    "preference_pairs",
+    "negative_samples",
+    "hard_negatives",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
