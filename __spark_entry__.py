@@ -204,6 +204,9 @@ _ROWS_ONLY_PRIORITY = [
     "column_entropy",
     "preference_pairs",
     "negative_samples",
+    "next_event_examples",
+    "calibration_report",
+    "vector_health",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

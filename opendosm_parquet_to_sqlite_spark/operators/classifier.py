@@ -187,3 +187,63 @@ def distill_quality_gate(
     )
     w, bias = train_logreg(feats, labels, n_buckets, n_iters=n_iters)
     return score(df, text_col, id_col, w, bias, n_buckets)
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Reliability-diagram table + expected calibration error for a
+    probabilistic scorer (the quality classifier, a reward model, any
+    [0,1] score): scores bucket into `n_bins` equal-width bins; each bin
+    reports mean predicted score (confidence) vs empirical positive rate
+    (accuracy); every row carries the overall ECE
+    Σ_b (n_b/N)·|acc_b − conf_b| — the number a score consumer checks
+    before trusting thresholds.
+
+    Scores outside [0, 1] raise via an assert embedded in the bin
+    column itself (the merge_plan idiom: when(assert_true(ok) is null,
+    bin) — a standalone guard column would be pruned by Catalyst; a
+    silent clamp would fake calibration). Score exactly 1.0 joins the
+    top bin (floor guard). NULL scores/labels are excluded pairwise.
+
+    Shape: narrow bin projection → ONE partial-combined (bin) agg
+    (≤ n_bins rows) → window ECE over the bin table. Hash-checkable.
+
+    Output per bin: (bin BIGINT, n BIGINT, confidence, accuracy, ece).
+    """
+    from pyspark.sql.window import Window as W
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    guard = F.assert_true(
+        (s >= 0.0) & (s <= 1.0), F.lit("calibration_report: score outside [0, 1]")
+    )
+    b_raw = F.least(
+        F.floor(s * int(n_bins)), F.lit(int(n_bins) - 1)
+    ).cast("long")
+    b = F.when(guard.isNull(), b_raw)
+    bins = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(b.alias("bin"), s.alias("__s"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__s").alias("__conf"),
+            F.avg("__y").alias("__acc"),
+        )
+    )
+    wall = W.partitionBy()
+    ece = F.sum(
+        F.col("n") * F.abs(F.col("__acc") - F.col("__conf"))
+    ).over(wall) / F.sum("n").over(wall)
+    return bins.select(
+        "bin",
+        "n",
+        F.round("__conf", ndigits).alias("confidence"),
+        F.round("__acc", ndigits).alias("accuracy"),
+        F.round(ece, ndigits).alias("ece"),
+    )

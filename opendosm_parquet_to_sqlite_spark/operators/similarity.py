@@ -1696,3 +1696,64 @@ def mutual_knn_clusters(
     return nodes.join(labeled, "node", "left").select(
         "node", F.coalesce(F.col("cluster"), F.col("node")).alias("cluster")
     )
+
+
+def vector_health(
+    df: DataFrame,
+    vec_col: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Embedding-column QA in one agg pass — the pre-flight every
+    vector pipeline should run before building indexes on 100 TB of
+    embeddings (a handful of NaN rows silently poisons k-means
+    training; mixed dims crash probes late; zero vectors score cosine 0
+    against everything and surface as phantom neighbors):
+
+      n_vectors / n_null        rows with/without a vector
+      n_dims                    distinct lengths (must be 1)
+      dim_min / dim_max         the actual lengths seen
+      n_nan                     vectors containing any non-finite value
+      n_zero                    all-zero vectors (norm == 0)
+      norm_min/avg/max          L2 norm distribution (≈1 everywhere for
+                                a normalized corpus)
+
+    Norm/NaN checks are array-side higher-order functions — narrow,
+    no UDF; NaN-poisoned norms are EXCLUDED from the norm stats (one
+    poisoned row would make norm_avg NaN and hide the rest).
+
+    Output: group cols + the ten columns above, norms rounded.
+    """
+    gcols = (
+        [group_cols] if isinstance(group_cols, str)
+        else list(group_cols or [])
+    )
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    has_bad = F.exists(
+        v, lambda x: x.cast("double").isNaN() | (F.abs(x) > F.lit(1e308))
+    )
+    norm = F.when(v.isNotNull() & ~has_bad, F.sqrt(sq))
+    return df.select(
+        *gcols,
+        v.isNotNull().cast("int").alias("__has"),
+        F.when(v.isNotNull(), F.size(v)).alias("__dim"),
+        F.when(v.isNotNull() & has_bad, 1).otherwise(0).alias("__nan"),
+        F.when(norm == 0.0, 1).otherwise(0).alias("__zero"),
+        norm.alias("__norm"),
+    ).groupBy(*gcols).agg(
+        F.sum("__has").cast("long").alias("n_vectors"),
+        F.sum(1 - F.col("__has")).cast("long").alias("n_null"),
+        F.count_distinct("__dim").alias("n_dims"),
+        F.min("__dim").cast("long").alias("dim_min"),
+        F.max("__dim").cast("long").alias("dim_max"),
+        F.sum("__nan").cast("long").alias("n_nan"),
+        F.sum("__zero").cast("long").alias("n_zero"),
+        F.round(F.min("__norm"), ndigits).alias("norm_min"),
+        F.round(F.avg("__norm"), ndigits).alias("norm_avg"),
+        F.round(F.max("__norm"), ndigits).alias("norm_max"),
+    )

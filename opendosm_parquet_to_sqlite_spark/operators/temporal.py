@@ -843,3 +843,58 @@ def interval_union(
         )
         .drop("__island")
     )
+
+
+def next_event_examples(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    history: int = 3,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Supervised next-event training examples from event sequences: for
+    every event, the preceding `history` events of the same key (oldest
+    first) as the input context and the event itself as the label — the
+    sequence-model data-prep pass (next-token prediction over behavioral
+    streams; churn/recommendation feature windows).
+
+    Rows whose history is EMPTY (each key's first event) are dropped —
+    an example with no input teaches nothing; shorter-than-`history`
+    contexts are kept (padding is the trainer's concern, visible via
+    n_history). Deterministic under ties when `tiebreak_cols` is given
+    (same contract as the flagship window dedup).
+
+    Shape: ONE keyed window exchange (collect_list over ROWS BETWEEN
+    `history` PRECEDING AND 1 PRECEDING — a bounded frame, so per-row
+    state is `history` events regardless of key length; no self-join,
+    no explode). History serializes oldest→newest into an array.
+
+    Output: (key, ts, history array<string>, n_history INT, label).
+    """
+    from pyspark.sql.window import Window as W
+
+    tcols = [F.col(c) for c in (tiebreak_cols or [])]
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.col(ts_col), *tcols)
+        .rowsBetween(-int(history), -1)
+    )
+    ev = F.col(event_col).cast("string")
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(ts_col),
+            *[F.col(c) for c in (tiebreak_cols or [])],
+            ev.alias("__ev"),
+        )
+        .withColumn("history", F.collect_list("__ev").over(w))
+        .filter(F.size("history") > 0)
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            "history",
+            F.size("history").alias("n_history"),
+            F.col("__ev").alias("label"),
+        )
+    )

@@ -7126,3 +7126,132 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("node"), F.col("label").alias("cluster")
     )
     return contrastive.hard_negatives(knn, clusters, k=2)
+
+
+@query(
+    "next_event_examples",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CAST(event_type AS VARCHAR) AS ev,
+               list(CAST(event_type AS VARCHAR)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+               ) AS history
+        FROM events
+    )
+    SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           array_to_string(history, '>') AS history_str,
+           CAST(len(history) AS INT) AS n_history,
+           ev AS label
+    FROM ordered WHERE len(history) > 0
+    """,
+    shadow=True,
+)
+def q_next_event_examples(spark: SparkSession, sf: str) -> DataFrame:
+    """Next-event training examples per user (temporal.
+    next_event_examples, history 3): bounded-frame collect_list in ONE
+    keyed window exchange — per-row state is `history` events no matter
+    how long a user's stream is; first events (empty context) drop.
+    Hash-checked with the history serialized oldest→newest."""
+    ev = load_table(spark, sf, "events")
+    out = temporal.next_event_examples(
+        ev, "user_id", "ts", "event_type", history=3,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        F.concat_ws(">", "history").alias("history_str"),
+        "n_history",
+        "label",
+    )
+
+
+@query(
+    "calibration_report",
+    """
+    WITH scored AS (
+        SELECT value - floor(value) AS s,
+               CAST(event_id % 2 AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ), binned AS (
+        SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin, s, y
+        FROM scored
+    ), bins AS (
+        SELECT bin, count(*) AS n, avg(s) AS conf, avg(y) AS acc
+        FROM binned GROUP BY 1
+    )
+    SELECT bin, n,
+           round(conf, 6) AS confidence,
+           round(acc, 6) AS accuracy,
+           round(sum(n * abs(acc - conf)) OVER () / sum(n) OVER (), 6)
+               AS ece
+    FROM bins
+    """,
+    shadow=True,
+)
+def q_calibration_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability table + ECE (classifier.calibration_report, 10 bins)
+    for a synthetic probability (the fractional part of value) against
+    the even/odd label — the score-trust audit for any [0,1] scorer.
+    Bin cells are the only exchange; the ECE rides a window over the
+    ≤10-row bin table. Hash-checked."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        (F.col("value") - F.floor(F.col("value"))).alias("score"),
+        (F.col("event_id") % 2).alias("label"),
+    )
+    return classifier.calibration_report(ev, "score", "label", n_bins=10)
+
+
+@query(
+    "vector_health",
+    """
+    WITH per AS (
+        SELECT label,
+               CASE WHEN embedding IS NOT NULL THEN 1 ELSE 0 END AS has,
+               CASE WHEN embedding IS NOT NULL
+                    THEN len(embedding) END AS dim,
+               CASE WHEN embedding IS NOT NULL AND len(list_filter(
+                        embedding, x -> isnan(CAST(x AS DOUBLE))
+                             OR abs(x) > 1e308)) > 0
+                    THEN 1 ELSE 0 END AS bad
+        FROM embeddings
+    ), norms AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(list_filter(
+                  embedding, x -> isnan(CAST(x AS DOUBLE))
+                       OR abs(x) > 1e308)) = 0
+    )
+    SELECT p.label,
+           CAST(sum(has) AS BIGINT) AS n_vectors,
+           CAST(sum(1 - has) AS BIGINT) AS n_null,
+           count(DISTINCT dim) AS n_dims,
+           CAST(min(dim) AS BIGINT) AS dim_min,
+           CAST(max(dim) AS BIGINT) AS dim_max,
+           CAST(sum(bad) AS BIGINT) AS n_nan,
+           CAST((SELECT count(*) FROM norms n2
+                 WHERE n2.label = p.label AND n2.nrm = 0) AS BIGINT)
+               AS n_zero,
+           (SELECT round(min(nrm), 6) FROM norms n2
+            WHERE n2.label = p.label) AS norm_min,
+           (SELECT round(avg(nrm), 6) FROM norms n2
+            WHERE n2.label = p.label) AS norm_avg,
+           (SELECT round(max(nrm), 6) FROM norms n2
+            WHERE n2.label = p.label) AS norm_max
+    FROM per p GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_vector_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-column QA per label (similarity.vector_health): null /
+    dim-consistency / NaN / zero-vector counts + L2-norm distribution,
+    ONE agg pass, array math in-order on both engines so the norm
+    doubles match bit-for-bit at 6 dp. Hash-checked."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.vector_health(emb, "embedding", "label")

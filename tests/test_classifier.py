@@ -111,3 +111,40 @@ def test_empty_labels_raise(spark, frame):
     feats = classifier.hashed_features(frame, "text", "doc_id", NB)
     with pytest.raises(ValueError, match="no labeled rows"):
         classifier.train_logreg(feats, empty, NB)
+
+
+def test_calibration_report_hand_example(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.classifier import (
+        calibration_report,
+    )
+
+    # bin 0-: 4 rows score .1, 25% positive -> conf .1, acc .25
+    # bin 9: 4 rows score .95, 100% positive -> conf .95, acc 1.0
+    rows = (
+        [(0.1, 1), (0.1, 0), (0.1, 0), (0.1, 0)]
+        + [(0.95, 1)] * 4
+    )
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["bin"]: r for r in
+           calibration_report(df, "s", "y", n_bins=10).collect()}
+    assert set(out) == {1, 9}
+    assert out[1]["confidence"] == 0.1 and out[1]["accuracy"] == 0.25
+    assert out[9]["confidence"] == 0.95 and out[9]["accuracy"] == 1.0
+    # ece = (4/8)*|.25-.1| + (4/8)*|1-.95| = .075 + .025
+    assert out[1]["ece"] == out[9]["ece"] == 0.1
+    # score exactly 1.0 joins the top bin, not an 11th
+    top = spark.createDataFrame([(1.0, 1)], "s double, y int")
+    assert calibration_report(top, "s", "y").collect()[0]["bin"] == 9
+
+
+def test_calibration_report_rejects_out_of_range(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from opendosm_parquet_to_sqlite_spark.operators.classifier import (
+        calibration_report,
+    )
+
+    df = spark.createDataFrame([(1.5, 1)], "s double, y int")
+    with _pytest.raises((Py4JJavaError, Exception)):
+        calibration_report(df, "s", "y").collect()

@@ -53,3 +53,44 @@ def test_invalid_step_raises(spark):
     df = spark.createDataFrame(EVENTS, schema="k string, et long, v double")
     with pytest.raises(ValueError, match="positive"):
         resample_ffill(df, ["k"], "et", ["v"], step_seconds=0)
+
+
+def test_next_event_examples_history_order_and_first_drop(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        next_event_examples,
+    )
+
+    rows = [
+        (1, 10, 100, "a"), (1, 20, 101, "b"), (1, 30, 102, "c"),
+        (1, 40, 103, "d"), (1, 50, 104, "e"),
+        (2, 10, 200, "x"),                      # lone event -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts long, eid long, ev string"
+    )
+    out = {
+        (r["u"], r["ts"]): (list(r["history"]), r["n_history"], r["label"])
+        for r in next_event_examples(
+            df, "u", "ts", "ev", history=3, tiebreak_cols=["eid"]
+        ).collect()
+    }
+    assert (2, 10) not in out and (1, 10) not in out
+    assert out[(1, 20)] == (["a"], 1, "b")
+    assert out[(1, 30)] == (["a", "b"], 2, "c")
+    assert out[(1, 40)] == (["a", "b", "c"], 3, "d")
+    # window slides: oldest event falls OUT of the context
+    assert out[(1, 50)] == (["b", "c", "d"], 3, "e")
+
+
+def test_next_event_examples_tiebreak_determinism(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        next_event_examples,
+    )
+
+    rows = [(1, 10, 2, "late"), (1, 10, 1, "early"), (1, 20, 3, "z")]
+    df = spark.createDataFrame(rows, "u long, ts long, eid long, ev string")
+    out = {r["label"]: list(r["history"]) for r in next_event_examples(
+        df, "u", "ts", "ev", history=2, tiebreak_cols=["eid"]
+    ).collect()}
+    assert out["late"] == ["early"]
+    assert out["z"] == ["early", "late"]

@@ -576,3 +576,23 @@ def test_knn_graph_rank_contract_and_edge_cap(spark):
     for src, ranks in per_src.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 2
+
+
+def test_vector_health_flags_nan_zero_ragged(spark):
+    df = spark.createDataFrame(
+        [
+            ("g", [3.0, 4.0]),                 # norm 5
+            ("g", [0.0, 0.0]),                 # zero vector
+            ("g", [float("nan"), 1.0]),        # NaN-poisoned
+            ("g", None),                       # missing
+            ("g", [1.0, 0.0, 0.0]),            # ragged dim
+        ],
+        "g string, v array<double>",
+    )
+    r = similarity.vector_health(df, "v", "g").collect()[0]
+    assert r["n_vectors"] == 4 and r["n_null"] == 1
+    assert r["n_dims"] == 2 and r["dim_min"] == 2 and r["dim_max"] == 3
+    assert r["n_nan"] == 1 and r["n_zero"] == 1
+    # NaN row EXCLUDED from norm stats: min 0 (zero vec), max 5
+    assert r["norm_min"] == 0.0 and r["norm_max"] == 5.0
+    assert r["norm_avg"] == 2.0  # (5 + 0 + 1) / 3
