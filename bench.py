@@ -296,6 +296,11 @@ HEADLINE = [
     "preference_pairs",
     "negative_samples",
     "hard_negatives",
+    # round-7 wave 7: sequence-model data prep (bounded-frame window),
+    # calibration audit (bin-cell exchange), embedding QA (one agg pass)
+    "next_event_examples",
+    "calibration_report",
+    "vector_health",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
