@@ -555,3 +555,32 @@ def test_feature_binning_one_window_exchange(spark):
     df = QUERIES["feature_binning"](spark, SF0001)
     assert_plan(df, n_exchanges=1, n_hash_exchanges=1,
                 n_range_exchanges=0, has_python_udf=False)
+
+
+def test_web_ingestion_queries_are_exchange_free(spark):
+    """Markup strip + anchor extraction are narrow regex chains — zero
+    exchanges, zero Python; the corpus text never shuffles."""
+    for name in ("html_to_text", "extract_links"):
+        df = QUERIES[name](spark, SF0001)
+        assert_plan(df, n_exchanges=0, has_python_udf=False)
+
+
+def test_negative_samples_pool_broadcast_one_window(spark):
+    """The anchors×pool fan-out is the documented 1-pool broadcast
+    nested loop; one window exchange prunes to k. No cartesian, no
+    corpus self-join."""
+    df = QUERIES["negative_samples"](spark, SF0001)
+    assert_plan(df, n_cartesian=0, n_nested_loop_joins=1,
+                n_hash_exchanges=1, has_python_udf=False)
+
+
+def test_next_event_examples_single_bounded_window(spark):
+    df = QUERIES["next_event_examples"](spark, SF0001)
+    assert_plan(df, n_exchanges=1, n_hash_exchanges=1,
+                n_range_exchanges=0, has_python_udf=False)
+
+
+def test_preference_pairs_query_single_exchange(spark):
+    df = QUERIES["preference_pairs"](spark, SF0001)
+    assert_plan(df, n_exchanges=1, n_hash_exchanges=1,
+                has_python_udf=False)
