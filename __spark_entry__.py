@@ -207,6 +207,7 @@ _ROWS_ONLY_PRIORITY = [
     "next_event_examples",
     "calibration_report",
     "vector_health",
+    "seasonal_decompose",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

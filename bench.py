@@ -301,6 +301,9 @@ HEADLINE = [
     "next_event_examples",
     "calibration_report",
     "vector_health",
+    # round-7: classical additive decomposition (one keyed window +
+    # phase-table broadcasts)
+    "seasonal_decompose",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

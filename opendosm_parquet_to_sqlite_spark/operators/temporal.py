@@ -898,3 +898,91 @@ def next_event_examples(
             F.col("__ev").alias("label"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    phase_col,
+    trend_window: int = 12,
+    tiebreak_cols: list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Classical additive decomposition value = trend + seasonal +
+    residual, per key — the explainable anomaly baseline one rung above
+    seasonal_profile (which reports the grid; this LABELS every point,
+    and the residual is what count_anomaly-style alerting should
+    threshold on, not the raw value).
+
+      trend    : centered moving average over 2·trend_window+1 ROWS
+                 (NULL until the frame is FULL — a shrinking edge frame
+                 would fake a flat trend at series boundaries);
+      seasonal : per-(key, phase) mean of the detrended points, CENTERED
+                 per key (seasonal components sum to ~0, so trend keeps
+                 the level — the standard identifiability constraint);
+      residual : value − trend − seasonal.
+
+    `phase_col` is a Column expression for the seasonal phase (e.g.
+    `F.hour("ts")` for daily-on-hourly); ROWS-frame trend assumes
+    near-regular sampling — resample first (time_resample) for
+    irregular streams, as classical decomposition requires.
+
+    Shape: ONE keyed window exchange (trend; full-frame check via a
+    count over the same frame), one (key, phase)-sized agg broadcast
+    back, one key-sized centering agg broadcast back — the value stream
+    shuffles once.
+
+    Output: key, ts, tiebreaks, value, phase, trend, seasonal, residual
+    (trend/seasonal/residual rounded; NULL where trend is NULL).
+    """
+    from pyspark.sql.window import Window as W
+
+    tcols = list(tiebreak_cols or [])
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tcols])
+        .rowsBetween(-int(trend_window), int(trend_window))
+    )
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c) for c in tcols],
+        v.alias("value"),
+        phase_col.cast("long").alias("phase"),
+    )
+    # frame-fullness and trend both reference the RENAMED column — the
+    # original value_col name no longer exists after the select
+    full = F.count("value").over(w) == (2 * int(trend_window) + 1)
+    base = base.withColumn("trend", F.when(full, F.avg("value").over(w)))
+    detr = base.withColumn("__d", F.col("value") - F.col("trend"))
+    seas = detr.filter(F.col("__d").isNotNull()).groupBy(
+        key_col, "phase"
+    ).agg(F.avg("__d").alias("__s_raw"))
+    center = seas.groupBy(key_col).agg(F.avg("__s_raw").alias("__s_mean"))
+    seas_centered = seas.join(F.broadcast(center), key_col).select(
+        key_col,
+        "phase",
+        (F.col("__s_raw") - F.col("__s_mean")).alias("__seasonal"),
+    )
+    out = detr.join(F.broadcast(seas_centered), [key_col, "phase"], "left")
+    return out.select(
+        key_col,
+        F.col(ts_col),
+        *tcols,
+        "value",
+        "phase",
+        F.round("trend", ndigits).alias("trend"),
+        F.when(
+            F.col("trend").isNotNull(), F.round("__seasonal", ndigits)
+        ).alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(
+                F.col("value") - F.col("trend") - F.col("__seasonal"),
+                ndigits,
+            ),
+        ).alias("residual"),
+    )

@@ -7255,3 +7255,60 @@ def q_vector_health(spark: SparkSession, sf: str) -> DataFrame:
     doubles match bit-for-bit at 6 dp. Hash-checked."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.vector_health(emb, "embedding", "label")
+
+
+@query(
+    "seasonal_decompose",
+    f"""
+    WITH base AS (
+        SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS value,
+               CAST(hour(ts) AS BIGINT) AS phase,
+               CASE WHEN count(value) OVER w = 25
+                    THEN avg(value) OVER w END AS trend
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), seas AS (
+        SELECT event_type, phase, avg(value - trend) AS s_raw
+        FROM base WHERE trend IS NOT NULL GROUP BY 1, 2
+    ), cent AS (
+        SELECT event_type, avg(s_raw) AS s_mean FROM seas GROUP BY 1
+    ), seasonal AS (
+        SELECT s.event_type, s.phase, s.s_raw - c.s_mean AS seasonal
+        FROM seas s JOIN cent c USING (event_type)
+    )
+    SELECT b.event_type, strftime(b.ts, '{TS_FMT_DUCK}') AS ts_str,
+           b.event_id, b.value, b.phase,
+           round(b.trend, 6) AS trend,
+           CASE WHEN b.trend IS NOT NULL
+                THEN round(se.seasonal, 6) END AS seasonal,
+           CASE WHEN b.trend IS NOT NULL
+                THEN round(b.value - b.trend - se.seasonal, 6)
+           END AS residual
+    FROM base b LEFT JOIN seasonal se
+      ON se.event_type = b.event_type AND se.phase = b.phase
+    """,
+    shadow=True,
+)
+def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive decomposition of event values per type
+    (temporal.seasonal_decompose): 25-row centered-MA trend (NULL until
+    the frame fills), hour-of-day seasonal centered per key, residual —
+    the explainable anomaly baseline. One keyed window exchange; the
+    seasonal/centering aggs are (key×24)- and key-sized broadcasts.
+    Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    out = temporal.seasonal_decompose(
+        ev, "event_type", "ts", "value", F.hour("ts"),
+        trend_window=12, tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "event_id",
+        "value",
+        "phase",
+        "trend",
+        "seasonal",
+        "residual",
+    )

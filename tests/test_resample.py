@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from opendosm_parquet_to_sqlite_spark.operators.temporal import resample_ffill
 
@@ -94,3 +95,64 @@ def test_next_event_examples_tiebreak_determinism(spark):
     ).collect()}
     assert out["late"] == ["early"]
     assert out["z"] == ["early", "late"]
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    """Plant trend + seasonal on a regular grid: the decomposition must
+    recover both (centered MA is exact for a linear trend; the seasonal
+    mean recovers the planted cycle up to centering)."""
+    import math
+
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    period, w, n = 4, 4, 64
+    planted_seas = [2.0, -1.0, -2.0, 1.0]  # sums to 0
+    rows = []
+    for i in range(n):
+        trend = 0.5 * i
+        rows.append(("k", i, i, trend + planted_seas[i % period]))
+    df = spark.createDataFrame(rows, "k string, ts long, eid long, v double")
+    out = seasonal_decompose(
+        df, "k", "ts", "v", F.col("ts") % period,
+        trend_window=w, tiebreak_cols=["eid"],
+    ).collect()
+    by_ts = {r["ts"]: r for r in out}
+    # edges: first/last w rows have incomplete frames -> NULL everywhere
+    for i in list(range(w)) + list(range(n - w, n)):
+        assert by_ts[i]["trend"] is None
+        assert by_ts[i]["residual"] is None
+    # interior: 2w+1=9 rows of a period-4 cycle do NOT average the cycle
+    # out exactly (9 % 4 != 0), so allow the known contamination bound;
+    # the linear trend itself is recovered exactly by the centered MA
+    for i in range(w, n - w):
+        r = by_ts[i]
+        assert abs(r["trend"] - (0.5 * i + _cycle_bias(planted_seas, w))) < 0.3
+        assert abs(r["seasonal"] - planted_seas[i % period]) < 0.3
+        assert abs(r["residual"]) < 0.5
+
+
+def _cycle_bias(seas, w):
+    # mean of the cycle over a 2w+1 frame starting anywhere is ~0 for a
+    # zero-sum cycle; exact value depends on alignment — tests use a
+    # tolerance instead of replicating it
+    return 0.0
+
+
+def test_seasonal_decompose_additivity(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    rows = [("k", i, i, float((i * 7) % 13)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, ts long, eid long, v double")
+    out = seasonal_decompose(
+        df, "k", "ts", "v", F.col("ts") % 5,
+        trend_window=3, tiebreak_cols=["eid"],
+    ).collect()
+    for r in out:
+        if r["trend"] is not None:
+            assert abs(
+                r["value"] - (r["trend"] + r["seasonal"] + r["residual"])
+            ) < 1e-5
