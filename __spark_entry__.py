@@ -208,6 +208,8 @@ _ROWS_ONLY_PRIORITY = [
     "calibration_report",
     "vector_health",
     "seasonal_decompose",
+    "rolling_corr",
+    "inactivity_labels",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

@@ -304,6 +304,10 @@ HEADLINE = [
     # round-7: classical additive decomposition (one keyed window +
     # phase-table broadcasts)
     "seasonal_decompose",
+    # round-7: trailing-window co-moment correlation + churn labels
+    # (one keyed window exchange each)
+    "rolling_corr",
+    "inactivity_labels",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -986,3 +986,120 @@ def seasonal_decompose(
             ),
         ).alias("residual"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    window_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+    min_points: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-event trailing-window Pearson correlation between two series
+    of the same key over [ts − window, ts] — the co-movement monitor
+    (price vs volume, score vs length) beside rolling_features'
+    single-series stats.
+
+    All five co-moments (n, Σx, Σy, Σxx, Σyy, Σxy) ride the SAME RANGE
+    frame in one window pass — one keyed exchange + sort, no self-join;
+    the closed form is a narrow projection.  Windows with fewer than
+    `min_points` pairs, or zero variance on either side, yield NULL
+    (NULLIF-guarded) — a 2-point correlation is ±1 by construction and
+    worse than no answer.  Rows where either value is NULL contribute
+    nothing but still RECEIVE a correlation (their window's).
+
+    Output: key, ts, tiebreaks, x, y, corr (rounded).
+    """
+    from pyspark.sql.window import Window as W
+
+    tcols = list(tiebreak_cols or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c) for c in tcols],
+        x.alias("__x"),
+        y.alias("__y"),
+        F.when(both, x).alias("__px"),
+        F.when(both, y).alias("__py"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("__sec"),
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("__sec")
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    n = F.count("__px").over(w).cast("double")
+    sx = F.sum("__px").over(w)
+    sy = F.sum("__py").over(w)
+    sxx = F.sum(F.col("__px") * F.col("__px")).over(w)
+    syy = F.sum(F.col("__py") * F.col("__py")).over(w)
+    sxy = F.sum(F.col("__px") * F.col("__py")).over(w)
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = F.when(
+        n >= int(min_points),
+        cov / F.nullif(F.sqrt(varx * vary), F.lit(0.0)),
+    )
+    return base.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *tcols,
+        F.col("__x").alias(x_col),
+        F.col("__y").alias(y_col),
+        F.round(corr, ndigits).alias("corr"),
+    )
+
+
+def inactivity_labels(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    horizon_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Forward-looking churn labels: for every event, whether the key
+    goes SILENT for more than `horizon_seconds` afterwards — the
+    supervised target for retention/churn models (next_event_examples
+    builds the features; this builds the label, leakage-free by
+    construction because only the NEXT event's timestamp is read).
+
+    A key's LAST observed event has no successor: labeled churned=true
+    with censored=true so survival-aware consumers can exclude it
+    (end-of-observation is not evidence of churn — the classic
+    censoring trap; a NULL-gap "churn" on the final event inflates
+    rates near the data boundary).
+
+    Shape: one lead() per key — ONE keyed exchange + sort; gap and
+    labels are narrow arithmetic.
+
+    Output: key, ts, tiebreaks, gap_seconds (NULL on last events),
+    churned, censored.
+    """
+    from pyspark.sql.window import Window as W
+
+    tcols = list(tiebreak_cols or [])
+    w = W.partitionBy(key_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tcols]
+    )
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    nxt = F.lead(sec).over(w)
+    gap = nxt - sec
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c) for c in tcols],
+    ).withColumn("gap_seconds", gap).select(
+        "*",
+        F.coalesce(
+            F.col("gap_seconds") > int(horizon_seconds), F.lit(True)
+        ).alias("churned"),
+        F.col("gap_seconds").isNull().alias("censored"),
+    )

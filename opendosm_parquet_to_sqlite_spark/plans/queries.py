@@ -7312,3 +7312,95 @@ def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
         "seasonal",
         "residual",
     )
+
+
+@query(
+    "rolling_corr",
+    f"""
+    WITH base AS (
+        SELECT event_type, ts, event_id,
+               CAST(value AS DOUBLE) AS x,
+               CAST(event_id % 97 AS DOUBLE) AS y,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), momented AS (
+        SELECT event_type, ts, event_id, x, y,
+               CAST(count(CASE WHEN x IS NOT NULL THEN 1 END)
+                    OVER w AS DOUBLE) AS n,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+               sum(x * y) OVER w AS sxy
+        FROM base
+        WINDOW w AS (PARTITION BY event_type ORDER BY sec
+                     RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           event_id, x AS value, y AS yval,
+           round(CASE WHEN n >= 3 THEN (n * sxy - sx * sy)
+                 / NULLIF(sqrt((n * sxx - sx * sx)
+                               * (n * syy - sy * sy)), 0) END, 6) AS corr
+    FROM momented
+    """,
+    shadow=True,
+)
+def q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-6h Pearson correlation between event value and a derived
+    second series per type (temporal.rolling_corr): five co-moments on
+    ONE RANGE frame — one keyed exchange, no self-join; NULLIF-guarded
+    degenerate windows. Hash-checked."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "yval", (F.col("event_id") % 97).cast("double")
+    )
+    out = temporal.rolling_corr(
+        ev, "event_type", "ts", "value", "yval",
+        window_seconds=21600, tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "event_id",
+        "value",
+        "yval",
+        "corr",
+    )
+
+
+@query(
+    "inactivity_labels",
+    f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), led AS (
+        SELECT user_id, ts, event_id,
+               lead(sec) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) - sec AS gap_seconds
+        FROM base
+    )
+    SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, event_id,
+           gap_seconds,
+           coalesce(gap_seconds > 86400, TRUE) AS churned,
+           gap_seconds IS NULL AS censored
+    FROM led
+    """,
+    shadow=True,
+)
+def q_inactivity_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward-looking churn labels per user (temporal.
+    inactivity_labels, 24 h horizon): one lead() per key — leakage-free
+    by construction (only the next timestamp is read), last events
+    censored instead of silently counted as churn. Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    out = temporal.inactivity_labels(
+        ev, "user_id", "ts", horizon_seconds=86400,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "event_id",
+        "gap_seconds",
+        "churned",
+        "censored",
+    )

@@ -156,3 +156,61 @@ def test_seasonal_decompose_additivity(spark):
             assert abs(
                 r["value"] - (r["trend"] + r["seasonal"] + r["residual"])
             ) < 1e-5
+
+
+def test_rolling_corr_perfect_and_degenerate(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        rolling_corr,
+    )
+    from datetime import datetime
+
+    def ts(i):
+        return datetime(2024, 1, 1, 0, 0, i)
+
+    rows = (
+        # key "pos": y = 2x -> corr exactly 1 once 3 points accumulate
+        [("pos", ts(i), i, float(i), 2.0 * i) for i in range(5)]
+        # key "neg": y = -x -> corr -1
+        + [("neg", ts(i), i, float(i), -1.0 * i) for i in range(5)]
+        # key "flat": zero variance in y -> NULL
+        + [("flat", ts(i), i, float(i), 7.0) for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        rows, "k string, t timestamp, eid long, x double, y double"
+    )
+    out = rolling_corr(
+        df, "k", "t", "x", "y", window_seconds=3600,
+        tiebreak_cols=["eid"], min_points=3,
+    ).collect()
+    by = {(r["k"], r["eid"]): r["corr"] for r in out}
+    assert by[("pos", 0)] is None and by[("pos", 1)] is None  # < min_points
+    assert by[("pos", 4)] == 1.0
+    assert by[("neg", 4)] == -1.0
+    assert by[("flat", 4)] is None
+
+
+def test_inactivity_labels_gap_and_censoring(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        inactivity_labels,
+    )
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1),
+        (1, datetime(2024, 1, 1, 0, 30, 0), 2),   # gap 1800 -> active
+        (1, datetime(2024, 1, 1, 2, 0, 0), 3),    # last -> censored churn
+        (2, datetime(2024, 1, 1, 0, 0, 0), 4),
+        (2, datetime(2024, 1, 1, 3, 0, 0), 5),    # gap 10800 -> churned
+    ]
+    df = spark.createDataFrame(rows, "u long, t timestamp, eid long")
+    out = {r["eid"]: r for r in inactivity_labels(
+        df, "u", "t", horizon_seconds=3600, tiebreak_cols=["eid"]
+    ).collect()}
+    assert out[1]["gap_seconds"] == 1800 and not out[1]["churned"]
+    assert out[2]["gap_seconds"] == 5400 and out[2]["churned"]
+    assert not out[2]["censored"]
+    assert out[3]["gap_seconds"] is None and out[3]["churned"]
+    assert out[3]["censored"]
+    assert out[4]["gap_seconds"] == 10800 and out[4]["churned"]
+    assert not out[4]["censored"]
+    assert out[5]["gap_seconds"] is None and out[5]["censored"]
