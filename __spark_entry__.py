@@ -213,6 +213,7 @@ _ROWS_ONLY_PRIORITY = [
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",
+    "ann_filtered_pq",
     # round-7 kNN graph family (LSH hash-dependent; exhaustive-regime
     # exact parity + cluster pins in tests/test_similarity.py)
     "knn_graph",

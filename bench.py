@@ -308,6 +308,8 @@ HEADLINE = [
     # (one keyed window exchange each)
     "rolling_corr",
     "inactivity_labels",
+    # round-7: filtered probe of the compressed (IVFADC) index
+    "ann_filtered_pq",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

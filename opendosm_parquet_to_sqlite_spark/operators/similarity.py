@@ -1505,6 +1505,7 @@ def probe_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k against a persisted IVFADC index: centroids + codebooks load
     to the driver (KBs), probed cell PARTITIONS of the m-byte code table
@@ -1513,7 +1514,15 @@ def probe_ivfpq_index(
     float vectors (recall 1.0-grade results — pinned equal to the
     in-memory ivfpq_topk); without it, ADC scores return directly
     (compressed-only probe: k results whose ranks carry quantization
-    noise, the documented trade)."""
+    noise, the documented trade).
+
+    `allowed` (one-column DataFrame of permitted ids) turns this into
+    FILTERED ANN over the compressed index — the semi-join thins the
+    probed code scan BEFORE any LUT scoring, exactly as in
+    probe_ivf_index, and the rerank shortlist inherits the constraint
+    (candidates are drawn from filtered scores, so no excluded id can
+    resurface at rerank). Same post-filtered recall caveat: a highly
+    selective filter thins probed cells — raise n_probe."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy(
         "cell"
@@ -1557,6 +1566,12 @@ def probe_ivfpq_index(
                 "embedding model changes"
             )
     cells = spark.read.parquet(f"{path}/cells")
+    if allowed is not None:
+        cells = cells.join(
+            allowed.select(F.col(allowed.columns[0]).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
     probe = F.broadcast(
         queries.select(
             F.col(query_id_col),

@@ -7404,3 +7404,22 @@ def q_inactivity_labels(spark: SparkSession, sf: str) -> DataFrame:
         "churned",
         "censored",
     )
+
+
+@query("ann_filtered_pq")  # rows-only: approximate by design
+def q_ann_filtered_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED ANN over the persisted compressed (IVFADC) index:
+    allowed-id semi-join thins the m-byte code scan BEFORE any LUT
+    scoring; exact rerank against the allowed float corpus. The
+    filtered twin of ann_ivfpq_persisted (tests/test_pq.py pins the
+    constraint + brute-force parity at full probe)."""
+    path = ensure_ivfpq_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.filter(F.col("label") % 2 == 0).select("vec_id")
+    out = similarity.probe_ivfpq_index(
+        spark, path, queries, corpus=emb, k=5, n_probe=6, allowed=allowed
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -240,3 +240,32 @@ def test_persisted_ivfpq_probe_prunes_partitions(spark, emb, queries, tmp_path):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_filtered_ivfadc_probe_respects_allowed_set(spark, emb, tmp_path):
+    """allowed-set filtered compressed probe: every result id is allowed,
+    at full probe the id set equals the plain probe's results restricted
+    and re-ranked within the allowed corpus (the constraint applies
+    BEFORE scoring, so excluded near-neighbors free up shortlist slots
+    rather than masking them)."""
+    from opendosm_parquet_to_sqlite_spark.operators import similarity
+
+    path = str(tmp_path / "ivfpq_filt")
+    similarity.build_ivfpq_index(emb, path, n_centroids=8, m=8)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    out = similarity.probe_ivfpq_index(
+        spark, path, q, corpus=emb, k=5, n_probe=8, allowed=allowed
+    ).collect()
+    assert all(r["neighbor_id"] % 2 == 0 for r in out)
+    # parity with brute force over the filtered corpus at full probe +
+    # exact rerank: id sets match (ADC shortlist covers the true top-5)
+    bf = similarity.brute_force_topk(
+        emb.join(allowed, "vec_id", "left_semi"), q, k=5
+    ).collect()
+    bf_ids = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    got_ids = {(r["query_id"], r["neighbor_id"]) for r in out}
+    overlap = len(bf_ids & got_ids) / len(bf_ids)
+    assert overlap >= 0.9, overlap
