@@ -324,13 +324,18 @@ def drift_monitor_stream(
     checkpoint_dir: str,
     report_sink,
     n_bins: int = 10,
+    metric: str = "psi",
 ) -> None:
-    """Live drift monitor: every microbatch is PSI-scored against the
-    pinned baseline parquet (operators.features.psi_drift — same bins,
-    same floors, so a batch score here equals the batch operator run on
-    the same slice, test-pinned). report_sink(psi_df, batch_id) receives
-    each microbatch's per-group report; route it to an alert table or
-    threshold check (psi > 0.25 = shifted, the standard reading).
+    """Live drift monitor: every microbatch is scored against the
+    pinned baseline parquet. metric='psi' (numeric features — bin
+    counts, operators.features.psi_drift; psi > 0.25 = shifted, the
+    standard reading) or metric='js' (CATEGORICAL features —
+    features.js_divergence: bounded [0, ln 2], symmetric, defined on
+    disjoint support, so a brand-new category in a microbatch scores
+    finite instead of exploding a KL term). Either way the batch score
+    equals the batch operator run on the same slice (test-pinned).
+    report_sink(report_df, batch_id) receives each microbatch's
+    per-group report; route it to an alert table or threshold check.
 
     The baseline is re-read per microbatch from `baseline_path` (the
     enrich_stream_live escape hatch: a pinned DataFrame would freeze its
@@ -341,13 +346,21 @@ def drift_monitor_stream(
     """
     from ..operators import features as _features
 
+    if metric not in ("psi", "js"):
+        raise ValueError(f"unknown drift metric {metric!r} (psi | js)")
+
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         baseline = batch_df.sparkSession.read.parquet(baseline_path)
-        report = _features.psi_drift(
-            baseline, batch_df, value_col, group_cols, n_bins=n_bins
-        )
+        if metric == "psi":
+            report = _features.psi_drift(
+                baseline, batch_df, value_col, group_cols, n_bins=n_bins
+            )
+        else:
+            report = _features.js_divergence(
+                baseline, batch_df, value_col, group_cols
+            )
         report_sink(report, batch_id)
 
     run_available_now(stream, checkpoint_dir, _score, output_mode="append")

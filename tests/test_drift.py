@@ -356,3 +356,65 @@ def test_js_divergence_one_sided_group_is_null(spark):
     out = {r["g"]: r for r in js_divergence(a, b, "c", "g").collect()}
     assert out["only_a"]["js"] is None
     assert out["only_b"]["js"] is None
+
+
+def test_streaming_js_monitor_matches_batch_and_rejects_bad_metric(
+    spark, tmp_path
+):
+    """metric='js': each microbatch's streamed JS report equals
+    js_divergence run on (baseline, that batch) — including a batch
+    introducing a NEVER-SEEN category (finite score; the reason JS is
+    the categorical choice)."""
+    from opendosm_parquet_to_sqlite_spark.streaming.incremental import (
+        drift_monitor_stream,
+        read_stream_parquet,
+    )
+
+    def _cat(vals):
+        return spark.createDataFrame(
+            [("g", v) for v in vals], "g string, c string"
+        )
+
+    base = _cat(["a"] * 50 + ["b"] * 50)
+    base_path = str(tmp_path / "baseline")
+    base.write.parquet(base_path)
+    batches = {
+        0: ["a"] * 25 + ["b"] * 25,        # same mix
+        1: ["z"] * 40,                      # disjoint: brand-new category
+    }
+    src = str(tmp_path / "src")
+    for i, vals in batches.items():
+        _cat(vals).withColumn("b", F.lit(i)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+
+    got = set()
+
+    def sink(report, batch_id):
+        rows = report.collect()
+        if rows:
+            got.add(rows[0].js)
+
+    drift_monitor_stream(
+        sdf, base_path, "c", ["g"], str(tmp_path / "ckpt"), sink,
+        metric="js",
+    )
+    expected = set()
+    for vals in batches.values():
+        [r] = features.js_divergence(
+            spark.read.parquet(base_path), _cat(vals), "c", "g"
+        ).collect()
+        expected.add(r.js)
+    assert got == expected
+    assert min(expected) < 0.01           # clean batch ~0
+    assert abs(max(expected) - math.log(2)) < 1e-6  # disjoint = ln 2, finite
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        drift_monitor_stream(
+            sdf, base_path, "c", ["g"], str(tmp_path / "ckpt2"), sink,
+            metric="kl",
+        )
