@@ -210,6 +210,7 @@ _ROWS_ONLY_PRIORITY = [
     "seasonal_decompose",
     "rolling_corr",
     "inactivity_labels",
+    "link_prediction",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

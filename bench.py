@@ -310,6 +310,8 @@ HEADLINE = [
     "inactivity_labels",
     # round-7: filtered probe of the compressed (IVFADC) index
     "ann_filtered_pq",
+    # round-7: wedge-join link prediction (never all-pairs)
+    "link_prediction",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -559,3 +559,75 @@ def label_propagation(
         raise
     _unpersist_rdd_ids(spark, base_ids)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_degree: int | None = None,
+    min_common: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction: for node pairs NOT already
+    connected, common-neighbor count and neighborhood Jaccard — the
+    "these two template families are about to merge" / "suggest this
+    join" primitive over any graph the pipeline derives.
+
+    Shape: symmetrize once; candidate pairs come from the WEDGE join
+    (two edges sharing a center w → pair (u, v), u < v) — one equi-join
+    on the center node, so work is Σ_w deg(w)², confined per center and
+    NEVER all-pairs. `max_degree` drops hub CENTERS above the cap
+    before the join (the O(√E) discipline of triangle_count: a
+    boilerplate hub contributes deg² wedges and its recommendations are
+    noise anyway — the cap is the documented 100 TB knob; dropped hubs
+    still count toward their neighbors' degrees, keeping Jaccard
+    denominators honest). Existing edges leave via one anti-join;
+    degrees come from the node-sized degree table joined twice.
+
+    jaccard = common / (deg(u) + deg(v) − common).
+
+    Output: (id_a, id_b, common BIGINT, jaccard) with id_a < id_b,
+    common ≥ `min_common`.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym.select(
+        F.col("v").alias("w"), F.col("u").alias("leaf")
+    )
+    if max_degree is not None:
+        ok = deg.filter(F.col("deg") <= int(max_degree)).select(
+            F.col("u").alias("w")
+        )
+        centers = centers.join(F.broadcast(ok), "w", "left_semi")
+    a = centers.select("w", F.col("leaf").alias("pa"))
+    b = centers.select("w", F.col("leaf").alias("pb"))
+    wedges = a.join(b, "w").filter(F.col("pa") < F.col("pb"))
+    common = wedges.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).alias("common")
+    ).filter(F.col("common") >= int(min_common))
+    # drop already-connected pairs (sym has both directions; pa < pb
+    # needs only one)
+    existing = sym.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("pa"), F.col("v").alias("pb")
+    )
+    cand = common.join(existing, ["pa", "pb"], "left_anti")
+    da = deg.select(F.col("u").alias("pa"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("u").alias("pb"), F.col("deg").alias("__db"))
+    return (
+        cand.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            F.col("pa").alias("id_a"),
+            F.col("pb").alias("id_b"),
+            F.col("common"),
+            F.round(
+                F.col("common")
+                / (F.col("__da") + F.col("__db") - F.col("common")),
+                ndigits,
+            ).alias("jaccard"),
+        )
+    )

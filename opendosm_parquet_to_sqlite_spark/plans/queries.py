@@ -7423,3 +7423,56 @@ def q_ann_filtered_pq(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, queries, corpus=emb, k=5, n_probe=6, allowed=allowed
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "link_prediction",
+    """
+    WITH e AS (
+        SELECT l_suppkey AS u, 100000 + l_partkey AS v
+        FROM lineitem GROUP BY 1, 2
+    ), sym AS (
+        SELECT u, v FROM e UNION SELECT v, u FROM e
+    ), deg AS (
+        SELECT u, count(*) AS deg FROM sym GROUP BY 1
+    ), ok_centers AS (
+        SELECT u AS w FROM deg WHERE deg <= 100
+    ), centers AS (
+        SELECT s.v AS w, s.u AS leaf FROM sym s
+        JOIN ok_centers ON s.v = ok_centers.w
+    ), wedges AS (
+        SELECT a.leaf AS pa, b.leaf AS pb
+        FROM centers a JOIN centers b ON a.w = b.w AND a.leaf < b.leaf
+    ), common AS (
+        SELECT pa, pb, count(*) AS common
+        FROM wedges GROUP BY 1, 2 HAVING count(*) >= 5
+    ), cand AS (
+        SELECT c2.* FROM common c2
+        ANTI JOIN (SELECT u, v FROM sym WHERE u < v) x
+            ON c2.pa = x.u AND c2.pb = x.v
+    )
+    SELECT pa AS id_a, pb AS id_b, common,
+           round(CAST(common AS DOUBLE)
+                 / (da.deg + db.deg - common), 6) AS jaccard
+    FROM cand
+    JOIN deg da ON da.u = cand.pa
+    JOIN deg db ON db.u = cand.pb
+    """,
+    shadow=True,
+)
+def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbor link prediction (graph.link_prediction) over the
+    supplier↔part co-occurrence graph — "suppliers serving ≥5 common
+    parts are substitutes": wedge join on shared PART centers only
+    (max_degree=100 drops supplier centers, whose ~600-part degree
+    would contribute deg² wedges — the documented hub cap, and here
+    also what keeps the prediction supplier-to-supplier); existing
+    edges anti-joined away; neighborhood Jaccard from the node-sized
+    degree table. Part-center degree is sf-stable (~30), so the wedge
+    volume scales linearly with the catalog. Hash-checked."""
+    li = load_table(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("id_a"),
+        (100000 + F.col("l_partkey")).alias("id_b"),
+    ).distinct()
+    return graph.link_prediction(edges, max_degree=100, min_common=5)

@@ -349,3 +349,37 @@ def test_label_propagation_deterministic_across_partitionings(spark):
         for r in graph.label_propagation(df8).collect()
     )
     assert r1 == r8 == sorted(_lpa_ref(edges).items())
+
+
+def test_link_prediction_hand_graph(spark):
+    """Square 1-2-3-4-1 plus chord candidates: 1-3 and 2-4 each share
+    two neighbors and are unlinked -> predicted with jaccard 2/2=1.0;
+    existing edges never appear."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           graph.link_prediction(df).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["common"] == 2 and out[(1, 3)]["jaccard"] == 1.0
+    assert out[(2, 4)]["common"] == 2
+
+
+def test_link_prediction_hub_cap_drops_center_not_leaves(spark):
+    """A hub center above max_degree contributes no wedges, but still
+    counts in its neighbors' degrees (honest Jaccard denominators)."""
+    hub_edges = [(100, i) for i in range(1, 7)]      # hub degree 6
+    extra = [(1, 50), (2, 50)]                       # small shared center
+    df = spark.createDataFrame(hub_edges + extra, "id_a long, id_b long")
+    capped = {(r["id_a"], r["id_b"]): r for r in
+              graph.link_prediction(df, max_degree=3).collect()}
+    # hub-centered wedges (i, j < 7 pairs through 100) are gone; what
+    # remains: (1,2) through center 50, and (50,100) through the
+    # low-degree centers 1 and 2 — the hub may still be an ENDPOINT
+    assert set(capped) == {(1, 2), (50, 100)}
+    assert capped[(50, 100)]["common"] == 2
+    # deg(1) = 2 (hub + 50), deg(2) = 2 -> jaccard = 1/(2+2-1)
+    assert capped[(1, 2)]["common"] == 1
+    assert abs(capped[(1, 2)]["jaccard"] - 1.0 / 3.0) < 1e-6  # 6-dp rounded
+    # uncapped: hub wedges flood back in
+    full = graph.link_prediction(df)
+    assert full.count() > 1
