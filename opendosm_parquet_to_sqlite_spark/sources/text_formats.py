@@ -86,3 +86,25 @@ def split_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(corrupt.isNull()).drop(CORRUPT_COL)
     rejects = df.filter(corrupt.isNotNull())
     return clean, rejects
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC export — the columnar interchange format Hive/Trino warehouses
+    expect (same role as the parquet dataset writer, different consumer
+    ecosystem). Spark's native ORC writer: columnar, compressed,
+    predicate-pushdown-capable on read."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC source with optional declared schema — schema-on-read
+    verification mirroring read_csv's strictness contract: with a
+    declared schema Spark verifies column names/types against the file
+    footer (mismatched files fail at plan time, not row time — ORC is
+    self-describing, unlike CSV, so no permissive/quarantine mode is
+    needed). Filter pushdown and column pruning work as with parquet
+    (min/max stripe statistics)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
