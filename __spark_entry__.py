@@ -202,6 +202,7 @@ _ROWS_ONLY_PRIORITY = [
     "fd_violations",
     "benford_check",
     "column_entropy",
+    "topn_other",
     "preference_pairs",
     "negative_samples",
     "next_event_examples",

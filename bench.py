@@ -312,6 +312,9 @@ HEADLINE = [
     "ann_filtered_pq",
     # round-7: wedge-join link prediction (never all-pairs)
     "link_prediction",
+    # round-7: cardinality-capped reporting (one raw exchange + group-
+    # table rank window)
+    "topn_other",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -912,3 +912,49 @@ def equidepth_histogram(
         F.round(F.col("__edges")[F.col("bucket") + 1], 6).alias("hi"),
         F.col("n_rows").cast("long"),
     )
+
+
+def topn_groups_with_other(
+    df: DataFrame,
+    group_col: str,
+    value_col: str | None = None,
+    n: int = 10,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Cardinality-capped group-by for dataset cards and dashboards: the
+    top-`n` groups by aggregate keep their rows; everything else rolls
+    into ONE `other_label` bucket — the report stays n+1 rows no matter
+    how many distinct groups exist (a host/domain table with 10M
+    distinct keys is unreadable and unplottable; this is the standard
+    presentation cap, with the mass CONSERVED rather than truncated —
+    sum(top) + other == sum(all), which silent top-N reporting loses).
+
+    Aggregate is count(*) when `value_col` is None, else sum(value).
+    Determinism: ties at the n-th slot break by group key ascending.
+
+    Shape: ONE partial-combined agg to the group table, a group-sized
+    rank window, then a second TINY agg over at most (distinct-groups)
+    rows that collapses the tail — the raw rows shuffle once.
+
+    Output: (group_col STRING, agg_value, is_other BOOLEAN).
+    """
+    from pyspark.sql.window import Window as W
+
+    agg_expr = (
+        F.count(F.lit(1)) if value_col is None else F.sum(F.col(value_col))
+    )
+    per_group = df.groupBy(
+        F.col(group_col).cast("string").alias(group_col)
+    ).agg(agg_expr.alias("agg_value"))
+    w = W.orderBy(F.col("agg_value").desc(), F.col(group_col))
+    ranked = per_group.withColumn("__rk", F.row_number().over(w))
+    relabeled = ranked.select(
+        F.when(F.col("__rk") <= int(n), F.col(group_col))
+        .otherwise(F.lit(other_label))
+        .alias(group_col),
+        "agg_value",
+    )
+    return relabeled.groupBy(group_col).agg(
+        F.sum("agg_value").alias("agg_value"),
+        F.max(F.col(group_col) == other_label).alias("is_other"),
+    )

@@ -7476,3 +7476,33 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
         (100000 + F.col("l_partkey")).alias("id_b"),
     ).distinct()
     return graph.link_prediction(edges, max_degree=100, min_common=5)
+
+
+@query(
+    "topn_other",
+    """
+    WITH per AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id,
+               count(*) AS agg_value
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT user_id, agg_value,
+               row_number() OVER (ORDER BY agg_value DESC, user_id) AS rk
+        FROM per
+    )
+    SELECT CASE WHEN rk <= 10 THEN user_id ELSE '__other__' END AS user_id,
+           CAST(sum(agg_value) AS BIGINT) AS agg_value,
+           max(rk > 10) AS is_other
+    FROM ranked GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_topn_other(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 users by event count with the long tail conserved in ONE
+    __other__ bucket (aggregates.topn_groups_with_other) — the
+    cardinality-capped report shape: 11 rows regardless of user count,
+    mass conserved (sum == total events), n-th-slot ties deterministic.
+    Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    out = aggregates.topn_groups_with_other(ev, "user_id", n=10)
+    return out.withColumn("agg_value", F.col("agg_value").cast("long"))
