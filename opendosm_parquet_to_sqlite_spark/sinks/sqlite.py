@@ -198,3 +198,72 @@ REFERENCE_INDEXES: dict[str, list[tuple[str, bool]]] = {
         ("item_category", False),
     ],
 }
+
+
+def read_sqlite(spark, db_path: str, table: str) -> DataFrame:
+    """Read a table from a produced SQLite artifact back into a
+    DataFrame — the inspection path for the reference's own output
+    (pricecatcher_{month}.db): users verify what shipped, diff two
+    months' artifacts (snapshot_diff composes directly), or re-ingest a
+    legacy artifact into the parquet world.
+
+    Driver-side read via the stdlib sqlite3 (no JDBC jar dependency —
+    the offline-environment constraint from SURVEY §7.2.5), streamed in
+    batches into Arrow-friendly chunks. SQLite artifacts are
+    single-file, driver-sized BY CONSTRUCTION of the sink contract
+    (fact-scale exports go through write_sqlite_sharded, whose shards
+    can be read and unioned individually); a multi-GB .db should be
+    re-sharded, not driver-read — documented, not guessed.
+    """
+    import pandas as pd
+
+    con = sqlite3.connect(db_path)
+    try:
+        pdf = pd.read_sql_query(f'SELECT * FROM "{table}"', con)
+    finally:
+        con.close()
+    return spark.createDataFrame(pdf)
+
+
+def verify_sqlite_artifact(
+    db_path: str,
+    expected_tables: dict[str, int],
+    expected_indexes: list[str] | None = None,
+) -> dict:
+    """Ship-gate for a produced artifact: row counts per table match
+    expectations, declared indexes exist, and PRAGMA integrity_check
+    passes — the checklist a consumer runs before replacing last
+    month's .db (the reference ships artifacts with no verification at
+    all; a truncated upload or a crashed VACUUM is silently served).
+
+    Returns {"ok": bool, "counts": {...}, "missing_indexes": [...],
+    "integrity": str} — callers gate on ok.
+    """
+    con = sqlite3.connect(db_path)
+    try:
+        counts = {}
+        for t in expected_tables:
+            counts[t] = con.execute(
+                f'SELECT count(*) FROM "{t}"'
+            ).fetchone()[0]
+        have = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type = 'index'"
+            )
+        }
+        missing = [i for i in (expected_indexes or []) if i not in have]
+        integrity = con.execute("PRAGMA integrity_check").fetchone()[0]
+    finally:
+        con.close()
+    ok = (
+        counts == dict(expected_tables)
+        and not missing
+        and integrity == "ok"
+    )
+    return {
+        "ok": ok,
+        "counts": counts,
+        "missing_indexes": missing,
+        "integrity": integrity,
+    }

@@ -199,3 +199,41 @@ def test_partitioned_dataset_prunes_at_scan(spark, tmp_path):
         "PartitionFilters"
     )[1][:80]
     assert scan.count() == 200
+
+
+def test_read_sqlite_roundtrip(spark, tmp_path):
+    from opendosm_parquet_to_sqlite_spark.sinks.sqlite import (
+        read_sqlite,
+        write_sqlite,
+    )
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2.0)
+    db = str(tmp_path / "x.db")
+    write_sqlite({"t": df}, db)
+    back = read_sqlite(spark, db, "t")
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).collect()[0][0] == float(sum(2 * i for i in range(100)))
+    assert set(back.columns) == {"id", "v"}
+
+
+def test_verify_sqlite_artifact_gates(spark, tmp_path):
+    import sqlite3
+
+    from opendosm_parquet_to_sqlite_spark.sinks.sqlite import (
+        verify_sqlite_artifact,
+        write_sqlite,
+    )
+
+    df = spark.range(10)
+    db = str(tmp_path / "a.db")
+    write_sqlite({"t": df}, db)
+    con = sqlite3.connect(db)
+    con.execute("CREATE INDEX idx_t_id ON t (id)")
+    con.commit()
+    con.close()
+    ok = verify_sqlite_artifact(db, {"t": 10}, ["idx_t_id"])
+    assert ok["ok"] and ok["integrity"] == "ok"
+    bad_count = verify_sqlite_artifact(db, {"t": 11}, [])
+    assert not bad_count["ok"]
+    bad_idx = verify_sqlite_artifact(db, {"t": 10}, ["missing_idx"])
+    assert not bad_idx["ok"] and bad_idx["missing_indexes"] == ["missing_idx"]
