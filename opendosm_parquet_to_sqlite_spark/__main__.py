@@ -79,6 +79,28 @@ def _release_gate(args) -> int:
     return 1 if failed else 0
 
 
+def _explain(args) -> int:
+    """--explain QUERY: the plan-audit CLI — prints plan_report() facts
+    (exchanges, joins, pushed filters, codegen spans, Python presence)
+    as one JSON object so plan regressions are greppable in CI without
+    reading .explain() trees."""
+    import json
+
+    from .plans.audit import plan_report
+    from .plans.queries import QUERIES
+    from .session import get_spark
+
+    if args.explain not in QUERIES:
+        print(f"unknown query {args.explain!r}; registered: "
+              f"{', '.join(sorted(QUERIES))}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    rep = plan_report(QUERIES[args.explain](spark, args.sf_dir))
+    print(json.dumps(rep, indent=1, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="opendosm_parquet_to_sqlite_spark")
     sel = p.add_mutually_exclusive_group()
@@ -105,9 +127,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--corpus-out", default="./corpus_out")
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--budget", type=int, default=2048)
+    p.add_argument(
+        "--explain",
+        metavar="QUERY",
+        help="print the physical-plan audit (JSON) for a registered "
+        "query and exit — the shuffle/broadcast/pushdown facts "
+        "PLANS.md documents, live from the current build",
+    )
+    p.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="parquet directory --explain plans against",
+    )
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    if args.explain:
+        return _explain(args)
     if args.release_gate:
         return _release_gate(args)
     if args.prepare_corpus:

@@ -186,3 +186,27 @@ def test_schema_diff_nullability_relaxation(spark):
     d = schema_diff(strict, loose)
     assert d["nullability_relaxed"] == ["id"]
     assert d["compatible"]  # relaxation is lossless for union
+
+
+def test_cli_explain_reports_plan_facts():
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "opendosm_parquet_to_sqlite_spark",
+         "--explain", "dedup_exact"],
+        capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rep = json.loads(out.stdout[out.stdout.index("{"):])
+    assert rep["n_cartesian"] == 0 and "scans" in rep
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "opendosm_parquet_to_sqlite_spark",
+         "--explain", "nope"],
+        capture_output=True, text=True, timeout=120,
+        cwd="/root/repo",
+    )
+    assert bad.returncode == 2 and "unknown query" in bad.stderr
