@@ -217,3 +217,47 @@ def compact_dataset(
         "files_after": after,
         "total_bytes": total,
     }
+
+
+def compact_if_needed(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_files_per_target: float = 4.0,
+    partition_col: str | None = None,
+) -> dict:
+    """Threshold-gated maintenance wrapper around compact_dataset: skip
+    (cheaply, from the driver file listing alone) unless the dataset
+    holds more than `max_files_per_target` × the ideal file count — the
+    policy a scheduled maintenance job wants, so steady-state runs cost
+    one os.walk and touch no data (rewriting a healthy dataset every
+    night wastes a full read+write of it; the reference's own
+    freshness-skip pattern, applied to layout).
+
+    Returns compact_dataset's stats dict with "skipped": bool added;
+    on skip, files_before == files_after == the current count.
+    """
+    import math
+    import os
+
+    sizes = []
+    for dirpath, _d, filenames in os.walk(path):
+        sizes += [
+            os.path.getsize(os.path.join(dirpath, f))
+            for f in filenames
+            if f.endswith(".parquet")
+        ]
+    ideal = max(1, math.ceil(sum(sizes) / max(1, int(target_file_bytes))))
+    if len(sizes) <= ideal * float(max_files_per_target):
+        return {
+            "skipped": True,
+            "files_before": len(sizes),
+            "files_after": len(sizes),
+            "total_bytes": sum(sizes),
+        }
+    out = compact_dataset(
+        spark, path, target_file_bytes=target_file_bytes,
+        partition_col=partition_col,
+    )
+    out["skipped"] = False
+    return out

@@ -186,3 +186,19 @@ def test_compact_dataset_stale_staging_dirs_cleaned(spark, tmp_path):
     assert not os.path.exists(path + ".next")
     assert not os.path.exists(path + ".old")
     assert spark.read.parquet(path).count() == 100
+
+
+def test_compact_if_needed_skips_healthy_and_fixes_fragmented(spark, tmp_path):
+    from opendosm_parquet_to_sqlite_spark.sources.layout import (
+        compact_if_needed,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(2000).repartition(40).write.parquet(path)
+    # fragmented: 40 files vs ideal 1 -> compacts
+    r1 = compact_if_needed(spark, path, target_file_bytes=1 << 30)
+    assert not r1["skipped"] and r1["files_after"] == 1
+    # now healthy: second run is a no-op (no data touched)
+    r2 = compact_if_needed(spark, path, target_file_bytes=1 << 30)
+    assert r2["skipped"] and r2["files_before"] == r2["files_after"] == 1
+    assert spark.read.parquet(path).count() == 2000
