@@ -212,6 +212,13 @@ _ROWS_ONLY_PRIORITY = [
     "rolling_corr",
     "inactivity_labels",
     "link_prediction",
+    # round-7 wave 8: ML evaluation & feature engineering (shadow
+    # oracles, hash-checked in-repo)
+    "welch_ttest",
+    "target_encoding",
+    "feature_hashing",
+    "temporal_split",
+    "ranking_metrics",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

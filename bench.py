@@ -315,6 +315,14 @@ HEADLINE = [
     # round-7: cardinality-capped reporting (one raw exchange + group-
     # table rank window)
     "topn_other",
+    # round-7 wave 8: ML evaluation & feature engineering (conditional-agg
+    # t-test; cell-table target encoding; no-shuffle hashing trick; 1-row
+    # quantile-cutoff split; top-k-first ranking metrics)
+    "welch_ttest",
+    "target_encoding",
+    "feature_hashing",
+    "temporal_split",
+    "ranking_metrics",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

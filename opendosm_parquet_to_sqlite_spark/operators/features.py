@@ -497,3 +497,146 @@ def js_divergence(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    k: int = 5,
+    smoothing: float = 20.0,
+    namespace: str = "te",
+    ndigits: int = 6,
+) -> DataFrame:
+    """K-fold out-of-fold target encoding of a categorical column — the
+    standard leakage-free way to turn a high-cardinality category into a
+    numeric feature: each row's encoding is the smoothed mean of the
+    target over the OTHER k−1 folds, so no row's own label ever reaches
+    its own feature value.
+
+        enc(row) = (S_cat − S_cat,fold + m·prior) / (N_cat − N_cat,fold + m)
+
+    where S/N are target sums/counts, m = `smoothing` (an m-estimate
+    prior weight: rare categories shrink toward the prior instead of
+    memorizing a handful of labels), and the prior is itself out-of-fold
+    (the global target mean EXCLUDING the row's fold — the usual
+    global-mean prior leaks a 1/k sliver through the fold's own labels).
+
+    Folds come from sampling.fold_assign's md5-band determinism: a pure
+    function of (namespace, id), so re-runs, repartitions, and appended
+    rows never reassign existing encodings.
+
+    A category entirely inside one fold (oof count 0) degrades to the
+    prior ((0 + m·prior)/(0 + m)) when m > 0 — set smoothing > 0 unless
+    every category is known to span folds.  NULL categories are a group
+    of their own (null-safe join back).  NULL targets are ignored by the
+    sums/counts on both engines.
+
+    Output: input columns + `fold` + `{target_col}_te` (rounded).
+
+    Shape: one fold projection (no shuffle), ONE partial-combined
+    aggregation to the (category × fold) cell table, two window passes
+    OVER THAT TABLE (category totals, fold totals — cell-table-sized,
+    not corpus-sized), and a broadcast join back.  At 100 TB the only
+    raw-row exchange is the cell aggregation.
+    """
+    from .sampling import fold_assign
+
+    folded = fold_assign(df, id_col, k=k, namespace=namespace)
+    t = F.col(target_col).cast("double")
+    cells = folded.groupBy(cat_col, "fold").agg(
+        F.coalesce(F.sum(t), F.lit(0.0)).alias("__s"),
+        F.count(t).cast("double").alias("__n"),
+    )
+    from pyspark.sql.window import Window as W
+
+    wc = W.partitionBy(cat_col)
+    wf = W.partitionBy("fold")
+    wall = W.partitionBy()
+    enc = cells.select(
+        F.col(cat_col).alias("__cat"),
+        F.col("fold").alias("__fold"),
+        (F.sum("__s").over(wc) - F.col("__s")).alias("__oof_s"),
+        (F.sum("__n").over(wc) - F.col("__n")).alias("__oof_n"),
+        (
+            (F.sum("__s").over(wall) - F.sum("__s").over(wf))
+            / F.nullif(F.sum("__n").over(wall) - F.sum("__n").over(wf), F.lit(0.0))
+        ).alias("__prior"),
+    )
+    m = float(smoothing)
+    joined = folded.join(
+        F.broadcast(enc),
+        F.col(cat_col).eqNullSafe(F.col("__cat"))
+        & (F.col("fold") == F.col("__fold")),
+    )
+    return joined.select(
+        *folded.columns,
+        F.round(
+            (F.col("__oof_s") + F.lit(m) * F.col("__prior"))
+            / F.nullif(F.col("__oof_n") + F.lit(m), F.lit(0.0)),
+            ndigits,
+        ).alias(f"{target_col}_te"),
+    )
+
+
+def hash_features(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    n_buckets: int = 1024,
+    namespace: str = "fh",
+) -> DataFrame:
+    """The hashing trick: map (feature name, value) pairs into a fixed
+    `n_buckets`-dimensional index space with a signed hash — the
+    vocabulary-free categorical encoder (no fit pass, no dictionary to
+    broadcast, unbounded cardinality) used by linear/FM models at scale.
+
+        bucket = int(md5(ns:feature:value)[:8 hex]) mod n_buckets
+        sign   = +1 / −1 from the next hex digit (Weinberger's signed
+                 variant: collision contributions cancel in expectation
+                 instead of always adding)
+
+    md5, not xxhash: the digest is engine-portable (DuckDB restates the
+    same bytes), so the feature space is stable across the Spark pipeline
+    and any SQL consumer — same rationale as sampling's md5 bands.
+    One md5 per (row, feature) is the deliberate price of portability;
+    swap for xxhash64 when the consumer is Spark-only.
+
+    NULL feature values emit no row (a missing feature is absent from a
+    sparse vector, not a hashed "None" token).
+
+    Output: long format — (id_col, feature STRING, bucket BIGINT,
+    sign INT), one row per non-null (row, feature) pair, ready for a
+    groupBy(id, bucket).agg(sum(sign·weight)) sparse-vector assembly.
+
+    Shape: pure narrow projection + union of per-feature selects (no
+    explode buffer, no shuffle at all — the plan is a single stage);
+    fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    parts = []
+    for c in feature_cols:
+        digest = F.md5(
+            F.concat(
+                F.lit(f"{namespace}:{c}:"), F.col(c).cast("string")
+            )
+        )
+        parts.append(
+            df.filter(F.col(c).isNotNull()).select(
+                F.col(id_col),
+                F.lit(c).alias("feature"),
+                F.pmod(
+                    F.conv(F.substring(digest, 1, 8), 16, 10).cast("long"),
+                    F.lit(int(n_buckets)),
+                ).alias("bucket"),
+                F.when(
+                    F.substring(digest, 9, 1) < "8", F.lit(1)
+                ).otherwise(F.lit(-1)).alias("sign"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -614,3 +614,60 @@ def neyman_sample(
         df, strata_col, id_col, rates, default_rate=0.0,
         namespace=namespace,
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_frac: float = 0.7,
+    embargo_s: float = 86400.0,
+) -> DataFrame:
+    """Time-ordered train/test split with an embargo gap — the split
+    discipline for forecasting / next-event models where a random split
+    leaks the future into training.  Rows at or before the train_frac
+    time-quantile are `train`; the next `embargo_s` seconds are
+    `embargo` (excluded from both sides, so features with trailing
+    windows computed on train can't overlap test's lookback); the rest
+    are `test`.  Companion to split_leakage_free (which splits by
+    duplicate cluster) — this one splits by the clock.
+
+    The cutoff is the linearly-interpolated train_frac quantile of the
+    timestamp in epoch MICROSECONDS, floored to a long — a deterministic
+    pure function of the data (no RNG), restatable in any SQL with
+    quantile_cont (same R-7 interpolation as Spark's percentile).  Micros
+    up to year ~2255 stay exactly representable in the double the
+    interpolation passes through, so the floor is engine-stable.
+
+    NULL timestamps land in `test` (the conservative side: an undatable
+    row must never train) — explicitly, not by three-valued accident.
+
+    Output: input columns + `split` STRING.
+
+    Shape: ONE partial-combined aggregation to a single cutoff row,
+    broadcast back over a 1-row cross join, then a narrow projection —
+    no corpus shuffle at any scale.  The follow-up scan of one side
+    pushes `split`'s underlying timestamp comparison down to parquet
+    row-group min/max stats when materialized partitioned-by-split.
+    """
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0,1), got {train_frac}")
+    if embargo_s < 0:
+        raise ValueError(f"embargo_s must be >= 0, got {embargo_s}")
+    # parquet TIMESTAMP lands as TIMESTAMP_NTZ; the session tz is pinned
+    # UTC (session.py), so the cast to TIMESTAMP is wall-clock identity
+    # and unix_micros equals DuckDB's epoch_us of the same naive value
+    eps = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cut = df.filter(F.col(ts_col).isNotNull()).select(
+        F.floor(F.percentile(eps, F.lit(float(train_frac))))
+        .cast("long")
+        .alias("__cut")
+    )
+    embargo_us = int(round(embargo_s * 1_000_000))
+    return df.crossJoin(F.broadcast(cut)).select(
+        *df.columns,
+        F.when(eps.isNull(), F.lit("test"))
+        .when(eps <= F.col("__cut"), F.lit("train"))
+        .when(eps <= F.col("__cut") + F.lit(embargo_us), F.lit("embargo"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -286,3 +286,102 @@ def rrf_fuse(
         )
         .filter(F.col("rank") <= int(k))
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    labels: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Offline ranking evaluation — precision@k, MRR, and NDCG@k per
+    query — the measurement half of the retrieval stack (bm25_topk /
+    rrf_fuse / the ANN family produce rankings; this scores them against
+    graded relevance labels).
+
+    Definitions (per query, over the top-k of `ranked`):
+        precision@k = |{rank ≤ k : rel > 0}| / k
+        MRR         = 1 / min{rank : rel > 0}          (0 if no hit)
+        NDCG@k      = DCG@k / IDCG@k,
+                      DCG = Σ (2^rel − 1) / log2(rank + 1)
+    IDCG re-ranks the query's OWN labels (rel desc, doc id asc for tie
+    determinism) — the ideal ordering, computed from the label table, not
+    from the ranking under test.  A query with no positive labels scores
+    0.0 across the board (the convention that keeps macro-averages
+    defined), never NULL/NaN.  Unlabeled ranked docs count rel = 0.
+
+    Output: (query_col, n_ranked BIGINT, precision_at_k, mrr, ndcg)
+    rounded to `ndigits` — per-query rows; macro-average downstream with
+    one more tiny agg when a single scalar is wanted.
+
+    Shape: the ranked side filters to rank ≤ k FIRST (k rows per query
+    survive before any exchange), left-joins labels on (query, doc), and
+    partial-aggregates to one row per query; the IDCG side is one window
+    over the label table + the same per-query agg; the final join is
+    query-table-sized on both sides.  At 100 TB of rankings the shuffles
+    carry k·|queries| and |labels| rows — never a corpus.  Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    from pyspark.sql.window import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q, d, r = F.col(query_col), F.col(doc_col), F.col(rank_col)
+    rel = F.col(rel_col).cast("double")
+    topk = ranked.filter(r <= k).select(
+        q.alias("__q"), d.alias("__d"), r.cast("double").alias("__r")
+    )
+    lab = labels.select(
+        q.alias("__lq"), d.alias("__ld"), rel.alias("__rel")
+    )
+    joined = topk.join(
+        lab,
+        (F.col("__q") == F.col("__lq")) & (F.col("__d") == F.col("__ld")),
+        "left",
+    ).select(
+        "__q",
+        "__r",
+        F.coalesce(F.col("__rel"), F.lit(0.0)).alias("__rel"),
+    )
+    hit = F.col("__rel") > 0
+    per_q = joined.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        (F.sum(hit.cast("double")) / float(k)).alias("__prec"),
+        F.coalesce(
+            1.0 / F.min(F.when(hit, F.col("__r"))), F.lit(0.0)
+        ).alias("__mrr"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("__rel")) - 1.0)
+            / F.log2(F.col("__r") + 1.0)
+        ).alias("__dcg"),
+    )
+    wideal = W.partitionBy("__lq").orderBy(
+        F.col("__rel").desc(), F.col("__ld").asc()
+    )
+    ideal = (
+        lab.filter(F.col("__rel") > 0)
+        .withColumn("__irank", F.row_number().over(wideal).cast("double"))
+        .filter(F.col("__irank") <= k)
+        .groupBy("__lq")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("__rel")) - 1.0)
+                / F.log2(F.col("__irank") + 1.0)
+            ).alias("__idcg")
+        )
+    )
+    out = per_q.join(ideal, F.col("__q") == F.col("__lq"), "left")
+    ndcg = F.coalesce(
+        F.col("__dcg") / F.nullif(F.col("__idcg"), F.lit(0.0)), F.lit(0.0)
+    )
+    return out.select(
+        F.col("__q").alias(query_col),
+        "n_ranked",
+        F.round("__prec", ndigits).alias("precision_at_k"),
+        F.round("__mrr", ndigits).alias("mrr"),
+        F.round(ndcg, ndigits).alias("ndcg"),
+    )

@@ -197,3 +197,78 @@ def mann_whitney_u(
         F.round(u, ndigits).alias("u"),
         F.round(z, ndigits).alias("z"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    cohort_col: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group Welch's unequal-variance t-test between the rows where
+    `cohort_col` is true (side A) and false (side B) — the parametric
+    A/B-comparison companion to mann_whitney_u (which compares ranks;
+    this compares means when the values themselves are meaningful).
+
+    Welch, not Student: pooled-variance t silently assumes equal
+    variances, which real cohort splits (treatment vs control, discounted
+    vs full-price) rarely satisfy; Welch's statistic
+
+        t  = (mA − mB) / sqrt(vA/nA + vB/nB)
+        df = (vA/nA + vB/nB)² / ((vA/nA)²/(nA−1) + (vB/nB)²/(nB−1))
+
+    is the default recommendation in the methodological literature and
+    costs the same single pass.  The p-value mapping (Student-t CDF at
+    `df`) is a driver-side table lookup, deliberately out of scope —
+    neither engine has the incomplete beta function, and decision
+    thresholds on |t| at df ≫ 30 are the 1.96/2.58 normal constants.
+
+    Degenerate groups — a side with n < 2, or both variances zero — yield
+    NULL t/df via NULLIF-guarded denominators, never NaN/Infinity.
+    NULL cohort flags and NULL values are excluded (three-valued logic
+    would otherwise leak them into neither/both sides).
+
+    Output: group cols + (n_a, n_b BIGINT, mean_a, mean_b, t_stat,
+    t_df) rounded to `ndigits`.
+
+    Shape: sufficient statistics only — ONE partial-combined aggregation
+    to (group, six doubles); conditional aggregates split the cohorts
+    without a union or self-join, so at 100 TB the exchange carries the
+    group table.  Fully SQL-expressible → hash-checked vs DuckDB
+    (var_samp has the same n−1 definition there).
+    """
+    gcols = _group_cols(group_cols)
+    v = F.col(value_col).cast("double")
+    is_a = F.col(cohort_col).cast("boolean")
+    va = F.when(is_a & v.isNotNull(), v)
+    vb = F.when(~is_a & v.isNotNull(), v)
+    agg = df.groupBy(*gcols).agg(
+        F.count(va).cast("double").alias("__na"),
+        F.count(vb).cast("double").alias("__nb"),
+        F.avg(va).alias("__ma"),
+        F.avg(vb).alias("__mb"),
+        F.var_samp(va).alias("__va"),
+        F.var_samp(vb).alias("__vb"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    sa = F.col("__va") / na
+    sb = F.col("__vb") / nb
+    se2 = sa + sb
+    ok = (na >= 2) & (nb >= 2)
+    t = F.when(ok, (F.col("__ma") - F.col("__mb")) / F.nullif(F.sqrt(se2), F.lit(0.0)))
+    dof = F.when(
+        ok,
+        se2 * se2 / F.nullif(
+            sa * sa / (na - 1.0) + sb * sb / (nb - 1.0), F.lit(0.0)
+        ),
+    )
+    return agg.select(
+        *gcols,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round("__ma", ndigits).alias("mean_a"),
+        F.round("__mb", ndigits).alias("mean_b"),
+        F.round(t, ndigits).alias("t_stat"),
+        F.round(dof, ndigits).alias("t_df"),
+    )

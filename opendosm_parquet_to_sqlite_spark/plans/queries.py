@@ -7506,3 +7506,243 @@ def q_topn_other(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     out = aggregates.topn_groups_with_other(ev, "user_id", n=10)
     return out.withColumn("agg_value", F.col("agg_value").cast("long"))
+
+
+# --- round-7 wave 8: ML evaluation & feature engineering ---------------------
+
+
+@query(
+    "welch_ttest",
+    """
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(count(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice END) AS DOUBLE) AS na,
+               CAST(count(CASE WHEN NOT (l_discount > 0.05)
+                          THEN l_extendedprice END) AS DOUBLE) AS nb,
+               avg(CASE WHEN l_discount > 0.05
+                   THEN l_extendedprice END) AS ma,
+               avg(CASE WHEN NOT (l_discount > 0.05)
+                   THEN l_extendedprice END) AS mb,
+               var_samp(CASE WHEN l_discount > 0.05
+                        THEN l_extendedprice END) AS va,
+               var_samp(CASE WHEN NOT (l_discount > 0.05)
+                        THEN l_extendedprice END) AS vb
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+           round(CASE WHEN na >= 2 AND nb >= 2 THEN
+               (ma - mb) / NULLIF(sqrt(va / na + vb / nb), 0) END, 4)
+               AS t_stat,
+           round(CASE WHEN na >= 2 AND nb >= 2 THEN
+               (va / na + vb / nb) * (va / na + vb / nb)
+               / NULLIF((va / na) * (va / na) / (na - 1)
+                        + (vb / nb) * (vb / nb) / (nb - 1), 0) END, 4)
+               AS t_df
+    FROM agg
+    """,
+    shadow=True,
+)
+def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag Welch's t-test: deep-discount (> 5%) vs full-price
+    line items on extended price (stats.welch_ttest) — the parametric
+    mean-shift companion to mann_whitney's rank test. One conditional-
+    aggregate pass to (group, six doubles); no union, no self-join.
+    4-dp rounding: t_df sits in the thousands, where engine var_samp
+    summation-order noise (~1e-8 abs) would straddle 6-dp ties."""
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "deep_disc", F.col("l_discount") > 0.05
+    )
+    return stats.welch_ttest(
+        li, "l_extendedprice", "deep_disc", "l_returnflag", ndigits=4
+    )
+
+
+@query(
+    "target_encoding",
+    """
+    WITH folded AS (
+        SELECT event_id, event_type, value,
+               CASE WHEN substring(md5('te:' || CAST(event_id AS VARCHAR)),
+                                   1, 8) < '33333333' THEN 0
+                    WHEN substring(md5('te:' || CAST(event_id AS VARCHAR)),
+                                   1, 8) < '66666666' THEN 1
+                    WHEN substring(md5('te:' || CAST(event_id AS VARCHAR)),
+                                   1, 8) < '9999999a' THEN 2
+                    WHEN substring(md5('te:' || CAST(event_id AS VARCHAR)),
+                                   1, 8) < 'cccccccd' THEN 3
+                    ELSE 4 END AS fold
+        FROM events
+    ), cells AS (
+        SELECT event_type, fold,
+               COALESCE(sum(value), 0.0) AS s,
+               CAST(count(value) AS DOUBLE) AS n
+        FROM folded GROUP BY 1, 2
+    ), enc AS (
+        SELECT event_type, fold,
+               sum(s) OVER (PARTITION BY event_type) - s AS oof_s,
+               sum(n) OVER (PARTITION BY event_type) - n AS oof_n,
+               (sum(s) OVER () - sum(s) OVER (PARTITION BY fold))
+                   / NULLIF(sum(n) OVER ()
+                            - sum(n) OVER (PARTITION BY fold), 0) AS prior
+        FROM cells
+    )
+    SELECT f.event_id, f.event_type, f.value, f.fold,
+           round((e.oof_s + 20.0 * e.prior)
+                 / NULLIF(e.oof_n + 20.0, 0), 6) AS value_te
+    FROM folded f
+    JOIN enc e ON f.event_type IS NOT DISTINCT FROM e.event_type
+              AND f.fold = e.fold
+    """,
+    shadow=True,
+)
+def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """K-fold out-of-fold target encoding of event_type against value
+    (features.target_encode): each row's feature is the smoothed target
+    mean of the OTHER four md5-band folds — leakage-free by construction,
+    prior itself out-of-fold. One cell aggregation + cell-table windows +
+    broadcast join back; the only raw-row exchange is the (category ×
+    fold) agg. Hash-checked vs the identical DuckDB restatement."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return features.target_encode(
+        ev, "event_type", "value", "event_id", k=5, smoothing=20.0
+    )
+
+
+@query(
+    "feature_hashing",
+    """
+    SELECT doc_id, 'lang' AS feature,
+           ('0x' || substring(md5('fh:lang:' || lang), 1, 8))::BIGINT
+               % 1024 AS bucket,
+           CASE WHEN substring(md5('fh:lang:' || lang), 9, 1) < '8'
+                THEN 1 ELSE -1 END AS sign
+    FROM documents WHERE lang IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 'source' AS feature,
+           ('0x' || substring(md5('fh:source:' || source), 1, 8))::BIGINT
+               % 1024 AS bucket,
+           CASE WHEN substring(md5('fh:source:' || source), 9, 1) < '8'
+                THEN 1 ELSE -1 END AS sign
+    FROM documents WHERE source IS NOT NULL
+    """,
+    shadow=True,
+)
+def q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Signed hashing trick over documents.(lang, source) into 1024
+    buckets (features.hash_features): vocabulary-free categorical
+    encoding, engine-portable via md5 (DuckDB restates the exact bytes).
+    Pure narrow projection + union — a single no-shuffle stage.
+    Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    return features.hash_features(
+        docs, ["lang", "source"], "doc_id", n_buckets=1024
+    )
+
+
+@query(
+    "temporal_split",
+    """
+    WITH cut AS (
+        SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.7)) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           CASE WHEN ts IS NULL THEN 'test'
+                WHEN epoch_us(ts) <= c THEN 'train'
+                WHEN epoch_us(ts) <= c + 43200000000 THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events, cut
+    """,
+    shadow=True,
+)
+def q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-ordered 70/30 split with a 12-hour embargo gap over events
+    (sampling.temporal_split) — the leakage-free split for forecasting
+    targets, beside split_leakage_free's cluster-aware one. Cutoff is the
+    interpolated 0.7 time-quantile in epoch micros (deterministic, no
+    RNG) computed in ONE agg and broadcast back; the split itself is a
+    narrow projection. Hash-checked."""
+    ev = load_table(spark, sf, "events").select("event_id", "ts")
+    out = sampling.temporal_split(
+        ev, "ts", train_frac=0.7, embargo_s=43200.0
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "split",
+    )
+
+
+@query(
+    "ranking_metrics",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY value DESC NULLS LAST, ts, event_id
+               ) AS DOUBLE) AS rk
+        FROM events
+    ), labels AS (
+        SELECT user_id, event_id, 1.0 AS rel
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT t.user_id, t.rk, COALESCE(l.rel, 0.0) AS rel
+        FROM (SELECT * FROM ranked WHERE rk <= 10) t
+        LEFT JOIN labels l
+          ON t.user_id = l.user_id AND t.event_id = l.event_id
+    ), per_q AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_ranked,
+               sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) / 10.0 AS prec,
+               COALESCE(1.0 / min(CASE WHEN rel > 0 THEN rk END), 0.0)
+                   AS mrr,
+               sum((pow(2.0, rel) - 1.0) / log2(rk + 1.0)) AS dcg
+        FROM j GROUP BY 1
+    ), il AS (
+        SELECT user_id, rel,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY rel DESC, event_id
+               ) AS DOUBLE) AS irank
+        FROM labels WHERE rel > 0
+    ), ideal AS (
+        SELECT user_id,
+               sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+        FROM il WHERE irank <= 10 GROUP BY 1
+    )
+    SELECT p.user_id, p.n_ranked,
+           round(p.prec, 6) AS precision_at_k,
+           round(p.mrr, 6) AS mrr,
+           round(COALESCE(p.dcg / NULLIF(i.idcg, 0), 0.0), 6) AS ndcg
+    FROM per_q p LEFT JOIN ideal i ON p.user_id = i.user_id
+    """,
+    shadow=True,
+)
+def q_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision@10 / MRR / NDCG@10 per user (search.ranking_metrics):
+    the value-desc event ranking scored against purchase labels — do
+    high-value events rank the purchases first? Top-k filters BEFORE any
+    exchange; IDCG is one window over the label table; the final join is
+    query-table-sized. Hash-checked vs the identical DuckDB
+    restatement."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("value").desc_nulls_last(),
+        F.col("ts").asc(),
+        F.col("event_id").asc(),
+    )
+    ranked = ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("rk")
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.lit(1.0).alias("rel")
+    )
+    return search.ranking_metrics(
+        ranked, labels, "user_id", "event_id", "rk", "rel", k=10
+    )

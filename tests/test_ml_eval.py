@@ -1,0 +1,218 @@
+"""Round-7 wave 8: ML evaluation & feature-engineering operators.
+
+Each operator's DuckDB hash parity runs in test_oracle_parity.py; these
+pin the SEMANTIC contracts the hash can't see — leakage-freedom of the
+out-of-fold encoding, the signed-hash invariants, the embargo-ordering
+guarantee, hand-computed ranking metrics, and Welch parity against a
+pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators.features import (
+    hash_features,
+    target_encode,
+)
+from opendosm_parquet_to_sqlite_spark.operators.sampling import temporal_split
+from opendosm_parquet_to_sqlite_spark.operators.search import ranking_metrics
+from opendosm_parquet_to_sqlite_spark.operators.stats import welch_ttest
+
+
+# --- target_encode -----------------------------------------------------------
+
+
+def _te_rows(spark, rows):
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = target_encode(df, "cat", "y", "id", k=3, smoothing=2.0)
+    return {r.id: (r.fold, r.y_te) for r in out.collect()}
+
+
+def test_target_encode_leakage_free(spark):
+    """Changing one row's target must NOT change that row's own encoding:
+    the row's (cat, fold) cell is excluded from its out-of-fold sums, and
+    the prior excludes its whole fold."""
+    rows = [(i, "ab"[i % 2], float(i % 7)) for i in range(40)]
+    base = _te_rows(spark, rows)
+    bumped = [(i, c, y + (100.0 if i == 11 else 0.0)) for i, c, y in rows]
+    out = _te_rows(spark, bumped)
+    assert out[11] == base[11]
+    # ...while SOME other row of the same category does move
+    moved = [
+        i for (i, c, _) in rows
+        if c == "b" and i != 11 and out[i] != base[i]
+    ]
+    assert moved, "perturbed label never reached any other row's encoding"
+
+
+def test_target_encode_smoothing_and_determinism(spark):
+    rows = [(i, "common", 10.0) for i in range(30)] + [(100, "rare", 0.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = {
+        r.id: r.y_te
+        for r in target_encode(df, "cat", "y", "id", k=3, smoothing=5.0)
+        .collect()
+    }
+    # the rare category has no out-of-fold labels of its own -> its
+    # encoding shrinks all the way to the (out-of-fold) prior, which is
+    # built from the 'common' 10.0s
+    assert out[100] == pytest.approx(10.0, abs=1e-6)
+    # determinism under repartition
+    out2 = {
+        r.id: r.y_te
+        for r in target_encode(
+            df.repartition(7), "cat", "y", "id", k=3, smoothing=5.0
+        ).collect()
+    }
+    assert out == out2
+
+
+# --- hash_features -----------------------------------------------------------
+
+
+def test_hash_features_invariants(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", None), (3, "ms", "web")],
+        "id long, lang string, src string",
+    )
+    rows = hash_features(df, ["lang", "src"], "id", n_buckets=64).collect()
+    # NULL src for id=2 emits no row
+    assert len(rows) == 5
+    assert all(0 <= r.bucket < 64 for r in rows)
+    assert all(r.sign in (1, -1) for r in rows)
+    # same (feature, value) -> same bucket/sign on every row
+    en = {(r.bucket, r.sign) for r in rows if r.feature == "lang" and r.id in (1, 2)}
+    assert len(en) == 1
+    with pytest.raises(ValueError):
+        hash_features(df, ["lang"], "id", n_buckets=1)
+
+
+# --- temporal_split ----------------------------------------------------------
+
+
+def test_temporal_split_ordering_and_embargo(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i)) for i in range(100)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = temporal_split(df, "ts", train_frac=0.6, embargo_s=3 * 3600.0)
+    got = {r.id: r.split for r in out.collect()}
+    assert len(got) == 101 and got[999] == "test"
+    train = [i for i in range(100) if got[i] == "train"]
+    emb = [i for i in range(100) if got[i] == "embargo"]
+    test = [i for i in range(100) if got[i] == "test"]
+    assert train and emb and test
+    # strict time ordering train < embargo < test, embargo spans 3 hours
+    assert max(train) < min(emb) < max(emb) < min(test)
+    assert len(emb) == 3
+    # ~60% of datable rows train
+    assert abs(len(train) - 60) <= 1
+    with pytest.raises(ValueError):
+        temporal_split(df, "ts", train_frac=1.5)
+
+
+# --- ranking_metrics ---------------------------------------------------------
+
+
+def test_ranking_metrics_hand_computed(spark):
+    ranked = spark.createDataFrame(
+        # q1: relevant doc first -> perfect; q2: relevant at rank 3;
+        # q3: no relevant labels at all
+        [("q1", "a", 1), ("q1", "b", 2),
+         ("q2", "c", 1), ("q2", "d", 2), ("q2", "e", 3),
+         ("q3", "f", 1)],
+        "q string, d string, rk int",
+    )
+    labels = spark.createDataFrame(
+        [("q1", "a", 1.0), ("q2", "e", 1.0), ("q2", "z", 1.0)],
+        "q string, d string, rel double",
+    )
+    out = {
+        r.q: r
+        for r in ranking_metrics(
+            ranked, labels, "q", "d", "rk", "rel", k=2
+        ).collect()
+    }
+    assert out["q1"].precision_at_k == pytest.approx(0.5)  # 1 hit / k=2
+    assert out["q1"].mrr == pytest.approx(1.0)
+    assert out["q1"].ndcg == pytest.approx(1.0)  # ideal has 1 rel doc
+    # q2's hit is at rank 3 > k -> filtered out entirely
+    assert out["q2"].precision_at_k == pytest.approx(0.0)
+    assert out["q2"].mrr == pytest.approx(0.0)
+    assert out["q2"].ndcg == pytest.approx(0.0)
+    # q3: no labels -> all-zero row, never NULL
+    assert (out["q3"].precision_at_k, out["q3"].mrr, out["q3"].ndcg) == (
+        0.0, 0.0, 0.0,
+    )
+
+
+def test_ranking_metrics_graded_ndcg(spark):
+    # graded rel: ideal order is rel 3 then 1; ranking under test inverts
+    ranked = spark.createDataFrame(
+        [("q", "lo", 1), ("q", "hi", 2)], "q string, d string, rk int"
+    )
+    labels = spark.createDataFrame(
+        [("q", "hi", 3.0), ("q", "lo", 1.0)], "q string, d string, rel double"
+    )
+    r = ranking_metrics(ranked, labels, "q", "d", "rk", "rel", k=2).collect()[0]
+    dcg = (2.0 ** 1 - 1) / math.log2(2) + (2.0 ** 3 - 1) / math.log2(3)
+    idcg = (2.0 ** 3 - 1) / math.log2(2) + (2.0 ** 1 - 1) / math.log2(3)
+    assert r.ndcg == pytest.approx(round(dcg / idcg, 6), abs=1e-9)
+
+
+# --- welch_ttest -------------------------------------------------------------
+
+
+def _welch_py(a, b):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return t, dof
+
+
+def test_welch_ttest_matches_python(spark):
+    a = [1.0, 2.5, 3.0, 4.5, 2.0, 5.5, 3.5]
+    b = [10.0, 8.0, 12.0, 9.0, 11.0]
+    rows = [("g", True, x) for x in a] + [("g", False, x) for x in b]
+    df = spark.createDataFrame(rows, "g string, coh boolean, v double")
+    r = welch_ttest(df, "v", "coh", "g").collect()[0]
+    t, dof = _welch_py(a, b)
+    assert (r.n_a, r.n_b) == (7, 5)
+    assert r.t_stat == pytest.approx(round(t, 6), abs=1e-9)
+    assert r.t_df == pytest.approx(round(dof, 6), abs=1e-9)
+    assert r.mean_a == pytest.approx(round(sum(a) / 7, 6))
+
+
+def test_welch_ttest_degenerate_null_not_nan(spark):
+    df = spark.createDataFrame(
+        [("g", True, 1.0), ("g", False, 2.0), ("g", False, 3.0)],
+        "g string, coh boolean, v double",
+    )
+    r = welch_ttest(df, "v", "coh", "g").collect()[0]
+    assert r.n_a == 1 and r.t_stat is None and r.t_df is None
+    # zero-variance both sides: se2 == 0 -> NULL, never Infinity
+    df2 = spark.createDataFrame(
+        [("g", True, 5.0)] * 3 + [("g", False, 5.0)] * 3,
+        "g string, coh boolean, v double",
+    )
+    r2 = welch_ttest(df2, "v", "coh", "g").collect()[0]
+    assert r2.t_stat is None
+    # NULL cohort flag rows join neither side
+    df3 = spark.createDataFrame(
+        [("g", None, 100.0)]
+        + [("g", True, float(x)) for x in (1, 2, 3)]
+        + [("g", False, float(x)) for x in (4, 5, 6)],
+        "g string, coh boolean, v double",
+    )
+    r3 = welch_ttest(df3, "v", "coh", "g").collect()[0]
+    assert (r3.n_a, r3.n_b) == (3, 3)

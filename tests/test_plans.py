@@ -584,3 +584,50 @@ def test_preference_pairs_query_single_exchange(spark):
     df = QUERIES["preference_pairs"](spark, SF0001)
     assert_plan(df, n_exchanges=1, n_hash_exchanges=1,
                 has_python_udf=False)
+
+
+def test_welch_ttest_single_conditional_agg(spark):
+    plan = _plan(spark, "welch_ttest")
+    # one partial-combined aggregation to the group table — the cohorts
+    # split via conditional aggregates, never a union or self-join
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "Union" not in plan and "SortMergeJoin" not in plan
+
+
+def test_target_encoding_broadcast_back_one_cell_agg(spark):
+    plan = _plan(spark, "target_encoding")
+    # the corpus shuffles once (cell aggregation); the encoding table
+    # comes back as a broadcast, never a sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # windows run over the CELL table: every hashpartitioning exchange is
+    # on cell/fold keys, and there are few of them (agg + cell windows)
+    assert plan.count("Arguments: hashpartitioning") <= 4
+
+
+def test_feature_hashing_is_single_stage_no_exchange(spark):
+    plan = _plan(spark, "feature_hashing")
+    assert "Exchange" not in plan
+    assert "Union" in plan
+    # only the three referenced columns are read
+    assert "n_chars" not in plan and "text" not in plan
+
+
+def test_temporal_split_one_row_broadcast_cutoff(spark):
+    plan = _plan(spark, "temporal_split")
+    # the cutoff is a 1-row aggregate broadcast back over a nested-loop
+    # join; the corpus itself never hash-partitions
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Arguments: hashpartitioning" not in plan
+    # event columns outside (event_id, ts) are pruned from the scan
+    assert "props" not in plan and "user_id" not in plan
+
+
+def test_ranking_metrics_topk_filters_before_join(spark):
+    plan = _plan(spark, "ranking_metrics")
+    # no corpus-sized sort-merge join of rankings x labels without the
+    # rank<=k filter: the filter appears below the join in the plan and
+    # the whole query needs no cartesian
+    assert "CartesianProduct" not in plan
+    assert "(rk" in plan or "__r" in plan  # the rank<=k predicate survives
