@@ -219,6 +219,11 @@ _ROWS_ONLY_PRIORITY = [
     "feature_hashing",
     "temporal_split",
     "ranking_metrics",
+    # round-7 wave 9 (vocab_coverage + bh_correction shadow-oracle;
+    # compression_ratio rows-only — no SQL zlib)
+    "vocab_coverage",
+    "compression_ratio",
+    "bh_correction",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

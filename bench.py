@@ -323,6 +323,12 @@ HEADLINE = [
     "feature_hashing",
     "temporal_split",
     "ranking_metrics",
+    # round-7 wave 9: text-quality signals + multiple-testing control
+    # (broadcast vocab probe; zero-exchange zlib projection; family-table
+    # BH windows)
+    "vocab_coverage",
+    "compression_ratio",
+    "bh_correction",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

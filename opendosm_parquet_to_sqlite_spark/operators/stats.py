@@ -272,3 +272,57 @@ def welch_ttest(
         F.round(t, ndigits).alias("t_stat"),
         F.round(dof, ndigits).alias("t_df"),
     )
+
+
+def bh_correction(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction across a family of hypothesis
+    tests — the multiple-testing discipline the per-group test operators
+    (welch_ttest, mann_whitney_u, chi_square_independence) need before
+    anyone alerts on their p-values: testing 500 segments at α=0.05
+    expects 25 false alarms; BH caps the FALSE DISCOVERY RATE at α
+    instead.
+
+        rank p ascending;  adj_p(i) = min_{j ≥ i} ( p(j) · n / j ) ∧ 1;
+        reject ⇔ adj_p ≤ α     (step-up procedure)
+
+    The suffix-min makes tied p-values receive identical adj_p whatever
+    their rank order, so the output is deterministic without a tiebreak
+    column.  NULL p-values (degenerate tests upstream) are EXCLUDED from
+    the family — they are not evidence, and counting them in n would
+    dilute the correction.
+
+    Output: input columns + p_rank BIGINT + p_adj (rounded) + reject
+    BOOLEAN.
+
+    Shape note: both windows are UNPARTITIONED (rank over the whole
+    family, then a suffix running-min over the same sort) — safe by
+    construction because the input is a hypothesis table, one row per
+    test, group-count-sized; never feed corpus-sized data here.  Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    from pyspark.sql.window import Window as W
+
+    base = df.filter(F.col(p_col).isNotNull())
+    wrank = W.orderBy(F.col(p_col).asc())
+    wall = W.partitionBy()
+    ranked = base.select(
+        *base.columns,
+        F.row_number().over(wrank).cast("long").alias("p_rank"),
+        F.count(F.lit(1)).over(wall).cast("double").alias("__n"),
+    )
+    cand = F.col(p_col) * F.col("__n") / F.col("p_rank")
+    # default frame (unbounded preceding .. current row) over rank DESC
+    # == min over all ranks >= this one: the BH step-up suffix min
+    wsuffix = W.orderBy(F.col("p_rank").desc())
+    adj = F.least(F.lit(1.0), F.min(cand).over(wsuffix))
+    return ranked.select(
+        *base.columns,
+        "p_rank",
+        F.round(adj, ndigits).alias("p_adj"),
+        (adj <= F.lit(float(alpha))).alias("reject"),
+    )

@@ -1003,3 +1003,116 @@ def collocations_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_freq: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    frequency-thresholded vocabulary — the tokenizer-health twin of
+    unigram_logprob_score (that one weights by how common the known
+    tokens are; this one measures how much of the document the
+    vocabulary covers AT ALL — the signal that catches wrong-language,
+    OCR-noise, and encoding-mojibake docs whose tokens simply don't
+    exist in the corpus vocabulary).
+
+    vocab = {term : corpus frequency >= min_freq};
+    oov_rate(doc) = fraction of the doc's tokens outside vocab.
+
+    Same tokenization as the rest of the text stack (whitespace split,
+    lowercased).  Empty/NULL-text documents emit no row (no tokens —
+    same convention as unigram_logprob_score).
+
+    Output: (doc_id, n_tokens BIGINT, oov_rate) rounded.
+
+    Shape: one term partial-agg builds the vocab (vocabulary-sized, NOT
+    corpus-sized — cap with min_freq; at web scale also top-k it), one
+    BROADCAST probe join (left: OOV terms must survive), one per-doc
+    agg.  The token stream shuffles once (the per-doc agg); text never
+    shuffles.  Fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias(
+            "term"
+        ),
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .filter(F.col("__tf") >= int(min_freq))
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    probed = terms.join(F.broadcast(vocab), "term", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            F.avg(
+                F.when(F.col("__in_vocab").isNull(), 1.0).otherwise(0.0)
+            ),
+            ndigits,
+        ).alias("oov_rate"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    level: int = 6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the model-free repetition /
+    junk signal the Gopher-style quality pipelines threshold on from
+    both ends: near-1 ratios are incompressible noise (random strings,
+    base64 blobs, mojibake) and very low ratios are highly repetitive
+    boilerplate/spam — natural prose sits in a middle band.  Complements
+    text_repetition (explicit n-gram repeats) with a single holistic
+    number, and costs one pass with no vocabulary.
+
+        ratio = len(zlib.compress(utf8, level)) / len(utf8)
+
+    zlib at a fixed level is bit-deterministic (same bytes in, same
+    bytes out, any platform), so the score is reproducible across runs
+    and engines — but no SQL engine exposes it, so this op is pinned by
+    pytest ordering properties instead of a DuckDB hash (registered
+    rows-only).  NULL text → NULL ratio (row kept); empty text → NULL
+    (no bytes to measure, and 0/0 must not fabricate a score).
+
+    Output: input columns + n_bytes BIGINT + `ratio` (rounded).
+
+    Shape: ONE Arrow-batched pandas_udf projection (stdlib zlib over
+    each batch), zero exchanges — the scan's narrow map.  Ratios can be
+    computed per partition at any scale; nothing global.
+    """
+    import pandas as pd  # noqa: F401  (Arrow batch type)
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+    if not 1 <= lvl <= 9:
+        raise ValueError(f"level must be in [1,9], got {level}")
+
+    def _ratio(vs):
+        import zlib
+
+        def one(s):
+            if s is None:
+                return None
+            b = s.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, lvl)) / len(b)
+
+        return vs.map(one)
+
+    ratio_udf = pandas_udf(_ratio, "double")
+    b = F.octet_length(F.col(text_col)).cast("long")
+    return df.select(
+        *df.columns,
+        F.when(F.col(text_col).isNull(), None).otherwise(b).alias("n_bytes"),
+        F.round(ratio_udf(F.col(text_col)), ndigits).alias("ratio"),
+    )

@@ -7746,3 +7746,124 @@ def q_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return search.ranking_metrics(
         ranked, labels, "user_id", "event_id", "rk", "rel", k=10
     )
+
+
+@query(
+    "vocab_coverage",
+    """
+    WITH tl AS (
+        SELECT doc_id, unnest(list_transform(
+            list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x != ''),
+            x -> lower(x))) AS term
+        FROM documents
+    ), vocab AS (
+        SELECT term, 1 AS in_vocab FROM tl GROUP BY term
+        HAVING count(*) >= 5
+    )
+    SELECT tl.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(CASE WHEN v.in_vocab IS NULL
+                     THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+    FROM tl LEFT JOIN vocab v ON tl.term = v.term
+    GROUP BY tl.doc_id
+    """,
+    shadow=True,
+)
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's freq>=5 vocabulary
+    (text.vocab_coverage) — the tokenizer-health signal that catches
+    wrong-language/mojibake docs unigram_logprob only penalizes softly.
+    One vocab partial-agg + broadcast probe + per-doc agg; text never
+    shuffles. Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    return text.vocab_coverage(docs, "text", "doc_id", min_freq=5)
+
+
+@query("compression_ratio")  # rows-only: no SQL engine exposes zlib;
+# ordering/determinism pinned in tests/test_ml_eval.py
+def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib compressibility per document (text.compression_ratio) — the
+    Gopher-style two-sided junk signal (near-1 = noise, near-0 =
+    boilerplate). One Arrow-batched pandas_udf projection, zero
+    exchanges."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return text.compression_ratio(docs, "text", "doc_id").select(
+        "doc_id", "n_bytes", "ratio"
+    )
+
+
+@query(
+    "bh_correction",
+    """
+    WITH base AS (
+        SELECT event_type, value AS v,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, is_a, v,
+               rank() OVER (PARTITION BY event_type ORDER BY v)
+                   + (count(*) OVER (PARTITION BY event_type, v) - 1)
+                     / 2.0 AS midrank,
+               CAST(count(*) OVER (PARTITION BY event_type, v) AS DOUBLE)
+                   AS t
+        FROM base
+    ), agg AS (
+        SELECT event_type,
+               CAST(sum(is_a) AS DOUBLE) AS na,
+               CAST(sum(1 - is_a) AS DOUBLE) AS nb,
+               sum(midrank * is_a) AS ra,
+               sum((t * t * t - t) / t) AS tie_term
+        FROM ranked GROUP BY 1
+    ), mw AS (
+        SELECT event_type,
+               CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(ra - na * (na + 1) / 2.0, 6) AS u,
+               round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                     / NULLIF(sqrt((na * nb / 12.0)
+                         * ((na + nb + 1)
+                            - tie_term
+                              / NULLIF((na + nb) * (na + nb - 1), 0))), 0),
+                     6) AS z
+        FROM agg
+    ), pv AS (
+        SELECT *, round(least(1.0,
+                   exp(-0.717 * abs(z) - 0.416 * z * z)), 6) AS p_val
+        FROM mw WHERE z IS NOT NULL
+    ), bh AS (
+        SELECT *,
+               CAST(row_number() OVER (ORDER BY p_val) AS BIGINT)
+                   AS p_rank,
+               CAST(count(*) OVER () AS DOUBLE) AS n
+        FROM pv
+    )
+    SELECT event_type, n_a, n_b, u, z, p_val, p_rank,
+           round(least(1.0, min(p_val * n / p_rank)
+                 OVER (ORDER BY p_rank DESC)), 6) AS p_adj,
+           least(1.0, min(p_val * n / p_rank)
+                 OVER (ORDER BY p_rank DESC)) <= 0.2 AS reject
+    FROM bh
+    """,
+    shadow=True,
+)
+def q_bh_correction(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg step-up over the per-event-type Mann-Whitney
+    family (stats.bh_correction): two-sided p via Lin's elementary
+    normal-tail approximation 2Q(z) ~= exp(-0.717|z| - 0.416 z^2)
+    (engine-portable: no erf needed), rounded BEFORE the correction so
+    both engines step-up over identical values. The BH windows run over
+    the 5-row hypothesis table, never the corpus. Hash-checked."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "side", (F.col("event_id") % 2 == 0).cast("int")
+    )
+    mw = stats.mann_whitney_u(ev, "value", "side", 1, "event_type")
+    z = F.col("z")
+    pv = mw.filter(z.isNotNull()).withColumn(
+        "p_val",
+        F.round(
+            F.least(
+                F.lit(1.0), F.exp(-0.717 * F.abs(z) - 0.416 * z * z)
+            ),
+            6,
+        ),
+    )
+    return stats.bh_correction(pv, "p_val", alpha=0.2)

@@ -216,3 +216,92 @@ def test_welch_ttest_degenerate_null_not_nan(spark):
     )
     r3 = welch_ttest(df3, "v", "coh", "g").collect()[0]
     assert (r3.n_a, r3.n_b) == (3, 3)
+
+
+# --- compression_ratio -------------------------------------------------------
+
+
+def test_compression_ratio_ordering_and_nulls(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.text import (
+        compression_ratio,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rand = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(2000))
+    rep = "spam " * 400
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then considers "
+        "whether compression ratios separate prose from noise at all "
+    ) * 16
+    df = spark.createDataFrame(
+        [(1, rand), (2, rep), (3, prose), (4, None), (5, "")],
+        "id long, text string",
+    )
+    out = {r.id: r for r in compression_ratio(df, "text", "id").collect()}
+    assert len(out) == 5  # NULL/empty rows are kept
+    assert out[4].ratio is None and out[4].n_bytes is None
+    assert out[5].ratio is None
+    # repetitive << prose << random, and random is near-incompressible
+    assert out[2].ratio < out[3].ratio < out[1].ratio
+    assert out[1].ratio > 0.8 and out[2].ratio < 0.1
+    # deterministic across repartition
+    out2 = {
+        r.id: r.ratio
+        for r in compression_ratio(df.repartition(4), "text", "id").collect()
+    }
+    assert out2 == {i: out[i].ratio for i in out}
+    with pytest.raises(ValueError):
+        compression_ratio(df, "text", "id", level=0)
+
+
+# --- vocab_coverage ----------------------------------------------------------
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa zz"), (3, "zz qq"), (4, ""), (5, None)],
+        "id long, text string",
+    )
+    # freqs: aa=3, bb=1, zz=2, qq=1 -> vocab(min_freq=2) = {aa, zz}
+    out = {
+        r.doc_id: (r.n_tokens, r.oov_rate)
+        for r in vocab_coverage(df, "text", "id", min_freq=2).collect()
+    }
+    assert out == {
+        1: (3, pytest.approx(1 / 3, abs=1e-6)),
+        2: (2, 0.0),
+        3: (2, 0.5),
+    }  # empty/NULL docs emit no row
+
+
+# --- bh_correction -----------------------------------------------------------
+
+
+def test_bh_correction_hand_computed(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.stats import bh_correction
+
+    # classic example: p = .01, .02, .04, .04, .6  (tie at ranks 3-4)
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.04),
+         ("e", 0.60), ("f", None)],
+        "test string, p double",
+    )
+    out = {r.test: r for r in bh_correction(df, "p", alpha=0.05).collect()}
+    assert "f" not in out  # NULL p excluded from the family
+    # adj: suffix-min of p*n/rank with n=5:
+    # .05, .05, .05, .05, .6  (ties share the smaller candidate)
+    assert out["a"].p_adj == pytest.approx(0.05)
+    assert out["c"].p_adj == pytest.approx(0.05)
+    assert out["d"].p_adj == out["c"].p_adj  # ties identical whatever order
+    assert out["e"].p_adj == pytest.approx(0.6)
+    assert out["a"].reject and out["d"].reject and not out["e"].reject
+    # adj is monotone in rank and capped at 1
+    ranks = sorted(out.values(), key=lambda r: r.p_rank)
+    assert all(
+        x.p_adj <= y.p_adj for x, y in zip(ranks, ranks[1:])
+    )
+    assert all(r.p_adj <= 1.0 for r in ranks)

@@ -631,3 +631,18 @@ def test_ranking_metrics_topk_filters_before_join(spark):
     # the whole query needs no cartesian
     assert "CartesianProduct" not in plan
     assert "(rk" in plan or "__r" in plan  # the rank<=k predicate survives
+
+
+def test_vocab_coverage_broadcast_probe(spark):
+    plan = _plan(spark, "vocab_coverage")
+    # the vocab probe joins as a broadcast (vocabulary-sized), never a
+    # corpus-scale sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compression_ratio_zero_exchange_arrow(spark):
+    plan = _plan(spark, "compression_ratio")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
