@@ -224,6 +224,10 @@ _ROWS_ONLY_PRIORITY = [
     "vocab_coverage",
     "compression_ratio",
     "bh_correction",
+    # round-7 wave 10 (score-evaluation suite; shadow oracles)
+    "auc_roc",
+    "classification_report",
+    "lift_table",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

@@ -329,6 +329,11 @@ HEADLINE = [
     "vocab_coverage",
     "compression_ratio",
     "bh_correction",
+    # round-7 wave 10: score-evaluation suite (rank-identity AUC;
+    # constant-factor threshold explode; bin-table lift windows)
+    "auc_roc",
+    "classification_report",
+    "lift_table",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -326,3 +326,205 @@ def bh_correction(
         F.round(adj, ndigits).alias("p_adj"),
         (adj <= F.lit(float(alpha))).alias("reject"),
     )
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group ROC AUC of a score against a binary label via the
+    rank-sum (Mann-Whitney U) identity — no curve construction, no
+    threshold sweep:
+
+        AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    where R⁺ is the positives' midrank sum under the score ordering.
+    Midranks give tied scores the conventional half credit, so AUC on a
+    constant score is exactly 0.5.  This IS P(score⁺ > score⁻) + ½
+    P(tie) — the probabilistic definition — computed exactly, where a
+    binned curve integration would approximate it.
+
+    NULL scores/labels are excluded; a group with no positives or no
+    negatives yields NULL AUC (undefined, not 0/1) via NULLIF.
+
+    Output: group cols + (n_pos, n_neg BIGINT, auc) rounded.
+
+    Shape: identical to mann_whitney_u — ONE per-group window sort
+    (midranks + tie runs from a zero-width RANGE frame on the same
+    sort) and one partial-combined agg to the group table.  Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = _group_cols(group_cols)
+    s = F.col(score_col)
+    y = F.col(label_col).cast("boolean")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        *gcols, s.alias("__s"), y.cast("int").alias("__pos")
+    )
+    wrank = W.partitionBy(*gcols).orderBy("__s")
+    wtie = (
+        W.partitionBy(*gcols)
+        .orderBy("__s")
+        .rangeBetween(W.currentRow, W.currentRow)
+    )
+    ranked = base.select(
+        *gcols,
+        "__pos",
+        (
+            F.rank().over(wrank).cast("double")
+            + (F.count(F.lit(1)).over(wtie).cast("double") - 1.0) / 2.0
+        ).alias("__midrank"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("__pos").cast("double").alias("__np"),
+        F.sum(1 - F.col("__pos")).cast("double").alias("__nn"),
+        F.sum(F.col("__midrank") * F.col("__pos")).alias("__rp"),
+    )
+    np_, nn = F.col("__np"), F.col("__nn")
+    auc = (F.col("__rp") - np_ * (np_ + 1.0) / 2.0) / F.nullif(
+        np_ * nn, F.lit(0.0)
+    )
+    return agg.select(
+        *gcols,
+        np_.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        F.round(auc, ndigits).alias("auc"),
+    )
+
+
+def classification_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Precision / recall / F1 at each decision threshold (score ≥ t →
+    predicted positive), per group — the operating-point companion to
+    auc_roc (AUC says whether the score ranks well; this says what you
+    get at the cutoffs you could actually deploy).
+
+    NULL scores/labels are excluded.  Zero-denominator cells (no
+    predicted positives → precision; no actual positives → recall)
+    yield NULL, and F1 is NULL whenever either side is — never a
+    fabricated 0.
+
+    Output: group cols + threshold + (tp, fp, fn, tn BIGINT) +
+    (precision, recall, f1) rounded.
+
+    Shape: each row replicates once per threshold (|thresholds| is a
+    handful — the explode factor is a constant, not data-sized), then
+    ONE partial-combined agg to the (group × threshold) table; no join,
+    no second pass over the data.  Fully SQL-expressible → hash-checked
+    vs DuckDB.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    gcols = _group_cols(group_cols)
+    s = F.col(score_col)
+    y = F.col(label_col).cast("boolean")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        *gcols,
+        s.alias("__s"),
+        y.alias("__y"),
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in thresholds])
+        ).alias("threshold"),
+    )
+    pred = F.col("__s") >= F.col("threshold")
+    yy = F.col("__y")
+    agg = base.groupBy(*gcols, "threshold").agg(
+        F.sum((pred & yy).cast("long")).alias("tp"),
+        F.sum((pred & ~yy).cast("long")).alias("fp"),
+        F.sum((~pred & yy).cast("long")).alias("fn"),
+        F.sum((~pred & ~yy).cast("long")).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = tp / F.nullif(tp + fp, F.lit(0)).cast("double")
+    rec = tp / F.nullif(tp + fn, F.lit(0)).cast("double")
+    f1 = 2.0 * prec * rec / F.nullif(prec + rec, F.lit(0.0))
+    return agg.select(
+        *gcols,
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, ndigits).alias("precision"),
+        F.round(rec, ndigits).alias("recall"),
+        F.round(f1, ndigits).alias("f1"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    tiebreak_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table — the campaign-targeting
+    view of a score: bin rows into `n_bins` equal-frequency score bins
+    (decile 1 = HIGHEST scores), then per decile report the response
+    rate, its lift over the global rate, and the cumulative share of
+    all positives captured down to that decile.
+
+    Binning reuses features.equal_frequency_bins (ntile over the score
+    with a tiebreak key for reproducible boundary assignment — pass the
+    row's unique id).  NULL scores/labels are excluded first.
+
+    Output: (decile INT, n, n_pos BIGINT, response_rate, lift,
+    cum_gain, cum_lift) rounded; exactly n_bins rows.
+
+    Shape: one window exchange for the binning (ntile is a global sort
+    at this signature — at 100 TB hand equal_frequency_bins group_cols,
+    or pre-bucket on approx quantile edges, and this table inherits the
+    fix), ONE partial-combined agg to the n_bins-row table, then
+    windows OVER THAT TABLE for totals and cumulative sums.  Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    from .features import equal_frequency_bins
+    from pyspark.sql.window import Window as W
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col)
+    y = F.col(label_col).cast("boolean")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    binned = equal_frequency_bins(
+        base, score_col, n_bins, tiebreak_cols=tiebreak_cols
+    ).select(
+        (F.lit(int(n_bins) + 1) - F.col("bin")).alias("decile"),
+        y.cast("int").alias("__pos"),
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+    )
+    wall = W.partitionBy()
+    wcum = W.orderBy(F.col("decile").asc())
+    tot_n = F.sum("n").over(wall).cast("double")
+    tot_p = F.sum("n_pos").over(wall).cast("double")
+    cum_n = F.sum("n").over(wcum).cast("double")
+    cum_p = F.sum("n_pos").over(wcum).cast("double")
+    rate = F.col("n_pos").cast("double") / F.col("n")
+    grate = tot_p / tot_n
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(rate, ndigits).alias("response_rate"),
+        F.round(rate / F.nullif(grate, F.lit(0.0)), ndigits).alias("lift"),
+        F.round(cum_p / F.nullif(tot_p, F.lit(0.0)), ndigits).alias(
+            "cum_gain"
+        ),
+        F.round(
+            (cum_p / cum_n) / F.nullif(grate, F.lit(0.0)), ndigits
+        ).alias("cum_lift"),
+    )

@@ -7867,3 +7867,135 @@ def q_bh_correction(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return stats.bh_correction(pv, "p_val", alpha=0.2)
+
+
+@query(
+    "auc_roc",
+    """
+    WITH base AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, value AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), ranked AS (
+        SELECT day, pos,
+               rank() OVER (PARTITION BY day ORDER BY s)
+                   + (count(*) OVER (PARTITION BY day, s) - 1) / 2.0
+                   AS midrank
+        FROM base
+    ), agg AS (
+        SELECT day,
+               CAST(sum(pos) AS DOUBLE) AS np,
+               CAST(sum(1 - pos) AS DOUBLE) AS nn,
+               sum(midrank * pos) AS rp
+        FROM ranked GROUP BY 1
+    )
+    SELECT day, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round((rp - np * (np + 1) / 2.0) / NULLIF(np * nn, 0), 6) AS auc
+    FROM agg
+    """,
+    shadow=True,
+)
+def q_auc_roc(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day ROC AUC of event value against the purchase label
+    (stats.auc_roc) via the rank-sum identity — exact tie handling, no
+    threshold sweep. One per-group window sort + one partial-combined
+    agg, same shape as mann_whitney. Near 0.5 on this synthetic data —
+    the separation sensitivity is pinned in tests. Hash-checked."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value"),
+        (F.col("event_type") == "purchase").alias("purchased"),
+    )
+    return stats.auc_roc(ev, "value", "purchased", "day")
+
+
+@query(
+    "classification_report",
+    """
+    WITH base AS (
+        SELECT value AS s,
+               event_type = 'purchase' AS y,
+               unnest([10.0, 35.0, 70.0, 150.0]) AS threshold
+        FROM events WHERE value IS NOT NULL
+    ), agg AS (
+        SELECT threshold,
+               CAST(sum(CASE WHEN s >= threshold AND y
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s >= threshold AND NOT y
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN s < threshold AND y
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN s < threshold AND NOT y
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM base GROUP BY 1
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           round(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 6) AS precision,
+           round(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6) AS recall,
+           round(2.0 * (tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE))
+                     * (tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE))
+                 / NULLIF(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE)
+                          + tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 0), 6)
+               AS f1
+    FROM agg
+    """,
+    shadow=True,
+)
+def q_classification_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall/F1 treating value >= t as a purchase predictor at
+    four cutoffs (stats.classification_report): constant-factor explode
+    then ONE partial-combined agg to the threshold table — no join, no
+    second data pass. Hash-checked."""
+    ev = load_table(spark, sf, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("purchased")
+    )
+    return stats.classification_report(
+        ev, "value", "purchased", [10.0, 35.0, 70.0, 150.0]
+    )
+
+
+@query(
+    "lift_table",
+    """
+    WITH base AS (
+        SELECT value AS s, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL
+    ), binned AS (
+        SELECT 11 - ntile(10) OVER (ORDER BY s, event_id) AS decile, pos
+        FROM base
+    ), per AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM binned GROUP BY 1
+    )
+    SELECT decile, n, n_pos,
+           round(n_pos / CAST(n AS DOUBLE), 6) AS response_rate,
+           round((n_pos / CAST(n AS DOUBLE))
+                 / NULLIF(sum(n_pos) OVER () / CAST(sum(n) OVER ()
+                          AS DOUBLE), 0), 6) AS lift,
+           round(CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                 / NULLIF(CAST(sum(n_pos) OVER () AS DOUBLE), 0), 6)
+               AS cum_gain,
+           round((CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                  / CAST(sum(n) OVER (ORDER BY decile) AS DOUBLE))
+                 / NULLIF(sum(n_pos) OVER () / CAST(sum(n) OVER ()
+                          AS DOUBLE), 0), 6) AS cum_lift
+    FROM per
+    """,
+    shadow=True,
+)
+def q_lift_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift / cumulative-gains of event value against purchases
+    (stats.lift_table): ntile binning with event_id tiebreak (decile 1 =
+    top scores), ONE agg to the 10-row table, cumulative windows over
+    that table only. Hash-checked."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "value",
+        (F.col("event_type") == "purchase").alias("purchased"),
+    )
+    return stats.lift_table(
+        ev, "value", "purchased", n_bins=10, tiebreak_cols="event_id"
+    )

@@ -305,3 +305,107 @@ def test_bh_correction_hand_computed(spark):
         x.p_adj <= y.p_adj for x, y in zip(ranks, ranks[1:])
     )
     assert all(r.p_adj <= 1.0 for r in ranks)
+
+
+# --- auc_roc -----------------------------------------------------------------
+
+
+def test_auc_roc_hand_computed(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.stats import auc_roc
+
+    # perfect separation -> 1.0; inverted -> 0.0; constant score -> 0.5
+    rows = (
+        [("sep", float(s), s >= 3) for s in range(6)]
+        + [("inv", float(s), s < 3) for s in range(6)]
+        + [("tie", 1.0, p) for p in (True, True, False, False)]
+    )
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = {r.g: r for r in auc_roc(df, "s", "y", "g").collect()}
+    assert out["sep"].auc == pytest.approx(1.0)
+    assert out["inv"].auc == pytest.approx(0.0)
+    assert out["tie"].auc == pytest.approx(0.5)
+    assert (out["tie"].n_pos, out["tie"].n_neg) == (2, 2)
+    # degenerate: single-class group -> NULL, not 0/1
+    df2 = spark.createDataFrame(
+        [("one", 1.0, True), ("one", 2.0, True)], "g string, s double, y boolean"
+    )
+    assert auc_roc(df2, "s", "y", "g").collect()[0].auc is None
+
+
+def test_auc_roc_matches_sklearn_style_reference(spark):
+    # midrank AUC == P(s+ > s-) + 0.5 P(s+ == s-) computed by brute force
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (round(rng.uniform(0, 5), 1), rng.random() < 0.4) for _ in range(60)
+    ]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    brute = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0)
+        for a, b in itertools.product(pos, neg)
+    ) / (len(pos) * len(neg))
+    from opendosm_parquet_to_sqlite_spark.operators.stats import auc_roc
+
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = auc_roc(df, "s", "y").collect()[0].auc
+    assert got == pytest.approx(round(brute, 6), abs=1e-9)
+
+
+# --- classification_report ---------------------------------------------------
+
+
+def test_classification_report_hand_computed(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.stats import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, True), (0.8, False), (0.4, True), (0.1, False), (None, True)],
+        "s double, y boolean",
+    )
+    out = {
+        r.threshold: r
+        for r in classification_report(df, "s", "y", [0.5, 0.95]).collect()
+    }
+    r5 = out[0.5]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (1, 1, 1, 1)
+    assert r5.precision == pytest.approx(0.5)
+    assert r5.recall == pytest.approx(0.5)
+    assert r5.f1 == pytest.approx(0.5)
+    # at 0.95 nothing is predicted positive: precision NULL (0/0), f1 NULL
+    r95 = out[0.95]
+    assert (r95.tp, r95.fp) == (0, 0)
+    assert r95.precision is None and r95.f1 is None
+    assert r95.recall == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        classification_report(df, "s", "y", [])
+
+
+# --- lift_table --------------------------------------------------------------
+
+
+def test_lift_table_invariants(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.stats import lift_table
+
+    # top decile holds all the positives -> lift = n_bins, gains saturate
+    rows = [(i, float(i), i >= 90) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s double, y boolean")
+    out = sorted(
+        lift_table(df, "s", "y", n_bins=10, tiebreak_cols="id").collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in out] == list(range(1, 11))
+    assert all(r.n == 10 for r in out)
+    top = out[0]
+    assert top.n_pos == 10 and top.response_rate == pytest.approx(1.0)
+    assert top.lift == pytest.approx(10.0)
+    assert top.cum_gain == pytest.approx(1.0)  # decile 1 captures 100%
+    assert out[-1].cum_gain == pytest.approx(1.0)
+    assert out[-1].cum_lift == pytest.approx(1.0)  # whole population
+    # mass conservation
+    assert sum(r.n_pos for r in out) == 10
+    with pytest.raises(ValueError):
+        lift_table(df, "s", "y", n_bins=1)

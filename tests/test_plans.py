@@ -646,3 +646,26 @@ def test_compression_ratio_zero_exchange_arrow(spark):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
     assert "BatchEvalPython" not in plan
+
+
+def test_auc_roc_midranks_share_one_sort(spark):
+    plan = _plan(spark, "auc_roc")
+    # midrank + tie count ride the same (day, score) sort: exactly one
+    # corpus exchange (the day partitioning), then the group agg
+    assert plan.count("Arguments: hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_classification_report_one_pass_no_join(spark):
+    plan = _plan(spark, "classification_report")
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "explode" in plan  # the constant-factor Generate replication
+
+
+def test_lift_table_windows_over_bin_table(spark):
+    plan = _plan(spark, "lift_table")
+    # one global ntile sort over the corpus; the cumulative windows run
+    # over the 10-row bin table (singlepartition exchanges are tiny)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 1
