@@ -228,6 +228,9 @@ _ROWS_ONLY_PRIORITY = [
     "auc_roc",
     "classification_report",
     "lift_table",
+    # round-7 wave 11 (Kaplan-Meier + simplified silhouette; shadow)
+    "survival_curve",
+    "silhouette_score",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

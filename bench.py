@@ -334,6 +334,10 @@ HEADLINE = [
     "auc_roc",
     "classification_report",
     "lift_table",
+    # round-7 wave 11: survival + clustering quality (duration-table KM
+    # windows; C-row centroid broadcast silhouette)
+    "survival_curve",
+    "silhouette_score",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

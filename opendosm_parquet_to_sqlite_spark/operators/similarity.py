@@ -1772,3 +1772,102 @@ def vector_health(
         F.round(F.avg("__norm"), ndigits).alias("norm_avg"),
         F.round(F.max("__norm"), ndigits).alias("norm_max"),
     )
+
+
+def silhouette_score(
+    df: DataFrame,
+    vec_col: str,
+    cluster_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the scale
+    answer to "are these clusters real": for each point, a = distance to
+    its OWN cluster centroid, b = distance to the NEAREST other
+    centroid, s = (b − a) / max(a, b) ∈ [−1, 1].  Well-separated
+    clusters score near 1; overlapping ones near 0; mis-assigned points
+    go negative.  The full silhouette's per-point mean pairwise
+    distances are O(n²) and unusable at scale; the centroid
+    simplification (Hruschka et al.'s "simplified silhouette") keeps the
+    diagnostic shape at O(n·C) and is the standard large-scale stand-in
+    (it is also what Spark MLlib's ClusteringEvaluator computes —
+    re-expressed here as pure DataFrame algebra with an exact SQL
+    mirror, no MLlib dependency).
+
+    Centroid coordinates are rounded to `ndigits` BEFORE distances so
+    the whole computation is engine-reproducible (the per-dimension
+    means are the only accumulation-order-sensitive step; rounding
+    there makes every downstream distance a pure function of exact
+    inputs).  Convention pins: singleton-cluster points score 0 (their
+    a = 0 would otherwise fabricate s = 1); a point equidistant at 0
+    from two centroids (degenerate duplicate centroids) scores 0 via a
+    guarded denominator.  NULL vectors are excluded.  A single-cluster
+    input yields NULL mean (no "other" centroid exists — undefined, not
+    0).
+
+    Output: (cluster_col, n BIGINT, mean_silhouette) per cluster —
+    macro-average downstream for one scalar.
+
+    Shape: centroids via posexplode → IMMEDIATE (cluster, pos) partial
+    agg (the pool_embeddings discipline: what shuffles is C×d partial
+    sums, never vectors) → C-row centroid table BROADCAST back over a
+    ×C nested-loop replication (C clusters, a constant factor) → per-
+    point min-distance agg → per-cluster agg.  The corpus never
+    hash-partitions; at 100 TB both exchanges carry cluster-sized
+    tables.  Fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    v = _as_double(F.col(vec_col))
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(cluster_col).isNotNull()
+    ).select(
+        F.col(cluster_col).alias("__c"),
+        v.alias("__v"),
+        F.monotonically_increasing_id().alias("__pid"),
+    )
+    ex = base.select(
+        "__c", F.posexplode("__v").alias("__pos", "__x")
+    )
+    cent = (
+        ex.groupBy("__c", "__pos")
+        .agg(F.round(F.avg("__x"), ndigits).alias("__a"))
+        .groupBy("__c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__a"))),
+                lambda s: s["__a"],
+            ).alias("__cent")
+        )
+    )
+    sizes = base.groupBy("__c").agg(F.count(F.lit(1)).alias("__nc"))
+    cent = cent.join(sizes, "__c").select(
+        F.col("__c").alias("__cc"),
+        F.col("__cent"),
+        F.col("__nc"),
+    )
+    crossed = base.crossJoin(F.broadcast(cent))
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("__v"), F.col("__cent"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist = F.sqrt(diff2)
+    own = F.col("__c") == F.col("__cc")
+    per_point = crossed.groupBy("__pid", "__c").agg(
+        F.min(F.when(own, dist)).alias("__a_d"),
+        F.min(F.when(~own, dist)).alias("__b_d"),
+        F.max(F.when(own, F.col("__nc"))).alias("__own_n"),
+    )
+    a_d, b_d = F.col("__a_d"), F.col("__b_d")
+    s = (
+        F.when(b_d.isNull(), F.lit(None).cast("double"))  # no other cluster
+        .when(F.col("__own_n") == 1, 0.0)
+        .when(F.greatest(a_d, b_d) == 0.0, 0.0)  # duplicate centroids
+        .otherwise((b_d - a_d) / F.greatest(a_d, b_d))
+    )
+    return per_point.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(s), ndigits).alias("mean_silhouette"),
+    ).select(
+        F.col("__c").alias(cluster_col), "n", "mean_silhouette"
+    )

@@ -528,3 +528,80 @@ def lift_table(
             (cum_p / cum_n) / F.nullif(grate, F.lit(0.0)), ndigits
         ).alias("cum_lift"),
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate per group — the right-censoring-
+    aware retention curve (the naive "fraction still alive at t" is
+    biased the moment observation windows differ: subjects whose window
+    ends before they churn are CENSORED, not survivors, and KM is the
+    standard estimator that uses them correctly — they count in the
+    at-risk denominator up to their censoring time and never as events).
+
+        S(t) = Π_{u ≤ t, d_u > 0} (1 − d_u / n_u)
+
+    with d_u = events at duration u and n_u = subjects still at risk
+    (duration ≥ u, censored or not).  Output rows are the EVENT times
+    only (where the curve steps), but censored subjects shape n_u.
+
+    The running product is exp of a running sum of logs — except that a
+    time where everyone at risk dies (d_u = n_u) makes the factor 0 and
+    ln diverges DIFFERENTLY across engines (Spark NULL, DuckDB −inf),
+    so absorbing states are handled explicitly: a cumulative flag zeroes
+    the curve from the first such time on.
+
+    NULL durations/flags are excluded.  `event_col` is boolean-castable
+    (1/true = observed event, 0/false = censored).
+
+    Output: group cols + (duration, n_at_risk, n_events BIGINT,
+    survival) rounded, at event times, curve non-increasing from 1.
+
+    Shape: ONE partial-combined agg to the (group, duration) table,
+    then three windows OVER THAT TABLE (at-risk suffix sum, log running
+    sum, absorbing flag) sharing one duration sort per group.  At 100 TB
+    the exchange carries distinct (group, duration) rows only.  Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = _group_cols(group_cols)
+    d = F.col(duration_col)
+    e = F.col(event_col).cast("boolean")
+    base = df.filter(d.isNotNull() & e.isNotNull()).select(
+        *gcols, d.alias("__t"), e.cast("int").alias("__e")
+    )
+    cells = base.groupBy(*gcols, "__t").agg(
+        F.sum("__e").cast("double").alias("__d"),
+        F.count(F.lit(1)).cast("double").alias("__total"),
+    )
+    # at risk at t = subjects with duration >= t: suffix sum over t desc
+    wdesc = W.partitionBy(*gcols).orderBy(F.col("__t").desc())
+    wasc = W.partitionBy(*gcols).orderBy(F.col("__t").asc())
+    at_risk = cells.withColumn("__n", F.sum("__total").over(wdesc))
+    factor = 1.0 - F.col("__d") / F.col("__n")
+    stepped = at_risk.select(
+        *gcols,
+        "__t",
+        "__n",
+        "__d",
+        F.sum(F.when(factor > 0, F.log(factor)).otherwise(0.0))
+        .over(wasc)
+        .alias("__logsum"),
+        F.sum((factor <= 0).cast("int")).over(wasc).alias("__absorbed"),
+    )
+    surv = F.when(F.col("__absorbed") > 0, 0.0).otherwise(
+        F.exp(F.col("__logsum"))
+    )
+    return stepped.filter(F.col("__d") > 0).select(
+        *gcols,
+        F.col("__t").alias("duration"),
+        F.col("__n").cast("long").alias("n_at_risk"),
+        F.col("__d").cast("long").alias("n_events"),
+        F.round(surv, ndigits).alias("survival"),
+    )

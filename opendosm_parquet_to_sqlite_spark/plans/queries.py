@@ -7999,3 +7999,114 @@ def q_lift_table(spark: SparkSession, sf: str) -> DataFrame:
     return stats.lift_table(
         ev, "value", "purchased", n_bins=10, tiebreak_cols="event_id"
     )
+
+
+@query(
+    "survival_curve",
+    """
+    WITH pu AS (
+        SELECT user_id, min(ts) AS f,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), g AS (SELECT max(ts) AS gm FROM events WHERE ts IS NOT NULL),
+    d AS (
+        SELECT date_diff('day', f::DATE,
+                         COALESCE(p, gm)::DATE) AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM pu, g
+    ), cells AS (
+        SELECT t, CAST(sum(e) AS DOUBLE) AS d,
+               CAST(count(*) AS DOUBLE) AS tot
+        FROM d GROUP BY 1
+    ), risk AS (
+        SELECT t, d, sum(tot) OVER (ORDER BY t DESC) AS n FROM cells
+    ), curve AS (
+        SELECT t, n, d,
+               sum(CASE WHEN 1 - d / n > 0 THEN ln(1 - d / n)
+                   ELSE 0 END) OVER (ORDER BY t) AS logsum,
+               sum(CASE WHEN 1 - d / n <= 0 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) AS absorbed
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS duration,
+           CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(CASE WHEN absorbed > 0 THEN 0.0 ELSE exp(logsum) END, 6)
+               AS survival
+    FROM curve WHERE d > 0
+    """,
+    shadow=True,
+)
+def q_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier retention over user lifetimes (stats.survival_curve):
+    time-to-first-purchase per user; users who never purchase inside the
+    observation window are CENSORED at the window edge, not dropped —
+    the right-censoring the naive conversion fraction gets wrong. One (group, duration) agg + three windows over that table.
+    Hash-checked."""
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+    )
+    gm = ev.agg(F.max("ts").alias("gm"))
+    d = pu.crossJoin(F.broadcast(gm)).select(
+        F.datediff(
+            F.coalesce(F.col("p"), F.col("gm")).cast("date"),
+            F.col("f").cast("date"),
+        )
+        .cast("long")
+        .alias("duration"),
+        F.col("p").isNotNull().alias("event"),
+    )
+    return stats.survival_curve(d, "duration", "event")
+
+
+@query(
+    "silhouette_score",
+    """
+    WITH e AS (
+        SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), ex AS (
+        SELECT label, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+        FROM e
+    ), centd AS (
+        SELECT label, pos, round(avg(x), 6) AS a FROM ex GROUP BY 1, 2
+    ), cent AS (
+        SELECT label AS cc, list(a ORDER BY pos) AS c FROM centd GROUP BY 1
+    ), sizes AS (
+        SELECT label AS cc2, count(*) AS nc FROM e GROUP BY 1
+    ), pts AS (
+        SELECT row_number() OVER () AS pid, label, v FROM e
+    ), crossed AS (
+        SELECT p.pid, p.label, c.cc, s.nc,
+               list_distance(p.v, c.c) AS dist
+        FROM pts p CROSS JOIN cent c JOIN sizes s ON s.cc2 = c.cc
+    ), per AS (
+        SELECT pid, label,
+               min(CASE WHEN label = cc THEN dist END) AS a_d,
+               min(CASE WHEN label <> cc THEN dist END) AS b_d,
+               max(CASE WHEN label = cc THEN nc END) AS own_n
+        FROM crossed GROUP BY 1, 2
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN b_d IS NULL THEN NULL
+                     WHEN own_n = 1 THEN 0.0
+                     WHEN greatest(a_d, b_d) = 0.0 THEN 0.0
+                     ELSE (b_d - a_d) / greatest(a_d, b_d) END), 6)
+               AS mean_silhouette
+    FROM per GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_silhouette_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Simplified silhouette of the embeddings' label partition
+    (similarity.silhouette_score): centroid-based O(n·C), centroids
+    rounded before distances so both engines measure identical
+    geometry. Near 0 on these synthetic labels (no real cluster
+    structure) — the separation sensitivity is pinned in tests.
+    Hash-checked."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.silhouette_score(emb, "embedding", "label")

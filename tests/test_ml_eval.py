@@ -409,3 +409,92 @@ def test_lift_table_invariants(spark):
     assert sum(r.n_pos for r in out) == 10
     with pytest.raises(ValueError):
         lift_table(df, "s", "y", n_bins=1)
+
+
+# --- survival_curve ----------------------------------------------------------
+
+
+def test_survival_curve_textbook_example(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.stats import survival_curve
+
+    # classic KM: durations (6,6,6,7,10) events + (6,9,10,11,13) censored
+    rows = (
+        [(6, True)] * 3 + [(7, True), (10, True)]
+        + [(6, False), (9, False), (10, False), (11, False), (13, False)]
+    )
+    df = spark.createDataFrame(rows, "t int, e boolean")
+    out = {r.duration: r for r in survival_curve(df, "t", "e").collect()}
+    # event times only
+    assert sorted(out) == [6, 7, 10]
+    assert (out[6].n_at_risk, out[6].n_events) == (10, 3)
+    s6 = 1 - 3 / 10
+    assert out[6].survival == pytest.approx(round(s6, 6))
+    s7 = s6 * (1 - 1 / 6)  # at t=7: risk set = 10 - 3 - 1 censored = 6
+    assert (out[7].n_at_risk, out[7].n_events) == (6, 1)
+    assert out[7].survival == pytest.approx(round(s7, 6), abs=1e-6)
+    s10 = s7 * (1 - 1 / 4)  # at t=10: risk = {10e,10c,11c,13c} = 4
+    assert out[10].survival == pytest.approx(round(s10, 6), abs=1e-6)
+    # curve is non-increasing
+    vals = [out[t].survival for t in sorted(out)]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_survival_curve_absorbing_zero_and_groups(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.stats import survival_curve
+
+    # group g1: everyone dies at t=2 -> S hits exactly 0 (no NaN/NULL)
+    rows = [("g1", 1, True), ("g1", 2, True), ("g1", 2, True),
+            ("g2", 5, False)]
+    df = spark.createDataFrame(rows, "g string, t int, e boolean")
+    out = {
+        (r.g, r.duration): r
+        for r in survival_curve(df, "t", "e", "g").collect()
+    }
+    assert out[("g1", 2)].survival == pytest.approx(0.0)
+    assert out[("g1", 1)].survival == pytest.approx(round(1 - 1 / 3, 6))
+    # all-censored group contributes no event rows but errors nothing
+    assert not [k for k in out if k[0] == "g2"]
+
+
+# --- silhouette_score --------------------------------------------------------
+
+
+def test_silhouette_separated_vs_mixed(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.similarity import (
+        silhouette_score,
+    )
+
+    # two tight, well-separated blobs -> mean silhouette near 1
+    far = [("a", [0.0, 0.0]), ("a", [0.1, 0.0]), ("a", [0.0, 0.1]),
+           ("b", [10.0, 10.0]), ("b", [10.1, 10.0]), ("b", [10.0, 10.1])]
+    df = spark.createDataFrame(far, "c string, v array<double>")
+    out = {r.c: r for r in silhouette_score(df, "v", "c").collect()}
+    assert out["a"].n == 3
+    assert out["a"].mean_silhouette > 0.95
+    assert out["b"].mean_silhouette > 0.95
+    # the same points arbitrarily relabeled -> overlapping "clusters",
+    # silhouette collapses
+    mixed = [(("a", "b")[i % 2], v) for i, (_, v) in enumerate(far)]
+    df2 = spark.createDataFrame(mixed, "c string, v array<double>")
+    out2 = silhouette_score(df2, "v", "c").collect()
+    assert all(r.mean_silhouette < 0.3 for r in out2)
+
+
+def test_silhouette_conventions(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.similarity import (
+        silhouette_score,
+    )
+
+    # singleton cluster scores 0 by convention, not 1
+    df = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("a", [1.0, 0.0]), ("solo", [5.0, 5.0])],
+        "c string, v array<double>",
+    )
+    out = {r.c: r for r in silhouette_score(df, "v", "c").collect()}
+    assert out["solo"].mean_silhouette == pytest.approx(0.0)
+    # single-cluster input: no "other" centroid -> NULL, never 0
+    df2 = spark.createDataFrame(
+        [("only", [0.0]), ("only", [1.0])], "c string, v array<double>"
+    )
+    r = silhouette_score(df2, "v", "c").collect()[0]
+    assert r.mean_silhouette is None and r.n == 2

@@ -669,3 +669,20 @@ def test_lift_table_windows_over_bin_table(spark):
     # over the 10-row bin table (singlepartition exchanges are tiny)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Arguments: hashpartitioning") <= 1
+
+
+def test_survival_curve_windows_over_duration_table(spark):
+    plan = _plan(spark, "survival_curve")
+    # the user agg is the only raw-row exchange; the KM windows run over
+    # the (duration) table and the observation edge is a 1-row broadcast
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row edge join
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_silhouette_corpus_never_hash_partitions(spark):
+    plan = _plan(spark, "silhouette_score")
+    # centroids broadcast back over the xC replication; the vector rows
+    # exchange only for the centroid partial agg and the per-point agg
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
