@@ -231,6 +231,8 @@ _ROWS_ONLY_PRIORITY = [
     # round-7 wave 11 (Kaplan-Meier + simplified silhouette; shadow)
     "survival_curve",
     "silhouette_score",
+    # round-7 wave 12 (Rocchio confusion matrix; shadow)
+    "centroid_classify",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

@@ -338,6 +338,8 @@ HEADLINE = [
     # windows; C-row centroid broadcast silhouette)
     "survival_curve",
     "silhouette_score",
+    # round-7 wave 12: nearest-centroid confusion matrix (xC broadcast)
+    "centroid_classify",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

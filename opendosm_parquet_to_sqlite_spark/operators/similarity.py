@@ -1871,3 +1871,85 @@ def silhouette_score(
     ).select(
         F.col("__c").alias(cluster_col), "n", "mean_silhouette"
     )
+
+
+def centroid_classify(
+    train: DataFrame,
+    test: DataFrame,
+    vec_col: str,
+    label_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classification (Rocchio) of `test` embeddings
+    against class centroids fitted on `train`, reported as a confusion
+    matrix — the cheapest embedding-space classifier and the standard
+    "are these labels linearly recoverable from the embedding?" probe
+    run before spending on a real model head.  Pairs with
+    silhouette_score: silhouette asks whether the classes form clusters;
+    this asks whether a held-out point lands in the right one.
+
+    Ties (a test point exactly equidistant from two centroids) resolve
+    to the SMALLEST class label via a (distance, label) struct-min —
+    deterministic across engines, partitionings, and reruns.  Centroid
+    coordinates round to `ndigits` before distances (the
+    silhouette_score convention: the per-dim means are the only
+    accumulation-order-sensitive step).  NULL vectors/labels are
+    excluded from both sides.
+
+    Output: (label, predicted, n BIGINT) confusion cells — at most C²
+    rows; accuracy is one more tiny agg downstream
+    (sum(n where label = predicted) / sum(n)).
+
+    Shape: C-row centroid table from a (class, pos) partial agg on
+    TRAIN, broadcast over the ×C replication of TEST, per-point
+    struct-min argmin agg, then the confusion agg — the test corpus
+    never hash-partitions for the classify step.  Fully SQL-expressible
+    → hash-checked vs DuckDB.
+    """
+    v = _as_double(F.col(vec_col))
+    tr = train.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(label_col).alias("__c"), v.alias("__v"))
+    te = test.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("__y"),
+        v.alias("__v"),
+        F.monotonically_increasing_id().alias("__pid"),
+    )
+    cent = (
+        tr.select("__c", F.posexplode("__v").alias("__pos", "__x"))
+        .groupBy("__c", "__pos")
+        .agg(F.round(F.avg("__x"), ndigits).alias("__a"))
+        .groupBy("__c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__a"))),
+                lambda s: s["__a"],
+            ).alias("__cent")
+        )
+        .select(F.col("__c").alias("__cc"), "__cent")
+    )
+    crossed = te.crossJoin(F.broadcast(cent))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__v"), F.col("__cent"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    per_point = crossed.groupBy("__pid", "__y").agg(
+        F.min(F.struct(F.round(dist, ndigits).alias("d"), F.col("__cc")))
+        .alias("__best")
+    )
+    return (
+        per_point.select(
+            F.col("__y").alias(label_col),
+            F.col("__best.__cc").alias("predicted"),
+        )
+        .groupBy(label_col, "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -8110,3 +8110,46 @@ def q_silhouette_score(spark: SparkSession, sf: str) -> DataFrame:
     Hash-checked."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.silhouette_score(emb, "embedding", "label")
+
+
+@query(
+    "centroid_classify",
+    """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), tr AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+    te AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+    ex AS (
+        SELECT label, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+        FROM tr
+    ), centd AS (
+        SELECT label, pos, round(avg(x), 6) AS a FROM ex GROUP BY 1, 2
+    ), cent AS (
+        SELECT label AS cc, list(a ORDER BY pos) AS c FROM centd GROUP BY 1
+    ), crossed AS (
+        SELECT t.vec_id, t.label AS y, c.cc,
+               round(list_distance(t.v, c.c), 6) AS d
+        FROM te t CROSS JOIN cent c
+    ), per AS (
+        SELECT vec_id, y, cc,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cc)
+                   AS rn
+        FROM crossed
+    )
+    SELECT y AS label, cc AS predicted, CAST(count(*) AS BIGINT) AS n
+    FROM per WHERE rn = 1 GROUP BY 1, 2
+    """,
+    shadow=True,
+)
+def q_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) confusion matrix: even vec_ids train
+    the class centroids, odd vec_ids classify against them
+    (similarity.centroid_classify) — the label-recoverability probe
+    beside silhouette_score's cluster-quality read. Distances rounded
+    before the argmin so ties resolve identically across engines.
+    Hash-checked."""
+    emb = load_table(spark, sf, "embeddings")
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    test = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.centroid_classify(train, test, "embedding", "label")

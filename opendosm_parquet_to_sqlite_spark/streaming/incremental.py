@@ -421,3 +421,46 @@ def heavy_hitters_stream(
         )
 
     run_available_now(stream, checkpoint_dir, _fold, output_mode="append")
+
+
+def eval_monitor_stream(
+    stream: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+    checkpoint_dir: str,
+    report_sink,
+) -> None:
+    """Live model-quality monitor: every microbatch of (score, delayed
+    label) pairs is scored into a per-threshold precision/recall/F1
+    report (operators.stats.classification_report) — the deployed-model
+    twin of drift_monitor_stream (drift watches the INPUTS move; this
+    watches the decision quality itself degrade once ground-truth labels
+    arrive, which is what pages the on-call when a threshold stops
+    working).
+
+    Per-batch semantics == the batch operator on the same slice
+    (test-pinned): each microbatch report stands alone, so a regression
+    is attributable to ITS window rather than smeared into a lifetime
+    average; route `report_sink(report_df, batch_id)` to an alert table
+    and compare against the deployment's acceptance row.  Empty
+    microbatches emit nothing rather than a spurious all-zero report.
+
+    Per-batch cost: one constant-factor threshold explode + one
+    partial-combined agg (classification_report's shape) over the batch
+    only — no state store, no corpus re-read.
+    """
+    from ..operators import stats as _stats
+
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = _stats.classification_report(
+            batch_df, score_col, label_col, thresholds
+        )
+        report_sink(report, batch_id)
+
+    run_available_now(stream, checkpoint_dir, _score, output_mode="append")

@@ -498,3 +498,106 @@ def test_silhouette_conventions(spark):
     )
     r = silhouette_score(df2, "v", "c").collect()[0]
     assert r.mean_silhouette is None and r.n == 2
+
+
+# --- centroid_classify -------------------------------------------------------
+
+
+def test_centroid_classify_separable_and_ties(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.similarity import (
+        centroid_classify,
+    )
+
+    train = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("a", [0.2, 0.0]),
+         ("b", [10.0, 0.0]), ("b", [10.2, 0.0])],
+        "label string, v array<double>",
+    )
+    test = spark.createDataFrame(
+        [("a", [0.1, 0.1]),    # clearly a
+         ("b", [10.1, -0.1]),  # clearly b
+         ("b", [0.3, 0.0]),    # actually near a -> misclassified cell
+         ("a", [5.1, 0.0])],   # exact midpoint -> tie -> smaller label 'a'
+        "label string, v array<double>",
+    )
+    out = {
+        (r.label, r.predicted): r.n
+        for r in centroid_classify(train, test, "v", "label").collect()
+    }
+    assert out == {("a", "a"): 2, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_centroid_classify_accuracy_on_separated_blobs(spark):
+    import numpy as np
+    from opendosm_parquet_to_sqlite_spark.operators.similarity import (
+        centroid_classify,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for c, center in ((0, (0.0, 0.0)), (1, (8.0, 8.0)), (2, (-8.0, 8.0))):
+        for _ in range(40):
+            x = rng.randn(2) * 0.5 + np.array(center)
+            rows.append((c, [float(x[0]), float(x[1])]))
+    df = spark.createDataFrame(rows, "label int, v array<double>")
+    out = centroid_classify(df, df, "v", "label").collect()
+    correct = sum(r.n for r in out if r.label == r.predicted)
+    total = sum(r.n for r in out)
+    assert total == 120 and correct / total > 0.99
+
+
+# --- eval_monitor_stream -----------------------------------------------------
+
+
+def test_eval_monitor_stream_matches_batch(spark, tmp_path):
+    """Each microbatch's streamed threshold report equals
+    classification_report on that batch directly."""
+    from opendosm_parquet_to_sqlite_spark.operators.stats import (
+        classification_report,
+    )
+    from opendosm_parquet_to_sqlite_spark.streaming.incremental import (
+        eval_monitor_stream,
+        read_stream_parquet,
+    )
+
+    batches = {
+        0: [(0.9, True), (0.7, False), (0.2, True), (0.1, False)],
+        1: [(0.8, True), (0.6, True), (0.4, False)],
+    }
+    src = str(tmp_path / "src")
+    for i, rows in batches.items():
+        spark.createDataFrame(rows, "s double, y boolean").withColumn(
+            "b", F.lit(i)
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+
+    got = []
+
+    def sink(report, batch_id):
+        rows = report.collect()
+        if rows:
+            got.append(
+                frozenset(
+                    (r.threshold, r.tp, r.fp, r.fn, r.tn) for r in rows
+                )
+            )
+
+    eval_monitor_stream(
+        sdf, "s", "y", [0.5], str(tmp_path / "ckpt"), sink
+    )
+    expected = {
+        frozenset(
+            (r.threshold, r.tp, r.fp, r.fn, r.tn)
+            for r in classification_report(
+                spark.createDataFrame(rows, "s double, y boolean"),
+                "s", "y", [0.5],
+            ).collect()
+        )
+        for rows in batches.values()
+    }
+    assert set(got) == expected and len(got) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eval_monitor_stream(sdf, "s", "y", [], str(tmp_path / "c2"), sink)

@@ -686,3 +686,11 @@ def test_silhouette_corpus_never_hash_partitions(spark):
     # exchange only for the centroid partial agg and the per-point agg
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_centroid_classify_broadcast_centroids(spark):
+    plan = _plan(spark, "centroid_classify")
+    # the C-row centroid table broadcasts over the test replication; the
+    # test corpus never sort-merge joins
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
