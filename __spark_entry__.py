@@ -233,6 +233,9 @@ _ROWS_ONLY_PRIORITY = [
     "silhouette_score",
     # round-7 wave 12 (Rocchio confusion matrix; shadow)
     "centroid_classify",
+    # round-7 wave 13 (entropy l-diversity + DP noisy counts; shadow)
+    "l_diversity",
+    "dp_noisy_counts",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

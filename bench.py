@@ -340,6 +340,10 @@ HEADLINE = [
     "silhouette_score",
     # round-7 wave 12: nearest-centroid confusion matrix (xC broadcast)
     "centroid_classify",
+    # round-7 wave 13: privacy release tooling (cell-table entropy;
+    # keyed-PRF Laplace projection)
+    "l_diversity",
+    "dp_noisy_counts",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

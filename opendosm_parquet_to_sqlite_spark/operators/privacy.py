@@ -104,3 +104,139 @@ def k_anonymity_report(
         .agg(*aggs)
         .filter(F.col("class_size") < k)
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Entropy l-diversity audit [Machanavajjhala et al. 2007] — the
+    criterion k-anonymity misses: a class of 50 people all sharing one
+    diagnosis is perfectly k-anonymous and a total disclosure.  Reports
+    every quasi-identifier equivalence class failing EITHER bar:
+
+        distinct l-diversity:  #distinct sensitive values < l
+        entropy  l-diversity:  −Σ p·ln p < ln(l)
+
+    The entropy bar is the stronger one (it catches classes where one
+    value dominates even though l distinct values technically appear —
+    the "49 flu + 1 cancer" class passes distinct-l and still leaks).
+    NULL sensitive values are excluded from the distribution (an absent
+    secret is not a disclosure); classes with ONLY NULL sensitive values
+    report zero diversity and fail.
+
+    Output: quasi cols + (class_size, n_sensitive BIGINT, entropy,
+    min_entropy = ln(l) threshold) for failing classes only.
+
+    Shape: ONE partial-combined agg to the (quasi × sensitive) cell
+    table, then a class-level agg computing both bars from the cells —
+    the corpus shuffles once; everything after is cell-table-sized.
+    Fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    import math
+
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    from pyspark.sql.window import Window as W
+
+    wq = W.partitionBy(*quasi_cols)
+    # NULL-sensitive cells stay in the frame (so an all-NULL class still
+    # emits a failing row) but contribute nothing to the distribution
+    is_sens = F.col(sensitive_col).isNotNull()
+    sens_sum = F.sum(F.when(is_sens, F.col("__c")).otherwise(0.0)).over(wq)
+    withp = cells.withColumn(
+        "__p",
+        F.when(is_sens, F.col("__c") / F.nullif(sens_sum, F.lit(0.0))),
+    ).withColumn("__is_sens", is_sens)
+    klass = withp.groupBy(*quasi_cols).agg(
+        F.sum(F.when(F.col("__is_sens"), F.col("__c")).otherwise(0.0))
+        .cast("long")
+        .alias("class_size"),
+        F.sum(F.col("__is_sens").cast("int")).cast("long").alias(
+            "n_sensitive"
+        ),
+        # entropy as sum(p*ln(1/p)), NOT -sum(p*ln p): the negated form
+        # turns a zero-entropy class into -0.0 (and engines disagree on
+        # printing the sign; additive/CASE canonicalizations get
+        # optimizer-folded away — observed in DuckDB). ln(1/1) is +0.0,
+        # so this form never produces a signed zero on either engine.
+        # All-NULL classes have no p values at all -> coalesce to 0.0.
+        F.coalesce(
+            F.round(
+                F.sum(F.col("__p") * F.log(1.0 / F.col("__p"))), ndigits
+            ),
+            F.lit(0.0),
+        ).alias("entropy"),
+    )
+    bar = round(math.log(l), ndigits)
+    return klass.filter(
+        (F.col("n_sensitive") < l) | (F.col("entropy") < bar)
+    ).withColumn("min_entropy", F.lit(bar))
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    namespace: str = "dp",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Laplace-mechanism noisy group counts — the ε-differential-privacy
+    release shape for a counting query (sensitivity 1 → noise scale
+    b = 1/ε), with the noise drawn by a KEYED PRF instead of an RNG:
+
+        u     = md5(namespace:groupkey) mapped to (−½, ½)
+        noise = −(1/ε) · sign(u) · ln(1 − 2|u|)      (inverse-CDF Laplace)
+
+    Deterministic-by-design: reruns, repartitions, and engine mirrors
+    produce the SAME noisy release, so a pipeline re-execution does not
+    silently spend privacy budget on a fresh draw of the same statistic
+    (the accidental-recomputation leak).  The flip side is documented
+    honestly: RELEASING MULTIPLE DIFFERENT statistics still composes
+    budget normally, and a production DP deployment should swap the PRF
+    seed per intentional release (`namespace` is that knob).  The
+    half-offset (+0.5 before centering) keeps u strictly inside the
+    open interval, so ln never sees 0.
+
+    Output: group cols + (n BIGINT exact — for the caller's own audit,
+    DROP IT before release — and noisy_n, the rounded private value;
+    `noisy_n_clamped` = max(0, round(noisy_n)) BIGINT is the
+    integer-valued nonnegative post-processing most consumers want,
+    legal under DP post-processing invariance).
+
+    Shape: ONE partial-combined count agg; the noise is a narrow
+    projection over the group table.  Fully SQL-expressible →
+    hash-checked vs DuckDB (same md5 bytes, same arithmetic).
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(namespace),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in group_cols],
+    )
+    u = (
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") + 0.5)
+        / F.lit(float(16 ** 8))
+        - 0.5
+    )
+    b = 1.0 / float(epsilon)
+    noise = -F.lit(b) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    noisy = F.col("n") + noise
+    return counts.select(
+        *group_cols,
+        "n",
+        F.round(noisy, ndigits).alias("noisy_n"),
+        F.greatest(F.lit(0), F.round(noisy, 0).cast("long")).alias(
+            "noisy_n_clamped"
+        ),
+    )

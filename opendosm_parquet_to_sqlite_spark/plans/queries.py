@@ -8153,3 +8153,81 @@ def q_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:
     train = emb.filter(F.col("vec_id") % 2 == 0)
     test = emb.filter(F.col("vec_id") % 2 == 1)
     return similarity.centroid_classify(train, test, "embedding", "label")
+
+
+@query(
+    "l_diversity",
+    """
+    WITH base AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS acctbal_band,
+               c_mktsegment
+        FROM customer WHERE c_mktsegment IS NOT NULL
+    ), cells AS (
+        SELECT c_nationkey, acctbal_band, c_mktsegment,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM base GROUP BY 1, 2, 3
+    ), withp AS (
+        SELECT c_nationkey, acctbal_band, c,
+               c / sum(c) OVER (PARTITION BY c_nationkey, acctbal_band)
+                   AS p
+        FROM cells
+    ), klass AS (
+        SELECT c_nationkey, acctbal_band,
+               CAST(sum(c) AS BIGINT) AS class_size,
+               CAST(count(*) AS BIGINT) AS n_sensitive,
+               round(sum(p * ln(1 / p)), 6) AS entropy
+        FROM withp GROUP BY 1, 2
+    )
+    SELECT *, 1.098612 AS min_entropy FROM klass
+    WHERE n_sensitive < 3 OR entropy < 1.098612
+    """,
+    shadow=True,
+)
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Entropy l-diversity audit over (nation, balance-band) classes
+    with the market segment as the sensitive attribute (privacy.l_diversity_report, l=3)
+    — catches the dominated-distribution disclosure k-anonymity passes.
+    One (quasi × sensitive) cell agg + class-level entropy over the cell
+    table. Hash-checked."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias(
+            "acctbal_band"
+        ),
+    )
+    return privacy.l_diversity_report(
+        cust, ["c_nationkey", "acctbal_band"], "c_mktsegment", l=3
+    )
+
+
+@query(
+    "dp_noisy_counts",
+    """
+    WITH counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), keyed AS (
+        SELECT event_type, n,
+               (('0x' || substring(md5('dp' || chr(31)
+                    || COALESCE(event_type, chr(0))), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0 - 0.5 AS u
+        FROM counts
+    )
+    SELECT event_type, n,
+           round(n + (-1.0 * sign(u) * ln(1 - 2 * abs(u))), 6) AS noisy_n,
+           CAST(greatest(0, round(
+               n + (-1.0 * sign(u) * ln(1 - 2 * abs(u))), 0)) AS BIGINT)
+               AS noisy_n_clamped
+    FROM keyed
+    """,
+    shadow=True,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Laplace-mechanism noisy event-type counts at epsilon = 1
+    (privacy.dp_noisy_counts): keyed-PRF inverse-CDF noise, so the
+    private release is rerun-stable and engine-mirrorable — the
+    accidental-recomputation budget leak is designed out. One count agg
+    + narrow noise projection. Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    return privacy.dp_noisy_counts(ev, ["event_type"], epsilon=1.0)

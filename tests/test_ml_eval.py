@@ -601,3 +601,81 @@ def test_eval_monitor_stream_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         eval_monitor_stream(sdf, "s", "y", [], str(tmp_path / "c2"), sink)
+
+
+# --- l_diversity_report ------------------------------------------------------
+
+
+def test_l_diversity_catches_dominated_class(spark):
+    import math
+    from opendosm_parquet_to_sqlite_spark.operators.privacy import (
+        l_diversity_report,
+    )
+
+    rows = (
+        # class A: 49 flu + 1 cancer -> passes distinct-2<l=2? it has 2
+        # distinct; entropy = -(0.98 ln .98 + .02 ln .02) ~ 0.098 < ln 3
+        [("A", "flu")] * 49 + [("A", "cancer")]
+        # class B: 3-way even split -> entropy = ln 3 exactly -> passes
+        + [("B", "flu"), ("B", "cancer"), ("B", "cold")]
+        # class C: one value only -> fails both bars
+        + [("C", "flu")] * 5
+        # class D: only NULL sensitive values -> zero diversity, fails
+        + [("D", None)] * 4
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r.q: r for r in l_diversity_report(df, ["q"], "s", l=3).collect()}
+    assert set(out) == {"A", "C", "D"}
+    p = 49 / 50
+    want = round(-(p * math.log(p) + (1 - p) * math.log(1 - p)), 6)
+    assert out["A"].entropy == pytest.approx(want, abs=1e-6)
+    assert out["A"].n_sensitive == 2
+    assert out["C"].entropy == 0.0 and out["C"].n_sensitive == 1
+    assert out["D"].class_size == 0 and out["D"].n_sensitive == 0
+    assert all(r.min_entropy == pytest.approx(round(math.log(3), 6))
+               for r in out.values())
+    with pytest.raises(ValueError):
+        l_diversity_report(df, ["q"], "s", l=1)
+
+
+# --- dp_noisy_counts ---------------------------------------------------------
+
+
+def test_dp_noisy_counts_determinism_and_scale(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    rows = [(f"g{i % 20}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string")
+    a = {r.g: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    b = {
+        r.g: r
+        for r in dp_noisy_counts(
+            df.repartition(7), ["g"], epsilon=1.0
+        ).collect()
+    }
+    # deterministic across partitionings
+    assert {g: r.noisy_n for g, r in a.items()} == {
+        g: r.noisy_n for g, r in b.items()
+    }
+    # a different namespace re-seeds the PRF
+    c = {
+        r.g: r.noisy_n
+        for r in dp_noisy_counts(
+            df, ["g"], epsilon=1.0, namespace="release2"
+        ).collect()
+    }
+    assert c != {g: r.noisy_n for g, r in a.items()}
+    # clamped output is nonnegative integer post-processing
+    assert all(r.noisy_n_clamped >= 0 for r in a.values())
+    # noise scale shrinks with epsilon: eps=100 keeps counts within ~0.1
+    tight = dp_noisy_counts(df, ["g"], epsilon=100.0).collect()
+    assert all(abs(r.noisy_n - r.n) < 0.25 for r in tight)
+    # and mean |noise| at eps=1 is near b=1 (Laplace mean abs = b)
+    import statistics
+
+    mean_abs = statistics.mean(abs(r.noisy_n - r.n) for r in a.values())
+    assert 0.2 < mean_abs < 3.0
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
