@@ -236,6 +236,11 @@ _ROWS_ONLY_PRIORITY = [
     # round-7 wave 13 (entropy l-diversity + DP noisy counts; shadow)
     "l_diversity",
     "dp_noisy_counts",
+    # round-7 wave 14 (PR-AUC, kappa, Cramér's V, one-way ANOVA; shadow)
+    "pr_auc",
+    "cohens_kappa",
+    "cramers_v",
+    "anova_oneway",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

@@ -344,6 +344,12 @@ HEADLINE = [
     # keyed-PRF Laplace projection)
     "l_diversity",
     "dp_noisy_counts",
+    # round-7 wave 14: eval/association stats (rank-window AP; cell-table
+    # kappa marginal join; cell-table V windows; two stacked partial aggs)
+    "pr_auc",
+    "cohens_kappa",
+    "cramers_v",
+    "anova_oneway",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -111,10 +111,15 @@ def chi_square_independence(
         F.col(col_b).alias("b"),
     )
     e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    # chi2 over the FULL r x c table from observed cells only, via
+    # sum_all (o-e)^2/e  =  sum_obs o^2/e - n   (zero cells contribute
+    # exactly e, and sum_all e = n, sum_all o = n).  Summing (o-e)^2/e
+    # over observed cells alone UNDERSTATES chi2 whenever a level pair
+    # never co-occurs - which is the dependent case the test exists for.
     return with_marg.agg(
-        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), ndigits).alias(
-            "chi2"
-        ),
+        F.round(
+            F.sum(F.col("o") * F.col("o") / e) - F.max(F.col("n")), ndigits
+        ).alias("chi2"),
         (
             (F.count_distinct(F.col("a")) - 1)
             * (F.count_distinct(F.col("b")) - 1)
@@ -604,4 +609,285 @@ def survival_curve(
         F.col("__n").cast("long").alias("n_at_risk"),
         F.col("__d").cast("long").alias("n_events"),
         F.round(surv, ndigits).alias("survival"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group average precision (the area under the precision-recall
+    curve by the step-function convention every retrieval library uses):
+
+        AP = (1/n⁺) Σ_{k : y_(k)=1} precision@k
+
+    over the ranking by score DESC.  Ties are broken by `id_col` ASC —
+    an explicit total order, because AP (unlike the rank-sum AUC) is NOT
+    tie-invariant and an unpinned tie order would make the result
+    nondeterministic across engines and shuffles.  The id tie-break is
+    part of the operator's contract, stated here so the oracle can (and
+    does) encode the identical order.
+
+    PR-AUC is the right eval when positives are rare (class-imbalanced
+    quality labels, contamination flags): ROC AUC saturates near 1 while
+    AP still moves with the top of the ranking.
+
+    NULL scores/labels are excluded; a group with zero positives yields
+    NULL (undefined, matching the macro-average-with-care convention —
+    filter or coalesce downstream as policy dictates).
+
+    Output: group cols + (n BIGINT, n_pos BIGINT, ap) rounded.
+
+    Shape: ONE per-group window sort (row_number + running positive
+    count share the same sort) and one partial-combined agg to the
+    group table — the mann_whitney/auc_roc shape exactly.  Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = _group_cols(group_cols)
+    s = F.col(score_col)
+    y = F.col(label_col).cast("boolean")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        *gcols,
+        s.alias("__s"),
+        y.cast("int").alias("__pos"),
+        F.col(id_col).alias("__id"),
+    )
+    word = W.partitionBy(*gcols).orderBy(F.desc("__s"), F.asc("__id"))
+    wrun = word.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = base.select(
+        *gcols,
+        "__pos",
+        F.row_number().over(word).cast("double").alias("__k"),
+        F.sum("__pos").over(wrun).cast("double").alias("__cum_pos"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum(
+            F.when(F.col("__pos") == 1, F.col("__cum_pos") / F.col("__k"))
+        ).alias("__psum"),
+    )
+    ap = F.col("__psum") / F.nullif(F.col("n_pos").cast("double"), F.lit(0.0))
+    return agg.select(
+        *gcols, "n", "n_pos", F.round(ap, ndigits).alias("ap")
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group Cohen's kappa — chance-corrected agreement between two
+    categorical labelings:
+
+        κ = (p_o − p_e) / (1 − p_e),
+        p_o = Σ_c p(a=c, b=c),   p_e = Σ_c p(a=c)·p(b=c)
+
+    The inter-annotator-agreement number a labeling pipeline reports
+    before trusting human (or LLM-judge) labels — raw percent agreement
+    (p_o alone) overstates reliability whenever the label marginals are
+    skewed, which labeled training data always is.
+
+    Rows with a NULL on either side are excluded (a missing label is an
+    unscored item, not a category).  Perfect chance agreement (p_e = 1:
+    both raters constant) yields NULL via the guarded denominator —
+    kappa is undefined there, not 0.
+
+    Output: group cols + (n BIGINT, po, pe, kappa) rounded.
+
+    Shape: ONE groupBy builds the (group, a, b) contingency cells; the
+    marginal products ride a full-outer join of the two marginal tables
+    OVER the cell table (category-count-sized, never row-count-sized) —
+    the chi_square cell-table idiom.  Fully SQL-expressible →
+    hash-checked vs DuckDB.
+    """
+    gcols = _group_cols(group_cols)
+    a, b = F.col(rater_a_col), F.col(rater_b_col)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(*gcols, a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    per_group = cells.groupBy(*gcols).agg(
+        F.sum("__o").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__o")).otherwise(0))
+        .alias("__diag"),
+    )
+    ma = cells.groupBy(*gcols, F.col("__a").alias("__c")).agg(
+        F.sum("__o").alias("__na")
+    )
+    mb = cells.groupBy(*gcols, F.col("__b").alias("__c")).agg(
+        F.sum("__o").alias("__nb")
+    )
+    joint = ma.join(mb, [*gcols, "__c"], "full_outer").groupBy(*gcols).agg(
+        F.sum(
+            F.coalesce(F.col("__na"), F.lit(0)).cast("double")
+            * F.coalesce(F.col("__nb"), F.lit(0)).cast("double")
+        ).alias("__pe_num")
+    )
+    out = per_group.join(joint, gcols) if gcols else per_group.crossJoin(joint)
+    n = F.col("__n").cast("double")
+    po = F.col("__diag").cast("double") / n
+    pe = F.col("__pe_num") / (n * n)
+    kappa = (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))
+    return out.select(
+        *gcols,
+        F.col("__n").cast("long").alias("n"),
+        F.round(po, ndigits).alias("po"),
+        F.round(pe, ndigits).alias("pe"),
+        F.round(kappa, ndigits).alias("kappa"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group Cramér's V — the [0, 1]-normalized effect size of the
+    chi-square association between two categorical columns:
+
+        V = sqrt( (χ²/n) / min(r−1, c−1) )
+
+    chi_square_independence answers "is there ANY dependence" (scales
+    with n — at 100 TB everything is 'significant'); V answers "how
+    strong", comparable across column pairs and table sizes, which is
+    what a feature-redundancy or leakage audit actually ranks by.
+
+    NULL categories are excluded.  A column with a single observed level
+    (min(r−1, c−1) = 0) yields NULL via the guarded denominator.
+
+    Output: group cols + (n BIGINT, levels_a BIGINT, levels_b BIGINT,
+    chi2, v) rounded.
+
+    Shape: identical to chi_square_independence with group columns
+    threaded through the cell-table windows — one groupBy to cells,
+    marginals over the cell table, one tiny final agg per group.  Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = _group_cols(group_cols)
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(*gcols, F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    wa = W.partitionBy(*gcols, "__a")
+    wb = W.partitionBy(*gcols, "__b")
+    wall = W.partitionBy(*gcols)
+    with_marg = cells.select(
+        *gcols,
+        "__a",
+        "__b",
+        F.col("__o").cast("double").alias("o"),
+        F.sum("__o").over(wa).cast("double").alias("row_tot"),
+        F.sum("__o").over(wb).cast("double").alias("col_tot"),
+        F.sum("__o").over(wall).cast("double").alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    agg = with_marg.groupBy(*gcols).agg(
+        # full-table chi2 from observed cells: sum_obs o^2/e - n (zero
+        # cells contribute e; see chi_square_independence).
+        (F.sum(F.col("o") * F.col("o") / e) - F.max(F.col("n"))).alias(
+            "__chi2"
+        ),
+        F.count_distinct(F.col("__a")).alias("__ra"),
+        F.count_distinct(F.col("__b")).alias("__rb"),
+        F.max(F.col("n")).alias("__n"),
+    )
+    mindim = F.least(F.col("__ra") - 1, F.col("__rb") - 1).cast("double")
+    v = F.sqrt(
+        (F.col("__chi2") / F.col("__n"))
+        / F.nullif(mindim, F.lit(0.0))
+    )
+    return agg.select(
+        *gcols,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__ra").cast("long").alias("levels_a"),
+        F.col("__rb").cast("long").alias("levels_b"),
+        F.round(F.col("__chi2"), ndigits).alias("chi2"),
+        F.round(v, ndigits).alias("v"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    family_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic per family — does the mean of
+    `value_col` differ across the levels of `group_col`?  The k-group
+    generalization of welch_ttest's question (classic equal-variance
+    form), run per `family_cols` slice:
+
+        F = (SSB / (k−1)) / (SSW / (N−k)),
+        SSB = Σ_g n_g (m_g − m)²,   SSW = Σ_g (Σx²_g − n_g m_g²)
+
+    computed from per-(family, level) sufficient statistics (n, Σx, Σx²)
+    — no second data pass, no residual materialization.  Also reports
+    eta² = SSB / (SSB + SSW), the effect size (share of variance
+    explained by the grouping), which survives the everything-is-
+    significant problem at scale the same way cramers_v does for
+    categorical pairs.
+
+    NULL values are excluded.  Degenerate families — fewer than two
+    levels, or zero within-group variance (SSW = 0, e.g. constant
+    values) — yield NULL F via guarded denominators; eta² is still
+    reported when defined.
+
+    Output: family cols + (k BIGINT, n BIGINT, f_stat, eta_sq) rounded.
+
+    Shape: TWO stacked partial-combined aggs — rows → (family, level)
+    sufficient stats → family table.  The first exchange carries three
+    doubles per (family, level); the second is level-count-sized.
+    Fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    fcols = _group_cols(family_cols)
+    x = F.col(value_col).cast("double")
+    per_level = (
+        df.filter(x.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(*fcols, F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__ng"),
+            F.sum(x).alias("__sg"),
+            F.sum(x * x).alias("__ssg"),
+        )
+    )
+    mg = F.col("__sg") / F.col("__ng")
+    fam = per_level.groupBy(*fcols).agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__ng").alias("__n"),
+        F.sum("__sg").alias("__s"),
+        F.sum(F.col("__ng") * mg * mg).alias("__sum_nm2"),
+        F.sum(F.col("__ssg") - F.col("__ng") * mg * mg).alias("__ssw"),
+    )
+    grand_mean = F.col("__s") / F.col("__n")
+    ssb = F.col("__sum_nm2") - F.col("__n") * grand_mean * grand_mean
+    ssw = F.col("__ssw")
+    k = F.col("__k").cast("double")
+    nn = F.col("__n")
+    f_stat = (ssb / F.nullif(k - 1.0, F.lit(0.0))) / F.nullif(
+        ssw / F.nullif(nn - k, F.lit(0.0)), F.lit(0.0)
+    )
+    eta = ssb / F.nullif(ssb + ssw, F.lit(0.0))
+    return fam.select(
+        *fcols,
+        F.col("__k").cast("long").alias("k"),
+        F.col("__n").cast("long").alias("n"),
+        F.round(f_stat, ndigits).alias("f_stat"),
+        F.round(eta, ndigits).alias("eta_sq"),
     )

@@ -6553,9 +6553,7 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
                a, b
         FROM cells
     )
-    SELECT round(sum((o - row_tot * col_tot / n)
-                     * (o - row_tot * col_tot / n)
-                     / (row_tot * col_tot / n)), 6) AS chi2,
+    SELECT round(sum(o * o / (row_tot * col_tot / n)) - max(n), 6) AS chi2,
            (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
            CAST(max(n) AS BIGINT) AS n
     FROM marg
@@ -8231,3 +8229,196 @@ def q_dp_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
     + narrow noise projection. Hash-checked."""
     ev = load_table(spark, sf, "events")
     return privacy.dp_noisy_counts(ev, ["event_type"], epsilon=1.0)
+
+
+@query(
+    "pr_auc",
+    """
+    WITH base AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, value AS s,
+               event_id AS id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), ranked AS (
+        SELECT day, pos,
+               row_number() OVER (PARTITION BY day ORDER BY s DESC, id)
+                   AS k,
+               sum(pos) OVER (PARTITION BY day ORDER BY s DESC, id
+                              ROWS UNBOUNDED PRECEDING) AS cum_pos
+        FROM base
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           round(sum(CASE WHEN pos = 1
+                          THEN CAST(cum_pos AS DOUBLE) / k END)
+                 / NULLIF(CAST(sum(pos) AS DOUBLE), 0), 6) AS ap
+    FROM ranked GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day average precision (PR-AUC) of event value against the
+    purchase label (stats.average_precision) — the class-imbalance
+    companion to auc_roc; the id tie-break (event_id asc) is part of the
+    operator contract so both engines rank identically. One per-group
+    window sort + one partial-combined agg. Hash-checked."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value"),
+        F.col("event_id"),
+        (F.col("event_type") == "purchase").alias("purchased"),
+    )
+    return stats.average_precision(ev, "value", "purchased", "event_id", "day")
+
+
+@query(
+    "cohens_kappa",
+    """
+    WITH base AS (
+        SELECT lang,
+               CASE WHEN n_chars >= 500 THEN 'long' ELSE 'short' END AS a,
+               CASE WHEN len(string_split(text, ' ')) >= 90
+                    THEN 'long' ELSE 'short' END AS b
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+              AND lang IS NOT NULL
+    ), cells AS (
+        SELECT lang, a, b, CAST(count(*) AS BIGINT) AS o
+        FROM base GROUP BY 1, 2, 3
+    ), pg AS (
+        SELECT lang, sum(o) AS n,
+               sum(CASE WHEN a = b THEN o ELSE 0 END) AS diag
+        FROM cells GROUP BY 1
+    ), ma AS (
+        SELECT lang, a AS c, sum(o) AS na FROM cells GROUP BY 1, 2
+    ), mb AS (
+        SELECT lang, b AS c, sum(o) AS nb FROM cells GROUP BY 1, 2
+    ), pe AS (
+        SELECT COALESCE(ma.lang, mb.lang) AS lang,
+               sum(CAST(COALESCE(na, 0) AS DOUBLE)
+                   * CAST(COALESCE(nb, 0) AS DOUBLE)) AS pen
+        FROM ma FULL OUTER JOIN mb
+          ON ma.lang = mb.lang AND ma.c = mb.c
+        GROUP BY 1
+    )
+    SELECT pg.lang, CAST(pg.n AS BIGINT) AS n,
+           round(CAST(diag AS DOUBLE) / pg.n, 6) AS po,
+           round(pen / (CAST(pg.n AS DOUBLE) * pg.n), 6) AS pe,
+           round((CAST(diag AS DOUBLE) / pg.n
+                  - pen / (CAST(pg.n AS DOUBLE) * pg.n))
+                 / NULLIF(1 - pen / (CAST(pg.n AS DOUBLE) * pg.n), 0), 6)
+               AS kappa
+    FROM pg JOIN pe ON pg.lang = pe.lang
+    """,
+    shadow=True,
+)
+def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language Cohen's kappa between two length-derived document
+    labels — char-count >= 500 vs whitespace-token-count >= 90
+    (stats.cohens_kappa): chance-corrected agreement, the
+    inter-annotator-reliability audit shape. Cell-table marginal join,
+    never row-scale. Hash-checked."""
+    d = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    ).select(
+        "lang",
+        F.when(F.col("n_chars") >= 500, "long")
+        .otherwise("short")
+        .alias("rater_a"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 90, "long")
+        .otherwise("short")
+        .alias("rater_b"),
+    )
+    return stats.cohens_kappa(d, "rater_a", "rater_b", "lang")
+
+
+@query(
+    "cramers_v",
+    """
+    WITH cells AS (
+        SELECT strftime(o_orderdate, '%Y') AS yr, o_orderpriority AS a,
+               o_orderstatus AS b, CAST(count(*) AS DOUBLE) AS o
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+              AND o_orderdate IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), marg AS (
+        SELECT yr, a, b, o,
+               sum(o) OVER (PARTITION BY yr, a) AS row_tot,
+               sum(o) OVER (PARTITION BY yr, b) AS col_tot,
+               sum(o) OVER (PARTITION BY yr) AS n
+        FROM cells
+    ), agg AS (
+        SELECT yr,
+               sum(o * o / (row_tot * col_tot / n)) - max(n) AS chi2,
+               count(DISTINCT a) AS ra, count(DISTINCT b) AS rb,
+               max(n) AS n
+        FROM marg GROUP BY 1
+    )
+    SELECT yr, CAST(n AS BIGINT) AS n,
+           CAST(ra AS BIGINT) AS levels_a, CAST(rb AS BIGINT) AS levels_b,
+           round(chi2, 6) AS chi2,
+           round(sqrt((chi2 / n)
+                      / NULLIF(CAST(least(ra - 1, rb - 1) AS DOUBLE), 0)),
+                 6) AS v
+    FROM agg
+    """,
+    shadow=True,
+)
+def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-order-year Cramér's V between order priority and order status
+    (stats.cramers_v) — the [0,1] effect size that stays comparable as n
+    grows, where raw chi2 inflates. Cell-table windows + one tiny agg
+    per year. Hash-checked."""
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    ).withColumn("yr", F.date_format("o_orderdate", "yyyy"))
+    return stats.cramers_v(o, "o_orderpriority", "o_orderstatus", "yr")
+
+
+@query(
+    "anova_oneway",
+    """
+    WITH lvl AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS g,
+               CAST(count(*) AS DOUBLE) AS ng, sum(value) AS sg,
+               sum(value * value) AS ssg
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+              AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ), fam AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS k, sum(ng) AS n,
+               sum(sg) AS s,
+               sum(ng * (sg / ng) * (sg / ng)) AS sum_nm2,
+               sum(ssg - ng * (sg / ng) * (sg / ng)) AS ssw
+        FROM lvl GROUP BY 1
+    )
+    SELECT day, k, CAST(n AS BIGINT) AS n,
+           round(((sum_nm2 - n * (s / n) * (s / n))
+                  / NULLIF(k - 1.0, 0))
+                 / NULLIF(ssw / NULLIF(n - k, 0), 0), 6) AS f_stat,
+           round((sum_nm2 - n * (s / n) * (s / n))
+                 / NULLIF((sum_nm2 - n * (s / n) * (s / n)) + ssw, 0), 6)
+               AS eta_sq
+    FROM fam
+    """,
+    shadow=True,
+)
+def q_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day one-way ANOVA of event value across event types
+    (stats.anova_oneway): F statistic + eta-squared effect size from
+    per-(day, type) sufficient stats — two stacked partial-combined
+    aggs, three doubles per level on the wire. Hash-checked."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    ).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return stats.anova_oneway(ev, "value", "event_type", "day")

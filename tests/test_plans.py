@@ -694,3 +694,36 @@ def test_centroid_classify_broadcast_centroids(spark):
     # test corpus never sort-merge joins
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pr_auc_single_sort_one_agg(spark):
+    plan = _plan(spark, "pr_auc")
+    # row_number + running positive count share the (day, score desc, id)
+    # sort; then the day agg — no joins, day-keyed exchanges only
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_cohens_kappa_marginal_join_is_cell_table_sized(spark):
+    plan = _plan(spark, "cohens_kappa")
+    # cells/marginals/joint all live on the (lang, label) cell table —
+    # the raw corpus exchanges once into the cell agg; no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cramers_v_windows_over_cell_table(spark):
+    plan = _plan(spark, "cramers_v")
+    assert "Join" not in plan
+    # one corpus exchange to cells; the marginal windows + final agg ride
+    # the cell table
+    assert plan.count("Arguments: hashpartitioning") <= 4
+
+
+def test_anova_two_stacked_partial_aggs(spark):
+    plan = _plan(spark, "anova_oneway")
+    assert "Join" not in plan
+    # rows -> (day, type) sufficient stats -> day table: two keyed
+    # exchanges, both partial-combined
+    assert plan.count("Arguments: hashpartitioning") <= 2
+    assert "partial" in plan.lower()

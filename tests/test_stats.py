@@ -157,3 +157,171 @@ def test_mann_whitney_single_exchange_plan(spark):
     # midrank + peer count share ONE sort/partitioning; the only
     # exchanges are the window's and the final agg's
     assert plan.lower().count("exchange") <= 2, plan
+
+
+# --- average_precision --------------------------------------------------------
+
+
+def test_average_precision_hand_example(spark):
+    # ranking by score desc: ids 1..5, labels [1,0,1,1,0]
+    # AP = (1/1 + 2/3 + 3/4) / 3 = 0.805556
+    rows = [
+        ("g", 5.0, 1, True),
+        ("g", 4.0, 2, False),
+        ("g", 3.0, 3, True),
+        ("g", 2.0, 4, True),
+        ("g", 1.0, 5, False),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, id int, y boolean")
+    row = stats.average_precision(df, "s", "y", "id", "g").collect()[0]
+    assert row["n"] == 5 and row["n_pos"] == 3
+    assert row["ap"] == pytest.approx((1.0 + 2 / 3 + 3 / 4) / 3, abs=1e-6)
+
+
+def test_average_precision_perfect_and_worst_ranking(spark):
+    perfect = [("p", float(10 - i), i, i < 3) for i in range(6)]
+    worst = [("w", float(10 - i), i, i >= 3) for i in range(6)]
+    df = spark.createDataFrame(
+        perfect + worst, "g string, s double, id int, y boolean"
+    )
+    out = {r["g"]: r for r in stats.average_precision(df, "s", "y", "id", "g").collect()}
+    assert out["p"]["ap"] == pytest.approx(1.0)
+    # worst: positives at ranks 4,5,6 -> (1/4 + 2/5 + 3/6)/3
+    assert out["w"]["ap"] == pytest.approx((0.25 + 0.4 + 0.5) / 3, abs=1e-6)
+
+
+def test_average_precision_tie_break_by_id_and_no_positives(spark):
+    # tied scores: id order decides. ids 1(pos),2(neg) tied at 5.0 ->
+    # pos first -> AP=1. Flip labels -> pos second -> AP=0.5.
+    df = spark.createDataFrame(
+        [
+            ("a", 5.0, 1, True), ("a", 5.0, 2, False),
+            ("b", 5.0, 1, False), ("b", 5.0, 2, True),
+            ("none", 1.0, 1, False),
+        ],
+        "g string, s double, id int, y boolean",
+    )
+    out = {r["g"]: r for r in stats.average_precision(df, "s", "y", "id", "g").collect()}
+    assert out["a"]["ap"] == pytest.approx(1.0)
+    assert out["b"]["ap"] == pytest.approx(0.5)
+    assert out["none"]["ap"] is None  # zero positives -> NULL, not 0
+
+
+# --- cohens_kappa -------------------------------------------------------------
+
+
+def test_cohens_kappa_hand_example(spark):
+    # classic 2x2: a/b agree on 45 yes + 15 no of 100;
+    # marginals a: 50/50, b: 60/40 -> pe = .5*.6+.5*.4 = .5 -> k=0.2
+    rows = (
+        [("g", "y", "y")] * 45
+        + [("g", "y", "n")] * 5
+        + [("g", "n", "y")] * 15
+        + [("g", "n", "n")] * 35
+    )
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    row = stats.cohens_kappa(df, "a", "b", "g").collect()[0]
+    assert row["n"] == 100
+    assert row["po"] == pytest.approx(0.80)
+    assert row["pe"] == pytest.approx(0.50)
+    assert row["kappa"] == pytest.approx(0.6, abs=1e-6)
+
+
+def test_cohens_kappa_identical_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [
+            # identical raters over 3 classes -> kappa 1
+            ("same", "x", "x"), ("same", "y", "y"), ("same", "z", "z"),
+            # both raters constant -> pe=1 -> NULL kappa
+            ("const", "x", "x"), ("const", "x", "x"),
+            # disjoint label spaces -> po=0, pe=0 -> kappa 0
+            ("disj", "x", "y"), ("disj", "x", "y"),
+            # NULL on either side excluded
+            ("same", None, "x"), ("same", "x", None),
+        ],
+        "g string, a string, b string",
+    )
+    out = {r["g"]: r for r in stats.cohens_kappa(df, "a", "b", "g").collect()}
+    assert out["same"]["n"] == 3 and out["same"]["kappa"] == pytest.approx(1.0)
+    assert out["const"]["kappa"] is None
+    assert out["disj"]["kappa"] == pytest.approx(0.0)
+
+
+# --- cramers_v ----------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association_is_one(spark):
+    rows = [("g", c, c.upper()) for c in ["x", "y", "z"] for _ in range(7)]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    row = stats.cramers_v(df, "a", "b", "g").collect()[0]
+    assert row["levels_a"] == 3 and row["levels_b"] == 3
+    assert row["v"] == pytest.approx(1.0)
+
+
+def test_cramers_v_independent_is_zero_and_single_level_null(spark):
+    indep = [
+        ("i", a, b) for a in ["x", "y"] for b in ["p", "q"] for _ in range(5)
+    ]
+    single = [("s", "x", b) for b in ["p", "q"]]
+    df = spark.createDataFrame(indep + single, "g string, a string, b string")
+    out = {r["g"]: r for r in stats.cramers_v(df, "a", "b", "g").collect()}
+    assert out["i"]["chi2"] == pytest.approx(0.0)
+    assert out["i"]["v"] == pytest.approx(0.0)
+    assert out["s"]["v"] is None  # min(r-1, c-1) = 0
+
+
+# --- anova_oneway -------------------------------------------------------------
+
+
+def _anova_ref(groups):
+    import statistics
+
+    all_vals = [v for g in groups for v in g]
+    n, k = len(all_vals), len(groups)
+    gm = sum(all_vals) / n
+    ssb = sum(len(g) * (statistics.fmean(g) - gm) ** 2 for g in groups)
+    ssw = sum(sum((v - statistics.fmean(g)) ** 2 for v in g) for g in groups)
+    return (ssb / (k - 1)) / (ssw / (n - k)), ssb / (ssb + ssw)
+
+
+def test_anova_oneway_matches_closed_form(spark):
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0], "c": [5.0, 6.0, 10.0]}
+    rows = [("f", g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "fam string, g string, v double")
+    row = stats.anova_oneway(df, "v", "g", "fam").collect()[0]
+    f_ref, eta_ref = _anova_ref(list(groups.values()))
+    assert row["k"] == 3 and row["n"] == 9
+    assert row["f_stat"] == pytest.approx(f_ref, abs=1e-6)
+    assert row["eta_sq"] == pytest.approx(eta_ref, abs=1e-6)
+
+
+def test_anova_oneway_degenerate_families(spark):
+    df = spark.createDataFrame(
+        [
+            # one level only -> k-1 = 0 -> NULL F
+            ("onelvl", "a", 1.0), ("onelvl", "a", 2.0),
+            # zero within variance -> SSW 0 -> NULL F, eta 1
+            ("zerow", "a", 1.0), ("zerow", "a", 1.0),
+            ("zerow", "b", 2.0), ("zerow", "b", 2.0),
+            ("null", "a", None), ("null", None, 1.0), ("null", "a", 3.0),
+            ("null", "b", 4.0),
+        ],
+        "fam string, g string, v double",
+    )
+    out = {r["fam"]: r for r in stats.anova_oneway(df, "v", "g", "fam").collect()}
+    assert out["onelvl"]["f_stat"] is None
+    assert out["zerow"]["f_stat"] is None
+    assert out["zerow"]["eta_sq"] == pytest.approx(1.0)
+    assert out["null"]["n"] == 2  # NULL value / NULL level rows excluded
+
+
+def test_chi_square_structural_zero_cell_counts_expected(spark):
+    # 2x2 with an unobserved (y,q) cell: the zero cell still contributes
+    # its expected count to chi2 (o^2/e - n identity). Hand value: 3.75.
+    rows = (
+        [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    row = stats.chi_square_independence(df, "a", "b").collect()[0]
+    assert row["n"] == 15 and row["dof"] == 1
+    assert row["chi2"] == pytest.approx(3.75, abs=1e-6)
