@@ -241,6 +241,10 @@ _ROWS_ONLY_PRIORITY = [
     "cohens_kappa",
     "cramers_v",
     "anova_oneway",
+    # round-7 wave 15 (earth-mover drift, CUSUM shifts, linear resample)
+    "wasserstein_drift",
+    "cusum_changepoints",
+    "interpolate_linear",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

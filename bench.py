@@ -350,6 +350,11 @@ HEADLINE = [
     "cohens_kappa",
     "cramers_v",
     "anova_oneway",
+    # round-7 wave 15: distribution/regime monitoring + smooth resample
+    # (distinct-value-table exchanges; one keyed sort each)
+    "wasserstein_drift",
+    "cusum_changepoints",
+    "interpolate_linear",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -640,3 +640,75 @@ def hash_features(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def wasserstein_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth-mover) distance per group — the
+    magnitude-aware member of the drift family: PSI needs bins, KS reads
+    only the worst CDF gap; W1 integrates the whole gap IN THE UNITS OF
+    THE VALUE COLUMN:
+
+        W1 = ∫ |F_a(x) − F_b(x)| dx
+           = Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i)
+
+    over the pooled distinct values (both CDFs are step functions, so
+    the integral is this finite sum exactly — no quadrature). "W1 = 3.2"
+    on a price column means the distributions are 3.2 currency units of
+    transport apart, which thresholds far more interpretably than a KS
+    0.04.
+
+    Output per group: w1 (ndigits dp), n_a, n_b. A group seen on only
+    one side yields NULL (no defined comparison), matching ks_drift.
+
+    Shape: identical to ks_drift — union + side tag → ONE
+    partial-combined agg to the per-(group, distinct value) count table
+    → cumulative + lead windows sharing one sort → one final agg.
+    Exchanges are distinct-value-table-sized; quantize continuous
+    features upstream at write precision as with exact KS. Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    from pyspark.sql import Window as W
+
+    groups = (
+        [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols or [])
+    )
+    v = F.col(value_col).cast("double")
+    u = df_a.select(*groups, v.alias("__v")).withColumn(
+        "__side", F.lit("a")
+    ).unionByName(
+        df_b.select(*groups, v.alias("__v")).withColumn("__side", F.lit("b"))
+    ).filter(F.col("__v").isNotNull())
+    per_value = u.groupBy(*groups, "__v").agg(
+        F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__cb"),
+    )
+    cum_w = W.partitionBy(*groups).orderBy("__v")
+    whole = W.partitionBy(*groups)
+    stepped = per_value.select(
+        *groups,
+        "__v",
+        F.sum("__ca").over(cum_w).alias("__cum_a"),
+        F.sum("__cb").over(cum_w).alias("__cum_b"),
+        F.sum("__ca").over(whole).alias("__na"),
+        F.sum("__cb").over(whole).alias("__nb"),
+        F.lead("__v").over(cum_w).alias("__next_v"),
+    )
+    gap = F.abs(
+        F.try_divide(F.col("__cum_a"), F.col("__na"))
+        - F.try_divide(F.col("__cum_b"), F.col("__nb"))
+    )
+    # last distinct value: lead NULL -> zero-width step contributes 0
+    seg = gap * (F.coalesce(F.col("__next_v"), F.col("__v")) - F.col("__v"))
+    return stepped.groupBy(*groups).agg(
+        F.round(F.sum(seg), ndigits).alias("w1"),
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+    )

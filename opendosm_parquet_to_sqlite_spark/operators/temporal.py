@@ -1103,3 +1103,197 @@ def inactivity_labels(
         ).alias("churned"),
         F.col("gap_seconds").isNull().alias("censored"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    threshold: float = 1.358,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key mean-shift detection via the standardized CUSUM path —
+    the monitoring question count_anomaly doesn't answer (that flags
+    single outlier points; this finds a sustained LEVEL CHANGE and
+    where it happened):
+
+        S_k = Σ_{i≤k} (x_i − x̄) / (s·√n)
+
+    The max |S_k| location is the classic single-changepoint estimate,
+    and under the no-change null max|S| behaves like a Brownian-bridge
+    sup — the default threshold 1.358 is the 95% point of the
+    Kolmogorov distribution, so `flagged` is a ready-made 5% test.
+
+    Ordering is (order_col, tiebreak_col) — a total order, pinned so the
+    cumulative path (and therefore the argmax) is engine-deterministic.
+    The argmax itself tie-breaks to the EARLIEST position via min_by on
+    (−|S|, position) ordering encoded as a struct comparison.
+
+    Output per key: n BIGINT, s_max (max |S_k|, ndigits), at_order
+    (order_col value at the argmax — the estimated last-index-before-
+    change), flagged BOOLEAN. Keys with fewer than 2 rows or zero
+    variance yield NULL s_max / at_order and flagged NULL (undefined,
+    not false).
+
+    Shape: ONE hash exchange on the key; the per-key (mean, sd, n)
+    moments ride an UNBOUNDED window on the same partition (no second
+    exchange, no join-back) and the cumulative sum shares the one
+    in-partition sort; then a partial-combined max_by agg to the key
+    table. Fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(order_col).isNotNull()
+    ).select(*key_cols, F.col(order_col).alias("__ord"),
+             F.col(tiebreak_col).alias("__tb"), x.alias("__x"))
+    wkey = Window.partitionBy(*key_cols)
+    word = Window.partitionBy(*key_cols).orderBy("__ord", "__tb")
+    wrun = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n = F.count(F.lit(1)).over(wkey).cast("double")
+    mean = F.avg("__x").over(wkey)
+    # population-consistent sample sd (n-1), guarded below
+    sd = F.stddev_samp("__x").over(wkey)
+    stepped = base.select(
+        *key_cols,
+        "__ord",
+        n.alias("__n"),
+        sd.alias("__sd"),
+        F.row_number().over(word).alias("__k"),
+        (
+            (F.sum("__x").over(wrun) - F.avg("__x").over(wkey)
+             * F.count(F.lit(1)).over(wrun))
+        ).alias("__dev_sum"),
+    )
+    s_k = F.try_divide(
+        F.col("__dev_sum"), F.col("__sd") * F.sqrt(F.col("__n"))
+    )
+    scored = stepped.select(
+        *key_cols,
+        "__ord",
+        "__k",
+        "__n",
+        F.abs(s_k).alias("__abs_s"),
+    )
+    agg = scored.groupBy(*key_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.round(F.max("__abs_s"), ndigits).alias("s_max"),
+        # earliest position among tied maxima: min_by over (-abs_s, k)
+        F.min_by(
+            F.col("__ord"), F.struct((-F.col("__abs_s")).alias("neg"),
+                                     F.col("__k").alias("k"))
+        ).alias("__at"),
+        F.max(F.col("__abs_s").isNotNull()).alias("__defined"),
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        "s_max",
+        F.when(F.col("__defined"), F.col("__at")).alias("at_order"),
+        F.when(
+            F.col("__defined"), F.col("s_max") > F.lit(float(threshold))
+        ).alias("flagged"),
+    )
+
+
+def interpolate_linear(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_seconds_col: str,
+    value_col: str,
+    step_seconds: int,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key resample onto a fixed grid with LINEAR interpolation —
+    the smooth twin of resample_ffill (LOCF is right for state-like
+    series: prices, settings; linear is right for flow-like series:
+    meters, cumulative counters, sensor readings):
+
+        v(t) = v0 + (v1 − v0) · (t − t0) / (t1 − t0)
+
+    for the bracketing observations (t0, v0), (t1, v1).  Grid ticks
+    BEFORE the first or AFTER the last observation are not extrapolated
+    (NULL value) but kept as rows — the caller sees coverage gaps
+    explicitly.  A tick landing exactly on an observation returns that
+    observation's value (the formula degenerates to v0 — no epsilon
+    logic).
+
+    Grid: per key, every multiple of `step_seconds` from ceil(min_ts /
+    step)·step through max_ts — identical alignment contract to
+    resample_ffill (global epoch multiples; grids line up across keys
+    and runs).  Caller contract likewise: integer epoch seconds, (key,
+    ts) unique.
+
+    Output: key cols + (grid_ts BIGINT, value rounded).
+
+    Shape: one keyed bounds agg (tick count per key is span/step —
+    bound spans upstream for dormant keys), a narrow sequence-explode
+    for the grid, then ONE union + hash exchange + in-partition sort:
+    last(ignorenulls) carries (t0, v0) forward to each tick and
+    first(ignorenulls) over the FOLLOWING frame carries (t1, v1)
+    backward — the asof_join union-and-carry trick, run in both
+    directions over one sort, no join, no second exchange.  Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    ts = F.col(ts_seconds_col).cast("long")
+    obs = events.filter(
+        ts.isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *key_cols,
+        ts.alias("__ts"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    step = int(step_seconds)
+    bounds = obs.groupBy(*key_cols).agg(
+        F.min("__ts").alias("__lo"), F.max("__ts").alias("__hi")
+    )
+    first_tick = (F.ceil(F.col("__lo") / F.lit(step)) * step).cast("long")
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(first_tick, F.col("__hi"), F.lit(step).cast("long"))
+        ).alias("__ts"),
+    )
+    tagged = obs.select(
+        *key_cols, "__ts", "__v", F.lit(1).alias("__is_obs")
+    ).unionByName(
+        grid.select(
+            *key_cols, "__ts", F.lit(None).cast("double").alias("__v"),
+            F.lit(0).alias("__is_obs"),
+        )
+    )
+    # obs sorts before its co-timestamped tick (desc on the tag) so the
+    # backward carry sees the observation AT the tick itself
+    word = Window.partitionBy(*key_cols).orderBy("__ts", F.desc("__is_obs"))
+    wback = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfwd = word.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_ts = F.when(F.col("__is_obs") == 1, F.col("__ts"))
+    carried = tagged.select(
+        *key_cols,
+        "__ts",
+        "__is_obs",
+        F.last(obs_ts, ignorenulls=True).over(wback).alias("__t0"),
+        F.last("__v", ignorenulls=True).over(wback).alias("__v0"),
+        F.first(obs_ts, ignorenulls=True).over(wfwd).alias("__t1"),
+        F.first("__v", ignorenulls=True).over(wfwd).alias("__v1"),
+    )
+    ticks = carried.filter(F.col("__is_obs") == 0)
+    interp = (
+        F.col("__v0")
+        + (F.col("__v1") - F.col("__v0"))
+        * (F.col("__ts") - F.col("__t0")).cast("double")
+        / (F.col("__t1") - F.col("__t0")).cast("double")
+    )
+    # exact hit first: a tick ON an observation needs no forward bracket
+    # (the last observation has none when it lands on the grid)
+    value = F.when(
+        F.col("__t0") == F.col("__ts"), F.col("__v0")
+    ).when(
+        F.col("__t0").isNotNull() & F.col("__t1").isNotNull(), interp
+    )
+    return ticks.select(
+        *key_cols,
+        F.col("__ts").alias("grid_ts"),
+        F.round(value, ndigits).alias("value"),
+    )

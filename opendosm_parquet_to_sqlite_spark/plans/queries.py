@@ -8422,3 +8422,166 @@ def q_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("ts").isNotNull()
     ).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     return stats.anova_oneway(ev, "value", "event_type", "day")
+
+
+@query(
+    "wasserstein_drift",
+    """
+    WITH u AS (
+        SELECT event_type, value AS v,
+               CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+        FROM events WHERE value IS NOT NULL
+    ), per_value AS (
+        SELECT event_type, v,
+               sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+        FROM u GROUP BY 1, 2
+    ), stepped AS (
+        SELECT event_type, v,
+               sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS cum_a,
+               sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS cum_b,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb,
+               lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
+        FROM per_value
+    )
+    SELECT event_type,
+           round(sum(abs(cum_a / NULLIF(na, 0) - cum_b / NULLIF(nb, 0))
+                     * (COALESCE(nv, v) - v)), 6) AS w1,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b
+    FROM stepped GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_wasserstein_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT 1-D earth-mover distance between the even/odd USER halves
+    per event type (features.wasserstein_drift) — the magnitude-aware
+    drift number in value units, where KS reads only the worst CDF gap.
+    Same distinct-value-table exchange shape as ks_drift; sensitivity on
+    shifted data pinned in tests/test_drift.py. Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    return features.wasserstein_drift(a, b, "value", "event_type")
+
+
+@query(
+    "cusum_changepoints",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ord,
+               event_id AS tb, value AS x
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), st AS (
+        SELECT event_type, ord,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               avg(x) OVER (PARTITION BY event_type) AS m,
+               stddev_samp(x) OVER (PARTITION BY event_type) AS sd,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ord, tb) AS k,
+               sum(x) OVER (PARTITION BY event_type ORDER BY ord, tb
+                            ROWS UNBOUNDED PRECEDING) AS cx
+        FROM base
+    ), scored AS (
+        SELECT event_type, ord, k, n,
+               abs((cx - m * k) / NULLIF(sd * sqrt(n), 0)) AS abs_s
+        FROM st
+    ), ranked AS (
+        SELECT event_type, ord, n, abs_s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs_s DESC, k) AS r
+        FROM scored
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round(max(abs_s), 6) AS s_max,
+           max(CASE WHEN r = 1 AND abs_s IS NOT NULL THEN ord END)
+               AS at_order,
+           round(max(abs_s), 6) > 1.358 AS flagged
+    FROM ranked GROUP BY 1
+    """,
+    shadow=True,
+)
+def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
+    """Standardized-CUSUM mean-shift scan over each event type's value
+    series (temporal.cusum_changepoints): max |S_k| + its timestamp,
+    flagged at the Kolmogorov 95% point. One keyed exchange; moments and
+    the cumulative path share the partition sort. Hash-checked."""
+    ev = load_table(spark, sf, "events")
+    secs = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")) / 1000000
+    base = ev.filter(F.col("ts").isNotNull()).withColumn(
+        "ord", secs.cast("long")
+    )
+    return temporal.cusum_changepoints(
+        base, ["event_type"], "ord", "value", "event_id"
+    )
+
+
+@query(
+    "interpolate_linear",
+    """
+    WITH obs AS (
+        SELECT o_custkey % 10 AS k,
+               CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) * 86400 AS ts,
+               avg(o_totalprice) AS v
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT k, CAST(ceil(min(ts) / 2592000.0) * 2592000 AS BIGINT)
+                   AS lo,
+               max(ts) AS hi
+        FROM obs GROUP BY 1
+    ), grid AS (
+        SELECT k, unnest(generate_series(lo, hi, 2592000)) AS ts
+        FROM bounds
+    ), tagged AS (
+        SELECT k, ts, v, 1 AS is_obs FROM obs
+        UNION ALL
+        SELECT k, ts, NULL, 0 FROM grid
+    ), carried AS (
+        SELECT k, ts, is_obs,
+               last_value(CASE WHEN is_obs = 1 THEN ts END IGNORE NULLS)
+                   OVER w_back AS t0,
+               last_value(v IGNORE NULLS) OVER w_back AS v0,
+               first_value(CASE WHEN is_obs = 1 THEN ts END IGNORE NULLS)
+                   OVER w_fwd AS t1,
+               first_value(v IGNORE NULLS) OVER w_fwd AS v1
+        FROM tagged
+        WINDOW w_back AS (PARTITION BY k ORDER BY ts, is_obs DESC
+                          ROWS UNBOUNDED PRECEDING),
+               w_fwd AS (PARTITION BY k ORDER BY ts, is_obs DESC
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING)
+    )
+    SELECT k, ts AS grid_ts,
+           round(CASE WHEN t0 = ts THEN v0
+                      WHEN t0 IS NOT NULL AND t1 IS NOT NULL THEN
+                          v0 + (v1 - v0) * (ts - t0)
+                               / CAST(t1 - t0 AS DOUBLE)
+                 END, 6) AS value
+    FROM carried WHERE is_obs = 0
+    """,
+    shadow=True,
+)
+def q_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly-grid linear interpolation of mean order value per
+    customer shard (temporal.interpolate_linear) — the smooth resample
+    twin of resample_ffill; grid built from per-key bounds, both carry
+    directions share ONE exchange + sort (asof union-and-carry trick,
+    run forward and backward). Hash-checked."""
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    obs = o.groupBy(
+        (F.col("o_custkey") % 10).alias("k"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            * 86400
+        ).alias("ts"),
+    ).agg(F.avg("o_totalprice").alias("v"))
+    return temporal.interpolate_linear(
+        obs, ["k"], "ts", "v", 2592000
+    )

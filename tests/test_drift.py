@@ -418,3 +418,42 @@ def test_streaming_js_monitor_matches_batch_and_rejects_bad_metric(
             sdf, base_path, "c", ["g"], str(tmp_path / "ckpt2"), sink,
             metric="kl",
         )
+
+
+# --- wasserstein_drift --------------------------------------------------------
+
+
+def test_wasserstein_identical_zero_shift_exact(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.features import (
+        wasserstein_drift,
+    )
+
+    vals = [1.0, 2.0, 5.0, 9.0]
+    a = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    b_same = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    row = wasserstein_drift(a, b_same, "v", "g").collect()[0]
+    assert row["w1"] == pytest.approx(0.0)
+    # constant shift by c: W1 == c exactly
+    b_shift = spark.createDataFrame(
+        [("g", v + 3.0) for v in vals], "g string, v double"
+    )
+    row = wasserstein_drift(a, b_shift, "v", "g").collect()[0]
+    assert row["w1"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_wasserstein_hand_example_and_one_sided_group(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.features import (
+        wasserstein_drift,
+    )
+
+    # a = {0, 1}, b = {1}: F_a steps .5 at 0 and 1; F_b steps 1 at 1.
+    # gap on [0,1) is .5 -> W1 = 0.5
+    a = spark.createDataFrame(
+        [("g", 0.0), ("g", 1.0), ("only_a", 7.0)], "g string, v double"
+    )
+    b = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    out = {r["g"]: r for r in wasserstein_drift(a, b, "v", "g").collect()}
+    assert out["g"]["w1"] == pytest.approx(0.5, abs=1e-6)
+    assert out["only_a"]["w1"] is None  # no comparison defined

@@ -727,3 +727,27 @@ def test_anova_two_stacked_partial_aggs(spark):
     # exchanges, both partial-combined
     assert plan.count("Arguments: hashpartitioning") <= 2
     assert "partial" in plan.lower()
+
+
+def test_wasserstein_distinct_value_table_exchange(spark):
+    plan = _plan(spark, "wasserstein_drift")
+    # raw values collapse to the per-(type, value) count table before the
+    # cumulative/lead windows; no joins anywhere
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_cusum_one_keyed_exchange_shares_sort(spark):
+    plan = _plan(spark, "cusum_changepoints")
+    assert "Join" not in plan
+    # moments (unbounded window), cumulative path, and the max_by agg all
+    # ride the one event_type partitioning
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_interpolate_union_carry_no_join(spark):
+    plan = _plan(spark, "interpolate_linear")
+    # the grid union carries brackets in both directions over ONE keyed
+    # sort — an asof-join shape with zero Join operators
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Generate" in plan  # the sequence explode building the grid

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from opendosm_parquet_to_sqlite_spark.operators import temporal
@@ -313,3 +315,95 @@ def test_interval_union_drops_invalid(spark):
     df = spark.createDataFrame(rows, "k string, s double, e double")
     got = interval_union(df, ["k"], "s", "e").collect()
     assert [(r.start, r.end, r.n_merged) for r in got] == [(1.0, 2.0, 1)]
+
+
+# --- cusum_changepoints -------------------------------------------------------
+
+
+def test_cusum_finds_the_level_shift(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    # 20 points at ~0 then 20 at ~5: argmax |S| sits at the boundary
+    xs = [0.0, 0.2, -0.1, 0.1] * 5 + [5.0, 5.2, 4.9, 5.1] * 5
+    rows = [("k", i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, ord long, id long, x double")
+    row = cusum_changepoints(df, ["k"], "ord", "x", "id").collect()[0]
+    assert row["n"] == 40
+    assert row["flagged"] is True
+    assert row["at_order"] == 19  # last index before the change
+    # pure-python reference for s_max
+    import statistics
+
+    m = statistics.fmean(xs)
+    sd = statistics.stdev(xs)
+    import math
+
+    cum, smax = 0.0, 0.0
+    for x in xs:
+        cum += x - m
+        smax = max(smax, abs(cum) / (sd * math.sqrt(len(xs))))
+    assert row["s_max"] == pytest.approx(smax, abs=1e-6)
+
+
+def test_cusum_null_regime_and_degenerate_keys(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    rows = (
+        # alternating noise: no sustained shift -> not flagged
+        [("noise", i, i, float((-1) ** i)) for i in range(40)]
+        # constant: zero variance -> undefined
+        + [("const", i, i, 2.0) for i in range(5)]
+        # single row -> undefined
+        + [("one", 0, 0, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, ord long, id long, x double")
+    out = {r["k"]: r for r in cusum_changepoints(df, ["k"], "ord", "x", "id").collect()}
+    assert out["noise"]["flagged"] is False
+    assert out["const"]["s_max"] is None and out["const"]["flagged"] is None
+    assert out["one"]["s_max"] is None and out["one"]["at_order"] is None
+
+
+# --- interpolate_linear -------------------------------------------------------
+
+
+def test_interpolate_linear_midpoints_and_edges(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        interpolate_linear,
+    )
+
+    # obs at t=100 (v=10) and t=200 (v=30); grid step 50 -> ticks
+    # 100, 150, 200: exact obs at 100/200, midpoint 20 at 150
+    df = spark.createDataFrame(
+        [("k", 100, 10.0), ("k", 200, 30.0)], "k string, ts long, v double"
+    )
+    out = {
+        r["grid_ts"]: r["value"]
+        for r in interpolate_linear(df, ["k"], "ts", "v", 50).collect()
+    }
+    assert out[100] == pytest.approx(10.0)
+    assert out[150] == pytest.approx(20.0)
+    assert out[200] == pytest.approx(30.0)
+
+
+def test_interpolate_linear_uneven_spacing_and_alignment(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        interpolate_linear,
+    )
+
+    # obs at 130 (v=0) and 430 (v=3): first tick = ceil(130/100)*100=200
+    # v(200) = (200-130)/300*3 = 0.7; v(300)=1.7; v(400)=2.7
+    df = spark.createDataFrame(
+        [("k", 130, 0.0), ("k", 430, 3.0)], "k string, ts long, v double"
+    )
+    out = {
+        r["grid_ts"]: r["value"]
+        for r in interpolate_linear(df, ["k"], "ts", "v", 100).collect()
+    }
+    assert set(out) == {200, 300, 400}
+    assert out[200] == pytest.approx(0.7, abs=1e-6)
+    assert out[300] == pytest.approx(1.7, abs=1e-6)
+    assert out[400] == pytest.approx(2.7, abs=1e-6)
