@@ -245,6 +245,8 @@ _ROWS_ONLY_PRIORITY = [
     "wasserstein_drift",
     "cusum_changepoints",
     "interpolate_linear",
+    # round-7 wave 16 (blocked entity resolution; shadow)
+    "record_linkage",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

@@ -355,6 +355,8 @@ HEADLINE = [
     "wasserstein_drift",
     "cusum_changepoints",
     "interpolate_linear",
+    # round-7 wave 16: blocked entity resolution (block-keyed self-join)
+    "record_linkage",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -1,0 +1,151 @@
+"""Probabilistic record linkage (entity resolution) — blocked candidate
+pairs scored by weighted field similarity, the Fellegi–Sunter shape every
+data-integration pipeline runs before a golden-record merge.
+
+The dedup family (operators/dedup.py, neardup.py) answers "same TEXT?";
+linkage answers "same ENTITY?" across records whose fields each carry
+partial, noisy evidence — a name that almost matches, a balance that
+nearly agrees, a segment that matches exactly. No reference analog
+(src/main.rs has no multi-field matching); SURVEY §2.13 extension.
+
+Scale design: candidates come ONLY from equi-joins inside caller-chosen
+blocks — never an all-pairs product. Pair volume is Σ_b n_b², so the
+block key choice (plus the `max_block` hot-block cap, same idiom as
+dedup_levenshtein's prefix blocks) is the declared scale lever. The
+similarity math is all JVM expressions (levenshtein, abs, greatest) —
+no Python in the pair loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FIELD_KINDS = ("string", "exact", "numeric")
+
+
+def _field_sim(kind: str, a: Column, b: Column) -> Column:
+    """Similarity in [0, 1], or NULL when either side is NULL (missing =
+    no evidence; the field drops out and its weight is renormalized away,
+    the Fellegi–Sunter missing-data convention)."""
+    defined = a.isNotNull() & b.isNotNull()
+    if kind == "string":
+        sim = F.lit(1.0) - F.levenshtein(a, b) / F.greatest(
+            F.length(a), F.length(b), F.lit(1)
+        ).cast("double")
+    elif kind == "exact":
+        sim = F.when(a == b, 1.0).otherwise(0.0)
+    elif kind == "numeric":
+        ax, bx = F.abs(a.cast("double")), F.abs(b.cast("double"))
+        sim = F.when(
+            (a.cast("double") == 0.0) & (b.cast("double") == 0.0), 1.0
+        ).otherwise(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.abs(a.cast("double") - b.cast("double"))
+                / F.greatest(ax, bx),
+            )
+        )
+    else:
+        raise ValueError(f"kind must be one of {FIELD_KINDS}, got {kind!r}")
+    return F.when(defined, sim)
+
+
+def record_linkage(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[tuple[str, str, float]],
+    threshold: float = 0.9,
+    max_block: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Score every within-block record pair by weighted field similarity
+    and classify matches — self-linkage (dedup-shaped: id_a < id_b, each
+    unordered pair once).
+
+    `fields` = [(column, kind, weight)]:
+      string  — 1 − levenshtein/max(len)     (edit-distance similarity)
+      exact   — 1.0 / 0.0                    (categorical agreement)
+      numeric — 1 − |a−b| / max(|a|, |b|)    (relative closeness,
+                clipped at 0; 0-vs-0 is 1.0)
+
+    score = Σ wᵢ·simᵢ / Σ wᵢ over the fields DEFINED for the pair
+    (either side NULL → the field abstains and its weight leaves the
+    denominator — missing data neither helps nor hurts).  All-fields-
+    missing pairs get NULL score and NULL matched.  `matched` compares
+    the ROUNDED score to `threshold` so the decision is reproducible
+    across engines.
+
+    Blocks: equi-join on `block_cols` (rows with a NULL block key never
+    pair — NULL equality is false, stated contract).  `max_block` drops
+    blocks with more rows than the cap BEFORE the join (window count on
+    the block key) — the skew guard for degenerate keys; dropped volume
+    is the caller's to monitor via block_stats-style preflight.
+
+    Output: (id_a, id_b, sim_<col> per field, score, matched) — pair
+    rows, sims rounded.
+
+    Shape: one hash exchange of the record table on the block key (both
+    sides of the self-join share it), the pair predicate id_a < id_b
+    halves the output, and every similarity is a JVM scalar expression
+    on the joined row — no UDFs, no second corpus exchange. Fully
+    SQL-expressible → hash-checked vs DuckDB.
+    """
+    for _, kind, _ in fields:
+        if kind not in FIELD_KINDS:
+            raise ValueError(
+                f"kind must be one of {FIELD_KINDS}, got {kind!r}"
+            )
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    keep = [id_col, *block_cols, *[c for c, _, _ in fields]]
+    base = df.select(*dict.fromkeys(keep))
+    if max_block is not None:
+        wblock = Window.partitionBy(*block_cols)
+        base = (
+            base.withColumn("__bn", F.count(F.lit(1)).over(wblock))
+            .filter(F.col("__bn") <= int(max_block))
+            .drop("__bn")
+        )
+    # The build side broadcasts (record tables are dim-sized relative to
+    # the pair volume they generate); the PROBE side must carry the
+    # parallelism — a freshly scanned single-file table arrives as one
+    # input split, which would run every similarity on one task. The
+    # block-keyed repartition is the operator's one declared exchange.
+    a = base.repartition(*[F.col(c) for c in block_cols]).select(
+        *[F.col(c).alias(f"__a_{c}") for c in base.columns]
+    )
+    b = base.select(
+        *[F.col(c).alias(f"__b_{c}") for c in base.columns]
+    )
+    cond = [
+        F.col(f"__a_{c}") == F.col(f"__b_{c}") for c in block_cols
+    ] + [F.col(f"__a_{id_col}") < F.col(f"__b_{id_col}")]
+    pairs = a.join(b, on=cond)
+    sims = {
+        c: _field_sim(kind, F.col(f"__a_{c}"), F.col(f"__b_{c}"))
+        for c, kind, _ in fields
+    }
+    wsum = None
+    ssum = None
+    for c, _, w in fields:
+        wterm = F.when(sims[c].isNotNull(), F.lit(float(w))).otherwise(0.0)
+        sterm = F.coalesce(sims[c] * float(w), F.lit(0.0))
+        wsum = wterm if wsum is None else wsum + wterm
+        ssum = sterm if ssum is None else ssum + sterm
+    score = F.round(
+        F.try_divide(ssum, F.nullif(wsum, F.lit(0.0))), ndigits
+    )
+    return pairs.select(
+        F.col(f"__a_{id_col}").alias("id_a"),
+        F.col(f"__b_{id_col}").alias("id_b"),
+        *[
+            F.round(sims[c], ndigits).alias(f"sim_{c}")
+            for c, _, _ in fields
+        ],
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("matched"),
+    )

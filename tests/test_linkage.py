@@ -1,0 +1,108 @@
+"""Pins for operators/linkage.py — planted near-duplicates, the
+missing-field weight renormalization, and the hot-block cap."""
+
+from __future__ import annotations
+
+import pytest
+
+from opendosm_parquet_to_sqlite_spark.operators.linkage import record_linkage
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, blk string, name string, bal double"
+    )
+
+
+FIELDS = [("name", "string", 2.0), ("bal", "numeric", 1.0)]
+
+
+def test_planted_duplicate_outscores_nonduplicate(spark):
+    df = _df(
+        spark,
+        [
+            (1, "b", "acme corp", 100.0),
+            (2, "b", "acme corp.", 101.0),   # near-dup of 1
+            (3, "b", "zzz widgets", 5000.0),  # unrelated
+        ],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in record_linkage(df, "id", ["blk"], FIELDS, 0.9).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    dup, other = out[(1, 2)], out[(1, 3)]
+    assert dup["score"] > other["score"]
+    assert dup["matched"] is True and other["matched"] is False
+    # hand-check the dup pair: lev("acme corp","acme corp.")=1, len 10
+    assert dup["sim_name"] == pytest.approx(1 - 1 / 10, abs=1e-6)
+    assert dup["sim_bal"] == pytest.approx(1 - 1.0 / 101.0, abs=1e-6)
+
+
+def test_blocks_never_cross_and_null_block_never_pairs(spark):
+    df = _df(
+        spark,
+        [
+            (1, "b1", "same name", 1.0),
+            (2, "b2", "same name", 1.0),  # other block: no pair
+            (3, None, "same name", 1.0),  # NULL block: no pair
+            (4, None, "same name", 1.0),
+        ],
+    )
+    assert record_linkage(df, "id", ["blk"], FIELDS, 0.5).count() == 0
+
+
+def test_missing_field_abstains_and_renormalizes(spark):
+    df = _df(
+        spark,
+        [
+            (1, "b", "acme", None),
+            (2, "b", "acme", 50.0),   # bal missing on one side
+            (3, "b", None, None),     # everything missing vs 1
+        ],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in record_linkage(df, "id", ["blk"], FIELDS, 0.9).collect()
+    }
+    pair = out[(1, 2)]
+    assert pair["sim_bal"] is None
+    # score is the name sim alone (weight renormalized), not dragged to 2/3
+    assert pair["score"] == pytest.approx(1.0)
+    assert pair["matched"] is True
+    allmiss = out[(1, 3)]
+    assert allmiss["score"] is None and allmiss["matched"] is None
+
+
+def test_exact_kind_and_zero_zero_numeric(spark):
+    df = spark.createDataFrame(
+        [(1, "b", "x", 0.0), (2, "b", "x", 0.0), (3, "b", "y", -1.0)],
+        "id long, blk string, cat string, bal double",
+    )
+    fields = [("cat", "exact", 1.0), ("bal", "numeric", 1.0)]
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in record_linkage(df, "id", ["blk"], fields, 0.9).collect()
+    }
+    assert out[(1, 2)]["sim_cat"] == 1.0
+    assert out[(1, 2)]["sim_bal"] == 1.0  # 0 vs 0 is identity, not 0/0
+    assert out[(1, 3)]["sim_cat"] == 0.0
+
+
+def test_max_block_cap_drops_hot_blocks(spark):
+    rows = [(i, "hot", f"n{i}", 1.0) for i in range(10)] + [
+        (100, "cold", "a", 1.0),
+        (101, "cold", "b", 1.0),
+    ]
+    df = _df(spark, rows)
+    out = record_linkage(df, "id", ["blk"], FIELDS, 0.5, max_block=5)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(100, 101)}  # the 10-row hot block is dropped entirely
+
+
+def test_bad_kind_raises(spark):
+    df = _df(spark, [(1, "b", "x", 1.0)])
+    with pytest.raises(ValueError, match="kind"):
+        record_linkage(df, "id", ["blk"], [("name", "fuzzy", 1.0)], 0.5)
+    with pytest.raises(ValueError, match="non-empty"):
+        record_linkage(df, "id", ["blk"], [], 0.5)

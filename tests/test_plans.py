@@ -751,3 +751,12 @@ def test_interpolate_union_carry_no_join(spark):
     # sort — an asof-join shape with zero Join operators
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "Generate" in plan  # the sequence explode building the grid
+
+
+def test_record_linkage_single_block_keyed_join(spark):
+    plan = _plan(spark, "record_linkage")
+    # the self-join is an equi-join on the block key (shuffle or broadcast
+    # hash — never a nested-loop pair scan); sims are scalar projections
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
