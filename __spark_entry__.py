@@ -256,6 +256,9 @@ _ROWS_ONLY_PRIORITY = [
     "knn_graph",
     "knn_clusters",
     "hard_negatives",
+    # round-7 wave 17: LOF anomaly scores on the kNN edge list (math
+    # parity + structural pins in tests/test_similarity.py)
+    "lof_outliers",
     # PQ family (approximate by design; recall + exact-regime pins in
     # tests/test_pq.py):
     "ann_pq",

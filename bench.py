@@ -357,6 +357,8 @@ HEADLINE = [
     "interpolate_linear",
     # round-7 wave 16: blocked entity resolution (block-keyed self-join)
     "record_linkage",
+    # round-7 wave 17: LOF over the kNN edge list (edge-keyed joins only)
+    "lof_outliers",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -1953,3 +1953,75 @@ def centroid_classify(
         .groupBy(label_col, "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def lof_outliers(
+    knn: DataFrame,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Local Outlier Factor over a kNN edge list [Breunig 2000] — the
+    DENSITY-RELATIVE anomaly score embedding curation wants where a
+    global distance cutoff fails: a point is anomalous if its local
+    density is low RELATIVE TO ITS NEIGHBORS' densities, so sparse-but-
+    uniform regions don't light up and tight clusters still expose
+    stragglers.  LOF ≈ 1 → inlier; ≫ 1 → outlier.
+
+    Input: a knn_graph edge list (src, dst, cosine, rank) — distances
+    here are cosine DISTANCE d = 1 − cosine.  Definitions over the
+    edges present per node (its ≤k neighborhood):
+
+        k_dist(p)      = max_o d(p, o)
+        reach(p, o)    = max(k_dist(o), d(p, o))
+        lrd(p)         = 1 / (avg_o reach(p, o) + 1e-10)
+        lof(p)         = avg_o lrd(o) / lrd(p)
+
+    The 1e-10 floor is sklearn's duplicate-point convention: a node
+    whose whole neighborhood is exact duplicates has avg reach 0; the
+    floor keeps lrd finite and duplicate clusters score ≈ 1 instead of
+    inf/inf.  Exactness tracks the edge list: exhaustive-regime
+    knn_graph edges give textbook-exact LOF (pinned vs a pure-python
+    reference); LSH-regime edges give the approximate-neighborhood LOF
+    — same dial as every consumer of knn_graph.
+
+    Output: (node, k_dist, lrd, lof) rounded — every src node scores.
+
+    Shape: three node-keyed hash joins ON THE EDGE LIST (k·n rows — the
+    corpus vectors never reappear) + two partial-combined aggs to the
+    node table: kdist join-back (reach), lrd agg, lrd join-back, final
+    avg ratio.  Nothing here is quadratic and nothing collects.
+    """
+    d = (F.lit(1.0) - F.col("cosine")).alias("dist")
+    edges = knn.select(F.col("src"), F.col("dst"), d)
+    kdist = edges.groupBy("src").agg(F.max("dist").alias("k_dist"))
+    # reach(p, o) needs k_dist(o): join edges to the NEIGHBOR's k_dist
+    reach = edges.join(
+        kdist.select(
+            F.col("src").alias("dst"), F.col("k_dist").alias("__kd_o")
+        ),
+        "dst",
+    ).select(
+        "src",
+        "dst",
+        F.greatest(F.col("__kd_o"), F.col("dist")).alias("__reach"),
+    )
+    lrd = reach.groupBy("src").agg(
+        (F.lit(1.0) / (F.avg("__reach") + F.lit(1e-10))).alias("lrd")
+    )
+    lof = (
+        edges.join(
+            lrd.select(
+                F.col("src").alias("dst"), F.col("lrd").alias("__lrd_o")
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.avg("__lrd_o").alias("__avg_lrd_o"))
+        .join(lrd, "src")
+        .join(kdist, "src")
+    )
+    return lof.select(
+        F.col("src").alias("node"),
+        F.round(F.col("k_dist"), ndigits).alias("k_dist"),
+        F.round(F.col("lrd"), ndigits).alias("lrd"),
+        F.round(F.col("__avg_lrd_o") / F.col("lrd"), ndigits).alias("lof"),
+    )

@@ -8650,3 +8650,17 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
         [("c_name", "string", 2.0), ("c_acctbal", "numeric", 1.0)],
         threshold=0.62,
     )
+
+
+@query("lof_outliers")  # rows-only: composed on the hash-dependent graph
+def q_lof_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Local Outlier Factor over the embeddings table (similarity.
+    lof_outliers on a k=10 knn_graph): density-RELATIVE anomaly scores —
+    the curation screen that flags stragglers inside tight clusters
+    without lighting up uniformly sparse regions. Edge-list joins only;
+    textbook-exact parity in the exhaustive regime is pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    knn = similarity.knn_graph(emb, k=10, dim=dim, n_planes=2, n_tables=8)
+    return similarity.lof_outliers(knn)

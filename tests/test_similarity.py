@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -596,3 +597,76 @@ def test_vector_health_flags_nan_zero_ragged(spark):
     # NaN row EXCLUDED from norm stats: min 0 (zero vec), max 5
     assert r["norm_min"] == 0.0 and r["norm_max"] == 5.0
     assert r["norm_avg"] == 2.0  # (5 + 0 + 1) / 3
+
+
+# --- lof_outliers -------------------------------------------------------------
+
+
+def _lof_from_edges(edges, k_unused=None):
+    """Pure-python LOF from an explicit (src, dst, dist) edge list —
+    pins lof_outliers' MATH exactly (the edge list itself is knn_graph's
+    contract, exactness-pinned in its own tests)."""
+    nbrs = {}
+    for src, dst, dist in edges:
+        nbrs.setdefault(src, []).append((dst, dist))
+    kdist = {i: max(d for _, d in nb) for i, nb in nbrs.items()}
+    lrd = {
+        i: 1.0
+        / (sum(max(kdist[o], d) for o, d in nb) / len(nb) + 1e-10)
+        for i, nb in nbrs.items()
+    }
+    return {
+        i: sum(lrd[o] for o, _ in nb) / len(nb) / lrd[i]
+        for i, nb in nbrs.items()
+    }
+
+
+def test_lof_exact_parity_with_math_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    # a tight cluster + a clear outlier far away
+    vecs = {i: [rng.gauss(1.0, 0.05), rng.gauss(1.0, 0.05)] for i in range(12)}
+    vecs[99] = [-1.0, 1.5]
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # n_planes=0 -> single bucket -> exhaustive candidates
+    knn = similarity.knn_graph(df, k=3, dim=2, n_planes=0, n_tables=1)
+    edges = [
+        (r["src"], r["dst"], 1.0 - r["cosine"]) for r in knn.collect()
+    ]
+    ref = _lof_from_edges(edges)
+    got = {r["node"]: r for r in similarity.lof_outliers(knn).collect()}
+    assert set(got) == set(ref)
+    for i, r in ref.items():
+        assert got[i]["lof"] == pytest.approx(r, abs=1e-5), i
+    # the planted outlier is the top score and clearly anomalous.
+    # (individual inliers CAN score high: cosine distance is purely
+    # angular, and micro-noise makes some cluster points locally sparse
+    # relative to near-duplicate trios — LOF is scale-free by design —
+    # so the structural pin is relative, not an absolute inlier cap)
+    top = max(got.values(), key=lambda r: r["lof"])
+    assert top["node"] == 99 and top["lof"] > 1.5
+    import statistics
+
+    inlier_median = statistics.median(
+        r["lof"] for n, r in got.items() if n != 99
+    )
+    assert top["lof"] > 3 * inlier_median
+
+
+def test_lof_duplicate_cluster_scores_near_one(spark):
+    # 6 exact duplicates + 2 mild inliers: the 1e-10 floor keeps lrd
+    # finite and duplicates score ~= 1, never inf/NaN
+    rows = [(i, [1.0, 0.0]) for i in range(6)] + [
+        (10, [0.9, 0.1]),
+        (11, [0.95, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    knn = similarity.knn_graph(df, k=3, dim=2, n_planes=0, n_tables=1)
+    got = {r["node"]: r["lof"] for r in similarity.lof_outliers(knn).collect()}
+    import math
+
+    for i in range(6):
+        assert got[i] is not None and math.isfinite(got[i])
+        assert got[i] == pytest.approx(1.0, abs=0.05)
