@@ -166,13 +166,16 @@ def preference_pairs(
     rejected_score, margin 6 dp).
     """
     s = F.col(score_col).cast("double")
-    # min_by on (score, id): encode "prefer lower id on ties" for BOTH
-    # extremes by negating the id for max_by
+    # "prefer lower id on ties" for BOTH extremes WITHOUT negating the
+    # id (string ids -- the natural document/sample id type -- can't be
+    # negated): the chosen side is min_by over the key struct
+    # (-score, id), which picks max score then min id and stays
+    # type-agnostic in the id
     agg = df.filter(s.isNotNull()).groupBy(group_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.max_by(
+        F.min_by(
             F.struct(F.col(id_col).alias("id"), s.alias("score")),
-            F.struct(s, (-F.col(id_col)).alias("__ni")),
+            F.struct((-s).alias("__ns"), F.col(id_col)),
         ).alias("__best"),
         F.min_by(
             F.struct(F.col(id_col).alias("id"), s.alias("score")),

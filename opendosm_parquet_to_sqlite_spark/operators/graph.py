@@ -527,18 +527,21 @@ def label_propagation(
                 .groupBy(F.col("u").alias("node"), "label")
                 .agg(F.count(F.lit(1)).alias("__c"))
             )
-            # most frequent neighbor label, min label on ties: max of
-            # (count, -label) then negate back
+            # most frequent neighbor label, min label on ties:
+            # min_by over the key struct (-count, label) -- negating the
+            # COUNT (always numeric) instead of the label keeps the
+            # tie-break type-agnostic, so string node ids (the common
+            # doc-id type from the neardup pipeline) work too
             new = (
                 neigh.groupBy("node")
                 .agg(
-                    F.max(
+                    F.min_by(
+                        F.col("label"),
                         F.struct(
-                            F.col("__c"), (-F.col("label")).alias("__nl")
-                        )
-                    ).alias("__best")
+                            (-F.col("__c")).alias("__nc"), F.col("label")
+                        ),
+                    ).alias("label")
                 )
-                .select("node", (-F.col("__best.__nl")).alias("label"))
             )
             before = _persistent_rdd_ids(spark)
             new_labels = _truncate(new)

@@ -155,9 +155,14 @@ def l_diversity_report(
         F.when(is_sens, F.col("__c") / F.nullif(sens_sum, F.lit(0.0))),
     ).withColumn("__is_sens", is_sens)
     klass = withp.groupBy(*quasi_cols).agg(
+        # class_size is the TRUE equivalence-class row count (all cells,
+        # NULL-sensitive included) so it correlates 1:1 with
+        # k_anonymity_report's class_size; the non-NULL total consumers
+        # previously got here is kept as n_sensitive_rows
+        F.sum(F.col("__c")).cast("long").alias("class_size"),
         F.sum(F.when(F.col("__is_sens"), F.col("__c")).otherwise(0.0))
         .cast("long")
-        .alias("class_size"),
+        .alias("n_sensitive_rows"),
         F.sum(F.col("__is_sens").cast("int")).cast("long").alias(
             "n_sensitive"
         ),

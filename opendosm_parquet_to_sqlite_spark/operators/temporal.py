@@ -1249,10 +1249,19 @@ def interpolate_linear(
         F.min("__ts").alias("__lo"), F.max("__ts").alias("__hi")
     )
     first_tick = (F.ceil(F.col("__lo") / F.lit(step)) * step).cast("long")
+    # a key whose ceil-aligned first tick exceeds its max_ts (e.g. one
+    # observation between grid points) has NO ticks -- sequence() with
+    # start > stop throws, so guard with an empty array exactly as
+    # resample_ffill does: the key simply emits nothing
     grid = bounds.select(
         *key_cols,
         F.explode(
-            F.sequence(first_tick, F.col("__hi"), F.lit(step).cast("long"))
+            F.when(
+                first_tick <= F.col("__hi"),
+                F.sequence(
+                    first_tick, F.col("__hi"), F.lit(step).cast("long")
+                ),
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("__ts"),
     )
     tagged = obs.select(

@@ -8174,6 +8174,7 @@ def q_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:
     ), klass AS (
         SELECT c_nationkey, acctbal_band,
                CAST(sum(c) AS BIGINT) AS class_size,
+               CAST(sum(c) AS BIGINT) AS n_sensitive_rows,
                CAST(count(*) AS BIGINT) AS n_sensitive,
                round(sum(p * ln(1 / p)), 6) AS entropy
         FROM withp GROUP BY 1, 2

@@ -164,7 +164,11 @@ def compact_dataset(
 
     Write-then-swap (same contract as incremental.recover_swap): the
     compacted copy lands at `path + '.next'`, then two renames swap it
-    in — a crash before the first rename leaves the original untouched.
+    in — a crash before the first rename leaves the original untouched,
+    and recover_swap runs FIRST so a crash in the window BETWEEN the two
+    renames (dataset stranded at '.old', nothing at `path`) self-heals
+    on the next compact/maintenance call, matching
+    maintain_state_dataset / merge_upsert_dataset.
 
     Returns {"files_before", "files_after", "total_bytes"} so callers
     can log/assert the compaction actually compacted.
@@ -172,6 +176,10 @@ def compact_dataset(
     import math
     import os
     import shutil
+
+    from ..operators.incremental import recover_swap
+
+    recover_swap(path, (".next",))
 
     sizes = []
     for dirpath, _d, filenames in os.walk(path):
@@ -184,9 +192,6 @@ def compact_dataset(
     n = max(1, math.ceil(total / max(1, int(target_file_bytes))))
     df = spark.read.parquet(path)
     nxt, old = path + ".next", path + ".old"
-    for stale in (nxt, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
     if partition_col:
         # ceil-split per partition: a hot partition still gets multiple
         # files, but each file holds exactly one partition value

@@ -91,6 +91,21 @@ def test_preference_pairs_ties_margin_and_singletons(spark):
     assert r["margin"] == 4.0
 
 
+def test_preference_pairs_string_ids(spark):
+    # string ids (natural for document/sample ids in DPO prep) must
+    # work: the r7 tie-break negated the id, crashing with
+    # CAST_INVALID_INPUT under ANSI mode. Ties still break low.
+    df = spark.createDataFrame(
+        [("g", "doc_b", 5.0), ("g", "doc_a", 5.0), ("g", "doc_c", 1.0),
+         ("g", "doc_d", 1.0)],
+        "g string, id string, score double",
+    )
+    rows = contrastive.preference_pairs(df, "g", "id", "score").collect()
+    assert len(rows) == 1
+    assert rows[0]["chosen_id"] == "doc_a"
+    assert rows[0]["rejected_id"] == "doc_c"
+
+
 def test_preference_pairs_min_margin_gate(spark):
     df = spark.createDataFrame(
         [("g", 1, 1.0), ("g", 2, 1.5)], "g string, id long, score double"

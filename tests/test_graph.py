@@ -306,8 +306,8 @@ def _lpa_ref(edges, max_iter=10):
         new = {}
         for n in adj:
             cnt = Counter(labels[m] for m in adj[n])
-            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
-            new[n] = best[0]
+            mx = max(cnt.values())
+            new[n] = min(lb for lb, c in cnt.items() if c == mx)
         if new == labels:
             return new
         labels = new
@@ -349,6 +349,25 @@ def test_label_propagation_deterministic_across_partitionings(spark):
         for r in graph.label_propagation(df8).collect()
     )
     assert r1 == r8 == sorted(_lpa_ref(edges).items())
+
+
+def test_label_propagation_string_node_ids(spark):
+    # string ids (the doc-id type the neardup pipeline feeds) must work:
+    # the r7 tie-break negated the label, which casts string->double
+    # under ANSI mode and crashed. Two 3-cliques bridged once.
+    cliq1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    cliq2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    df = spark.createDataFrame(
+        cliq1 + cliq2 + [("c", "x")], "id_a string, id_b string"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(df).collect()
+    }
+    assert got == _lpa_ref(cliq1 + cliq2 + [("c", "x")])
+    assert len({got[n] for n in "abc"}) == 1
+    assert len({got[n] for n in "xyz"}) == 1
+    assert got["a"] != got["x"]
 
 
 def test_link_prediction_hand_graph(spark):

@@ -188,6 +188,26 @@ def test_compact_dataset_stale_staging_dirs_cleaned(spark, tmp_path):
     assert spark.read.parquet(path).count() == 100
 
 
+def test_compact_dataset_recovers_mid_swap_crash(spark, tmp_path):
+    # crash between the two swap renames leaves NO dataset at `path`
+    # and the previous state stranded at '.old' -- the next compact
+    # must self-heal via recover_swap (ADVICE r7), not fail the read
+    import os
+
+    from opendosm_parquet_to_sqlite_spark.sources.layout import (
+        compact_dataset,
+    )
+
+    path = str(tmp_path / "ds2")
+    spark.range(200).repartition(4).write.parquet(path)
+    os.rename(path, path + ".old")  # simulate crash mid-swap
+    assert not os.path.exists(path)
+    stats = compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    assert not os.path.exists(path + ".old")
+    assert spark.read.parquet(path).count() == 200
+
+
 def test_compact_if_needed_skips_healthy_and_fixes_fragmented(spark, tmp_path):
     from opendosm_parquet_to_sqlite_spark.sources.layout import (
         compact_if_needed,

@@ -631,7 +631,11 @@ def test_l_diversity_catches_dominated_class(spark):
     assert out["A"].entropy == pytest.approx(want, abs=1e-6)
     assert out["A"].n_sensitive == 2
     assert out["C"].entropy == 0.0 and out["C"].n_sensitive == 1
-    assert out["D"].class_size == 0 and out["D"].n_sensitive == 0
+    assert out["D"].class_size == 4 and out["D"].n_sensitive == 0
+    assert out["D"].n_sensitive_rows == 0
+    # class_size is the TRUE class row count (k_anonymity semantics);
+    # the non-NULL-sensitive total lives in n_sensitive_rows
+    assert out["A"].class_size == 50 and out["A"].n_sensitive_rows == 50
     assert all(r.min_entropy == pytest.approx(round(math.log(3), 6))
                for r in out.values())
     with pytest.raises(ValueError):

@@ -389,6 +389,26 @@ def test_interpolate_linear_midpoints_and_edges(spark):
     assert out[200] == pytest.approx(30.0)
 
 
+def test_interpolate_linear_no_tick_key_emits_nothing(spark):
+    # a key whose only observation (or whole span) falls strictly
+    # between grid multiples has NO ticks -- it must emit nothing, not
+    # throw Illegal sequence boundaries (ADVICE r7: single obs at
+    # ts=1001 with step=100 -> first_tick 1100 > hi 1001)
+    from opendosm_parquet_to_sqlite_spark.operators.temporal import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("lone", 1001, 5.0), ("span", 910, 1.0), ("span", 990, 2.0),
+         ("ok", 100, 10.0), ("ok", 200, 30.0)],
+        "k string, ts long, v double",
+    )
+    rows = interpolate_linear(df, ["k"], "ts", "v", 100).collect()
+    keys = {r["k"] for r in rows}
+    assert keys == {"ok"}   # lone and span have no aligned ticks
+    assert {r["grid_ts"] for r in rows} == {100, 200}
+
+
 def test_interpolate_linear_uneven_spacing_and_alignment(spark):
     from opendosm_parquet_to_sqlite_spark.operators.temporal import (
         interpolate_linear,
