@@ -35,6 +35,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # grows or the oracle-backed list shrinks; keep it in rough
 # flagship-first order against that day.
 _ROWS_ONLY_PRIORITY = [
+    # demoted in the round-8 FIFTH rotation (multi-round driver-green in
+    # CORRECTNESS_r06+r07; shadow oracles keep their hash proof in-repo)
+    # -- ten round-7 shadows that never had driver-visible hash proof
+    # (span_dedup_exact, order_priority_check/Q4, waiting_suppliers/Q21,
+    # min_cost_supplier/Q2, group_ols, mann_whitney, record_linkage,
+    # wasserstein_drift, cusum_changepoints, target_encoding) took their
+    # driver slots:
+    "search_bm25",
+    "tfidf_per_doc",
+    "chunk_documents",
+    "sample_per_group",
+    "robust_scale",
+    "dedup_levenshtein",
+    "scd2_intervals",
+    "mutual_information",
+    "cube_metrics",
+    "seasonal_profile",
     # shadow-oracle queries: hash-checked in-repo (tests/oracle_check.py
     # runs their DuckDB SQL from SHADOW_ORACLES); driver-side rows-only
     # because the 50-entry window is already full of oracle-backed rows.
@@ -165,11 +182,9 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_media_clusters",
     # round-7 exact-substring rung (shadow oracle: winnow candidates +
     # diagonal-runs LCS, both restated verbatim in DuckDB):
-    "span_dedup_exact",
     # round-7 TPC-H shape completions (shadow oracles): Q4 semi-join
     # priority check, Q7 nation-pair volume, Q14 promo share, Q16
     # anti-joined distinct supplier counts
-    "order_priority_check",
     "volume_shipping",
     "promo_revenue",
     "parts_supplier_count",
@@ -183,16 +198,12 @@ _ROWS_ONLY_PRIORITY = [
     "top_supplier",
     "small_qty_revenue",
     "discounted_revenue",
-    "min_cost_supplier",
     "market_share",
     "product_profit",
     "important_stock",
     "promotion_suppliers",
-    "waiting_suppliers",
     "sales_opportunity",
-    "group_ols",
     "chi_square",
-    "mann_whitney",
     "collocations_pmi",
     "feature_binning",
     "embedding_pool",
@@ -215,7 +226,6 @@ _ROWS_ONLY_PRIORITY = [
     # round-7 wave 8: ML evaluation & feature engineering (shadow
     # oracles, hash-checked in-repo)
     "welch_ttest",
-    "target_encoding",
     "feature_hashing",
     "temporal_split",
     "ranking_metrics",
@@ -242,11 +252,8 @@ _ROWS_ONLY_PRIORITY = [
     "cramers_v",
     "anova_oneway",
     # round-7 wave 15 (earth-mover drift, CUSUM shifts, linear resample)
-    "wasserstein_drift",
-    "cusum_changepoints",
     "interpolate_linear",
     # round-7 wave 16 (blocked entity resolution; shadow)
-    "record_linkage",
     # round-7 filtered ANN (approximate by design at partial probe;
     # exactness-over-filtered-corpus pinned in tests/test_similarity.py)
     "ann_filtered",

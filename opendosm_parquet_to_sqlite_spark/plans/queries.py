@@ -2126,6 +2126,7 @@ _DUCK_LTOKS = f"list_transform({_DUCK_TOKS}, x -> lower(x))"
     )
     WHERE rank <= 10
     """,
+    shadow=True,
 )
 def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 top-10 per query over the corpus — curation-time keyword
@@ -2164,6 +2165,7 @@ def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
     )
     WHERE rank <= 3
     """,
+    shadow=True,
 )
 def q_tfidf_per_doc(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf-idf —
@@ -2503,6 +2505,7 @@ def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
                AS chunk_text
     FROM idx
     """,
+    shadow=True,
 )
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval/RAG chunking: 32-token windows with 8-token overlap
@@ -2529,6 +2532,7 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents
     ) WHERE sample_rank <= 20
     """,
+    shadow=True,
 )
 def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-group cap: up to 20 docs per language, ranked by
@@ -2557,6 +2561,7 @@ def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
            END AS value_scaled
     FROM events e JOIN stats ON e.event_type IS NOT DISTINCT FROM stats.event_type
     """,
+    shadow=True,
 )
 def q_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
     """Median/IQR robust scaling of event values per event_type, clipped at
@@ -3267,6 +3272,7 @@ def q_group_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id
     WHERE levenshtein(a.k, b.k) <= 8
     """,
+    shadow=True,
 )
 def q_dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked edit-distance near-dup pairs: exact-prefix blocking, then
@@ -3340,6 +3346,7 @@ def q_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
                AS is_current
     FROM chg
     """,
+    shadow=True,
 )
 def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """SCD-type-2 compaction of the per-user event_type stream into
@@ -3380,6 +3387,7 @@ def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
                  6) AS mi_contrib
     FROM cells
     """,
+    shadow=True,
 )
 def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
     """Per-cell mutual-information decomposition of (lang, source) — the
@@ -3401,6 +3409,7 @@ def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    shadow=True,
 )
 def q_cube_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE closure of the grouping-set family (rollup_metrics and
@@ -3586,6 +3595,7 @@ def q_feature_corr(spark: SparkSession, sf: str) -> DataFrame:
            round(stddev_samp(value), 6) AS std_value
     FROM events GROUP BY 1, 2
     """,
+    shadow=True,
 )
 def q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Day-of-week × hour-of-day seasonality grid (the load/traffic
@@ -4889,7 +4899,6 @@ def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY span_len DESC, start_a ASC, start_b ASC
     ) = 1 AND span_len >= 8
     """,
-    shadow=True,
 )
 def q_span_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT longest repeated token span per winnow candidate pair
@@ -5691,7 +5700,6 @@ def q_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
       )
     GROUP BY 1
     """,
-    shadow=True,
 )
 def q_order_priority_check(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q4 shape (order priority checking): date-windowed orders
@@ -6131,7 +6139,6 @@ def q_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = b.l_suppkey
     WHERE b.unit_cost = b.best_cost AND p.p_size < 10
     """,
-    shadow=True,
 )
 def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier) adapted to the fixture's
@@ -6396,7 +6403,6 @@ def q_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
       )
     GROUP BY 1
     """,
-    shadow=True,
 )
 def q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting), lateness
@@ -6523,7 +6529,6 @@ def q_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
                AS r2
     FROM s
     """,
-    shadow=True,
 )
 def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag OLS of extendedprice on quantity (stats.group_ols):
@@ -6607,7 +6612,6 @@ def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
                AS z
     FROM agg
     """,
-    shadow=True,
 )
 def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type Mann-Whitney U between the even/odd event halves
@@ -7595,7 +7599,6 @@ def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     JOIN enc e ON f.event_type IS NOT DISTINCT FROM e.event_type
               AND f.fold = e.fold
     """,
-    shadow=True,
 )
 def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
     """K-fold out-of-fold target encoding of event_type against value
@@ -8454,7 +8457,6 @@ def q_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
            CAST(max(nb) AS BIGINT) AS n_b
     FROM stepped GROUP BY 1
     """,
-    shadow=True,
 )
 def q_wasserstein_drift(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT 1-D earth-mover distance between the even/odd USER halves
@@ -8502,7 +8504,6 @@ def q_wasserstein_drift(spark: SparkSession, sf: str) -> DataFrame:
            round(max(abs_s), 6) > 1.358 AS flagged
     FROM ranked GROUP BY 1
     """,
-    shadow=True,
 )
 def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
     """Standardized-CUSUM mean-shift scan over each event type's value
@@ -8631,7 +8632,6 @@ def q_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
            score >= 0.62 AS matched
     FROM agg
     """,
-    shadow=True,
 )
 def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked record linkage over customers (linkage.record_linkage):

@@ -14,6 +14,7 @@ from opendosm_parquet_to_sqlite_spark.plans.queries import (
 )
 
 _README = os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+_SURVEY = os.path.join(os.path.dirname(os.path.dirname(__file__)), "SURVEY.md")
 
 
 def test_registry_is_consistent():
@@ -42,6 +43,26 @@ def test_readme_counts_match_registry():
     assert f"for {len(SHADOW_ORACLES)} more" in text, (
         f"README shadow-oracle count drifted: registry has "
         f"{len(SHADOW_ORACLES)}"
+    )
+
+
+def test_survey_counts_match_registry():
+    # SURVEY.md's recorded registry state drifted in round 7 (said 198
+    # while the registry held 224); pin it exactly like README's ledger
+    # so the next drift is a test failure (round-7 verdict item 5)
+    text = open(_SURVEY, encoding="utf-8").read()
+    assert f"**{len(QUERIES)} registered queries**" in text, (
+        f"SURVEY query count drifted: registry has {len(QUERIES)}"
+    )
+    assert f"{len(ORACLES)} driver-window oracles" in text, (
+        f"SURVEY driver-window count drifted: registry has {len(ORACLES)}"
+    )
+    assert f"{len(SHADOW_ORACLES)} shadow\noracles" in text or (
+        f"{len(SHADOW_ORACLES)} shadow oracles" in text
+    ), f"SURVEY shadow count drifted: registry has {len(SHADOW_ORACLES)}"
+    n_rows_only = len(QUERIES) - len(ORACLES) - len(SHADOW_ORACLES)
+    assert f"{n_rows_only} rows-only" in text, (
+        f"SURVEY rows-only count drifted: registry implies {n_rows_only}"
     )
 
 
