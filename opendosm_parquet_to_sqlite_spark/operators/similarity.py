@@ -567,16 +567,205 @@ def append_ivf_index(
     force. When set, oversized cells (count > fraction × total) are split
     after the append via rebalance_ivf_index — O(oversized cells), never
     a full rebuild."""
-    cent, meta = _load_ivf_meta(new_vectors.sparkSession, path)
+    spark = new_vectors.sparkSession
+    cent, meta = _load_ivf_meta(spark, path)
     rows = _cell_rows(
         new_vectors, cent, bool(meta.get("quantized", 0)), id_col, vec_col
     )
     rows.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    # re-appending a previously deleted id RESURRECTS it: drop its
+    # tombstone, else the probe-time anti-join would hide the new row
+    _clear_tombstones_for(spark, path, new_vectors.select(id_col), id_col)
     if max_cell_fraction is not None:
         rebalance_ivf_index(
-            new_vectors.sparkSession, path, max_cell_fraction,
-            id_col=id_col, vec_col=vec_col,
+            spark, path, max_cell_fraction, id_col=id_col, vec_col=vec_col,
         )
+
+
+def _tombstone_path(path: str) -> str:
+    return f"{path}/tombstones"
+
+
+def _load_tombstones(spark, path: str, id_col: str) -> DataFrame | None:
+    """The index's tombstone set as a one-column (`id_col`) DataFrame, or
+    None when nothing was ever deleted. Tombstones are SMALL by the
+    maintenance contract (compact_ivf_tombstones rewrites cells once the
+    fraction passes a cap), so probe-time anti-joins broadcast them."""
+    import os
+
+    tpath = _tombstone_path(path)
+    if not os.path.exists(tpath):
+        return None
+    return spark.read.parquet(tpath).select(
+        F.col("tomb_id").alias(id_col)
+    ).distinct()
+
+
+def _apply_tombstones(spark, path: str, cells: DataFrame, id_col: str) -> DataFrame:
+    tomb = _load_tombstones(spark, path, id_col)
+    if tomb is None:
+        return cells
+    return cells.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def _clear_tombstones_for(spark, path: str, ids: DataFrame, id_col: str) -> None:
+    """Remove tombstones matching `ids` (write-then-swap, same crash
+    contract as incremental.recover_swap; an object store would swap a
+    manifest instead of renaming)."""
+    import os
+    import shutil
+
+    tpath = _tombstone_path(path)
+    if not os.path.exists(tpath):
+        return
+    kept = spark.read.parquet(tpath).join(
+        ids.select(F.col(id_col).alias("tomb_id")).distinct(),
+        "tomb_id",
+        "left_anti",
+    )
+    staging = tpath + "__new"
+    kept.coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(tpath)
+    os.rename(staging, tpath)
+
+
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Tombstone-delete vectors from a persisted IVF/IVFADC index — the
+    removal path a curated-corpus retrieval stack needs (license
+    revocation, takedown, opt-out) WITHOUT a full index rebuild.
+
+    Deletes are O(ids): the id set appends to `path/tombstones` and no
+    cell partition is touched. Every probe (probe_ivf_index /
+    probe_ivfpq_index) anti-joins the tombstone set against the probed
+    cell scan BEFORE any scoring, so deleted ids can never surface — at
+    the cost of scanning their dead rows until compaction. Run
+    compact_ivf_tombstones on a maintenance schedule to bound that cost;
+    the probe-side anti-join broadcasts, so the scan overhead stays the
+    dead-row fraction, not a shuffle.
+
+    Re-appending a deleted id via append_ivf_index clears its tombstone
+    (resurrect semantics). Returns the number of NEW tombstones written
+    (ids already tombstoned or absent from the index count 0).
+    """
+    tpath = _tombstone_path(path)
+    new_ids = ids.select(
+        F.col(ids.columns[0]).alias("tomb_id")
+    ).distinct()
+    existing = None
+    import os
+
+    if os.path.exists(tpath):
+        existing = spark.read.parquet(tpath)
+        new_ids = new_ids.join(existing, "tomb_id", "left_anti")
+    # only tombstone ids that actually live in the index — foreign ids
+    # would inflate the compaction-trigger fraction forever
+    new_ids = new_ids.join(
+        spark.read.parquet(f"{path}/cells").select(
+            F.col(id_col).alias("tomb_id")
+        ),
+        "tomb_id",
+        "left_semi",
+    )
+    n = new_ids.count()
+    if n:
+        new_ids.coalesce(1).write.mode("append").parquet(tpath)
+    return n
+
+
+def compact_ivf_tombstones(
+    spark,
+    path: str,
+    max_tombstone_fraction: float = 0.2,
+    id_col: str = "vec_id",
+) -> dict:
+    """Threshold-gated tombstone compaction for a persisted IVF/IVFADC
+    index: when tombstoned rows exceed `max_tombstone_fraction` of the
+    stored rows, rewrite ONLY the cell partitions that contain them
+    (staging + dynamic partition overwrite, the rebalance_ivf_index
+    idiom) and clear the tombstone set — probe cost returns to the
+    live-row fraction and the anti-join disappears entirely.
+
+    Below the threshold it is a footer-count + tombstone-count no-op, so
+    a scheduled maintenance job costs nothing at steady state (the
+    layout.compact_if_needed policy, applied to the index).
+
+    Returns {"skipped", "total_rows", "n_tombstoned", "fraction",
+    "cells_rewritten"}; the same stats row is stamped to
+    `path/maintenance` on every compaction so operators can audit when
+    and at what fraction the index was last rewritten.
+    """
+    import os
+    import shutil
+
+    if not (0 < max_tombstone_fraction <= 1):
+        raise ValueError(
+            "max_tombstone_fraction must be in (0, 1], got "
+            f"{max_tombstone_fraction}"
+        )
+    cells = spark.read.parquet(f"{path}/cells")
+    total = cells.count()
+    tomb = _load_tombstones(spark, path, id_col)
+    if tomb is None or total == 0:
+        return {
+            "skipped": True, "total_rows": total, "n_tombstoned": 0,
+            "fraction": 0.0, "cells_rewritten": 0,
+        }
+    dead = cells.join(F.broadcast(tomb), id_col, "left_semi")
+    n_dead = dead.count()
+    frac = n_dead / total
+    if frac <= max_tombstone_fraction:
+        return {
+            "skipped": True, "total_rows": total, "n_tombstoned": n_dead,
+            "fraction": round(frac, 6), "cells_rewritten": 0,
+        }
+    affected = [r["cell"] for r in dead.select("cell").distinct().collect()]
+    live = (
+        cells.filter(F.col("cell").isin(affected))
+        .join(F.broadcast(tomb), id_col, "left_anti")
+    )
+    staging = f"{path}/cells__compact"
+    live.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    staged_cells = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(staging)
+        if d.startswith("cell=")
+    }
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    if staged_cells:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(f"{path}/cells")
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+    # dynamic overwrite only replaces partitions PRESENT in the staged
+    # data: a cell whose every row was tombstoned stages nothing and must
+    # be dropped explicitly (object stores would drop its manifest entry)
+    for c in set(affected) - staged_cells:
+        shutil.rmtree(f"{path}/cells/cell={c}", ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(_tombstone_path(path), ignore_errors=True)
+    stats = {
+        "skipped": False, "total_rows": total, "n_tombstoned": n_dead,
+        "fraction": round(frac, 6), "cells_rewritten": len(affected),
+    }
+    spark.createDataFrame(
+        [(total, n_dead, round(frac, 6), len(affected),
+          float(max_tombstone_fraction))],
+        "total_rows long, n_tombstoned long, fraction double, "
+        "cells_rewritten int, max_tombstone_fraction double",
+    ).coalesce(1).write.mode("append").parquet(f"{path}/maintenance")
+    return stats
 
 
 def rebalance_ivf_index(
@@ -753,7 +942,9 @@ def probe_ivf_index(
         raise ValueError(
             f"query dim {qdim} != index dim {meta['dim']} (index at {path})"
         )
-    cells = spark.read.parquet(f"{path}/cells")
+    cells = _apply_tombstones(
+        spark, path, spark.read.parquet(f"{path}/cells"), id_col
+    )
     if allowed is not None:
         cells = cells.join(
             allowed.select(F.col(allowed.columns[0]).alias(id_col)),
@@ -1565,7 +1756,9 @@ def probe_ivfpq_index(
                 "corpora cannot be detected; rebuild the index when the "
                 "embedding model changes"
             )
-    cells = spark.read.parquet(f"{path}/cells")
+    cells = _apply_tombstones(
+        spark, path, spark.read.parquet(f"{path}/cells"), id_col
+    )
     if allowed is not None:
         cells = cells.join(
             allowed.select(F.col(allowed.columns[0]).alias(id_col)),
@@ -1650,10 +1843,18 @@ def knn_graph(
     """
     from pyspark.sql.window import Window as W
 
-    pairs = lsh_cosine_pairs(
+    from ..caching import persist_tracked
+
+    # the symmetrize-union references the pair table twice; untracked,
+    # Spark would replay the WHOLE candidate pipeline (corpus scan + LSH
+    # bucketing + bucket matmuls) once per branch — and every downstream
+    # self-join on the edge list (LOF's kdist/lrd chain) would multiply
+    # it again. Persist the pair-sized table once; session owners
+    # release via caching.release_cached()
+    pairs = persist_tracked(lsh_cosine_pairs(
         df, float(min_cosine), dim, n_planes=n_planes, n_tables=n_tables,
         id_col=id_col, vec_col=vec_col,
-    )
+    ))
     directed = pairs.select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
@@ -1990,8 +2191,14 @@ def lof_outliers(
     node table: kdist join-back (reach), lrd agg, lrd join-back, final
     avg ratio.  Nothing here is quadratic and nothing collects.
     """
+    from ..caching import persist_tracked
+
     d = (F.lit(1.0) - F.col("cosine")).alias("dist")
-    edges = knn.select(F.col("src"), F.col("dst"), d)
+    # the kdist/lrd chain references the edge list four times; persist
+    # the k·n-row table so the caller's (possibly expensive — a full
+    # knn_graph build) lineage is computed ONCE, not once per join
+    # branch. Session owners release via caching.release_cached().
+    edges = persist_tracked(knn.select(F.col("src"), F.col("dst"), d))
     kdist = edges.groupBy("src").agg(F.max("dist").alias("k_dist"))
     # reach(p, o) needs k_dist(o): join edges to the NEIGHBOR's k_dist
     reach = edges.join(

@@ -60,7 +60,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # Dimensions in this workload are tiny; keep default 10m threshold,
         # broadcast() hints are applied explicitly at join sites anyway.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: a long-lived session that runs hundreds of distinct query
+        # plans in one JVM accumulates un-reaped broadcast blocks +
+        # codegen classes between GCs; at 8g the ~190-query bench suite
+        # ran the heap to its ceiling (committed 7.6g) and the first
+        # allocation-heavy query after the suite paid a multi-second
+        # GC/cleanup storm (round-7 contamination_bloom "4.28x" — 0.9x
+        # isolated). Headroom keeps old-gen pressure off the timings; a
+        # real cluster sizes the driver independently anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -760,3 +760,51 @@ def test_record_linkage_single_block_keyed_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_lof_edge_table_joins_only(spark):
+    """lof_outliers runs entirely on the kNN edge list: node-keyed hash
+    equi-joins, no nested-loop/cartesian pairing, and the corpus vectors
+    never reappear (no embedding column anywhere in the plan)."""
+    import contextlib
+    import io
+
+    from opendosm_parquet_to_sqlite_spark.operators.similarity import (
+        lof_outliers,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + j) % 40, 1.0 - 0.01 * j, j) for i in range(40)
+         for j in range(1, 6)],
+        "src long, dst long, cosine double, rank int",
+    )
+    df = lof_outliers(edges)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "embedding" not in plan  # vectors never re-read
+    # every join is a node-keyed equi-join (hash shuffle or broadcast)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_lof_composed_query_reads_vectors_once_per_knn_leg(spark):
+    """The registered lof_outliers query scans the embeddings parquet
+    only inside knn_graph's candidate legs — the LOF tail adds ZERO
+    additional vector scans (a regression that re-reads the corpus per
+    join would multiply 100 TB of IO)."""
+    from opendosm_parquet_to_sqlite_spark.caching import release_cached
+
+    plan = _plan(spark, "lof_outliers")
+    # the persisted pair/edge tables make every reuse an
+    # InMemoryTableScan: exactly ONE parquet scan of the corpus survives
+    # (pre-fix this counted 12 — the LSH pipeline replayed per branch)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan.count(
+        "Location: InMemoryFileIndex"
+    )
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    release_cached()

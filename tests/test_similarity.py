@@ -670,3 +670,143 @@ def test_lof_duplicate_cluster_scores_near_one(spark):
     for i in range(6):
         assert got[i] is not None and math.isfinite(got[i])
         assert got[i] == pytest.approx(1.0, abs=0.05)
+
+
+# --- delete / tombstone path -------------------------------------------------
+
+
+def test_ivf_delete_tombstones_never_surface(spark, emb, tmp_path):
+    """delete_from_ivf_index: deleted ids never appear in probe results
+    (even at exhaustive n_probe), cells stay untouched on disk until
+    compaction, and deleting foreign/duplicate ids is a no-op."""
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = similarity.probe_ivf_index(
+        spark, path, queries, k=5, n_probe=16
+    ).collect()
+    victims = sorted({r["neighbor_id"] for r in before})[:5]
+    n = similarity.delete_from_ivf_index(
+        spark, path, spark.createDataFrame([(v,) for v in victims], "id long")
+    )
+    assert n == len(victims)
+    # idempotent + foreign ids ignored
+    again = similarity.delete_from_ivf_index(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(victims[0],), (10_000_000,)], "id long"
+        ),
+    )
+    assert again == 0
+    after = similarity.probe_ivf_index(
+        spark, path, queries, k=5, n_probe=16
+    ).collect()
+    assert not {r["neighbor_id"] for r in after} & set(victims)
+    # every query still gets k results (survivors fill in)
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in after)
+    assert all(c == 5 for c in per_q.values())
+    # dead rows still on disk pre-compaction (delete is O(ids))
+    assert spark.read.parquet(f"{path}/cells").count() == emb.count()
+
+
+def test_ivf_delete_append_resurrects(spark, emb, tmp_path):
+    """append after delete: re-appending a tombstoned id clears its
+    tombstone, so the fresh row is probe-visible again."""
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_centroids=16)
+    victim = emb.filter(F.col("vec_id") == 3)
+    similarity.delete_from_ivf_index(
+        spark, path, victim.select("vec_id")
+    )
+    # query WITH the victim's own embedding: vec 3 must be its #1 hit
+    # whenever it is live (cosine 1.0), so presence/absence is decisive
+    q = victim.select(
+        (F.col("vec_id") + 996).alias("query_id"), "embedding"
+    )
+    gone = similarity.probe_ivf_index(spark, path, q, k=5, n_probe=16)
+    assert 3 not in {r["neighbor_id"] for r in gone.collect()}
+    similarity.append_ivf_index(victim, path)
+    back = similarity.probe_ivf_index(spark, path, q, k=5, n_probe=16)
+    top = {r["rank"]: r["neighbor_id"] for r in back.collect()}
+    assert top[1] == 3
+    # NOTE: the cells table now holds the id twice (tombstone cleared,
+    # row appended); compaction does not deduplicate — the original row
+    # was identical, so probe results are unaffected
+
+
+def test_ivf_tombstone_compaction_rewrites_and_restores(spark, emb, tmp_path):
+    """compact_ivf_tombstones: below threshold -> counted no-op; above ->
+    only affected cells rewritten, dead rows gone from disk, tombstone
+    set cleared, probe results identical, stats stamped to
+    path/maintenance."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_centroids=16)
+    total = emb.count()
+    victims = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    n_victims = victims.count()
+    similarity.delete_from_ivf_index(spark, path, victims)
+    # cap above the dead fraction -> skip
+    frac = n_victims / total
+    res = similarity.compact_ivf_tombstones(
+        spark, path, max_tombstone_fraction=frac + 0.05
+    )
+    assert res["skipped"] and res["n_tombstoned"] == n_victims
+    assert os.path.exists(f"{path}/tombstones")
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pre = similarity.probe_ivf_index(
+        spark, path, queries, k=5, n_probe=16
+    ).collect()
+    # cap below the dead fraction -> compaction
+    res = similarity.compact_ivf_tombstones(
+        spark, path, max_tombstone_fraction=frac / 2
+    )
+    assert not res["skipped"]
+    assert res["n_tombstoned"] == n_victims
+    assert res["cells_rewritten"] >= 1
+    assert not os.path.exists(f"{path}/tombstones")
+    assert spark.read.parquet(f"{path}/cells").count() == total - n_victims
+    post = similarity.probe_ivf_index(
+        spark, path, queries, k=5, n_probe=16
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted((r["query_id"], r["neighbor_id"]) for r in pre) == sorted(
+        (r["query_id"], r["neighbor_id"]) for r in post
+    )
+    maint = spark.read.parquet(f"{path}/maintenance").collect()
+    assert len(maint) == 1 and maint[0]["n_tombstoned"] == n_victims
+    with pytest.raises(ValueError):
+        similarity.compact_ivf_tombstones(spark, path, max_tombstone_fraction=0)
+
+
+def test_ivf_compaction_drops_fully_dead_cell(spark, tmp_path):
+    """A cell whose EVERY row is tombstoned must disappear from disk at
+    compaction (dynamic overwrite can't stage an empty partition)."""
+    import numpy as np
+
+    rows = []
+    # two tight clusters -> two cells; delete all of cluster B
+    for i in range(20):
+        base = [1.0, 0.0, 0.0, 0.0] if i < 10 else [0.0, 1.0, 0.0, 0.0]
+        v = [b + 0.01 * ((i * 7 + j) % 5) for j, b in enumerate(base)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(df, path, n_centroids=2, train_sample=20)
+    victims = df.filter(F.col("vec_id") >= 10).select("vec_id")
+    similarity.delete_from_ivf_index(spark, path, victims)
+    res = similarity.compact_ivf_tombstones(
+        spark, path, max_tombstone_fraction=0.1
+    )
+    assert not res["skipped"]
+    left = spark.read.parquet(f"{path}/cells")
+    assert left.count() == 10
+    assert {r["vec_id"] for r in left.collect()} == set(range(10))
