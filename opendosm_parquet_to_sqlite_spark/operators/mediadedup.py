@@ -59,6 +59,15 @@ FP_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("phash", LongType())]
 )
 
+# fingerprint + payload size from the same decode pass (with_bytes=True)
+FP_BYTES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
 
 # --- numpy fingerprint kernels (run executor-side inside mapInPandas) --------
 
@@ -260,31 +269,35 @@ def image_phash(
     id_col: str,
     hash_size: int = 8,
     decode_fn: Callable[[bytes], object] | None = None,
+    with_bytes: bool = False,
 ) -> DataFrame:
     """(id, payload) → (doc_id, phash): 64-bit dHash per image via
     Arrow-batched mapInPandas. decode_fn overrides the payload→gray-array
     step (plug PIL for JPEG/WebP; default gray_decode is real-PNG + fake
-    fallback). Narrow: one pass over payloads, 16 bytes out per row."""
+    fallback). Narrow: one pass over payloads, 16 bytes out per row.
+    with_bytes=True appends the payload byte size (n_bytes) from the SAME
+    pass — survivorship scoring without a second payload read."""
     decode = decode_fn or gray_decode
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "phash": [
-                        dhash64(decode(bytes(b)), hash_size)
-                        for b in pdf[payload_col]
-                    ],
-                }
-            )
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "phash": [
+                    dhash64(decode(bytes(b)), hash_size)
+                    for b in pdf[payload_col]
+                ],
+            }
+            if with_bytes:
+                out["n_bytes"] = [len(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(out)
 
     # decode+hash is CPU-bound Python: spread a few-file scan across cores
     # (metadata no-op when the input is already well-partitioned)
     return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
-        run, FP_SCHEMA
+        run, FP_BYTES_SCHEMA if with_bytes else FP_SCHEMA
     )
 
 
@@ -294,10 +307,13 @@ def audio_phash(
     id_col: str,
     nfft: int = 512,
     decode_fn: Callable[[bytes], tuple] | None = None,
+    with_bytes: bool = False,
 ) -> DataFrame:
     """(id, payload) → (doc_id, phash): 64-bit spectral fingerprint per
     clip via Arrow-batched mapInPandas (default audio_decode: canonical
-    WAV + fake fallback; plug libav/soundfile via decode_fn)."""
+    WAV + fake fallback; plug libav/soundfile via decode_fn).
+    with_bytes=True appends the payload byte size (n_bytes) from the SAME
+    pass — survivorship scoring without a second payload read."""
     decode = decode_fn or audio_decode
 
     def run(batches: Iterator) -> Iterator:
@@ -308,12 +324,13 @@ def audio_phash(
             for b in pdf[payload_col]:
                 rate, x = decode(bytes(b))
                 fps.append(audio_fp64(x, rate, nfft))
-            yield pd.DataFrame(
-                {"doc_id": pdf[id_col].astype("int64"), "phash": fps}
-            )
+            out = {"doc_id": pdf[id_col].astype("int64"), "phash": fps}
+            if with_bytes:
+                out["n_bytes"] = [len(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(out)
 
     return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
-        run, FP_SCHEMA
+        run, FP_BYTES_SCHEMA if with_bytes else FP_SCHEMA
     )
 
 
@@ -546,33 +563,42 @@ def media_dup_clusters(
     less compression loss), ties → smallest id. Output: (cluster_id,
     keep_id, keep_score, n_members) — keep_score is the payload size.
 
-    Shape: fingerprint pass (narrow mapInPandas) → banded pairs →
+    Shape: ONE pass over the payloads computes fingerprint AND byte size
+    together (scalar Arrow pandas_udf), projected down to the tiny
+    (id, phash, bytes) table and persist_tracked — the pair search and
+    the survivorship scorer both read THAT, so the decode (and, for a
+    synthesized bench corpus, the encode upstream of it) runs exactly
+    once and payload bytes are touched exactly once. Then banded pairs →
     pointer-jumping components over the PAIR graph (pair-sized, not
     corpus-sized) → one max_by aggregation. Payloads never shuffle;
-    their sizes do.
+    their sizes do. (Round-7 shape decoded twice: the pair leg and the
+    size leg each replayed the payload lineage — benched 1.87×.)
     """
+    from ..caching import persist_tracked
     from .graph import connected_components, keep_best_per_cluster
 
     if modality == "image":
-        pairs = image_phash_pairs(
-            df, payload_col, id_col,
-            max_hamming=max_hamming, max_bucket_size=max_bucket_size,
-            decode_fn=decode_fn,
+        raw_fp = image_phash(
+            df, payload_col, id_col, decode_fn=decode_fn, with_bytes=True
         )
     elif modality == "audio":
-        pairs = audio_phash_pairs(
-            df, payload_col, id_col,
-            max_hamming=max_hamming, max_bucket_size=max_bucket_size,
-            decode_fn=decode_fn,
+        raw_fp = audio_phash(
+            df, payload_col, id_col, decode_fn=decode_fn, with_bytes=True
         )
     else:
         raise ValueError(f"unknown modality {modality!r}")
-    comps = connected_components(pairs.select("id_a", "id_b"))
-    sized = df.select(
-        F.col(id_col).alias(id_col),
-        F.length(F.col(payload_col)).cast("long").alias("__bytes"),
+    fp = persist_tracked(raw_fp)
+    pairs = hamming_band_pairs(
+        fp.select("doc_id", "phash"),
+        id_col="doc_id",
+        fp_col="phash",
+        max_hamming=max_hamming,
+        bits=64,
+        max_bucket_size=max_bucket_size,
     )
-    return keep_best_per_cluster(comps, sized, id_col, "__bytes")
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    sized = fp.select(F.col("doc_id").alias(id_col), "n_bytes")
+    return keep_best_per_cluster(comps, sized, id_col, "n_bytes")
 
 
 def with_media_phash(
