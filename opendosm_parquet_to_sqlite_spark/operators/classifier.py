@@ -247,3 +247,67 @@ def calibration_report(
         F.round("__acc", ndigits).alias("accuracy"),
         F.round(ece, ndigits).alias("ece"),
     )
+
+
+def label_noise_candidates(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    score_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Confident-learning label-noise screen [Northcutt et al. 2021,
+    binary instantiation] — the label-quality pass a weak-label training
+    set needs before the labels are trusted: an example is a NOISE
+    CANDIDATE when the model is confidently on the other side of its
+    given label, where "confidently" is calibrated per class from the
+    data itself (no fixed 0.5 threshold — a skewed or miscalibrated
+    scorer moves both bars together):
+
+        t1 = mean score among examples LABELED 1   (class-1 self-confidence)
+        t0 = mean (1−score) among examples LABELED 0
+
+        label 0, score     ≥ t1  → candidate, suggested_label 1
+        label 1, 1−score   ≥ t0  → candidate, suggested_label 0
+
+    Output: (id, label, score, suggested_label, margin) for candidates
+    only — margin is how far past the class bar the score sits (rank by
+    it for a fixed relabeling budget). NULL labels/scores drop.
+
+    Shape: ONE partial-combined agg for the two class means (2-row
+    broadcast back), then a narrow filter — the corpus never shuffles.
+    Fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = df.filter(
+        s.isNotNull() & lab.isin(0, 1)
+    ).select(F.col(id_col), lab.alias("label"), s.alias("score"))
+    bars = base.agg(
+        F.avg(F.when(F.col("label") == 1, F.col("score"))).alias("t1"),
+        F.avg(
+            F.when(F.col("label") == 0, 1.0 - F.col("score"))
+        ).alias("t0"),
+    )
+    joined = base.crossJoin(F.broadcast(bars))
+    flips_up = (F.col("label") == 0) & F.col("t1").isNotNull() & (
+        F.col("score") >= F.col("t1")
+    )
+    flips_down = (F.col("label") == 1) & F.col("t0").isNotNull() & (
+        (1.0 - F.col("score")) >= F.col("t0")
+    )
+    margin = F.when(
+        flips_up, F.col("score") - F.col("t1")
+    ).otherwise((1.0 - F.col("score")) - F.col("t0"))
+    return (
+        joined.filter(flips_up | flips_down)
+        .select(
+            id_col,
+            "label",
+            F.round("score", ndigits).alias("score"),
+            F.when(flips_up, F.lit(1)).otherwise(F.lit(0)).alias(
+                "suggested_label"
+            ),
+            F.round(margin, ndigits).alias("margin"),
+        )
+    )

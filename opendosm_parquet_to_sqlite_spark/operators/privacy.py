@@ -245,3 +245,96 @@ def dp_noisy_counts(
             "noisy_n_clamped"
         ),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """t-closeness audit [Li, Li & Venkatasubramanian 2007] — the third
+    rung of the anonymity ladder (k-anonymity → l-diversity → here):
+    an equivalence class leaks even when diverse if its SENSITIVE-VALUE
+    DISTRIBUTION differs sharply from the corpus-wide one (the classic
+    example: a class whose salary distribution sits entirely in the top
+    decile). A class fails when the distance between its distribution
+    and the global distribution exceeds `t`.
+
+    Distance = total variation, ½·Σ_v |p_class(v) − p_global(v)| — the
+    Earth Mover's Distance under the equal-ground-distance metric, the
+    paper's own instantiation for CATEGORICAL sensitive attributes
+    (ordered/numeric attributes want the 1-D EMD over the value order;
+    compose stats.wasserstein machinery for that variant). NULL
+    sensitive values are excluded from both distributions (consistent
+    with l_diversity_report's n_sensitive accounting).
+
+    Output: quasi cols + (class_size, n_sensitive_rows, tv_distance,
+    t DOUBLE) for FAILING classes only (tv_distance > t).
+
+    Shape: ONE partial-combined agg to the (quasi × sensitive) cell
+    table; the global distribution is a window over the sensitive
+    marginal of that SAME cell table (no second corpus pass); the
+    final class agg is cell-table-sized. Fully SQL-expressible →
+    hash-checked vs DuckDB.
+    """
+    from pyspark.sql.window import Window as W
+
+    if not (0 < t < 1):
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    is_sens = F.col(sensitive_col).isNotNull()
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    wq = W.partitionBy(*quasi_cols)
+    wv = W.partitionBy(sensitive_col)
+    wall = W.partitionBy()
+    sens_cells = cells.withColumn("__is_sens", is_sens)
+    # per-class and global distributions from the one cell table
+    class_sens_total = F.sum(
+        F.when(F.col("__is_sens"), F.col("__c")).otherwise(0.0)
+    ).over(wq)
+    value_total = F.sum(F.col("__c")).over(wv)
+    grand_total = F.sum(
+        F.when(F.col("__is_sens"), F.col("__c")).otherwise(0.0)
+    ).over(wall)
+    withp = sens_cells.select(
+        *quasi_cols,
+        "__c",
+        "__is_sens",
+        F.when(
+            F.col("__is_sens"),
+            F.col("__c") / F.nullif(class_sens_total, F.lit(0.0)),
+        ).alias("__p"),
+        F.when(
+            F.col("__is_sens"), value_total / grand_total
+        ).alias("__q"),
+    )
+    # Σ|p−q| over values PRESENT in the class, plus Σq over values the
+    # class is MISSING (those contribute |0−q| = q); the missing mass is
+    # 1 − Σ_present q, so no join against the full value set is needed.
+    klass = withp.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("long").alias("class_size"),
+        F.sum(F.when(F.col("__is_sens"), F.col("__c")).otherwise(0.0))
+        .cast("long")
+        .alias("n_sensitive_rows"),
+        F.coalesce(
+            F.sum(F.abs(F.col("__p") - F.col("__q"))), F.lit(0.0)
+        ).alias("__present"),
+        F.coalesce(F.sum("__q"), F.lit(0.0)).alias("__qmass"),
+    )
+    tv = 0.5 * (F.col("__present") + (F.lit(1.0) - F.col("__qmass")))
+    return (
+        # a class with ZERO sensitive rows has no distribution to
+        # compare — that failure belongs to l_diversity_report, not here
+        klass.filter(F.col("n_sensitive_rows") > 0)
+        .select(
+            *quasi_cols,
+            "class_size",
+            "n_sensitive_rows",
+            F.round(tv, ndigits).alias("tv_distance"),
+        )
+        .filter(F.col("tv_distance") > t)
+        .withColumn("t", F.lit(float(t)))
+    )

@@ -671,3 +671,145 @@ def temporal_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_rows: float = 100_000,
+    namespace: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled domain mixture — the multilingual/multi-domain
+    rebalancing standard (mBERT/XLM-R exponential smoothing; T5's
+    temperature sampling): domain s gets share
+
+        w_s = n_s^alpha / Σ_d n_d^alpha
+
+    so alpha = 1 reproduces the natural distribution, alpha = 0 is
+    uniform over domains, and the usual 0.2–0.7 range lifts the tail
+    without drowning the head. The derived weights feed the SAME
+    deterministic expand-and-keep machinery as domain_mix (md5-keyed
+    fractional replication: reproducible row-for-row across reruns,
+    partitionings, and engines), with replication rate
+
+        r_s = target_rows · w_s / n_s = target_rows · n_s^(alpha−1) / Σ n^alpha
+
+    Unlike domain_mix the weights are DERIVED from the data, so the
+    whole operator (weight derivation included) is SQL-expressible and
+    hash-checked vs DuckDB. NULL domains are excluded (no natural share).
+
+    Scale: one partial-agg counts pass (domain table is metadata-sized),
+    broadcast rates, narrow explode+filter — no corpus shuffle.
+
+    Returns (id_col, strata_col, copy_idx).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.sparkSession.createDataFrame(
+            [], schema=f"{id_col} long, {strata_col} string, copy_idx long"
+        )
+    denom = sum(n ** alpha for n in counts.values())
+    plan = [
+        # r_s left-assoc: ((target * n^alpha) / denom) / n — oracle
+        # mirrors the association so float results match bit-for-bit
+        (s, float(target_rows) * (n ** alpha) / denom / n)
+        for s, n in sorted(counts.items())
+    ]
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(s, r, int(math.ceil(r))) for s, r in plan],
+        schema=f"{strata_col} string, rate double, copies long",
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(namespace + ":"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("copy_idx").cast("string"),
+                )
+            ),
+            1,
+            HEX_WIDTH,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(strata_col))
+        .join(F.broadcast(rates), strata_col)
+        .select(
+            id_col,
+            strata_col,
+            "rate",
+            F.explode(F.expr("sequence(0L, copies - 1)")).alias("copy_idx"),
+        )
+        .filter(digest < (F.col("rate") - F.col("copy_idx")) * F.lit(2.0**32))
+        .select(id_col, strata_col, "copy_idx")
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    token_count_col: str,
+    min_bucket_tokens: int = 64,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Power-of-two length-bucket report — the batch-shape audit for
+    padded training/inference: bucket b holds sequences with
+    capacity/2 < tokens ≤ capacity where capacity = 2^b (short
+    sequences pool in the `min_bucket_tokens` bucket), and padding every
+    member of a bucket to its capacity wastes
+    (n·capacity − Σ tokens) / (n·capacity) of the compute.
+
+    The report is what a batching policy reads: heavy waste in a bucket
+    → split it (finer buckets) or pack it (pack_sequences); the overall
+    padded_frac row-weighted mean is the corpus padding bill under
+    bucket-padding (vs ~0 under packing).
+
+    Output per bucket: (capacity BIGINT, n_seqs, total_tokens,
+    padded_tokens, padding_frac) sorted by capacity. Zero/NULL token
+    counts are excluded (nothing to batch).
+
+    Shape: narrow log2-ceil projection → ONE partial-combined agg on the
+    (tiny) bucket key. Fully SQL-expressible → hash-checked vs DuckDB.
+    """
+    if min_bucket_tokens < 1:
+        raise ValueError(
+            f"min_bucket_tokens must be >= 1, got {min_bucket_tokens}"
+        )
+    toks = F.col(token_count_col).cast("long")
+    capacity = F.greatest(
+        F.lit(int(min_bucket_tokens)).cast("long"),
+        F.pow(F.lit(2.0), F.ceil(F.log2(toks))).cast("long"),
+    )
+    base = df.filter(toks.isNotNull() & (toks > 0)).select(
+        toks.alias("__t"), capacity.alias("capacity")
+    )
+    agg = base.groupBy("capacity").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("__t").alias("total_tokens"),
+    )
+    padded = F.col("n_seqs") * F.col("capacity") - F.col("total_tokens")
+    return agg.select(
+        "capacity",
+        "n_seqs",
+        "total_tokens",
+        padded.alias("padded_tokens"),
+        F.round(
+            padded / (F.col("n_seqs") * F.col("capacity")), ndigits
+        ).alias("padding_frac"),
+    )

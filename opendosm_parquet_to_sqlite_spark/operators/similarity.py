@@ -2232,3 +2232,98 @@ def lof_outliers(
         F.round(F.col("lrd"), ndigits).alias("lrd"),
         F.round(F.col("__avg_lrd_o") / F.col("lrd"), ndigits).alias("lof"),
     )
+
+
+def matryoshka_report(
+    df: DataFrame,
+    vec_col: str,
+    prefix_dims: list[int],
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Prefix-truncation fidelity report — the decision table for
+    Matryoshka-style dimension cuts [Kusupati et al. 2022]: before
+    shipping a d'-dim index (d'/d of the storage and FLOPs of every ANN
+    probe), measure how much the similarity structure moves when vectors
+    are truncated to their first d' coordinates.
+
+    Probe pairs are DETERMINISTIC: rows are striped into 32 residue
+    classes by id (id mod 32) and each row pairs with its successor
+    WITHIN its class — one 32-way-parallel window hop, no sampling RNG,
+    no single-partition global sort (the naive orderBy(id) window would
+    serialize the corpus through one task at scale). For embedding
+    corpora the stripe pairing is an unbiased similarity sample, and
+    reruns/engines see the identical pair set. Per prefix d:
+
+        cos_d vs cos_full over the pairs →
+        (mean_abs_err, max_abs_err, sign_agree share, mean_cos_full)
+
+    Reading: mean_abs_err ≪ the score gaps your ranking cares about →
+    cut is safe; sign_agree < 1 at coarse d warns that even
+    same-side/opposite-side structure breaks.
+
+    Shape: ONE window hop pairs each row with its successor (single
+    keyed sort exchange), then a narrow per-pair HOF projection per
+    prefix (len(prefix_dims) slices of the SAME row — no extra passes)
+    and one tiny agg keyed by prefix dim. Fully SQL-expressible →
+    hash-checked vs DuckDB (list_dot_product over list slices).
+
+    Output: (dim BIGINT, n_pairs, mean_abs_err, max_abs_err,
+    sign_agree, mean_cos_full) sorted by dim.
+    """
+    from pyspark.sql.window import Window as W
+
+    if not prefix_dims:
+        raise ValueError("prefix_dims must be non-empty")
+    stripe = F.pmod(F.col(id_col).cast("long"), F.lit(32)).alias("__s")
+    w = W.partitionBy("__s").orderBy(id_col)
+    pairs = (
+        df.select(
+            F.col(id_col), stripe, _as_double(F.col(vec_col)).alias("__v")
+        )
+        .filter(F.col("__v").isNotNull())
+        .select(
+            "__v",
+            F.lead("__v", 1).over(w).alias("__w"),
+        )
+        .filter(F.col("__w").isNotNull())
+    )
+    full = cosine(F.col("__v"), F.col("__w")).alias("__cf")
+    per_d = pairs.select(
+        full,
+        *[
+            cosine(
+                F.slice(F.col("__v"), 1, int(d)),
+                F.slice(F.col("__w"), 1, int(d)),
+            ).alias(f"__c{d}")
+            for d in prefix_dims
+        ],
+    )
+    stacked = per_d.select(
+        "__cf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(d)).cast("long").alias("dim"),
+                        F.col(f"__c{d}").alias("cd"),
+                    )
+                    for d in prefix_dims
+                ]
+            )
+        ).alias("e"),
+    ).select("__cf", "e.dim", "e.cd")
+    err = F.abs(F.col("cd") - F.col("__cf"))
+    agree = (
+        (F.signum(F.col("cd")) == F.signum(F.col("__cf"))).cast("double")
+    )
+    return (
+        stacked.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(err), ndigits).alias("mean_abs_err"),
+            F.round(F.max(err), ndigits).alias("max_abs_err"),
+            F.round(F.avg(agree), ndigits).alias("sign_agree"),
+            F.round(F.avg("__cf"), ndigits).alias("mean_cos_full"),
+        )
+    )

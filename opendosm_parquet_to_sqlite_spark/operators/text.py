@@ -1116,3 +1116,62 @@ def compression_ratio(
         F.when(F.col(text_col).isNull(), None).otherwise(b).alias("n_bytes"),
         F.round(ratio_udf(F.col(text_col)), ndigits).alias("ratio"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic readability screens used as curation features (a pretraining
+    mix balances easy/hard text; an instruction set gates on audience
+    level). Deterministic, dictionary-free:
+
+        words     = whitespace tokens
+        sentences = max(1, runs of [.!?])     (an unpunctuated doc is
+                                               one sentence, not 1/0)
+        syllables = runs of [aeiouyAEIOUY]    (the standard vowel-group
+                                               proxy; consonant-only
+                                               tokens contribute 0 —
+                                               documented approximation)
+
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+        grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Character classes are explicit (no \\d/\\b/\\w) so Java regex and
+    RE2 read them identically — the pii/lang-ID discipline. Zero-word
+    and NULL docs drop. Pure narrow map, zero exchanges, codegen'd
+    regexp_count — streams at scan speed. Fully SQL-expressible →
+    hash-checked vs DuckDB.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch_ease,
+    fk_grade).
+    """
+    c = F.col(text_col)
+    words = F.size(F.split(F.trim(c), "[ \\t\\n\\r]+"))
+    sentences = F.greatest(
+        F.lit(1), F.regexp_count(c, F.lit("[.!?]+"))
+    )
+    syllables = F.regexp_count(c, F.lit("[aeiouyAEIOUY]+"))
+    base = df.filter(c.isNotNull() & (F.length(F.trim(c)) > 0)).select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - 1.015 * wps - 84.6 * spw, ndigits
+        ).alias("flesch_ease"),
+        F.round(
+            0.39 * wps + 11.8 * spw - F.lit(15.59), ndigits
+        ).alias("fk_grade"),
+    )
