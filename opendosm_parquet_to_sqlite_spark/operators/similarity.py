@@ -572,10 +572,30 @@ def append_ivf_index(
     rows = _cell_rows(
         new_vectors, cent, bool(meta.get("quantized", 0)), id_col, vec_col
     )
+    # re-appending a previously deleted id RESURRECTS it. Resurrection
+    # must rewrite the old physical rows out of their cells BEFORE the
+    # new rows land: clearing the tombstone alone would leave BOTH rows
+    # visible to the probe-time anti-join, and the duplicate would occupy
+    # two of the k ranks (displacing a genuine neighbor) and inflate the
+    # compaction-trigger fraction. The rewrite touches only the cells
+    # holding resurrected ids — O(resurrected), zero cost on the common
+    # append path (no tombstone overlap → no rewrite). Crash ordering is
+    # safe: rewrite-then-append-then-clear means a crash mid-sequence
+    # leaves the id tombstoned (still deleted — consistent), and a retry
+    # of the append self-heals by rewriting the half-landed row first.
+    tomb = _load_tombstones(spark, path, id_col)
+    resurrect = None
+    if tomb is not None:
+        resurrect = tomb.join(
+            new_vectors.select(id_col).distinct(), id_col, "left_semi"
+        )
+        if resurrect.limit(1).count() == 0:
+            resurrect = None
+        else:
+            _rewrite_cells_without(spark, path, resurrect, id_col)
     rows.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
-    # re-appending a previously deleted id RESURRECTS it: drop its
-    # tombstone, else the probe-time anti-join would hide the new row
-    _clear_tombstones_for(spark, path, new_vectors.select(id_col), id_col)
+    if resurrect is not None:
+        _clear_tombstones_for(spark, path, resurrect, id_col)
     if max_cell_fraction is not None:
         rebalance_ivf_index(
             spark, path, max_cell_fraction, id_col=id_col, vec_col=vec_col,
@@ -590,10 +610,18 @@ def _load_tombstones(spark, path: str, id_col: str) -> DataFrame | None:
     """The index's tombstone set as a one-column (`id_col`) DataFrame, or
     None when nothing was ever deleted. Tombstones are SMALL by the
     maintenance contract (compact_ivf_tombstones rewrites cells once the
-    fraction passes a cap), so probe-time anti-joins broadcast them."""
+    fraction passes a cap), so probe-time anti-joins broadcast them.
+
+    Self-heals a crashed _clear_tombstones_for swap first (recover_swap
+    over the '__new' staging suffix), so a mid-swap crash can never
+    silently un-delete data: either the pre-swap tombstone set is
+    restored from '.old' or the completed swap's leftovers are dropped."""
     import os
 
+    from .incremental import recover_swap
+
     tpath = _tombstone_path(path)
+    recover_swap(tpath, ("__new",))
     if not os.path.exists(tpath):
         return None
     return spark.read.parquet(tpath).select(
@@ -609,13 +637,21 @@ def _apply_tombstones(spark, path: str, cells: DataFrame, id_col: str) -> DataFr
 
 
 def _clear_tombstones_for(spark, path: str, ids: DataFrame, id_col: str) -> None:
-    """Remove tombstones matching `ids` (write-then-swap, same crash
-    contract as incremental.recover_swap; an object store would swap a
-    manifest instead of renaming)."""
+    """Remove tombstones matching `ids` via the incremental.recover_swap
+    two-rename contract: stage '__new', rename live → '.old', rename
+    staging → live, drop '.old'. A crash in any window is recoverable —
+    _load_tombstones runs recover_swap first, which restores '.old' when
+    the live dir is missing (mid-swap crash) and drops stale staging.
+    The old rmtree-then-rename order had an unrecoverable window in which
+    every deleted id silently resurfaced (no tombstone dir at all); an
+    object store would swap a manifest instead of renaming."""
     import os
     import shutil
 
+    from .incremental import recover_swap
+
     tpath = _tombstone_path(path)
+    recover_swap(tpath, ("__new",))
     if not os.path.exists(tpath):
         return
     kept = spark.read.parquet(tpath).join(
@@ -625,8 +661,10 @@ def _clear_tombstones_for(spark, path: str, ids: DataFrame, id_col: str) -> None
     )
     staging = tpath + "__new"
     kept.coalesce(1).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(tpath)
+    old = tpath + ".old"
+    os.rename(tpath, old)
     os.rename(staging, tpath)
+    shutil.rmtree(old)
 
 
 def delete_from_ivf_index(
@@ -677,6 +715,55 @@ def delete_from_ivf_index(
     return n
 
 
+def _rewrite_cells_without(spark, path: str, ids: DataFrame, id_col: str) -> int:
+    """Physically remove `ids` (one-column DataFrame named `id_col`,
+    broadcast-small) from the persisted index by rewriting ONLY the cell
+    partitions that contain them: staging + dynamic partition overwrite
+    (the rebalance_ivf_index idiom), with fully-emptied cells dropped
+    explicitly (dynamic overwrite only replaces partitions PRESENT in
+    the staged data). Shared by compact_ivf_tombstones (bulk GC) and
+    append_ivf_index's resurrect path (targeted rewrite). Returns the
+    number of cells rewritten."""
+    import os
+    import shutil
+
+    cells = spark.read.parquet(f"{path}/cells")
+    dead = cells.join(F.broadcast(ids), id_col, "left_semi")
+    affected = [r["cell"] for r in dead.select("cell").distinct().collect()]
+    if not affected:
+        return 0
+    live = (
+        cells.filter(F.col("cell").isin(affected))
+        .join(F.broadcast(ids), id_col, "left_anti")
+    )
+    staging = f"{path}/cells__compact"
+    live.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    staged_cells = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(staging)
+        if d.startswith("cell=")
+    }
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    if staged_cells:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(f"{path}/cells")
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+    # a cell whose every row was removed stages nothing and must be
+    # dropped explicitly (object stores would drop its manifest entry)
+    for c in set(affected) - staged_cells:
+        shutil.rmtree(f"{path}/cells/cell={c}", ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return len(affected)
+
+
 def compact_ivf_tombstones(
     spark,
     path: str,
@@ -723,44 +810,14 @@ def compact_ivf_tombstones(
             "skipped": True, "total_rows": total, "n_tombstoned": n_dead,
             "fraction": round(frac, 6), "cells_rewritten": 0,
         }
-    affected = [r["cell"] for r in dead.select("cell").distinct().collect()]
-    live = (
-        cells.filter(F.col("cell").isin(affected))
-        .join(F.broadcast(tomb), id_col, "left_anti")
-    )
-    staging = f"{path}/cells__compact"
-    live.write.mode("overwrite").partitionBy("cell").parquet(staging)
-    staged_cells = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(staging)
-        if d.startswith("cell=")
-    }
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    if staged_cells:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            spark.read.parquet(staging).write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(f"{path}/cells")
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
-    # dynamic overwrite only replaces partitions PRESENT in the staged
-    # data: a cell whose every row was tombstoned stages nothing and must
-    # be dropped explicitly (object stores would drop its manifest entry)
-    for c in set(affected) - staged_cells:
-        shutil.rmtree(f"{path}/cells/cell={c}", ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
+    n_rewritten = _rewrite_cells_without(spark, path, tomb, id_col)
     shutil.rmtree(_tombstone_path(path), ignore_errors=True)
     stats = {
         "skipped": False, "total_rows": total, "n_tombstoned": n_dead,
-        "fraction": round(frac, 6), "cells_rewritten": len(affected),
+        "fraction": round(frac, 6), "cells_rewritten": n_rewritten,
     }
     spark.createDataFrame(
-        [(total, n_dead, round(frac, 6), len(affected),
+        [(total, n_dead, round(frac, 6), n_rewritten,
           float(max_tombstone_fraction))],
         "total_rows long, n_tombstoned long, fraction double, "
         "cells_rewritten int, max_tombstone_fraction double",
@@ -2247,13 +2304,16 @@ def matryoshka_report(
     probe), measure how much the similarity structure moves when vectors
     are truncated to their first d' coordinates.
 
-    Probe pairs are DETERMINISTIC: rows are striped into 32 residue
-    classes by id (id mod 32) and each row pairs with its successor
-    WITHIN its class — one 32-way-parallel window hop, no sampling RNG,
-    no single-partition global sort (the naive orderBy(id) window would
-    serialize the corpus through one task at scale). For embedding
-    corpora the stripe pairing is an unbiased similarity sample, and
-    reruns/engines see the identical pair set. Per prefix d:
+    Probe pairs are DETERMINISTIC: rows are striped into 16 classes by
+    the first hex digit of md5(id) — deterministic for ANY id type
+    (a numeric cast would collapse string ids into one NULL stripe) and
+    portable to any engine with md5, the sampler discipline — and each
+    row pairs with its successor WITHIN its stripe: one 16-way-parallel
+    window hop, no sampling RNG, no single-partition global sort (the
+    naive orderBy(id) window would serialize the corpus through one task
+    at scale). For embedding corpora the stripe pairing is an unbiased
+    similarity sample, and reruns/engines see the identical pair set.
+    Per prefix d:
 
         cos_d vs cos_full over the pairs →
         (mean_abs_err, max_abs_err, sign_agree share, mean_cos_full)
@@ -2275,7 +2335,9 @@ def matryoshka_report(
 
     if not prefix_dims:
         raise ValueError("prefix_dims must be non-empty")
-    stripe = F.pmod(F.col(id_col).cast("long"), F.lit(32)).alias("__s")
+    stripe = F.substring(
+        F.md5(F.col(id_col).cast("string")), 1, 1
+    ).alias("__s")
     w = W.partitionBy("__s").orderBy(id_col)
     pairs = (
         df.select(
@@ -2326,4 +2388,5 @@ def matryoshka_report(
             F.round(F.avg(agree), ndigits).alias("sign_agree"),
             F.round(F.avg("__cf"), ndigits).alias("mean_cos_full"),
         )
+        .orderBy("dim")
     )

@@ -715,10 +715,14 @@ def test_ivf_delete_tombstones_never_surface(spark, emb, tmp_path):
 
 
 def test_ivf_delete_append_resurrects(spark, emb, tmp_path):
-    """append after delete: re-appending a tombstoned id clears its
-    tombstone, so the fresh row is probe-visible again."""
+    """append after delete: re-appending a tombstoned id physically
+    rewrites the old row out of its cell, appends the fresh row, and
+    clears the tombstone — exactly ONE probe-visible row, so the
+    resurrected id occupies exactly one of the k ranks and never
+    displaces a genuine neighbor."""
     path = str(tmp_path / "ivf")
     similarity.build_ivf_index(emb, path, n_centroids=16)
+    n_total = emb.count()
     victim = emb.filter(F.col("vec_id") == 3)
     similarity.delete_from_ivf_index(
         spark, path, victim.select("vec_id")
@@ -731,12 +735,54 @@ def test_ivf_delete_append_resurrects(spark, emb, tmp_path):
     gone = similarity.probe_ivf_index(spark, path, q, k=5, n_probe=16)
     assert 3 not in {r["neighbor_id"] for r in gone.collect()}
     similarity.append_ivf_index(victim, path)
-    back = similarity.probe_ivf_index(spark, path, q, k=5, n_probe=16)
-    top = {r["rank"]: r["neighbor_id"] for r in back.collect()}
+    back = similarity.probe_ivf_index(
+        spark, path, q, k=5, n_probe=16
+    ).collect()
+    top = {r["rank"]: r["neighbor_id"] for r in back}
     assert top[1] == 3
-    # NOTE: the cells table now holds the id twice (tombstone cleared,
-    # row appended); compaction does not deduplicate — the original row
-    # was identical, so probe results are unaffected
+    # the id holds exactly ONE rank — a duplicate physical row would
+    # occupy ranks 1 AND 2 and displace a genuine neighbor
+    assert [r["neighbor_id"] for r in back].count(3) == 1
+    assert len({r["neighbor_id"] for r in back}) == 5
+    # physically single on disk too (no dead twin inflating the
+    # compaction-trigger fraction)
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.filter(F.col("vec_id") == 3).count() == 1
+    assert cells.count() == n_total
+    # tombstone cleared
+    assert (
+        similarity._load_tombstones(spark, path, "vec_id") is None
+        or similarity._load_tombstones(spark, path, "vec_id").count() == 0
+    )
+
+
+def test_ivf_tombstone_clear_swap_crash_recovers(spark, emb, tmp_path):
+    """A crash in _clear_tombstones_for's swap window (live dir renamed
+    away, staging not yet renamed in) must NOT silently un-delete: the
+    next _load_tombstones self-heals via recover_swap and the deleted id
+    stays hidden."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_centroids=16)
+    victim = emb.filter(F.col("vec_id") == 3)
+    similarity.delete_from_ivf_index(spark, path, victim.select("vec_id"))
+    tpath = f"{path}/tombstones"
+    # simulate the mid-swap crash: live -> '.old' done, staging still in
+    # place ('__new'), live dir missing
+    shutil.copytree(tpath, tpath + "__new")
+    os.rename(tpath, tpath + ".old")
+    assert not os.path.exists(tpath)
+    q = victim.select(
+        (F.col("vec_id") + 996).alias("query_id"), "embedding"
+    )
+    res = similarity.probe_ivf_index(spark, path, q, k=5, n_probe=16)
+    assert 3 not in {r["neighbor_id"] for r in res.collect()}
+    # recovery restored the live set and dropped the staging leftovers
+    assert os.path.exists(tpath)
+    assert not os.path.exists(tpath + ".old")
+    assert not os.path.exists(tpath + "__new")
 
 
 def test_ivf_tombstone_compaction_rewrites_and_restores(spark, emb, tmp_path):
