@@ -42,6 +42,15 @@ _ROWS_ONLY_PRIORITY = [
     # min_cost_supplier/Q2, group_ols, mann_whitney, record_linkage,
     # wasserstein_drift, cusum_changepoints, target_encoding) took their
     # driver slots:
+    # round-9 registrations of the six round-8 snapshot operators — all
+    # shadow-oracle hash-checked in-repo (tests/oracle_check.py) plus
+    # pytest pins (tests/test_round9_ops.py):
+    "readability",
+    "length_buckets",
+    "t_closeness",
+    "label_noise",
+    "temperature_mix",
+    "matryoshka",
     "search_bm25",
     "tfidf_per_doc",
     "chunk_documents",

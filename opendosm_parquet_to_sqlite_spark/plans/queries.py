@@ -8665,3 +8665,262 @@ def q_lof_outliers(spark: SparkSession, sf: str) -> DataFrame:
     dim = len(emb.select("embedding").first()["embedding"])
     knn = similarity.knn_graph(emb, k=10, dim=dim, n_planes=2, n_tables=8)
     return similarity.lof_outliers(knn)
+
+
+# --- §2.13 round-9 additions: the six round-8 snapshot operators, now
+# registered + verified (round-8 verdict item 2) ------------------------------
+
+
+@query(
+    "readability",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '[ \t\n\r]+'))
+                    AS BIGINT) AS n_words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+        WHERE text IS NOT NULL AND len(trim(text)) > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                 6) AS flesch_ease,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59,
+                 6) AS fk_grade
+    FROM base
+    """,
+    shadow=True,
+)
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease + FK grade per document (text.
+    readability_scores): dictionary-free vowel-group syllables, explicit
+    character classes (Java regex == RE2 == DuckDB). Pure narrow map,
+    zero exchanges. Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    return text.readability_scores(docs, "text", "doc_id")
+
+
+@query(
+    "length_buckets",
+    """
+    WITH base AS (
+        SELECT CAST(n_chars AS BIGINT) AS t,
+               greatest(CAST(64 AS BIGINT),
+                        CAST(power(2, ceil(log2(n_chars))) AS BIGINT))
+                   AS capacity
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT capacity,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           CAST(count(*) * capacity - sum(t) AS BIGINT) AS padded_tokens,
+           round((count(*) * capacity - sum(t))
+                 / CAST(count(*) * capacity AS DOUBLE), 6) AS padding_frac
+    FROM base GROUP BY capacity
+    """,
+    shadow=True,
+)
+def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-of-two length-bucket padding audit over document lengths
+    (sampling.length_buckets, min bucket 64): the batch-shape report a
+    padding policy reads. One narrow projection + one tiny-key agg.
+    Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.length_buckets(docs, "n_chars", min_bucket_tokens=64)
+
+
+@query(
+    "t_closeness",
+    """
+    WITH base AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS acctbal_band,
+               c_mktsegment
+        FROM customer
+    ), cells AS (
+        SELECT c_nationkey, acctbal_band, c_mktsegment,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM base GROUP BY 1, 2, 3
+    ), withp AS (
+        SELECT c_nationkey, acctbal_band, c,
+               c_mktsegment IS NOT NULL AS is_sens,
+               CASE WHEN c_mktsegment IS NOT NULL THEN
+                   c / NULLIF(sum(CASE WHEN c_mktsegment IS NOT NULL
+                                       THEN c ELSE 0 END)
+                              OVER (PARTITION BY c_nationkey,
+                                                 acctbal_band), 0)
+               END AS p,
+               CASE WHEN c_mktsegment IS NOT NULL THEN
+                   sum(c) OVER (PARTITION BY c_mktsegment)
+                   / sum(CASE WHEN c_mktsegment IS NOT NULL
+                              THEN c ELSE 0 END) OVER ()
+               END AS q
+        FROM cells
+    ), klass AS (
+        SELECT c_nationkey, acctbal_band,
+               CAST(sum(c) AS BIGINT) AS class_size,
+               CAST(sum(CASE WHEN is_sens THEN c ELSE 0 END) AS BIGINT)
+                   AS n_sensitive_rows,
+               COALESCE(sum(abs(p - q)), 0) AS present,
+               COALESCE(sum(q), 0) AS qmass
+        FROM withp GROUP BY 1, 2
+    )
+    SELECT c_nationkey, acctbal_band, class_size, n_sensitive_rows,
+           round(0.5 * (present + (1 - qmass)), 6) AS tv_distance,
+           0.25 AS t
+    FROM klass
+    WHERE n_sensitive_rows > 0
+      AND round(0.5 * (present + (1 - qmass)), 6) > 0.25
+    """,
+    shadow=True,
+)
+def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit over (nation, balance-band) classes with the
+    market segment as the sensitive attribute (privacy.
+    t_closeness_report, t=0.25): flags classes whose sensitive-value
+    distribution drifts > t total-variation from the corpus-wide one —
+    the disclosure l-diversity passes. One cell agg + windows over the
+    cell table. Hash-checked."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias(
+            "acctbal_band"
+        ),
+    )
+    return privacy.t_closeness_report(
+        cust, ["c_nationkey", "acctbal_band"], "c_mktsegment", t=0.25
+    )
+
+
+@query(
+    "label_noise",
+    """
+    WITH base AS (
+        SELECT vec_id, CAST(label >= 5 AS INT) AS label,
+               1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) AS score
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), bars AS (
+        SELECT avg(CASE WHEN label = 1 THEN score END) AS t1,
+               avg(CASE WHEN label = 0 THEN 1.0 - score END) AS t0
+        FROM base
+    )
+    SELECT vec_id, label, round(score, 6) AS score,
+           CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS INT)
+               AS suggested_label,
+           round(CASE WHEN label = 0 THEN score - t1
+                      ELSE (1.0 - score) - t0 END, 6) AS margin
+    FROM base, bars
+    WHERE (label = 0 AND t1 IS NOT NULL AND score >= t1)
+       OR (label = 1 AND t0 IS NOT NULL AND (1.0 - score) >= t0)
+    """,
+    shadow=True,
+)
+def q_label_noise(spark: SparkSession, sf: str) -> DataFrame:
+    """Confident-learning label-noise screen (classifier.
+    label_noise_candidates) over a weak binary labeling of the embeddings
+    table (label>=5) scored by a fixed sigmoid probe of the first
+    coordinate — class-calibrated thresholds from the data itself. One
+    2-row agg broadcast back; the corpus never shuffles. Hash-checked."""
+    emb = load_table(spark, sf, "embeddings")
+    scored = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        (F.col("label") >= 5).cast("int").alias("label"),
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.element_at("embedding", 1).cast("double")))
+        ).alias("score"),
+    )
+    return classifier.label_noise_candidates(
+        scored, "vec_id", "label", "score"
+    )
+
+
+@query(
+    "temperature_mix",
+    """
+    WITH cnt AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    tgt AS (SELECT 0.3 * count(*) AS target FROM documents),
+    denom AS (SELECT sum(power(n, 0.5)) AS d FROM cnt),
+    rates AS (
+        SELECT lang, target * power(n, 0.5) / d / n AS rate,
+               CAST(ceil(target * power(n, 0.5) / d / n) AS BIGINT)
+                   AS copies
+        FROM cnt, tgt, denom
+    ),
+    expanded AS (
+        SELECT doc.doc_id, doc.lang, r.rate, u.copy_idx
+        FROM documents doc JOIN rates r USING (lang),
+             unnest(range(r.copies)) AS u(copy_idx)
+    )
+    SELECT doc_id, lang, copy_idx
+    FROM expanded
+    WHERE CAST('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(copy_idx AS VARCHAR)), 1, 8)
+               AS BIGINT)
+          < (rate - copy_idx) * 4294967296.0
+    """,
+    shadow=True,
+)
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled language rebalance (sampling.temperature_mix,
+    alpha=0.5, target 30% of corpus): n^alpha-derived weights lift the
+    tail languages without drowning the head, then the same
+    deterministic md5 expand-and-keep as domain_mix. Weights are DERIVED
+    in the operator, so derivation included is hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.temperature_mix(
+        docs, "lang", "doc_id", alpha=0.5, target_rows=0.3 * docs.count()
+    )
+
+
+@query(
+    "matryoshka",
+    """
+    WITH striped AS (
+        SELECT substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS s, vec_id,
+               embedding::DOUBLE[] AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), pairs AS (
+        SELECT v, lead(v) OVER (PARTITION BY s ORDER BY vec_id) AS w
+        FROM striped
+    ), pp AS (
+        SELECT v, w FROM pairs WHERE w IS NOT NULL
+    ), per AS (
+        SELECT list_dot_product(v, w)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(w, w))) AS cf,
+               CAST(d.dim AS BIGINT) AS dim,
+               list_dot_product(v[1:d.dim], w[1:d.dim])
+                 / (sqrt(list_dot_product(v[1:d.dim], v[1:d.dim]))
+                    * sqrt(list_dot_product(w[1:d.dim], w[1:d.dim])))
+                   AS cd
+        FROM pp, (VALUES (8), (16), (32)) AS d(dim)
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(cd - cf)), 6) AS mean_abs_err,
+           round(max(abs(cd - cf)), 6) AS max_abs_err,
+           round(avg(CAST(sign(cd) = sign(cf) AS DOUBLE)), 6)
+               AS sign_agree,
+           round(avg(cf), 6) AS mean_cos_full
+    FROM per GROUP BY dim ORDER BY dim
+    """,
+    shadow=True,
+)
+def q_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka prefix-truncation fidelity report (similarity.
+    matryoshka_report, d' in {8,16,32} of 64): cos drift of md5-striped
+    successor pairs when vectors are cut to their first d' coordinates —
+    the decision table for shipping a cheaper index. 16-way-parallel
+    window hop, one narrow HOF projection, tiny agg. Hash-checked."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.matryoshka_report(
+        emb, "embedding", [8, 16, 32], id_col="vec_id"
+    )

@@ -1,0 +1,276 @@
+"""Property pins for the six round-9 registrations (round-8 verdict item
+2): readability_scores, length_buckets, t_closeness_report,
+label_noise_candidates, temperature_mix, matryoshka_report. Each is also
+hash-checked vs DuckDB via its shadow oracle (tests/oracle_check.py);
+these pins fix the semantics on constructed inputs where the expected
+values are derivable by hand."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendosm_parquet_to_sqlite_spark.operators import (
+    classifier,
+    privacy,
+    sampling,
+    similarity,
+    text,
+)
+
+
+# --- readability_scores -------------------------------------------------------
+
+
+def test_readability_known_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),  # 6 words, 2 sentences
+            (2, "word"),                        # unpunctuated -> 1 sentence
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.readability_scores(
+        df, "text", "doc_id"
+    ).collect()}
+    assert set(out) == {1, 2}  # NULL and blank drop
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # vowel groups: The(1) cat(1) sat(1) The(1) dog(1) ran(1) = 6
+    assert r1["n_syllables"] == 6
+    wps, spw = 6 / 2, 6 / 6
+    assert r1["flesch_ease"] == pytest.approx(
+        206.835 - 1.015 * wps - 84.6 * spw, abs=1e-6
+    )
+    assert r1["fk_grade"] == pytest.approx(
+        0.39 * wps + 11.8 * spw - 15.59, abs=1e-6
+    )
+    # unpunctuated doc is ONE sentence, never a divide-by-zero
+    assert out[2]["n_sentences"] == 1 and out[2]["n_words"] == 1
+
+
+# --- length_buckets -----------------------------------------------------------
+
+
+def test_length_buckets_capacities_and_padding(spark):
+    df = spark.createDataFrame(
+        [(1,), (40,), (64,), (65,), (100,), (1000,), (0,), (None,)],
+        "n long",
+    )
+    out = {r["capacity"]: r for r in sampling.length_buckets(
+        df, "n", min_bucket_tokens=64
+    ).collect()}
+    # 1, 40, 64 pool in the min bucket; 65 and 100 -> 128; 1000 -> 1024;
+    # 0 and NULL are excluded
+    assert set(out) == {64, 128, 1024}
+    assert out[64]["n_seqs"] == 3 and out[64]["total_tokens"] == 105
+    assert out[64]["padded_tokens"] == 3 * 64 - 105
+    assert out[64]["padding_frac"] == pytest.approx(
+        (3 * 64 - 105) / (3 * 64), abs=1e-6
+    )
+    assert out[128]["n_seqs"] == 2 and out[128]["padded_tokens"] == 256 - 165
+    assert out[1024]["padded_tokens"] == 24
+    # exact powers of two land in their OWN bucket (not the next)
+    exact = {r["capacity"] for r in sampling.length_buckets(
+        spark.createDataFrame([(256,)], "n long"), "n"
+    ).collect()}
+    assert exact == {256}
+
+
+# --- t_closeness_report -------------------------------------------------------
+
+
+def test_t_closeness_flags_skewed_class_only(spark):
+    # global sensitive distribution: a 50/50 over {x, y} outside the
+    # skewed class; class (1,) is ALL x -> tv vs global > 0
+    rows = [(1, "x")] * 10 + [(2, "x")] * 5 + [(2, "y")] * 5 + [
+        (3, "x")
+    ] * 5 + [(3, "y")] * 5
+    df = spark.createDataFrame(rows, "qc long, sv string")
+    out = privacy.t_closeness_report(df, ["qc"], "sv", t=0.15)
+    got = {r["qc"]: r for r in out.collect()}
+    # global: x = 20/30, y = 10/30. class 1: p(x)=1 -> tv = 1/2*(|1-2/3|
+    # + |0-1/3|) = 1/3 > 0.15; classes 2,3: tv = 1/2*(|.5-2/3|+|.5-1/3|)
+    # = 1/6 > 0.15 is FALSE (1/6 ~ 0.1667 > 0.15 -> actually flags!)
+    # use t=0.2 expectations instead: recompute with 0.2
+    out2 = {r["qc"]: r for r in privacy.t_closeness_report(
+        df, ["qc"], "sv", t=0.2
+    ).collect()}
+    assert set(out2) == {1}
+    assert out2[1]["class_size"] == 10
+    assert out2[1]["tv_distance"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out2[1]["t"] == 0.2
+    # at t=0.15 the 1/6-distance classes flag too
+    assert set(got) == {1, 2, 3}
+
+
+def test_t_closeness_null_sensitive_excluded(spark):
+    # a class whose every sensitive value is NULL has no distribution —
+    # it must NOT appear (that failure belongs to l-diversity)
+    rows = (
+        [(1, None)] * 5
+        + [(2, "x")] * 3 + [(2, "y")] * 1
+        + [(3, "x")] * 1 + [(3, "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "qc long, sv string")
+    # global x = y = 0.5; classes 2 and 3 sit at 75/25 -> tv = 0.25
+    out = privacy.t_closeness_report(df, ["qc"], "sv", t=0.01)
+    assert {r["qc"] for r in out.collect()} == {2, 3}
+    with pytest.raises(ValueError):
+        privacy.t_closeness_report(df, ["qc"], "sv", t=0.0)
+
+
+# --- label_noise_candidates ---------------------------------------------------
+
+
+def test_label_noise_candidates_calibrated_bars(spark):
+    # labeled-1 scores: .9, .7 -> t1 = .8; labeled-0 (1-score): .9, .7
+    # -> t0 = .8. Candidates: label 0 with score >= .8; label 1 with
+    # 1-score >= .8 (score <= .2)
+    df = spark.createDataFrame(
+        [
+            (1, 1, 0.9), (2, 1, 0.7),      # define t1 = 0.8
+            (3, 0, 0.1), (4, 0, 0.3),      # define t0 = 0.8
+            (5, 0, 0.85),                  # flips up (0.85 >= t1)
+            (6, 1, 0.15),                  # flips down (0.85 >= t0)
+            (7, 0, 0.5), (8, 1, 0.5),      # confident-enough: no flip
+            (9, None, 0.9), (10, 1, None), # dropped
+        ],
+        "id long, y int, s double",
+    )
+    # bars include rows 5/6/7/8 too: t1 = mean(.9,.7,.15,.5) = .5625;
+    # t0 = mean(.9,.7,.15,.5) = .5625 -- recompute expectations:
+    # labeled-1 scores: .9,.7,.15,.5 -> t1=.5625
+    # labeled-0 1-scores: .9,.7,.15,.5 -> t0=.5625
+    out = {r["id"]: r for r in classifier.label_noise_candidates(
+        df, "id", "y", "s"
+    ).collect()}
+    # label 0 & score >= .5625: id5 (.85); label 1 & 1-s >= .5625:
+    # id2? 1-.7=.3 no; id6 1-.15=.85 yes; id8 1-.5=.5 no; id3/4 label 0
+    # scores .1/.3 < .5625 no; id7 .5 < .5625 no
+    assert set(out) == {5, 6}
+    assert out[5]["suggested_label"] == 1
+    assert out[5]["margin"] == pytest.approx(0.85 - 0.5625, abs=1e-6)
+    assert out[6]["suggested_label"] == 0
+    assert out[6]["margin"] == pytest.approx(0.85 - 0.5625, abs=1e-6)
+
+
+def test_label_noise_single_class_no_crash(spark):
+    # all labeled 1: t0 is NULL -> only flips_down possible is gated off,
+    # flips_up needs label 0 rows -> empty result, no NULL comparison leak
+    df = spark.createDataFrame(
+        [(1, 1, 0.9), (2, 1, 0.1)], "id long, y int, s double"
+    )
+    out = classifier.label_noise_candidates(df, "id", "y", "s")
+    # labeled-1 bar t1 exists but no label-0 rows; 1-score bar t0 is NULL
+    # => id2 (1-s=.9) cannot flip because t0 is NULL
+    assert out.count() == 0
+
+
+# --- temperature_mix ----------------------------------------------------------
+
+
+def test_temperature_mix_alpha_shapes(spark):
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, dom string")
+
+    def shares(alpha):
+        out = sampling.temperature_mix(
+            df, "dom", "id", alpha=alpha, target_rows=250
+        )
+        c = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()}
+        tot = sum(c.values())
+        return {k: v / tot for k, v in c.items()}, tot
+
+    nat, tot1 = shares(1.0)     # natural: 80/20
+    uni, tot2 = shares(0.0)     # uniform: 50/50
+    mid, _ = shares(0.5)        # in between
+    assert nat["big"] == pytest.approx(0.8, abs=0.06)
+    assert uni["big"] == pytest.approx(0.5, abs=0.06)
+    assert nat["big"] > mid["big"] > uni["big"]
+    # total lands near target under fractional md5 keep
+    assert tot1 == pytest.approx(250, rel=0.15)
+    assert tot2 == pytest.approx(250, rel=0.15)
+    # deterministic: identical row set on rerun
+    a = sorted(map(tuple, sampling.temperature_mix(
+        df, "dom", "id", alpha=0.5, target_rows=250
+    ).collect()))
+    b = sorted(map(tuple, sampling.temperature_mix(
+        df, "dom", "id", alpha=0.5, target_rows=250
+    ).collect()))
+    assert a == b and len(a) > 0
+    # NULL domains excluded; invalid params raise
+    withnull = spark.createDataFrame(
+        [(1, None), (2, "a")], "id long, dom string"
+    )
+    out = sampling.temperature_mix(
+        withnull, "dom", "id", alpha=0.5, target_rows=2
+    )
+    assert {r["dom"] for r in out.collect()} <= {"a"}
+    with pytest.raises(ValueError):
+        sampling.temperature_mix(df, "dom", "id", alpha=-0.1)
+    with pytest.raises(ValueError):
+        sampling.temperature_mix(df, "dom", "id", target_rows=0)
+
+
+# --- matryoshka_report --------------------------------------------------------
+
+
+def _unit_vecs(n, dim, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append((i, [x / nrm for x in v]))
+    return out
+
+
+def test_matryoshka_full_prefix_is_exact(spark):
+    df = spark.createDataFrame(
+        _unit_vecs(64, 8), "vec_id long, embedding array<double>"
+    )
+    rows = similarity.matryoshka_report(
+        df, "embedding", [2, 4, 8], id_col="vec_id"
+    ).collect()
+    # sorted by dim (documented contract)
+    assert [r["dim"] for r in rows] == [2, 4, 8]
+    by = {r["dim"]: r for r in rows}
+    # the full-dim prefix reproduces cos exactly
+    assert by[8]["mean_abs_err"] == 0.0 and by[8]["max_abs_err"] == 0.0
+    assert by[8]["sign_agree"] == 1.0
+    # coarser prefixes drift monotonically on average
+    assert by[2]["mean_abs_err"] >= by[4]["mean_abs_err"] >= 0.0
+    # every dim sees the same deterministic pair set
+    assert len({r["n_pairs"] for r in rows}) == 1 and by[2]["n_pairs"] > 0
+    with pytest.raises(ValueError):
+        similarity.matryoshka_report(df, "embedding", [])
+
+
+def test_matryoshka_string_ids_stay_parallel(spark):
+    # regression (round-8 ADVICE): a long-cast stripe collapsed string
+    # ids into ONE NULL stripe; the md5 stripe must spread them
+    data = [(f"doc-{i}", v) for i, v in _unit_vecs(64, 4)]
+    df = spark.createDataFrame(
+        data, "vec_id string, embedding array<double>"
+    )
+    out = similarity.matryoshka_report(df, "embedding", [4], id_col="vec_id")
+    row = out.collect()[0]
+    assert row["mean_abs_err"] == 0.0
+    # 64 ids over 16 md5 stripes: if all ids had collapsed into one
+    # stripe, n_pairs would be exactly 63; striping gives 64 - n_stripes
+    assert row["n_pairs"] < 63
+    stripes = df.select(
+        F.substring(F.md5(F.col("vec_id")), 1, 1).alias("s")
+    ).distinct().count()
+    assert row["n_pairs"] == 64 - stripes > 0
