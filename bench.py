@@ -448,30 +448,52 @@ def main() -> None:
     # suite carries in-session noise (accumulated JVM/codegen/GC state;
     # round-6/7 artifacts showed 3-4x "regressions" that measured at/
     # under baseline in isolation). Any query whose single-run ratio
-    # exceeds the 2x gate is re-measured AT SUITE END in isolation
-    # (1 untimed + 3 timed runs, median) and that median is reported;
-    # the original in-session number is recorded alongside so neither
-    # measurement is hidden. Medians from --runs>=3 are already robust
-    # and skip this.
+    # exceeds the 2x gate is re-measured AT SUITE END — and the
+    # remeasure must actually ISOLATE: the round-8 remeasure ran in the
+    # loaded ~190-plan JVM with no state reset and reported 2.1x for a
+    # query a fresh process measures at 0.9x. So before the isolation
+    # runs: clear the SQL cache, force full GCs (reaps finished
+    # broadcasts/codegen refs the suite accumulated), and DISCARD two
+    # warm runs; then take the median of 3 timed runs. The substitution
+    # is GATED: the isolated median replaces the in-session number only
+    # when it CONFIRMS the in-session number was an outlier (isolated
+    # < 80% of in-session) — a query that is genuinely slow keeps its
+    # honest in-session timing. Both the in-session and post-
+    # substitution totals are reported so the headline's provenance is
+    # unambiguous. Medians from --runs>=3 are already robust and skip
+    # this.
+    in_session_total = round(sum(timings.values()), 3)
     base = _baseline_medians()
     remeasured: dict[str, dict[str, float]] = {}
     if n_runs < 3 and base:
-        for name in headline:
-            b = base.get(name)
-            if not b or timings[name] / b <= 2.0:
-                continue
-            run_query(spark, name, sf_dir)  # isolate from suite tail state
+        suspects = [
+            name for name in headline
+            if base.get(name) and timings[name] / base[name] > 2.0
+        ]
+        if suspects:
+            # one shared state reset before the isolation block
+            spark.catalog.clearCache()
             release_cached()
+            for _ in range(3):
+                spark._jvm.System.gc()
+                time.sleep(0.5)
+        for name in suspects:
+            for _ in range(2):  # discarded warm runs
+                run_query(spark, name, sf_dir)
+                release_cached()
             iso = []
             for _ in range(3):
                 iso.append(run_query(spark, name, sf_dir))
                 release_cached()
             med = round(_median(iso), 3)
+            confirmed = med < 0.8 * timings[name]
             remeasured[name] = {
                 "in_session_sec": timings[name],
                 "isolated_median_sec": med,
+                "outlier_confirmed": confirmed,
             }
-            timings[name] = med
+            if confirmed:
+                timings[name] = med
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -484,6 +506,7 @@ def main() -> None:
     out["n_warmup"] = n_warmup
     if remeasured:
         out["remeasured"] = remeasured
+        out["total_in_session_sec"] = in_session_total
     if n_runs > 1:
         out["n_runs"] = n_runs
         out["queries_min"] = {n: round(min(ts), 3) for n, ts in runs.items()}
@@ -583,6 +606,7 @@ def emit(out: dict, timings: dict[str, float], sf: float, n_warmup: int, n_runs:
         summary["n_with_baseline"] = len(ratios)
     if out.get("remeasured"):
         summary["n_remeasured"] = len(out["remeasured"])
+        summary["total_in_session_sec"] = out["total_in_session_sec"]
     # pack the worst-ratio (else slowest) queries into the summary's
     # `queries` map until the serialized line nears the tail window
     order = sorted(timings, key=lambda n: -ratios.get(n, 0.0)) if ratios else sorted(
