@@ -703,7 +703,33 @@ def append_media_fp_index(
     untouched. Parameters must match the build's (the probe-side guard
     reads the stamped metadata of whichever file schema wins the merge;
     keeping them identical is the caller's contract, same as the IVF
-    and MinHash indexes)."""
+    and MinHash indexes).
+
+    Re-appending a deleted id RESURRECTS it, IVF-style: its old physical
+    rows are rewritten out first, then the fresh rows land, then its
+    tombstone clears — exactly one live copy per (chunk, key), and a
+    crash mid-sequence leaves the id deleted, never duplicated. Zero
+    cost on the common path (no tombstone overlap → no rewrite)."""
+    from . import tombstones as ts
+
+    spark = df.sparkSession
+    ts.recover_swap(path, (".next",))
+    tpath = _media_tombstone_path(path)
+    tomb = ts.load_tombstones(spark, tpath, "doc_id")
+    resurrect = None
+    if tomb is not None:
+        resurrect = tomb.join(
+            df.select(F.col(id_col).alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        if resurrect.limit(1).count() == 0:
+            resurrect = None
+        else:
+            live = spark.read.parquet(path).join(
+                F.broadcast(resurrect), "doc_id", "left_anti"
+            )
+            ts.swap_rewrite_parquet(live, path)
     fp = _media_fp(df, payload_col, id_col, modality, decode_fn)
     rows = hamming_chunk_rows(fp, "doc_id", "phash", max_hamming, 64)
     rows = rows.withColumn(
@@ -713,6 +739,82 @@ def append_media_fp_index(
         ),
     )
     rows.write.mode("append").parquet(path)
+    if resurrect is not None:
+        ts.clear_tombstones_for(spark, tpath, resurrect, "doc_id")
+
+
+def _media_tombstone_path(path: str) -> str:
+    # sibling dir: the index itself is a FLAT parquet dataset at `path`,
+    # so a nested dir would be swept into (or break) the parquet read
+    return path.rstrip("/") + "_tombstones"
+
+
+def delete_from_media_fp_index(spark, path: str, ids: DataFrame) -> int:
+    """Tombstone-delete media items from the persisted fingerprint index
+    — the takedown/opt-out path, O(ids), no index row touched. Every
+    probe anti-joins the (broadcast-small) tombstone set against the
+    index rows BEFORE banding-join, so deleted ids can never surface;
+    their dead rows are scanned until compact_media_fp_tombstones runs.
+    Re-appending a deleted id via append_media_fp_index resurrects it.
+    Returns the number of NEW tombstones (already-tombstoned or foreign
+    ids count 0). Mirrors similarity.delete_from_ivf_index."""
+    from . import tombstones as ts
+
+    ts.recover_swap(path, (".next",))
+    return ts.append_tombstone_ids(
+        spark,
+        _media_tombstone_path(path),
+        ids,
+        spark.read.parquet(path).select("doc_id"),
+    )
+
+
+def compact_media_fp_tombstones(
+    spark, path: str, max_tombstone_fraction: float = 0.2
+) -> dict:
+    """Threshold-gated tombstone GC: when tombstoned rows exceed
+    `max_tombstone_fraction` of the index rows, rewrite the row table
+    without them (write-then-swap, crash-safe) and clear the tombstone
+    set — probe cost returns to the live fraction and the anti-join
+    disappears. Below the threshold: a counted no-op, so a scheduled
+    maintenance job costs nothing at steady state. The rewrite is whole-
+    table (the index is flat, unlike IVF's cell partitions) but rows are
+    24-byte fingerprints — ~3 orders of magnitude under the media bytes
+    they stand for. Returns {"skipped", "total_rows", "n_tombstoned",
+    "fraction"}."""
+    import shutil
+
+    from . import tombstones as ts
+
+    if not (0 < max_tombstone_fraction <= 1):
+        raise ValueError(
+            "max_tombstone_fraction must be in (0, 1], got "
+            f"{max_tombstone_fraction}"
+        )
+    ts.recover_swap(path, (".next",))
+    rows = spark.read.parquet(path)
+    total = rows.count()
+    tpath = _media_tombstone_path(path)
+    tomb = ts.load_tombstones(spark, tpath, "doc_id")
+    if tomb is None or total == 0:
+        return {
+            "skipped": True, "total_rows": total, "n_tombstoned": 0,
+            "fraction": 0.0,
+        }
+    n_dead = rows.join(F.broadcast(tomb), "doc_id", "left_semi").count()
+    frac = n_dead / total
+    if frac <= max_tombstone_fraction:
+        return {
+            "skipped": True, "total_rows": total, "n_tombstoned": n_dead,
+            "fraction": round(frac, 6),
+        }
+    live = rows.join(F.broadcast(tomb), "doc_id", "left_anti")
+    ts.swap_rewrite_parquet(live, path)
+    shutil.rmtree(tpath, ignore_errors=True)
+    return {
+        "skipped": False, "total_rows": total, "n_tombstoned": n_dead,
+        "fraction": round(frac, 6),
+    }
 
 
 def probe_media_fp_index(
@@ -735,8 +837,18 @@ def probe_media_fp_index(
     phashes carried through the join. Cost scales with the batch +
     collisions; the indexed corpus's media bytes are never re-read.
     Self-pairs (same id on both sides) are excluded so re-probing an
-    already-indexed item reports only its OTHER near-dups."""
-    index = spark.read.parquet(path)
+    already-indexed item reports only its OTHER near-dups. Tombstoned
+    (deleted) ids are anti-joined out of the index rows before the
+    banding join — broadcast, so the only overhead is scanning the dead
+    fraction until compaction."""
+    from . import tombstones as ts
+
+    ts.recover_swap(path, (".next",))
+    index = ts.apply_tombstones(
+        spark.read.parquet(path),
+        ts.load_tombstones(spark, _media_tombstone_path(path), "doc_id"),
+        "doc_id",
+    )
     meta = index.schema["chunk"].metadata or {}
     if meta:
         got = (meta.get("modality"), meta.get("max_hamming"))
