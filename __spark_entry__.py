@@ -35,6 +35,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # grows or the oracle-backed list shrinks; keep it in rough
 # flagship-first order against that day.
 _ROWS_ONLY_PRIORITY = [
+    # demoted in the round-9 SIXTH rotation (multi-round driver-green;
+    # shadow oracles keep their hash proof in-repo):
+    "ewma_smooth",
+    "orphan_check",
+    "local_supplier_volume",
+    "feature_corr",
+    "sample_weighted",
+    "snapshot_diff",
+    "quantile_normalize",
+    "interval_overlap",
+    "merge_upsert",
+    "incremental_agg",
+
     # demoted in the round-8 FIFTH rotation (multi-round driver-green in
     # CORRECTNESS_r06+r07; shadow oracles keep their hash proof in-repo)
     # -- ten round-7 shadows that never had driver-visible hash proof
@@ -148,7 +161,6 @@ _ROWS_ONLY_PRIORITY = [
     "count_anomaly",
     "contamination_fuzzy",
     "vocab_drift",
-    "interval_union",
     "neyman_allocation",
     "equidepth_histogram",
     "shipmode_priority",
@@ -213,12 +225,9 @@ _ROWS_ONLY_PRIORITY = [
     "promotion_suppliers",
     "sales_opportunity",
     "chi_square",
-    "collocations_pmi",
     "feature_binning",
     "embedding_pool",
-    "html_to_text",
     "extract_links",
-    "js_drift",
     "fd_violations",
     "benford_check",
     "column_entropy",
@@ -234,7 +243,6 @@ _ROWS_ONLY_PRIORITY = [
     "link_prediction",
     # round-7 wave 8: ML evaluation & feature engineering (shadow
     # oracles, hash-checked in-repo)
-    "welch_ttest",
     "feature_hashing",
     "temporal_split",
     "ranking_metrics",
@@ -244,12 +252,9 @@ _ROWS_ONLY_PRIORITY = [
     "compression_ratio",
     "bh_correction",
     # round-7 wave 10 (score-evaluation suite; shadow oracles)
-    "auc_roc",
     "classification_report",
     "lift_table",
     # round-7 wave 11 (Kaplan-Meier + simplified silhouette; shadow)
-    "survival_curve",
-    "silhouette_score",
     # round-7 wave 12 (Rocchio confusion matrix; shadow)
     "centroid_classify",
     # round-7 wave 13 (entropy l-diversity + DP noisy counts; shadow)
@@ -257,9 +262,7 @@ _ROWS_ONLY_PRIORITY = [
     "dp_noisy_counts",
     # round-7 wave 14 (PR-AUC, kappa, Cramér's V, one-way ANOVA; shadow)
     "pr_auc",
-    "cohens_kappa",
     "cramers_v",
-    "anova_oneway",
     # round-7 wave 15 (earth-mover drift, CUSUM shifts, linear resample)
     "interpolate_linear",
     # round-7 wave 16 (blocked entity resolution; shadow)

@@ -3305,6 +3305,7 @@ def q_dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT user_id, event_id, value, round(s, 6) AS ewma FROM ew
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user EWMA (alpha=0.2) over the time-ordered event stream — the
@@ -3438,6 +3439,7 @@ def q_cube_metrics(spark: SparkSession, sf: str) -> DataFrame:
         SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
     )
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_orphan_check(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity sweep: dimension rows no fact references
@@ -3486,6 +3488,7 @@ def q_event_pagerank(spark: SparkSession, sf: str) -> DataFrame:
       AND o_orderdate < DATE '1997-01-01'
     GROUP BY n_name
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): the multi-join closure
@@ -3565,6 +3568,7 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
            round(corr(value, CAST(isodow(ts) - 1 AS DOUBLE)), 6) AS corr_dow
     FROM events GROUP BY event_type
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_feature_corr(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group feature correlation screen: Pearson corr + sample
@@ -3631,6 +3635,7 @@ def q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
         FROM keyed
     ) WHERE rn <= 10
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sample without replacement, 10 docs
@@ -3677,6 +3682,7 @@ def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
                      OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
                      OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)))
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """CDC between two snapshots: added/removed/changed via one keyed
@@ -3787,6 +3793,7 @@ def q_data_quality_report(spark: SparkSession, sf: str) -> DataFrame:
            ), 6) AS value_qnorm
     FROM events
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Rank-based per-group normalization to [0,1] — distribution-free
@@ -3817,6 +3824,7 @@ def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     FROM a JOIN b USING (user_id)
     WHERE a_s <= b_e AND b_s <= a_e
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Range × range overlap join (view-attention windows × click
@@ -4551,6 +4559,7 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM m WHERE NOT (matched AND o_totalprice > 400000)
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE INTO relational core (operators/merge.py): update set =
@@ -4595,6 +4604,7 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     FROM events
     GROUP BY event_type, user_id % 8
     """,
+    shadow=True,  # demoted round 9 (6th rotation): multi-round driver-green
 )
 def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/incremental.py):
@@ -5448,7 +5458,7 @@ def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "interval_union",
+    "interval_union",  # promoted round 9 (6th rotation): driver-visible hash proof
     """
     WITH iv AS (
         SELECT user_id,
@@ -5476,7 +5486,6 @@ def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_merged
     FROM islands GROUP BY user_id, island
     """,
-    shadow=True,
 )
 def q_interval_union(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user coalesced activity windows: each event opens a 30-min
@@ -6627,7 +6636,7 @@ def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "collocations_pmi",
+    "collocations_pmi",  # promoted round 9 (6th rotation): driver-visible hash proof
     r"""
     WITH toks AS (
         SELECT list_transform(
@@ -6653,7 +6662,6 @@ def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     FROM bg JOIN lm USING (w1) JOIN rm USING (w2), tot
     WHERE bg.c12 >= 40
     """,
-    shadow=True,
 )
 def q_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
     """Bigram collocations by PMI over the documents corpus
@@ -6733,7 +6741,7 @@ def q_embedding_pool(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "html_to_text",
+    "html_to_text",  # promoted round 9 (6th rotation): driver-visible hash proof
     r"""
     WITH page AS (
         SELECT doc_id,
@@ -6763,7 +6771,6 @@ def q_embedding_pool(spark: SparkSession, sf: str) -> DataFrame:
                '\s+', ' ', 'g')) AS clean_text
     FROM page
     """,
-    shadow=True,
 )
 def q_html_to_text(spark: SparkSession, sf: str) -> DataFrame:
     """Markup-strip parity over synthesized pages (web.html_to_text):
@@ -6841,7 +6848,7 @@ def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "js_drift",
+    "js_drift",  # promoted round 9 (6th rotation): driver-visible hash proof
     """
     WITH u AS (
         SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS c,
@@ -6869,7 +6876,6 @@ def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
            CAST(sum(cb) AS BIGINT) AS n_b
     FROM withp GROUP BY 1
     """,
-    shadow=True,
 )
 def q_js_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Jensen-Shannon divergence of the user-shard mix between the
@@ -7515,7 +7521,7 @@ def q_topn_other(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "welch_ttest",
+    "welch_ttest",  # promoted round 9 (6th rotation): driver-visible hash proof
     """
     WITH agg AS (
         SELECT l_returnflag,
@@ -7546,7 +7552,6 @@ def q_topn_other(spark: SparkSession, sf: str) -> DataFrame:
                AS t_df
     FROM agg
     """,
-    shadow=True,
 )
 def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag Welch's t-test: deep-discount (> 5%) vs full-price
@@ -7872,7 +7877,7 @@ def q_bh_correction(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "auc_roc",
+    "auc_roc",  # promoted round 9 (6th rotation): driver-visible hash proof
     """
     WITH base AS (
         SELECT strftime(ts, '%Y-%m-%d') AS day, value AS s,
@@ -7895,7 +7900,6 @@ def q_bh_correction(spark: SparkSession, sf: str) -> DataFrame:
            round((rp - np * (np + 1) / 2.0) / NULLIF(np * nn, 0), 6) AS auc
     FROM agg
     """,
-    shadow=True,
 )
 def q_auc_roc(spark: SparkSession, sf: str) -> DataFrame:
     """Per-day ROC AUC of event value against the purchase label
@@ -8004,7 +8008,7 @@ def q_lift_table(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "survival_curve",
+    "survival_curve",  # promoted round 9 (6th rotation): driver-visible hash proof
     """
     WITH pu AS (
         SELECT user_id, min(ts) AS f,
@@ -8037,7 +8041,6 @@ def q_lift_table(spark: SparkSession, sf: str) -> DataFrame:
                AS survival
     FROM curve WHERE d > 0
     """,
-    shadow=True,
 )
 def q_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
     """Kaplan-Meier retention over user lifetimes (stats.survival_curve):
@@ -8066,7 +8069,7 @@ def q_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "silhouette_score",
+    "silhouette_score",  # promoted round 9 (6th rotation): driver-visible hash proof
     """
     WITH e AS (
         SELECT label, embedding::DOUBLE[] AS v FROM embeddings
@@ -8101,7 +8104,6 @@ def q_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
                AS mean_silhouette
     FROM per GROUP BY 1
     """,
-    shadow=True,
 )
 def q_silhouette_score(spark: SparkSession, sf: str) -> DataFrame:
     """Simplified silhouette of the embeddings' label partition
@@ -8279,7 +8281,7 @@ def q_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "cohens_kappa",
+    "cohens_kappa",  # promoted round 9 (6th rotation): driver-visible hash proof
     """
     WITH base AS (
         SELECT lang,
@@ -8317,7 +8319,6 @@ def q_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
                AS kappa
     FROM pg JOIN pe ON pg.lang = pe.lang
     """,
-    shadow=True,
 )
 def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language Cohen's kappa between two length-derived document
@@ -8388,7 +8389,7 @@ def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "anova_oneway",
+    "anova_oneway",  # promoted round 9 (6th rotation): driver-visible hash proof
     """
     WITH lvl AS (
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS g,
@@ -8414,7 +8415,6 @@ def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
                AS eta_sq
     FROM fam
     """,
-    shadow=True,
 )
 def q_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
     """Per-day one-way ANOVA of event value across event types
