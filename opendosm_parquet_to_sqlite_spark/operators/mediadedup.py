@@ -568,11 +568,31 @@ def media_dup_clusters(
     (id, phash, bytes) table and persist_tracked — the pair search and
     the survivorship scorer both read THAT, so the decode (and, for a
     synthesized bench corpus, the encode upstream of it) runs exactly
-    once and payload bytes are touched exactly once. Then banded pairs →
-    pointer-jumping components over the PAIR graph (pair-sized, not
-    corpus-sized) → one max_by aggregation. Payloads never shuffle;
-    their sizes do. (Round-7 shape decoded twice: the pair leg and the
-    size leg each replayed the payload lineage — benched 1.87×.)
+    once and payload bytes are touched exactly once. (Round-7 shape
+    decoded twice: the pair leg and the size leg each replayed the
+    payload lineage — benched 1.87×.)
+
+    The pair search runs over DISTINCT fingerprints, never over members.
+    Hamming distance is a function of the two hash VALUES alone, so
+    collapsing each distinct fingerprint to its minimum member id before
+    banding is semantics-preserving — and it is the difference between
+    pair volume scaling with fingerprint cardinality and scaling with
+    the SQUARE of duplicate-cluster size. (The sf1 scale probe caught
+    the member-level version: a corpus with 1000-member duplicate
+    cliques produced 50 × C(1000,2) ≈ 25M verified pairs, 147 s of pair
+    generation, and an AQE broadcast OOM inside the union-find — for a
+    graph whose distinct-fingerprint form has a few hundred nodes. Real
+    100 TB corpora have exactly this shape: boilerplate images repeat
+    millions of times.) Members then inherit their fingerprint's
+    component through one hash-keyed join; a fingerprint with no
+    near-dup edge keeps its own rep as the cluster id, which is what
+    makes pure exact-duplicate groups (hamming 0 through the SAME hash)
+    surface as clusters without materializing a single intra-group
+    pair. cluster_id stays the minimum member id of the component (each
+    rep is its hash's min member; the component min over reps is the
+    min over members), and singleton docs — unique hash, no edge — are
+    dropped at the end, matching the pairwise contract. Payloads never
+    shuffle; their sizes do.
     """
     from ..caching import persist_tracked
     from .graph import connected_components, keep_best_per_cluster
@@ -588,8 +608,9 @@ def media_dup_clusters(
     else:
         raise ValueError(f"unknown modality {modality!r}")
     fp = persist_tracked(raw_fp)
+    reps = fp.groupBy("phash").agg(F.min("doc_id").alias("doc_id"))
     pairs = hamming_band_pairs(
-        fp.select("doc_id", "phash"),
+        reps.select("doc_id", "phash"),
         id_col="doc_id",
         fp_col="phash",
         max_hamming=max_hamming,
@@ -597,8 +618,19 @@ def media_dup_clusters(
         max_bucket_size=max_bucket_size,
     )
     comps = connected_components(pairs.select("id_a", "id_b"))
+    # every fingerprint gets a cluster: its component label when edged,
+    # its own rep otherwise (exact-dup groups with no near neighbor)
+    hash_cluster = reps.join(comps, "doc_id", "left").select(
+        "phash",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    members = fp.join(hash_cluster, "phash").select(
+        F.col("doc_id"), "cluster_id"
+    )
     sized = fp.select(F.col("doc_id").alias(id_col), "n_bytes")
-    return keep_best_per_cluster(comps, sized, id_col, "n_bytes")
+    return keep_best_per_cluster(members, sized, id_col, "n_bytes").filter(
+        F.col("n_members") >= 2
+    )
 
 
 def with_media_phash(
