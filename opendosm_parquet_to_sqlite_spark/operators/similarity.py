@@ -1866,11 +1866,12 @@ def knn_graph(
     df: DataFrame,
     k: int,
     dim: int,
-    n_planes: int = 2,
+    n_planes: int | None = None,
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = -1.0,
+    target_bucket: int = 512,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over an embedding column —
     the edge list graph-based curation is built on (mutual-kNN
@@ -1896,11 +1897,29 @@ def knn_graph(
     pair stream is similarity-thinned before the exchange — neighbors
     below the floor were never going to make a top-k that matters.
 
+    `n_planes=None` (the default) derives the plane count from the
+    corpus size so the EXPECTED bucket holds ~`target_bucket` vectors:
+    ceil(log2(n / target_bucket)), floored at 0 (single exhaustive
+    bucket for tiny corpora). In-bucket work is quadratic — L·Σ|b|² ≈
+    L·n²/2^planes — so a FIXED plane count is a scale bug: the sf1
+    probe measured the n_planes=2 graph at 31× its sf0.1 time for 10×
+    the vectors (5 000-row buckets, ~800M in-bucket dot products); the
+    derived count (6 planes at 20k vectors) restores bucket-bounded
+    work and ~linear growth. Costs one count() of the input — corpus
+    metadata, not a shuffle. Pass an explicit int to pin the dial
+    (recall-parity tests use 0 = exhaustive).
+
     Output: (src, dst, cosine, rank) — rank 1..k per src.
     """
+    import math
+
     from pyspark.sql.window import Window as W
 
     from ..caching import persist_tracked
+
+    if n_planes is None:
+        n = df.count()
+        n_planes = max(0, math.ceil(math.log2(max(n, 1) / target_bucket)))
 
     # the symmetrize-union references the pair table twice; untracked,
     # Spark would replay the WHOLE candidate pipeline (corpus scan + LSH

@@ -6901,7 +6901,7 @@ def q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = load_table(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    return similarity.knn_graph(emb, k=5, dim=dim, n_planes=2, n_tables=8)
+    return similarity.knn_graph(emb, k=5, dim=dim, n_tables=8)
 
 
 @query("knn_clusters")  # rows-only: composed on the hash-dependent graph
@@ -6912,7 +6912,7 @@ def q_knn_clusters(spark: SparkSession, sf: str) -> DataFrame:
     alternative to dedup_semantic's k-means cells."""
     emb = load_table(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    knn = similarity.knn_graph(emb, k=5, dim=dim, n_planes=2, n_tables=8)
+    knn = similarity.knn_graph(emb, k=5, dim=dim, n_tables=8)
     return similarity.mutual_knn_clusters(knn)
 
 
@@ -7130,7 +7130,7 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     mining pass. Two node-sized label joins + one WindowGroupLimit."""
     emb = load_table(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    knn = similarity.knn_graph(emb, k=10, dim=dim, n_planes=2, n_tables=8)
+    knn = similarity.knn_graph(emb, k=10, dim=dim, n_tables=8)
     clusters = emb.select(
         F.col("vec_id").alias("node"), F.col("label").alias("cluster")
     )
@@ -8663,7 +8663,7 @@ def q_lof_outliers(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = load_table(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    knn = similarity.knn_graph(emb, k=10, dim=dim, n_planes=2, n_tables=8)
+    knn = similarity.knn_graph(emb, k=10, dim=dim, n_tables=8)
     return similarity.lof_outliers(knn)
 
 

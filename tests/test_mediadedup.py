@@ -345,3 +345,51 @@ def test_media_fp_index_self_probe_excludes_self_pairs(spark, tmp_path):
         (a, b) for a in range(10) for b in range(a + 1, 10) if a % 5 == b % 5
     }
     assert sym == expected
+
+
+def test_media_dup_clusters_pair_volume_is_fingerprint_bounded(spark):
+    """The sf1-probe regression pin: clustering a corpus of large
+    exact-duplicate groups must NEVER materialize member-level pairs —
+    the banded search runs over distinct fingerprints, so a pure
+    exact-dup corpus (one fingerprint per group, zero cross-group
+    near-edges) produces ZERO pairs while every group still surfaces as
+    a cluster with all members counted. Member-level pairing here would
+    be C(group,2) per group — the quadratic the sf1 probe caught."""
+    from pyspark.sql import functions as F
+
+    from opendosm_parquet_to_sqlite_spark.caching import persist_tracked
+    from opendosm_parquet_to_sqlite_spark.operators.neardup import (
+        hamming_band_pairs,
+    )
+
+    # 3 groups x 20 members, zero perturbation -> identical payloads
+    # within a group (noise_px=0), so exactly 3 distinct fingerprints
+    ids = spark.range(60).withColumnRenamed("id", "doc_id")
+    png = M.synth_png_corpus(ids, "doc_id", n_bases=3, noise_px=0)
+    fp = persist_tracked(
+        M.image_phash(png, "payload", "doc_id", with_bytes=True)
+    )
+    assert fp.select("phash").distinct().count() == 3
+    reps = fp.groupBy("phash").agg(F.min("doc_id").alias("doc_id"))
+    pairs = hamming_band_pairs(
+        reps.select("doc_id", "phash"),
+        id_col="doc_id", fp_col="phash", max_hamming=6, bits=64,
+    )
+    # distinct base images are far apart -> rep graph has no edge at all
+    assert pairs.count() == 0
+    out = M.media_dup_clusters(png, "payload", "doc_id").collect()
+    assert {r.cluster_id for r in out} == {0, 1, 2}
+    assert all(r.n_members == 20 for r in out)
+
+
+def test_media_dup_clusters_merges_across_fingerprints(spark):
+    """Cross-check of the collapse: groups whose fingerprints differ by
+    <= max_hamming still merge into one cluster through the rep edge —
+    the collapse changes pair volume, not connectivity."""
+    ids = spark.range(20).withColumnRenamed("id", "doc_id")
+    # default noise_px=4 perturbs pixels per id: sibling fingerprints sit
+    # within a few bits of their base, well under max_hamming=6
+    png = M.synth_png_corpus(ids, "doc_id", n_bases=4)
+    out = M.media_dup_clusters(png, "payload", "doc_id").collect()
+    assert {r.cluster_id for r in out} == {0, 1, 2, 3}
+    assert all(r.n_members == 5 for r in out)
