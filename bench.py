@@ -531,7 +531,14 @@ def _baseline_medians() -> dict[str, float]:
     if idx < 0:
         return medians
     for line in text[idx:].splitlines():
-        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|", line)
+        # anchored: gate rows are EXACTLY three columns (query, median,
+        # min). The round-9 sf1 table is four columns (plus a ratio) —
+        # an unanchored prefix match silently overrode 27 gate medians
+        # with sf1 wall-clocks.
+        m = re.match(
+            r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|\s*$",
+            line,
+        )
         if m and m.group(1) != "query":
             medians[m.group(1)] = float(m.group(2))
     return medians
