@@ -540,7 +540,19 @@ def _baseline_medians() -> dict[str, float]:
             line,
         )
         if m and m.group(1) != "query":
-            medians[m.group(1)] = float(m.group(2))
+            name = m.group(1)
+            if name in medians:
+                # duplicate 3-column rows (a re-recorded wave row plus an
+                # earlier gate row) resolve LAST-wins by file order — warn
+                # loudly so an appended table can't silently shadow
+                # earlier medians again (the round-9 sf1-table lesson).
+                print(
+                    f"WARNING: BASELINE.md has duplicate gate rows for "
+                    f"{name!r} ({medians[name]} then {float(m.group(2))}); "
+                    f"using the later one — dedupe the file",
+                    file=sys.stderr,
+                )
+            medians[name] = float(m.group(2))
     return medians
 
 

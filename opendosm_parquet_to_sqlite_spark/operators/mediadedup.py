@@ -624,7 +624,13 @@ def media_dup_clusters(
         "phash",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )
-    members = fp.join(hash_cluster, "phash").select(
+    # broadcast the fingerprint-sized cluster map: joining members on
+    # phash would otherwise shuffle the member table keyed by phash —
+    # maximally skewed in exactly the scenario this operator targets
+    # (a boilerplate hash repeated millions of times lands in ONE
+    # reduce partition). The broadcast removes the exchange
+    # deterministically instead of hoping AQE skew-split fires.
+    members = fp.join(F.broadcast(hash_cluster), "phash").select(
         F.col("doc_id"), "cluster_id"
     )
     sized = fp.select(F.col("doc_id").alias(id_col), "n_bytes")

@@ -1872,6 +1872,7 @@ def knn_graph(
     vec_col: str = "embedding",
     min_cosine: float = -1.0,
     target_bucket: int = 512,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over an embedding column —
     the edge list graph-based curation is built on (mutual-kNN
@@ -1905,9 +1906,15 @@ def knn_graph(
     probe measured the n_planes=2 graph at 31× its sf0.1 time for 10×
     the vectors (5 000-row buckets, ~800M in-bucket dot products); the
     derived count (6 planes at 20k vectors) restores bucket-bounded
-    work and ~linear growth. Costs one count() of the input — corpus
-    metadata, not a shuffle. Pass an explicit int to pin the dial
-    (recall-parity tests use 0 = exhaustive).
+    work and ~linear growth. CAVEAT — the derivation costs one EAGER
+    count() of the input AT CONSTRUCTION TIME: building the graph
+    DataFrame triggers a full Spark job replaying the upstream pipeline
+    even if the caller never executes the graph (plan-only inspection,
+    deferred pipelines). When the cardinality is already known (catalog
+    stats, a prior count, a fixture), pass `n_rows` to derive the plane
+    count arithmetic-only and stay fully lazy; or pass an explicit
+    `n_planes` int to pin the dial (recall-parity tests use 0 =
+    exhaustive).
 
     Output: (src, dst, cosine, rank) — rank 1..k per src.
     """
@@ -1918,7 +1925,7 @@ def knn_graph(
     from ..caching import persist_tracked
 
     if n_planes is None:
-        n = df.count()
+        n = int(n_rows) if n_rows is not None else df.count()
         n_planes = max(0, math.ceil(math.log2(max(n, 1) / target_bucket)))
 
     # the symmetrize-union references the pair table twice; untracked,
