@@ -35,6 +35,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # grows or the oracle-backed list shrinks; keep it in rough
 # flagship-first order against that day.
 _ROWS_ONLY_PRIORITY = [
+    # demoted in the round-10 SEVENTH rotation (multi-round driver-green;
+    # shadow oracles keep their hash proof in-repo). Their driver slots
+    # went to readability/length_buckets/t_closeness/label_noise/
+    # temperature_mix/matryoshka/ranking_metrics/vocab_coverage/
+    # feature_hashing/temporal_split — first driver-visible hash proof:
+    "agg_metrics_by_brand",
+    "dedup_ngram_jaccard",
+    "join_star_denorm",
+    "latest_per_group_maxby",
+    "pricing_summary",
+    "corpus_clean",
+    "corpus_clean_clustered",
+    "corpus_report",
+    "dup_clusters",
+    "text_profile",
+    # round-10 registration: the data-scaled band-width linkage fix
+    # (shadow-oracle hash-checked in-repo):
+    "record_linkage_scaled",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",
@@ -58,12 +76,6 @@ _ROWS_ONLY_PRIORITY = [
     # round-9 registrations of the six round-8 snapshot operators — all
     # shadow-oracle hash-checked in-repo (tests/oracle_check.py) plus
     # pytest pins (tests/test_round9_ops.py):
-    "readability",
-    "length_buckets",
-    "t_closeness",
-    "label_noise",
-    "temperature_mix",
-    "matryoshka",
     "search_bm25",
     "tfidf_per_doc",
     "chunk_documents",
@@ -243,12 +255,8 @@ _ROWS_ONLY_PRIORITY = [
     "link_prediction",
     # round-7 wave 8: ML evaluation & feature engineering (shadow
     # oracles, hash-checked in-repo)
-    "feature_hashing",
-    "temporal_split",
-    "ranking_metrics",
     # round-7 wave 9 (vocab_coverage + bh_correction shadow-oracle;
     # compression_ratio rows-only — no SQL zlib)
-    "vocab_coverage",
     "compression_ratio",
     "bh_correction",
     # round-7 wave 10 (score-evaluation suite; shadow oracles)

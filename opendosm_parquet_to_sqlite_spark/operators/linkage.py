@@ -53,6 +53,68 @@ def _field_sim(kind: str, a: Column, b: Column) -> Column:
     return F.when(defined, sim)
 
 
+def scaled_numeric_band(
+    df: DataFrame,
+    col: str,
+    target_occupancy: int = 64,
+    out_col: str = "band",
+    scale: int = 100,
+) -> DataFrame:
+    """Append a DATA-SCALED integer banding column for numeric blocking —
+    the scale-safe replacement for a fixed band width.
+
+    A fixed width (`floor(x / 500)`) is a quadratic time bomb: the value
+    RANGE is a property of the domain, not the table, so the band count
+    is constant and per-band occupancy — hence within-band pair volume,
+    quadratically — grows with n. The sf1 probe measured exactly that:
+    the fixed-dial record_linkage query ran 24.8× slower for 10× the
+    rows. This helper derives the width from the table instead
+    (width ∝ range/n, the sorted-neighborhood sizing rule): band count
+    grows linearly with n, expected occupancy stays ~`target_occupancy`,
+    and pair volume stays LINEAR in n at any scale.
+
+    Engine-reproducible by construction: values are fixed-pointed to
+    integers (`round(x·scale)` — `scale=100` for 2-decimal money), and
+    the width derivation is pure bigint arithmetic on (count, min, max):
+
+        n_bands = max(1, n div target_occupancy)
+        width   = max(1, ceil_div(hi − lo + 1, n_bands))
+        band    = (round(x·scale) − lo) div width
+
+    so DuckDB restates it exactly (`//` floor-div on non-negative
+    bigints == Spark `div`) and the banded query stays hash-checkable —
+    no float width, no engine-specific rounding at band edges.
+
+    Shape: one scalar aggregate (count/min/max — partial-combined, no
+    keyed exchange) broadcast-cross-joined back onto the table; the
+    banding itself is a narrow JVM expression. Lazy end to end — the
+    stats live in the plan, not in a driver-side collect. NULL values
+    get a NULL band (they never pair — the same NULL-block contract as
+    record_linkage's equi-join).
+    """
+    fixed = F.round(F.col(col) * int(scale)).cast("long")
+    stats = df.agg(
+        F.count(fixed).alias("__band_n"),
+        F.min(fixed).alias("__band_lo"),
+        F.max(fixed).alias("__band_hi"),
+    )
+    # ceil_div(span, n_bands) via (span + n_bands − 1) div n_bands — one
+    # integer division, so DuckDB's // restates it exactly
+    n_bands_sql = f"greatest(cast(1 as bigint), __band_n div {int(target_occupancy)})"
+    width_sql = (
+        f"greatest(cast(1 as bigint), "
+        f"(__band_hi - __band_lo + 1 + {n_bands_sql} - 1) div {n_bands_sql})"
+    )
+    banded = df.crossJoin(F.broadcast(stats)).withColumn(
+        out_col,
+        F.expr(
+            f"(cast(round({col} * {int(scale)}) as bigint) - __band_lo) "
+            f"div {width_sql}"
+        ),
+    )
+    return banded.drop("__band_n", "__band_lo", "__band_hi")
+
+
 def record_linkage(
     df: DataFrame,
     id_col: str,

@@ -288,7 +288,7 @@ def q_latest_per_group(spark: SparkSession, sf: str) -> DataFrame:
     return _format_flagship(latest)
 
 
-@query("latest_per_group_maxby", _FLAGSHIP_ORACLE)
+@query("latest_per_group_maxby", _FLAGSHIP_ORACLE, shadow=True)  # demoted round 10
 def q_latest_per_group_maxby(spark: SparkSession, sf: str) -> DataFrame:
     """Same semantics as latest_per_group, executed as a partial-aggregating
     max_by hash agg — the preferred physical shape at 100 TB (shuffles one
@@ -356,6 +356,7 @@ def q_join_premises(spark: SparkSession, sf: str) -> DataFrame:
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     """,
+    shadow=True,  # demoted round 10 (7th rotation): multi-round driver-green
 )
 def q_star_denorm(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's raison d'être ('merge into single db file',
@@ -412,6 +413,7 @@ def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
+    shadow=True,  # demoted round 10 (7th rotation): multi-round driver-green
 )
 def q_agg_by_brand(spark: SparkSession, sf: str) -> DataFrame:
     """Consumer group-by implied by item_group index (src/main.rs:205)."""
@@ -467,6 +469,7 @@ def q_agg_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
+    shadow=True,  # demoted round 10 (7th rotation): multi-round driver-green
 )
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-shaped scan+agg — the bench headline query."""
@@ -892,6 +895,7 @@ _JACCARD_MAX_DF = 50  # hot-shingle cap: a shingle in f docs emits f² pairs
     JOIN sizes sb ON id_b = sb.doc_id
     WHERE round(c / (sa.n + sb.n - c), 6) >= 0.3
     """,
+    shadow=True,  # demoted round 10 (7th rotation): multi-round driver-green
 )
 def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index join (never a
@@ -1005,6 +1009,7 @@ def q_dedup_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, lang, n_chars FROM exact_kept
     ANTI JOIN losers USING (doc_id)
     """,
+    shadow=True,  # demoted round 10 (7th rotation): multi-round driver-green
 )
 def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     """The COMPOSED training-data cleaning pipeline (quality gate → exact
@@ -1064,6 +1069,7 @@ _JACCARD_EDGE_CTES = f"""
     SELECT u AS doc_id, least(u, min(v)) AS cluster_id
     FROM reach GROUP BY u
     """,
+    shadow=True,  # demoted round 10 (7th rotation): multi-round driver-green
 )
 def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the near-dup pair graph (distributed
@@ -1138,6 +1144,7 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, lang, n_chars FROM exact_kept
     ANTI JOIN losers USING (doc_id)
     """,
+    shadow=True,  # demoted round 10 (7th rotation): multi-round driver-green
 )
 def q_corpus_clean_clustered(spark: SparkSession, sf: str) -> DataFrame:
     """corpus_clean with connected-component dedup semantics: one survivor
@@ -1440,6 +1447,7 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
                  6) AS quality
     FROM t
     """,
+    shadow=True,  # demoted round 10 (7th rotation): multi-round driver-green
 )
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document text profile in one narrow projection: token counting
@@ -2040,6 +2048,7 @@ _DUCK_PII_COUNT = """(len(regexp_extract_all(text,
     UNION ALL SELECT 'pii_doc_share', round(pii_doc_share, 6) FROM agg
     UNION ALL SELECT 'exact_dup_share', round(exact_dup_share, 6) FROM agg
     """,
+    shadow=True,  # demoted round 10 (7th rotation): multi-round driver-green
 )
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """The dataset card: corpus-level stats (docs/tokens/chars, quality
@@ -7637,7 +7646,7 @@ def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
                 THEN 1 ELSE -1 END AS sign
     FROM documents WHERE source IS NOT NULL
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
     """Signed hashing trick over documents.(lang, source) into 1024
@@ -7665,7 +7674,7 @@ def q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE 'test' END AS split
     FROM events, cut
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
     """Time-ordered 70/30 split with a 12-hour embargo gap over events
@@ -7727,7 +7736,7 @@ def q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
            round(COALESCE(p.dcg / NULLIF(i.idcg, 0), 0.0), 6) AS ndcg
     FROM per_q p LEFT JOIN ideal i ON p.user_id = i.user_id
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Precision@10 / MRR / NDCG@10 per user (search.ranking_metrics):
@@ -7774,7 +7783,7 @@ def q_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
     FROM tl LEFT JOIN vocab v ON tl.term = v.term
     GROUP BY tl.doc_id
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document OOV rate against the corpus's freq>=5 vocabulary
@@ -8653,6 +8662,88 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "record_linkage_scaled",
+    """
+    WITH c AS (
+        SELECT c_custkey AS id, c_name, c_nationkey, c_mktsegment,
+               c_acctbal,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ), s AS (
+        SELECT count(cents) AS n, min(cents) AS lo, max(cents) AS hi
+        FROM c
+    ), banded AS (
+        SELECT c.*,
+               (cents - lo) // greatest(
+                   CAST(1 AS BIGINT),
+                   (hi - lo + 1
+                    + greatest(CAST(1 AS BIGINT), n // 64) - 1)
+                   // greatest(CAST(1 AS BIGINT), n // 64)
+               ) AS bal_band
+        FROM c, s
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.c_name AS na, b.c_name AS nb,
+               a.c_acctbal AS xa, b.c_acctbal AS xb
+        FROM banded a JOIN banded b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.bal_band = b.bal_band
+         AND a.id < b.id
+    ), scored AS (
+        SELECT id_a, id_b,
+               CASE WHEN na IS NOT NULL AND nb IS NOT NULL THEN
+                   1 - levenshtein(na, nb)
+                       / CAST(greatest(len(na), len(nb), 1) AS DOUBLE)
+               END AS s_name,
+               CASE WHEN xa IS NOT NULL AND xb IS NOT NULL THEN
+                   CASE WHEN xa = 0 AND xb = 0 THEN 1.0
+                        ELSE greatest(0.0, 1 - abs(xa - xb)
+                             / greatest(abs(xa), abs(xb))) END
+               END AS s_bal
+        FROM pairs
+    ), agg AS (
+        SELECT id_a, id_b, s_name, s_bal,
+               round((COALESCE(s_name * 2.0, 0) + COALESCE(s_bal, 0))
+                     / NULLIF(CASE WHEN s_name IS NOT NULL
+                                   THEN 2.0 ELSE 0 END
+                              + CASE WHEN s_bal IS NOT NULL
+                                     THEN 1.0 ELSE 0 END, 0), 6) AS score
+        FROM scored
+    )
+    SELECT id_a, id_b, round(s_name, 6) AS sim_c_name,
+           round(s_bal, 6) AS sim_c_acctbal, score,
+           score >= 0.62 AS matched
+    FROM agg
+    """,
+    shadow=True,
+)
+def q_record_linkage_scaled(spark: SparkSession, sf: str) -> DataFrame:
+    """record_linkage at the DATA-SCALED band parameterization
+    (linkage.scaled_numeric_band): the balance band width is derived
+    from the table — width ∝ range/n, target occupancy 64 — instead of
+    the fixed 500-cent dial, so per-band pair volume stays LINEAR in n
+    (the fixed dial measured 24.8× for 10× rows in the sf1 probe;
+    q_record_linkage remains registered as the explicit fixed-dial
+    variant). The derivation is pure bigint arithmetic on
+    (count, min, max) fixed-pointed cents, so DuckDB restates the band
+    edges exactly. Hash-checked."""
+    c = linkage.scaled_numeric_band(
+        load_table(spark, sf, "customer"),
+        "c_acctbal",
+        target_occupancy=64,
+        out_col="bal_band",
+    )
+    return linkage.record_linkage(
+        c,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        [("c_name", "string", 2.0), ("c_acctbal", "numeric", 1.0)],
+        threshold=0.62,
+    )
+
+
 @query("lof_outliers")  # rows-only: composed on the hash-dependent graph
 def q_lof_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Local Outlier Factor over the embeddings table (similarity.
@@ -8694,7 +8785,7 @@ def q_lof_outliers(spark: SparkSession, sf: str) -> DataFrame:
                  6) AS fk_grade
     FROM base
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_readability(spark: SparkSession, sf: str) -> DataFrame:
     """Flesch reading-ease + FK grade per document (text.
@@ -8723,7 +8814,7 @@ def q_readability(spark: SparkSession, sf: str) -> DataFrame:
                  / CAST(count(*) * capacity AS DOUBLE), 6) AS padding_frac
     FROM base GROUP BY capacity
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Power-of-two length-bucket padding audit over document lengths
@@ -8777,7 +8868,7 @@ def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
     WHERE n_sensitive_rows > 0
       AND round(0.5 * (present + (1 - qmass)), 6) > 0.25
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
     """t-closeness audit over (nation, balance-band) classes with the
@@ -8818,7 +8909,7 @@ def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
     WHERE (label = 0 AND t1 IS NOT NULL AND score >= t1)
        OR (label = 1 AND t0 IS NOT NULL AND (1.0 - score) >= t0)
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     """Confident-learning label-noise screen (classifier.
@@ -8867,7 +8958,7 @@ def q_label_noise(spark: SparkSession, sf: str) -> DataFrame:
                AS BIGINT)
           < (rate - copy_idx) * 4294967296.0
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled language rebalance (sampling.temperature_mix,
@@ -8912,7 +9003,7 @@ def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
            round(avg(cf), 6) AS mean_cos_full
     FROM per GROUP BY dim ORDER BY dim
     """,
-    shadow=True,
+    shadow=False,  # promoted round 10 (7th rotation)
 )
 def q_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
     """Matryoshka prefix-truncation fidelity report (similarity.

@@ -106,3 +106,60 @@ def test_bad_kind_raises(spark):
         record_linkage(df, "id", ["blk"], [("name", "fuzzy", 1.0)], 0.5)
     with pytest.raises(ValueError, match="non-empty"):
         record_linkage(df, "id", ["blk"], [], 0.5)
+
+
+# --- scaled_numeric_band: the scale-safe banding derivation ------------------
+
+
+def test_scaled_band_occupancy_stays_constant_as_n_grows(spark):
+    """The whole point: 10× the rows → ~10× the bands, NOT 10× the
+    occupancy. Uniform values over a fixed range (the fixed-width
+    worst case)."""
+    from opendosm_parquet_to_sqlite_spark.operators.linkage import (
+        scaled_numeric_band,
+    )
+
+    def max_occupancy(n):
+        rows = [(i, (i * 9973 % 100000) / 100.0) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, bal double")
+        banded = scaled_numeric_band(df, "bal", target_occupancy=64)
+        per = banded.groupBy("band").count().collect()
+        return max(r["count"] for r in per), len(per)
+
+    occ_small, bands_small = max_occupancy(640)
+    occ_big, bands_big = max_occupancy(6400)
+    # expected occupancy is 64 in both; allow 3× slack for hash scatter
+    assert occ_small <= 64 * 3 and occ_big <= 64 * 3
+    # band count scales with n (the linearity witness)
+    assert bands_big >= bands_small * 5
+
+
+def test_scaled_band_null_and_tiny_inputs(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.linkage import (
+        scaled_numeric_band,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 5.0)], "id long, bal double"
+    )
+    rows = {r["id"]: r["band"] for r in
+            scaled_numeric_band(df, "bal").collect()}
+    assert rows[2] is None          # NULL value → NULL band, never pairs
+    assert rows[1] == rows[3] == 0  # tiny n → single band 0
+
+
+def test_scaled_band_keeps_near_values_pairable(spark):
+    """Near-duplicate balances land in the same or adjacent band —
+    width ≥ 1 cent guarantees exact-equal values always co-band."""
+    from opendosm_parquet_to_sqlite_spark.operators.linkage import (
+        scaled_numeric_band,
+    )
+
+    rows = [(i, float(i)) for i in range(1000)] + [
+        (5000, 123.0),
+        (5001, 123.0),  # exact duplicate of 5000
+    ]
+    df = spark.createDataFrame(rows, "id long, bal double")
+    got = {r["id"]: r["band"] for r in
+           scaled_numeric_band(df, "bal").collect()}
+    assert got[5000] == got[5001]
