@@ -334,6 +334,34 @@ def audio_phash(
     )
 
 
+def _check_member_pair_volume(fp: DataFrame, max_pairs: int) -> None:
+    """The max_pairs safety valve: estimate the EXACT-duplicate member-pair
+    volume — Σ c·(c−1)/2 over repeated fingerprints, the term that is
+    quadratic in clique size and dominates any blow-up (the sf1 probe's
+    50 cliques of 1000 docs ARE ~25M output rows before a single banded
+    near-dup pair is added) — and refuse to build the pair plan when it
+    exceeds the cap. One fingerprint-keyed count + scalar agg; runs
+    eagerly, which is the point of a valve."""
+    est = (
+        fp.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
+        )
+        .first()["pairs"]
+    )
+    est = int(est or 0)
+    if est > int(max_pairs):
+        raise ValueError(
+            f"member-pair volume estimate {est} exceeds max_pairs="
+            f"{int(max_pairs)}: repeated fingerprints make the per-member "
+            f"pair output quadratic in clique size. At scale use "
+            f"media_dup_clusters instead — it searches DISTINCT "
+            f"fingerprints and assigns members by one broadcast join, "
+            f"never materializing member pairs."
+        )
+
+
 def image_phash_pairs(
     df: DataFrame,
     payload_col: str,
@@ -342,11 +370,28 @@ def image_phash_pairs(
     hash_size: int = 8,
     max_bucket_size: int | None = 1024,
     decode_fn: Callable[[bytes], object] | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs: dHash fingerprints → banded Hamming search
     (neardup.hamming_band_pairs, bits=64). Output (id_a, id_b, hamming),
-    id_a < id_b. Payload bytes never shuffle."""
+    id_a < id_b. Payload bytes never shuffle.
+
+    SCALE WARNING — this is the MEMBER-pair contract: every pair of docs
+    whose fingerprints collide is a row, so exact-dup cliques emit
+    quadratic output (m docs sharing one fingerprint → m·(m−1)/2 rows;
+    the sf1 probe measured 33× for 10× data on exactly that corpus
+    shape). The 100 TB path is `media_dup_clusters`, which searches
+    DISTINCT fingerprints and lets members inherit cluster ids through
+    one broadcast join — linear output, measured 1.7× at the same probe.
+    Reach for this pair form only when downstream genuinely consumes
+    per-pair rows (e.g. pairwise review queues). `max_pairs` is the
+    safety valve: when set, an exact-dup member-pair estimate
+    (Σ c·(c−1)/2 over repeated fingerprints — one cheap keyed count,
+    eager) runs first and raises with that pointer instead of letting
+    the quadratic output materialize."""
     fp = image_phash(df, payload_col, id_col, hash_size, decode_fn)
+    if max_pairs is not None:
+        _check_member_pair_volume(fp, max_pairs)
     return hamming_band_pairs(
         fp,
         id_col="doc_id",
@@ -365,10 +410,16 @@ def audio_phash_pairs(
     nfft: int = 512,
     max_bucket_size: int | None = 1024,
     decode_fn: Callable[[bytes], tuple] | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs: spectral fingerprints → banded Hamming search.
-    Same-content-different-gain clips land at hamming 0 (see audio_fp64)."""
+    Same-content-different-gain clips land at hamming 0 (see audio_fp64).
+    MEMBER-pair contract — quadratic output on exact-dup cliques; the
+    scale path is `media_dup_clusters` (see image_phash_pairs' scale
+    warning); `max_pairs` valve identical."""
     fp = audio_phash(df, payload_col, id_col, nfft, decode_fn)
+    if max_pairs is not None:
+        _check_member_pair_volume(fp, max_pairs)
     return hamming_band_pairs(
         fp,
         id_col="doc_id",
