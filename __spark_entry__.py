@@ -50,9 +50,11 @@ _ROWS_ONLY_PRIORITY = [
     "corpus_report",
     "dup_clusters",
     "text_profile",
-    # round-10 registration: the data-scaled band-width linkage fix
-    # (shadow-oracle hash-checked in-repo):
+    # round-10 registrations (shadow-oracle hash-checked in-repo): the
+    # data-scaled band-width linkage fix and the Lee-style repeated-span
+    # removal transform:
     "record_linkage_scaled",
+    "remove_repeated_spans",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",

@@ -207,6 +207,8 @@ def prepare_training_data(
     contamination_n: int = 5,
     budget: int = 64,
     block_size: int = 4096,
+    remove_spans: bool = False,
+    span_min_len: int = 8,
 ) -> DataFrame:
     """The WHOLE corpus→training-sequences flow, one lazy plan:
 
@@ -215,6 +217,15 @@ def prepare_training_data(
                         repetition gate (operators.text)
     3. exact dedup    — min-id survivor per content digest
     4. near-dup sweep — capped n-gram Jaccard, greedy min-id survivor
+    4b. span removal  — OPT-IN (`remove_spans=True`): excise each
+                        surviving pair's longest cross-doc repeated span
+                        (≥ span_min_len tokens) from the higher-id member
+                        (neardup.remove_repeated_spans — the Lee et al.
+                        substring-dedup transform), so decontamination
+                        and packing see span-cleaned text and token
+                        budgets. Off by default: the registered oracle
+                        pins the 7-stage composition; the flag-on path
+                        is pinned by pytest (tests/test_corpus.py).
     5. decontaminate  — drop docs sharing any contamination_n-gram with
                         the benchmark set (raw benchmark text)
     6. mix & split    — deterministic stratified sampling by `strata_col`
@@ -269,6 +280,22 @@ def prepare_training_data(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = persist_tracked(exact_kept.join(losers, id_col, "left_anti"))
+    if remove_spans:
+        # stage 4b: span-level cut across the near-dup SURVIVORS (whole-doc
+        # near-dups are already gone; what remains is copied passages
+        # inside otherwise-distinct docs). One doc-keyed join re-attaches
+        # the cleaned text to the survivor row's other columns.
+        cut = neardup.remove_repeated_spans(
+            survivors, text_col, id_col, min_len=span_min_len
+        )
+        survivors = persist_tracked(
+            survivors.drop(text_col).join(
+                cut.select(
+                    F.col("doc_id").alias(id_col), text_col
+                ),
+                id_col,
+            )
+        )
     flagged = contamination.ngram_overlap(
         survivors, benchmark, text_col, id_col, n=contamination_n
     )

@@ -1135,3 +1135,94 @@ def exact_span_pairs(
         .filter((F.col("__r") == 1) & (F.col("span_len") >= int(min_len)))
         .select("id_a", "id_b", "start_a", "start_b", "span_len")
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 20,
+    max_token_freq: int | None = 64,
+) -> DataFrame:
+    """Corpus-level repeated-span REMOVAL — the actual dedup TRANSFORM of
+    Lee et al. 2022's substring method (the step span_dedup/
+    exact_span_pairs only MEASURE): every surfaced cross-doc duplicated
+    span is excised from all-but-one occurrence and the cleaned corpus is
+    re-emitted.
+
+    Policy (deterministic, engine-restatable): for each candidate pair
+    (id_a < id_b) whose longest exact shared span reaches `min_len`
+    (exact_span_pairs — winnow candidates, diagonal gaps-and-islands
+    exact span), the span is CUT from the HIGHER-id member at
+    [start_b, start_b + span_len); the lower-id member keeps its copy.
+    Chains compose: in an m-doc clique every member except the smallest
+    id gets cut, so exactly one occurrence survives. A doc cut by
+    several pairs loses the union of its cut intervals — overlap is
+    handled by the per-token interval test, no interval merge pass
+    needed.
+
+    One PASS removes each pair's LONGEST shared span (that is
+    exact_span_pairs' per-pair contract); corpora with several disjoint
+    long duplicated spans per pair converge by re-running the transform
+    on its own output — each pass is one more winnow+span round, the
+    distributed analog of suffix-array multi-hit extraction.
+
+    Output: (doc_id, <text_col>, n_removed) — every input doc re-emitted.
+    Uncut docs keep their text VERBATIM (n_removed = 0); cut docs are
+    rebuilt from their kept tokens joined by single spaces (whitespace
+    inside a cut doc normalizes — the same canonical form the token
+    positions are defined over).
+
+    Shape: the span search is exact_span_pairs' shape unchanged; the cut
+    application adds ONE doc-keyed aggregation of the pair-sized cut
+    list and ONE doc-keyed left join onto the corpus, then a narrow
+    higher-order-function rebuild (filter-with-index + exists over the
+    per-doc cut array) — no posexplode of the corpus, no second corpus
+    exchange, zero Python. Fully SQL-expressible → hash-checkable
+    against a DuckDB restatement (UNNEST-with-ordinality + anti-range
+    semantics restate filter/exists exactly).
+    """
+    spans = exact_span_pairs(
+        df,
+        text_col,
+        id_col,
+        min_len=min_len,
+        k=k,
+        window=window,
+        min_shared=min_shared,
+        max_doc_freq=max_doc_freq,
+        max_token_freq=max_token_freq,
+    )
+    cuts = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("start_b").alias("lo"),
+        (F.col("start_b") + F.col("span_len") - 1).alias("hi"),
+    )
+    cut_lists = cuts.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("lo", "hi"))).alias("__cuts")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    joined = base.join(cut_lists, "doc_id", "left")
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__cuts"),
+            lambda c: (i >= c["lo"]) & (i <= c["hi"]),
+        ),
+    )
+    cleaned = F.when(F.col("__cuts").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
+    n_removed = F.when(
+        F.col("__cuts").isNull(), F.lit(0)
+    ).otherwise(F.size(toks) - F.size(kept))
+    return joined.select(
+        "doc_id",
+        cleaned.alias(text_col),
+        n_removed.cast("long").alias("n_removed"),
+    )

@@ -4940,6 +4940,118 @@ def q_span_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "remove_repeated_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ), grams AS (
+        SELECT doc_id,
+               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                   AS g
+        FROM toks
+    ), hs AS (
+        SELECT doc_id, [md5(x) for x in g] AS h FROM grams
+    ), sel AS (
+        SELECT doc_id, unnest(list_distinct(
+            [list_min(h[i:i+3]) for i in range(1, len(h)-2)]
+        )) AS fp
+        FROM hs
+    ), ok_fp AS (
+        SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 20
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT * FROM sel SEMI JOIN ok_fp USING (fp)) a
+        JOIN (SELECT * FROM sel SEMI JOIN ok_fp USING (fp)) b
+            USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), pos0 AS (
+        SELECT doc_id, i - 1 AS p, w[i] AS tok
+        FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+    ), pos AS (
+        SELECT * FROM pos0
+        QUALIFY count(*) OVER (PARTITION BY doc_id, tok) <= 64
+    ), matches AS (
+        SELECT id_a, id_b, a.p AS pa, b.p AS pb, a.p - b.p AS diag
+        FROM pairs
+        JOIN pos a ON a.doc_id = id_a
+        JOIN pos b ON b.doc_id = id_b AND b.tok = a.tok
+    ), runs AS (
+        SELECT id_a, id_b,
+               CAST(min(pa) AS BIGINT) AS start_a,
+               CAST(min(pb) AS BIGINT) AS start_b,
+               count(*) AS span_len
+        FROM (
+            SELECT *, pa - row_number() OVER (
+                PARTITION BY id_a, id_b, diag ORDER BY pa
+            ) AS isl
+            FROM matches
+        )
+        GROUP BY id_a, id_b, diag, isl
+    ), best AS (
+        SELECT id_a, id_b, start_a, start_b, span_len
+        FROM runs
+        QUALIFY row_number() OVER (
+            PARTITION BY id_a, id_b
+            ORDER BY span_len DESC, start_a ASC, start_b ASC
+        ) = 1 AND span_len >= 8
+    ), cuts AS (
+        SELECT id_b AS doc_id, start_b AS lo,
+               start_b + span_len - 1 AS hi
+        FROM best
+    ), cutdocs AS (
+        SELECT DISTINCT doc_id FROM cuts
+    ), allpos AS (
+        SELECT t2.doc_id, i - 1 AS p, w[i] AS tok
+        FROM (SELECT * FROM toks SEMI JOIN cutdocs USING (doc_id)) t2,
+             UNNEST(range(1, len(w) + 1)) AS u(i)
+    ), kept AS (
+        SELECT a.doc_id, a.p, a.tok
+        FROM allpos a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cuts c
+            WHERE c.doc_id = a.doc_id AND a.p >= c.lo AND a.p <= c.hi
+        )
+    ), rebuilt AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY p) AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), sizes AS (
+        SELECT doc_id, len(w) AS n_toks
+        FROM toks SEMI JOIN cutdocs USING (doc_id)
+    )
+    SELECT d.doc_id,
+           CASE WHEN s.doc_id IS NULL THEN d.text
+                ELSE coalesce(r.text_clean, '') END AS text,
+           CAST(CASE WHEN s.doc_id IS NULL THEN 0
+                     ELSE s.n_toks - coalesce(r.n_kept, 0) END
+                AS BIGINT) AS n_removed
+    FROM documents d
+    LEFT JOIN sizes s USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    shadow=True,
+)
+def q_remove_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level repeated-span REMOVAL (neardup.remove_repeated_spans)
+    — the Lee et al. substring-dedup TRANSFORM: each winnow-candidate
+    pair's longest exact shared span (≥8 tokens) is excised from the
+    higher-id member; every doc re-emits (uncut docs verbatim, cut docs
+    rebuilt from kept tokens). The DuckDB oracle restates all three
+    layers — md5 winnowing, diagonal gaps-and-islands exact span, and
+    the UNNEST-ordinality anti-range rebuild — so the transform is
+    hash-checked end to end. Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    return neardup.remove_repeated_spans(
+        docs, "text", "doc_id", min_len=8, k=5, window=4, min_shared=2,
+        max_doc_freq=20, max_token_freq=64,
+    )
+
+
 def ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
     """Idempotent build of the persisted IVFADC (IVF×PQ) index over sf's
     embeddings — same sharing contract as ensure_ivf_index: probe

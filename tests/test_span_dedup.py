@@ -74,3 +74,124 @@ def test_hashed_matches_raw(spark):
     raw = sorted(map(tuple, span_stats(df, "text", "doc_id", hashed=False).collect()))
     hashed = sorted(map(tuple, span_stats(df, "text", "doc_id", hashed=True).collect()))
     assert raw == hashed
+
+
+# --- remove_repeated_spans: the Lee et al. substring-dedup TRANSFORM ---------
+
+
+SPAN = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima"
+)  # 12 tokens — well past min_len=8 and the winnow guarantee
+
+
+def test_planted_span_excised_from_all_but_one(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.neardup import (
+        remove_repeated_spans,
+    )
+
+    rows = [
+        (1, f"unique one text {SPAN} tail one"),
+        (2, f"head two {SPAN} unique two ending"),
+        (3, f"third doc {SPAN} closing words three"),
+        (4, "completely unrelated text with no duplication here at all"),
+        (5, ""),  # empty doc must re-emit verbatim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(df, "text", "doc_id").collect()
+    }
+    # every input doc re-emits
+    assert set(out) == {1, 2, 3, 4, 5}
+    # the smallest-id member keeps its copy VERBATIM
+    assert out[1].text == rows[0][1] and out[1].n_removed == 0
+    # higher-id members lose exactly the 12-token span, nothing else
+    assert out[2].text == "head two unique two ending"
+    assert out[2].n_removed == 12
+    assert out[3].text == "third doc closing words three"
+    assert out[3].n_removed == 12
+    # the span survives in exactly one document corpus-wide
+    n_carriers = sum(SPAN in r.text for r in out.values())
+    assert n_carriers == 1
+    # untouched docs: verbatim text, zero removed (mass conservation)
+    assert out[4].text == rows[3][1] and out[4].n_removed == 0
+    assert out[5].text == "" and out[5].n_removed == 0
+
+
+def test_mass_conservation_token_accounting(spark):
+    """Σ tokens(out) + Σ n_removed == Σ tokens(in): the cut removes
+    exactly what it reports and nothing else."""
+    from opendosm_parquet_to_sqlite_spark.operators.neardup import (
+        remove_repeated_spans,
+    )
+
+    rows = [
+        (10, f"aa bb {SPAN} cc dd"),
+        (11, f"{SPAN} xx yy zz"),
+        (12, "independent filler words that stay fully intact always"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_repeated_spans(df, "text", "doc_id").collect()
+    tokens_in = sum(len(t.split()) for _, t in rows)
+    tokens_out = sum(len(r.text.split()) for r in out)
+    removed = sum(r.n_removed for r in out)
+    assert tokens_out + removed == tokens_in
+    assert removed == 12  # one span, one excision
+
+
+def test_overlapping_cuts_union_not_double_count(spark):
+    """A doc cut by two pairs with overlapping spans loses the UNION of
+    the intervals — n_removed never exceeds the doc's token count."""
+    from opendosm_parquet_to_sqlite_spark.operators.neardup import (
+        remove_repeated_spans,
+    )
+
+    # doc 3 shares its whole text with 1 AND with 2 (two pairs, both cut
+    # doc 3 on overlapping intervals)
+    rows = [
+        (1, SPAN),
+        (2, SPAN),
+        (3, SPAN),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(df, "text", "doc_id").collect()
+    }
+    assert out[1].n_removed == 0 and out[1].text == SPAN
+    assert out[2].n_removed == 12 and out[2].text == ""
+    assert out[3].n_removed == 12 and out[3].text == ""
+
+
+def test_prepare_training_data_span_stage_optin(spark):
+    """Flag-off output is byte-stable vs flag-on: the span stage shrinks
+    cut docs' token budgets (packing sees cleaned text) and defaults to
+    OFF so the registered oracle contract is untouched."""
+    from opendosm_parquet_to_sqlite_spark.operators.corpus import (
+        prepare_training_data,
+    )
+
+    filler_a = "the quick brown fox jumps over lazy dogs daily " * 2
+    filler_b = "every single sentence here differs from neighbours " * 2
+    rows = [
+        (1, f"{filler_a}{SPAN}", "s1"),
+        (2, f"{filler_b}{SPAN}", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, strat string")
+    bench = spark.createDataFrame(
+        [(100, "benchmark only words none shared")], "doc_id long, text string"
+    )
+    kw = dict(
+        rates={"s1": 1.0}, min_quality=0.0, jaccard_threshold=0.95,
+        budget=1000,
+    )
+    off = {r.doc_id: r for r in prepare_training_data(
+        df, bench, "text", "doc_id", "strat", **kw).collect()}
+    on = {r.doc_id: r for r in prepare_training_data(
+        df, bench, "text", "doc_id", "strat", remove_spans=True, **kw
+    ).collect()}
+    assert set(off) == set(on) == {1, 2}
+    # doc 1 (lower id) keeps the span either way; doc 2 loses 12 tokens
+    assert on[1].n_tokens == off[1].n_tokens
+    assert on[2].n_tokens == off[2].n_tokens - 12
