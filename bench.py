@@ -359,9 +359,29 @@ HEADLINE = [
     "record_linkage",
     # round-7 wave 17: LOF over the kNN edge list (edge-keyed joins only)
     "lof_outliers",
+    # round-10: the scale-safe linkage parameterization (data-derived band
+    # width — pair volume linear in n) and the Lee-style repeated-span
+    # removal transform (span search + doc-keyed cut rebuild)
+    "record_linkage_scaled",
+    "remove_repeated_spans",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
+
+# Load provenance (round-9 verdict item 1): BENCH_r09 ran on a loaded box
+# and every one of the 189 queries shifted ~1.37x together — a uniform
+# environment artifact that the artifact itself could not prove. Two
+# instruments make it provable: (a) os.getloadavg() stamped before/after
+# the suite, (b) a fixed CANARY query re-run untimed-slot every
+# CANARY_EVERY queries — its drift separates "the engine regressed" from
+# "the box got busy mid-suite" (a real regression moves one query's
+# timing, not the canary's).
+CANARY = "pricing_summary"
+CANARY_EVERY = 32
+
+# Queries forced into every --sf1-gate probe regardless of sf0.1 cost:
+# the adjudicated scale fixes whose whole point is their sf1 behavior.
+SF1_GATE_EXTRA = ["record_linkage_scaled", "remove_repeated_spans"]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -409,6 +429,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if "--sf1-gate" in sys.argv:
+        sf1_gate(spark)
+        return
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     # warm the JVM/session once (tiny action, not counted per-query), and
     # touch each table's parquet footer so the first real query doesn't
     # absorb file-listing/codegen warm-up as its own cost
@@ -428,6 +453,14 @@ def main() -> None:
             run_query(spark, name, sf_dir)
             release_cached()
 
+    # canary reference point: one warm run before the timed loop (the
+    # warm-up pass above already primed it)
+    canary_times: list[float] = []
+    run_canary = "--only" not in sys.argv and CANARY in QUERIES
+    if run_canary:
+        canary_times.append(round(run_query(spark, CANARY, sf_dir), 3))
+        release_cached()
+
     runs: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(max(n_runs, 1)):
         for qi, name in enumerate(headline):
@@ -441,6 +474,13 @@ def main() -> None:
                 # (the round-6/7 in-session bloom outlier — diagnosed as
                 # heap-ceiling GC storms, not a plan property)
                 spark._jvm.System.gc()
+                if run_canary:
+                    # interleaved canary (untimed slot): a loaded box moves
+                    # THIS number; an engine regression does not
+                    canary_times.append(
+                        round(run_query(spark, CANARY, sf_dir), 3)
+                    )
+                    release_cached()
 
     timings = {n: round(_median(ts), 3) for n, ts in runs.items()}
 
@@ -504,6 +544,15 @@ def main() -> None:
         "sf": sf,
     }
     out["n_warmup"] = n_warmup
+    out["loadavg_before"] = load_before
+    out["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    if canary_times:
+        cmin, cmax = min(canary_times), max(canary_times)
+        out["canary"] = {
+            "query": CANARY,
+            "runs_sec": canary_times,
+            "drift_pct": round((cmax - cmin) / cmin * 100, 1) if cmin else 0.0,
+        }
     if remeasured:
         out["remeasured"] = remeasured
         out["total_in_session_sec"] = in_session_total
@@ -511,6 +560,100 @@ def main() -> None:
         out["n_runs"] = n_runs
         out["queries_min"] = {n: round(min(ts), 3) for n, ts in runs.items()}
     emit(out, timings, sf, n_warmup, n_runs)
+
+
+def sf1_gate(spark) -> None:
+    """Standing sf1 scale gate (round-9 verdict item 3): re-run the most
+    expensive headline queries at 10x the bench scale and compare each to
+    its sf0.1 warm baseline median. The round-9 probe was a one-shot that
+    found two real scale bugs; this flag makes it re-runnable per round:
+
+        python3 bench.py --sf1-gate [--top N]
+
+    Fixture: $SPARK_GRAFT_SF1_DIR (default /tmp/sf1), built on demand via
+    tools/make_scale.py (deterministic 10x replication of the driver's
+    sf0.1 — see that docstring for why replication preserves the regime).
+    Method matches the round-9 probe exactly: 1 untimed warm-up + 1 timed
+    run per query, top-N (default 25) headline queries by sf0.1 baseline
+    cost, plus SF1_GATE_EXTRA (the adjudicated scale fixes). Gate rule:
+    cores are fixed while data grows 10x, so ~10x is the zero-headroom
+    linear bound and anything >15x needs a named cause (BASELINE.md's
+    documented rule). Writes BENCH_SF1.json; the driver-readable summary
+    line reports n_over_15x and the offenders.
+    """
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+    top_n = 25
+    if "--top" in sys.argv:
+        top_n = int(sys.argv[sys.argv.index("--top") + 1])
+    if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+        import subprocess
+
+        print(f"building sf1 fixtures at {sf1_dir} ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "make_scale.py"),
+             "--out", sf1_dir],
+            check=True,
+        )
+    base = _baseline_medians()
+    ranked = sorted(
+        (n for n in HEADLINE if n in base), key=lambda n: -base[n]
+    )
+    probe = ranked[:top_n] + [
+        n for n in SF1_GATE_EXTRA if n in QUERIES and n not in ranked[:top_n]
+    ]
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    spark.range(1).count()
+    for t in WARM_TABLES:
+        try:
+            spark.read.parquet(f"{sf1_dir}/{t}.parquet").limit(1).count()
+        except Exception:
+            pass
+    from opendosm_parquet_to_sqlite_spark.plans.queries import ensure_ivf_index
+
+    ensure_ivf_index(spark, sf1_dir, quantize=True)
+    timings: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    for name in probe:
+        run_query(spark, name, sf1_dir)  # warm-up, untimed
+        release_cached()
+        timings[name] = round(run_query(spark, name, sf1_dir), 3)
+        release_cached()
+        if base.get(name):
+            ratios[name] = round(timings[name] / base[name], 1)
+        print(json.dumps({"query": name, "sf1_sec": timings[name],
+                          "ratio_vs_sf01": ratios.get(name)}))
+        spark._jvm.System.gc()
+    over = sorted(
+        (n for n, r in ratios.items() if r > 15.0), key=lambda n: -ratios[n]
+    )
+    out = {
+        "metric": "sf1_scale_gate_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": 1.0,
+        "queries": timings,
+        "ratios_vs_sf01_median": ratios,
+        "n_probed": len(probe),
+        "n_over_15x": len(over),
+        "over_15x": over,
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    with open(os.path.join(repo, "BENCH_SF1.json"), "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": 1.0,
+        "n_probed": out["n_probed"],
+        "n_over_15x": out["n_over_15x"],
+        "over_15x": over[:8],
+        "worst_ratio": max(ratios.values()) if ratios else None,
+        "full_map": "BENCH_SF1.json",
+    }
+    print(json.dumps(summary))
 
 
 def _baseline_medians() -> dict[str, float]:

@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""sf10 micro-probe of the iterative family (round-9 verdict item 6).
+
+The sf1 probe established 0.9-5.2x growth for 10x data across the suite;
+the remaining scale question is whether the ITERATIVE operators (label
+propagation, pointer jumping, kNN-graph compositions) hold one more
+decade — their round counts could creep with diameter or density in a
+way a single 10x step cannot reveal. This probe builds sf10 fixtures
+(100x the driver's sf0.1, via the same deterministic replication as the
+sf1 probe — tools/make_scale.py --replicas 100) and times the top-5
+iterative queries by sf1 cost with the sf1 method (1 untimed warm-up +
+1 timed run, fixed cores).
+
+Reading the ratios: 10x data on fixed cores makes ~10x the zero-headroom
+linear bound; BASELINE.md's documented probe rule applies — anything
+> 8x here (tighter than the suite-wide 15x because these five are the
+queries whose round counts COULD grow) needs a named cause.
+
+Usage: python3 tools/sf10_probe.py [--out /tmp/sf10] [--skip-build]
+Prints per-query JSON lines, markdown rows for BASELINE.md, and one
+summary JSON line; writes BENCH_SF10.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# top-5 iterative-family queries by sf1 cost (BASELINE.md sf1 table)
+PROBE = [
+    "knn_clusters",
+    "lof_outliers",
+    "knn_graph",
+    "dup_communities",
+    "dup_clusters",
+    "dup_core",
+]
+
+
+def _sf1_seconds() -> dict[str, float]:
+    """Per-query sf1 seconds: BENCH_SF1.json when a --sf1-gate run exists
+    (fresh, same box), else BASELINE.md's recorded sf1 probe table."""
+    p = os.path.join(REPO, "BENCH_SF1.json")
+    if os.path.exists(p):
+        return json.load(open(p, encoding="utf-8"))["queries"]
+    out: dict[str, float] = {}
+    text = open(os.path.join(REPO, "BASELINE.md"), encoding="utf-8").read()
+    for m in re.finditer(
+        r"^\| ([a-z0-9_]+) \| ([0-9.]+) \| [0-9.]+ \| [0-9.]+ .?\|$",
+        text,
+        re.M,
+    ):
+        out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf10")
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--only", default=None, help="comma-separated subset")
+    args = ap.parse_args()
+
+    if not args.skip_build and not os.path.exists(
+        os.path.join(args.out, "lineitem.parquet")
+    ):
+        print(f"building sf10 fixtures at {args.out} ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_scale.py"),
+             "--out", args.out, "--replicas", "100"],
+            check=True,
+        )
+
+    from opendosm_parquet_to_sqlite_spark.caching import release_cached
+    from opendosm_parquet_to_sqlite_spark.plans.queries import QUERIES
+    from opendosm_parquet_to_sqlite_spark.session import get_spark
+
+    probe = args.only.split(",") if args.only else PROBE
+    sf1 = _sf1_seconds()
+    spark = get_spark(app_name="sf10_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    for name in probe:
+        def run() -> float:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, args.out).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t0
+
+        run()  # warm-up, untimed
+        release_cached()
+        timings[name] = round(run(), 3)
+        release_cached()
+        if sf1.get(name):
+            ratios[name] = round(timings[name] / sf1[name], 1)
+        print(json.dumps({"query": name, "sf10_sec": timings[name],
+                          "ratio_vs_sf1": ratios.get(name)}))
+        spark._jvm.System.gc()
+
+    print("\nBASELINE.md rows (| query | sf10 (s) | sf1 (s) | ratio |):")
+    for n in probe:
+        print(f"| {n} | {timings[n]} | {sf1.get(n, '?')} | "
+              f"{ratios.get(n, '?')} |")
+
+    out = {
+        "metric": "sf10_iterative_probe_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": 10.0,
+        "queries": timings,
+        "ratios_vs_sf1": ratios,
+        "n_over_8x": sum(1 for r in ratios.values() if r > 8.0),
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    with open(os.path.join(REPO, "BENCH_SF10.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({k: out[k] for k in (
+        "metric", "value", "unit", "sf", "n_over_8x", "ratios_vs_sf1")}))
+
+
+if __name__ == "__main__":
+    main()
