@@ -433,6 +433,15 @@ def main() -> None:
         sf1_gate(spark)
         return
     load_before = [round(x, 2) for x in os.getloadavg()]
+    # absolute box-speed reference: a fixed pure-JVM compute (no I/O, no
+    # shuffle, no codegen novelty after its first run) timed at suite
+    # start. Cross-ROUND ratio shifts that move every query together are
+    # box-speed artifacts iff this number moved with them; the canary
+    # covers intra-suite drift, this covers round-to-round comparability.
+    spark.range(1).count()  # session spin-up out of the probe
+    _t0 = time.perf_counter()
+    spark.range(400_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    ref_probe = round(time.perf_counter() - _t0, 3)
 
     # warm the JVM/session once (tiny action, not counted per-query), and
     # touch each table's parquet footer so the first real query doesn't
@@ -467,6 +476,16 @@ def main() -> None:
             runs[name].append(run_query(spark, name, sf_dir))
             release_cached()  # operator-internal persists end with their query
             if (qi + 1) % 32 == 0:
+                if run_canary:
+                    # interleaved canary (untimed slot): a loaded box moves
+                    # THIS number; an engine regression does not. Runs
+                    # BEFORE the gc hint — the first full-suite run of
+                    # round 10 put it after and the canary absorbed a
+                    # 10-second gc stall as its own time
+                    canary_times.append(
+                        round(run_query(spark, CANARY, sf_dir), 3)
+                    )
+                    release_cached()
                 # untimed GC hint between query groups: lets the
                 # ContextCleaner reap finished broadcasts/codegen refs
                 # incrementally instead of letting old-gen pressure build
@@ -474,13 +493,6 @@ def main() -> None:
                 # (the round-6/7 in-session bloom outlier — diagnosed as
                 # heap-ceiling GC storms, not a plan property)
                 spark._jvm.System.gc()
-                if run_canary:
-                    # interleaved canary (untimed slot): a loaded box moves
-                    # THIS number; an engine regression does not
-                    canary_times.append(
-                        round(run_query(spark, CANARY, sf_dir), 3)
-                    )
-                    release_cached()
 
     timings = {n: round(_median(ts), 3) for n, ts in runs.items()}
 
@@ -505,7 +517,14 @@ def main() -> None:
     in_session_total = round(sum(timings.values()), 3)
     base = _baseline_medians()
     remeasured: dict[str, dict[str, float]] = {}
-    if n_runs < 3 and base:
+    # n_runs >= 3 medians USED to skip this on the "medians are robust"
+    # theory; round 10 disproved it: in-session environmental bimodality
+    # (GC/cleaner bursts landing on the same HEADLINE neighborhood each
+    # pass) put 2 of 3 runs high for adjacent queries, so their medians
+    # read 2.6-3.1x while a fresh process measures 1.07-1.15x. The
+    # isolation remeasure now runs for every suspect; the substitution
+    # stays gated on the isolated number CONFIRMING an outlier.
+    if base:
         suspects = [
             name for name in headline
             if base.get(name) and timings[name] / base[name] > 2.0
@@ -546,12 +565,21 @@ def main() -> None:
     out["n_warmup"] = n_warmup
     out["loadavg_before"] = load_before
     out["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    out["ref_probe_sec"] = ref_probe
     if canary_times:
+        # drift = TREND (median of the last 3 canary runs vs the first 3),
+        # not max/min spread: a sub-second canary jitters 30-60% run to
+        # run, but only a sustained shift — the box getting busy, the JVM
+        # degrading — moves its rolling median. Jitter is reported too so
+        # the artifact shows both.
+        head = _median(canary_times[:3])
+        tail = _median(canary_times[-3:]) if len(canary_times) > 3 else head
         cmin, cmax = min(canary_times), max(canary_times)
         out["canary"] = {
             "query": CANARY,
             "runs_sec": canary_times,
-            "drift_pct": round((cmax - cmin) / cmin * 100, 1) if cmin else 0.0,
+            "drift_pct": round((tail - head) / head * 100, 1) if head else 0.0,
+            "jitter_pct": round((cmax - cmin) / cmin * 100, 1) if cmin else 0.0,
         }
     if remeasured:
         out["remeasured"] = remeasured

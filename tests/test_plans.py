@@ -965,3 +965,26 @@ def test_matryoshka_striped_window_then_tiny_agg(spark):
     assert plan.count("Arguments: rangepartitioning") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_remove_repeated_spans_plan_shape(spark):
+    """Round-10 transform: the cut rebuild must stay native (HOF filter/
+    exists — no Python eval) and never form a cartesian product; the
+    only broadcast-free exchanges are the span search's keyed aggs."""
+    plan = _plan(spark, "remove_repeated_spans")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_record_linkage_scaled_stats_broadcast_no_bnlj_on_pairs(spark):
+    """The band derivation's scalar-stats cross join must compile to a
+    broadcast of ONE row (never a shuffled join), and the pair join
+    itself stays an equi-join on the block key."""
+    plan = _plan(spark, "record_linkage_scaled")
+    assert "CartesianProduct" not in plan
+    # the 1-row stats frame broadcasts (BNLJ on a single-row build side
+    # is Spark's broadcast-cross shape and is fine; a shuffled variant
+    # is not)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("SortMergeJoin") == 0
