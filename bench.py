@@ -412,7 +412,11 @@ def main() -> None:
     # a steady-state re-run placed at/under baseline. One warm-up pass
     # (~2 min at sf0.1) makes the single-run driver artifact report the
     # steady state the 2x gate is meant to test.
-    n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    # default raised 1 → 2 in round 10: several regex-heavy queries reach
+    # C2-compiled steady state only on their 3rd execution (url_features:
+    # 6.6 s cold → 0.66 → 0.45 → 0.39), so a single warm-up still times
+    # JIT warm-up as if it were plan cost.
+    n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2"))
     if "--warmup" in sys.argv:
         n_warmup = int(sys.argv[sys.argv.index("--warmup") + 1])
     # --only a,b,c: bench a subset (baseline-row recording for new queries
