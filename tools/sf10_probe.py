@@ -67,7 +67,50 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf10")
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--only", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "--isolate", action="store_true",
+        help="run each query in its own subprocess/JVM — at 100x scale "
+        "one JVM accumulating several heavy plans lost a Python worker "
+        "in round 10's first session; isolation is part of the method "
+        "(queries are independent, so per-session timings compare)",
+    )
+    ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.isolate and "--_child" not in sys.argv:
+        results: dict[str, float] = {}
+        for name in (args.only.split(",") if args.only else PROBE):
+            cmd = [sys.executable, os.path.abspath(__file__), "--out",
+                   args.out, "--only", name, "--_child"]
+            if args.skip_build:
+                cmd.append("--skip-build")
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            for ln in r.stdout.splitlines():
+                if ln.startswith('{"query"'):
+                    row = json.loads(ln)
+                    results[row["query"]] = row["sf10_sec"]
+                    print(ln)
+            if r.returncode != 0:
+                print(f"FAILED {name}: tail of stderr:\n" +
+                      "\n".join(r.stderr.splitlines()[-5:]), file=sys.stderr)
+            args.skip_build = True  # first child built the fixtures
+        sf1 = _sf1_seconds()
+        ratios = {n: round(v / sf1[n], 1) for n, v in results.items()
+                  if sf1.get(n)}
+        out = {
+            "metric": "sf10_iterative_probe_total_wall_clock",
+            "value": round(sum(results.values()), 3), "unit": "sec",
+            "sf": 10.0, "isolated": True, "queries": results,
+            "ratios_vs_sf1": ratios,
+            "n_over_8x": sum(1 for r in ratios.values() if r > 8.0),
+        }
+        # the merged artifact (each child wrote a 1-query file; the
+        # parent's merge is the record)
+        with open(os.path.join(REPO, "BENCH_SF10.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(json.dumps(out))
+        return
 
     if not args.skip_build and not os.path.exists(
         os.path.join(args.out, "lineitem.parquet")
