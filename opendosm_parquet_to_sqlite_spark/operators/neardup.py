@@ -1226,3 +1226,57 @@ def remove_repeated_spans(
         cleaned.alias(text_col),
         n_removed.cast("long").alias("n_removed"),
     )
+
+
+def remove_repeated_spans_iterated(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_passes: int = 3,
+    min_len: int = 8,
+    **kwargs,
+) -> DataFrame:
+    """remove_repeated_spans run to CONVERGENCE — each pass excises every
+    pair's longest shared span, so a corpus whose pairs share SEVERAL
+    disjoint long spans needs one pass per span rank (the single-pass
+    contract documents this; here it is made executable).
+
+    Driver-side loop of fully lazy passes: after each pass the cleaned
+    corpus is persisted (it feeds both the next pass's span search and
+    the convergence check), one scalar agg reads Σ n_removed, and the
+    loop stops at zero or at `max_passes` (a cap, not a target —
+    real corpora converge in 1-2 passes because winnow candidates
+    need ≥ window+k−1 token overlap). `n_removed` accumulates ACROSS
+    passes, so mass conservation holds for the composition exactly as
+    for one pass.
+
+    At 100 TB: each pass costs one winnow+span search; the convergence
+    check is a 1-row aggregate, not a collect of data. Prefer the
+    single-pass form inside fixed-shape pipelines (its oracle is
+    hash-checked); use this wrapper for offline corpus releases where
+    full excision matters more than plan fixity.
+    """
+    from ..caching import persist_tracked
+
+    cur = df.select(F.col(id_col).alias("doc_id"), text_col).withColumn(
+        "n_removed", F.lit(0).cast("long")
+    )
+    for _ in range(max(int(max_passes), 1)):
+        cleaned = remove_repeated_spans(
+            cur, text_col, "doc_id", min_len=min_len, **kwargs
+        )
+        nxt = persist_tracked(
+            cleaned.join(
+                cur.select("doc_id", F.col("n_removed").alias("__prev")),
+                "doc_id",
+            ).select(
+                "doc_id",
+                text_col,
+                (F.col("n_removed") + F.col("__prev")).alias("n_removed"),
+            )
+        )
+        pass_removed = cleaned.agg(F.sum("n_removed")).first()[0] or 0
+        cur = nxt
+        if pass_removed == 0:
+            break
+    return cur

@@ -5052,6 +5052,22 @@ def q_remove_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("remove_repeated_spans_iterated")  # rows-only: iterative (pass
+# count is data-dependent; the single-pass form above is hash-checked)
+def q_remove_repeated_spans_iterated(spark: SparkSession, sf: str) -> DataFrame:
+    """Span removal run to CONVERGENCE (neardup.
+    remove_repeated_spans_iterated): one winnow+span pass per shared-span
+    rank until a pass removes nothing (cap 3). Convergence and
+    cross-pass n_removed accumulation are pinned in
+    tests/test_span_dedup.py; the hash-checked single-pass form is the
+    fixed-shape pipeline primitive."""
+    docs = load_table(spark, sf, "documents")
+    return neardup.remove_repeated_spans_iterated(
+        docs, "text", "doc_id", max_passes=3, min_len=8, k=5, window=4,
+        min_shared=2, max_doc_freq=20, max_token_freq=64,
+    )
+
+
 def ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
     """Idempotent build of the persisted IVFADC (IVF×PQ) index over sf's
     embeddings — same sharing contract as ensure_ivf_index: probe

@@ -195,3 +195,35 @@ def test_prepare_training_data_span_stage_optin(spark):
     # doc 1 (lower id) keeps the span either way; doc 2 loses 12 tokens
     assert on[1].n_tokens == off[1].n_tokens
     assert on[2].n_tokens == off[2].n_tokens - 12
+
+
+def test_iterated_removal_converges_on_multi_span_pairs(spark):
+    """Two disjoint 12-token spans shared by the same pair: pass 1 cuts
+    the longest, pass 2 the second; the wrapper accumulates n_removed
+    across passes and stops when a pass removes nothing."""
+    from opendosm_parquet_to_sqlite_spark.operators.neardup import (
+        remove_repeated_spans,
+        remove_repeated_spans_iterated,
+    )
+
+    span2 = (
+        "mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray"
+    )
+    rows = [
+        (1, f"{SPAN} one unique middle words here {span2}"),
+        (2, f"{SPAN} two distinct middle tokens go {span2} trailing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    single = {r.doc_id: r for r in
+              remove_repeated_spans(df, "text", "doc_id").collect()}
+    # single pass cuts only ONE span from doc 2 (per-pair longest)
+    assert single[2].n_removed == 12
+    out = {r.doc_id: r for r in remove_repeated_spans_iterated(
+        df, "text", "doc_id", max_passes=4).collect()}
+    assert out[1].n_removed == 0 and out[1].text == rows[0][1]
+    # both spans excised from doc 2; its own words survive
+    assert out[2].n_removed == 24
+    assert SPAN not in out[2].text and span2 not in out[2].text
+    for w in ("two", "distinct", "middle", "tokens", "go", "trailing"):
+        assert w in out[2].text
