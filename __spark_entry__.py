@@ -56,6 +56,7 @@ _ROWS_ONLY_PRIORITY = [
     "record_linkage_scaled",
     "remove_repeated_spans",
     "remove_repeated_spans_iterated",
+    "dsir_weights",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",

@@ -364,6 +364,9 @@ HEADLINE = [
     # removal transform (span search + doc-keyed cut rebuild)
     "record_linkage_scaled",
     "remove_repeated_spans",
+    # round-10: DSIR importance weighting (two bucket-table passes +
+    # broadcast ratio join + one doc-keyed agg)
+    "dsir_weights",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -813,3 +813,152 @@ def length_buckets(
             padded / (F.col("n_seqs") * F.col("capacity")), ndigits
         ).alias("padding_frac"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """DSIR importance weights [Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"]: score every raw doc by
+    how much more likely its hashed n-gram profile is under a TARGET
+    corpus (the distribution you want more of) than under the raw pool —
+    the principled replacement for keyword-filter data selection.
+
+        features      = word unigrams + bigrams, WITH multiplicity
+        bucket(g)     = int(md5('dsir:'+g)[:8 hex]) mod n_buckets
+        p̂_t[b], p̂_r[b] = Laplace-smoothed bucket frequencies
+                         (count[b]+α)/(N+α·B) per corpus
+        log_weight(d) = Σ_{g∈d} ( ln p̂_t[bucket(g)] − ln p̂_r[bucket(g)] )
+
+    Selection composes downstream: rank by log_weight and take the top
+    slice, or Gumbel-resample with sample_weighted on exp(log_weight/T).
+    Docs with zero grams score 0.0 (no evidence either way).
+
+    md5 bucketing, not xxhash: engine-portable (the DuckDB oracle
+    restates the exact bytes), same rationale as hash_features and the
+    md5 split bands. Output: (doc_id, n_grams, log_weight).
+
+    Shape: two corpus passes collapse to ≤ n_buckets-row count tables
+    (partial-combined aggs — the hashed-feature trick is WHY DSIR scales:
+    the model is a fixed-size table, never a vocabulary); totals ride an
+    unpartitioned window over those B-row tables (tiny by construction);
+    the log-ratio table BROADCASTS back onto the exploded gram stream, so
+    the only data-scale exchange is the final (doc, partial-sum) agg.
+    Raw text never shuffles. Fully SQL-expressible → hash-checkable.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    B = int(n_buckets)
+
+    def grams(frame: DataFrame, with_id: bool) -> DataFrame:
+        # the explode + per-gram md5 is the dominant cost and runs BEFORE
+        # any exchange — a single-file corpus would pin it to one core
+        # without the spread (no-op at cluster scale; see text module)
+        frame = text_ops.spread_small_input(frame)
+        toks = text_ops.tokens(F.col(text_col))
+        g = F.explode(
+            F.concat(toks, text_ops.ngram_list(toks, 2))
+        ).alias("g")
+        cols = [F.col(id_col).alias("doc_id"), g] if with_id else [g]
+        return frame.select(*cols).select(
+            *(["doc_id"] if with_id else []),
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("g"))), 1, 8),
+                    16, 10,
+                ).cast("long"),
+                F.lit(B),
+            ).alias("bucket"),
+        )
+
+    def bucket_logp(pairs: DataFrame, name: str) -> DataFrame:
+        counts = pairs.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy()
+        return counts.select(
+            "bucket",
+            F.log(
+                (F.col("c") + F.lit(float(alpha)))
+                / (F.sum("c").over(w) + F.lit(float(alpha) * B))
+            ).alias(f"logp_{name}"),
+            (F.sum("c").over(w)).alias(f"__n_{name}"),
+        )
+
+    from ..caching import persist_tracked
+
+    # pre-aggregate the raw gram stream to (doc, bucket, c) ONCE and
+    # persist: it feeds both the raw bucket totals and the per-doc score
+    # join — unpersisted, the corpus explode + md5 (the dominant cost)
+    # would execute twice
+    raw_bp = persist_tracked(
+        grams(df, with_id=True)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_logp = bucket_logp(grams(target, with_id=False), "t")
+    r_logp = raw_bp.groupBy("bucket").agg(F.sum("c").alias("c"))
+    w_all = Window.partitionBy()
+    r_logp = r_logp.select(
+        "bucket",
+        F.log(
+            (F.col("c") + F.lit(float(alpha)))
+            / (F.sum("c").over(w_all) + F.lit(float(alpha) * B))
+        ).alias("logp_r"),
+        (F.sum("c").over(w_all)).alias("__n_r"),
+    )
+    # full outer on the two ≤B-row tables; unseen buckets fall back to
+    # the smoothing floor ln(α / (N + α·B)) — totals are carried on
+    # every row so the floor needs no extra scalar join
+    ratio = t_logp.join(r_logp, "bucket", "full_outer").select(
+        "bucket",
+        # quantize the per-bucket ratio to DECIMAL(20,6): decimal sums
+        # are EXACT (integer-scaled), so the per-doc Σ is independent of
+        # partial-agg accumulation order — double sums differ in the
+        # last bits between engines and can flip the rounded output
+        F.round(
+            F.coalesce(
+                F.col("logp_t"),
+                F.log(
+                    F.lit(float(alpha))
+                    / (
+                        F.coalesce(F.max("__n_t").over(Window.partitionBy()), F.lit(0))
+                        + F.lit(float(alpha) * B)
+                    )
+                ),
+            )
+            - F.coalesce(
+                F.col("logp_r"),
+                F.log(
+                    F.lit(float(alpha))
+                    / (
+                        F.coalesce(F.max("__n_r").over(Window.partitionBy()), F.lit(0))
+                        + F.lit(float(alpha) * B)
+                    )
+                ),
+            ),
+            6,
+        ).cast("decimal(20,6)").alias("log_ratio"),
+    )
+    doc_scores = (
+        raw_bp.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("log_ratio")).alias("__lw"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(doc_scores, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.round(
+            F.coalesce(F.col("__lw").cast("double"), F.lit(0.0)), ndigits
+        ).alias("log_weight"),
+    )

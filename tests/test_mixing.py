@@ -773,3 +773,63 @@ def test_lang_id_ngram_partitioning_independent(spark):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- DSIR importance weights (round 10) ---------------------------------------
+
+
+def test_dsir_target_like_docs_outscore(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),          # target-like
+            (2, "quantum gauge lattice simulation"),  # off-target
+            (3, "the dog sat on the rug"),          # partially target-like
+            (4, ""),                                 # no evidence
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat and the cat purred"),
+            (101, "a cat and a dog sat together"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_weights(raw, tgt, "text", "doc_id", 256).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # every raw doc re-emits
+    assert out[1].log_weight > out[3].log_weight > out[2].log_weight
+    assert out[4].n_grams == 0 and out[4].log_weight == 0.0
+    # unigrams + bigrams with multiplicity: 6 + 5 for doc 1
+    assert out[1].n_grams == 11
+
+
+def test_dsir_identical_corpora_score_zero_ish(spark):
+    """raw == target → p̂_t == p̂_r bucket-for-bucket, so every ratio
+    (and every doc score) is exactly 0 after quantization."""
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    rows = [(i, f"doc number {i} shares this fixed template") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_weights(df, df, "text", "doc_id", 128).collect()
+    assert all(r.log_weight == 0.0 for r in out)
+
+
+def test_dsir_validation(spark):
+    import pytest
+
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(df, df, "text", "doc_id", n_buckets=1)
