@@ -51,9 +51,23 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..caching import persist_tracked
 from .multimodal import _PNG_SIG, png_pixels
 from .neardup import hamming_band_pairs, hamming_chunk_rows
 from .text import spread_small_input
+
+# Default member-pair valve for the pair-contract APIs: generous enough
+# that any corpus a pairwise consumer can actually review passes, small
+# enough that an exact-dup-clique blow-up (quadratic in clique size)
+# raises before the plan is built. None = explicitly unbounded.
+DEFAULT_MAX_PAIRS = 50_000_000
+
+# Distinct-fingerprint ceiling for broadcasting the cluster map in
+# media_dup_clusters: 4M rows of (int64 phash, int64 cluster_id) is
+# ~64 MB as a broadcast hash relation — far under Spark's 8 GB
+# broadcast cap yet big enough that every boilerplate-dominated corpus
+# (the skew case the broadcast exists for) qualifies.
+BROADCAST_FP_LIMIT = 4_000_000
 
 FP_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("phash", LongType())]
@@ -370,7 +384,7 @@ def image_phash_pairs(
     hash_size: int = 8,
     max_bucket_size: int | None = 1024,
     decode_fn: Callable[[bytes], object] | None = None,
-    max_pairs: int | None = None,
+    max_pairs: int | None = DEFAULT_MAX_PAIRS,
 ) -> DataFrame:
     """Image near-dup pairs: dHash fingerprints → banded Hamming search
     (neardup.hamming_band_pairs, bits=64). Output (id_a, id_b, hamming),
@@ -385,12 +399,16 @@ def image_phash_pairs(
     one broadcast join — linear output, measured 1.7× at the same probe.
     Reach for this pair form only when downstream genuinely consumes
     per-pair rows (e.g. pairwise review queues). `max_pairs` is the
-    safety valve: when set, an exact-dup member-pair estimate
-    (Σ c·(c−1)/2 over repeated fingerprints — one cheap keyed count,
-    eager) runs first and raises with that pointer instead of letting
-    the quadratic output materialize."""
+    safety valve, ON BY DEFAULT at 50M pairs: an exact-dup member-pair
+    estimate (Σ c·(c−1)/2 over repeated fingerprints — one cheap keyed
+    count, eager) runs first and raises with that pointer instead of
+    letting the quadratic output materialize. The fingerprints are
+    persisted across the valve so the payload decode runs once, not
+    twice. Pass `max_pairs=None` to explicitly accept unbounded pair
+    output."""
     fp = image_phash(df, payload_col, id_col, hash_size, decode_fn)
     if max_pairs is not None:
+        fp = persist_tracked(fp)
         _check_member_pair_volume(fp, max_pairs)
     return hamming_band_pairs(
         fp,
@@ -410,15 +428,17 @@ def audio_phash_pairs(
     nfft: int = 512,
     max_bucket_size: int | None = 1024,
     decode_fn: Callable[[bytes], tuple] | None = None,
-    max_pairs: int | None = None,
+    max_pairs: int | None = DEFAULT_MAX_PAIRS,
 ) -> DataFrame:
     """Audio near-dup pairs: spectral fingerprints → banded Hamming search.
     Same-content-different-gain clips land at hamming 0 (see audio_fp64).
     MEMBER-pair contract — quadratic output on exact-dup cliques; the
     scale path is `media_dup_clusters` (see image_phash_pairs' scale
-    warning); `max_pairs` valve identical."""
+    warning); `max_pairs` valve identical (on by default at 50M,
+    `None` disables, fingerprints persisted across the check)."""
     fp = audio_phash(df, payload_col, id_col, nfft, decode_fn)
     if max_pairs is not None:
+        fp = persist_tracked(fp)
         _check_member_pair_volume(fp, max_pairs)
     return hamming_band_pairs(
         fp,
@@ -645,7 +665,6 @@ def media_dup_clusters(
     dropped at the end, matching the pairwise contract. Payloads never
     shuffle; their sizes do.
     """
-    from ..caching import persist_tracked
     from .graph import connected_components, keep_best_per_cluster
 
     if modality == "image":
@@ -675,13 +694,26 @@ def media_dup_clusters(
         "phash",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )
-    # broadcast the fingerprint-sized cluster map: joining members on
-    # phash would otherwise shuffle the member table keyed by phash —
-    # maximally skewed in exactly the scenario this operator targets
-    # (a boilerplate hash repeated millions of times lands in ONE
-    # reduce partition). The broadcast removes the exchange
-    # deterministically instead of hoping AQE skew-split fires.
-    members = fp.join(F.broadcast(hash_cluster), "phash").select(
+    # The cluster map has one row per DISTINCT fingerprint. When that
+    # count is small — the boilerplate-heavy corpora this operator
+    # targets, where a hash repeats millions of times — broadcasting it
+    # removes a member-table shuffle keyed by phash that would be
+    # maximally skewed (one hot hash → ONE reduce partition), and does
+    # so deterministically instead of hoping AQE skew-split fires. But
+    # when most media are unique the map is ~corpus-sized and a forced
+    # broadcast blows past the 8 GB broadcast cap / driver memory at
+    # exactly the scale the operator claims, so gate on the distinct
+    # count (one cheap agg over the already-persisted fingerprints) and
+    # fall back to the shuffle join — unskewed by construction there,
+    # since near-unique fingerprints spread across reducers; AQE covers
+    # the middle ground.
+    n_hashes = int(fp.agg(F.countDistinct("phash").alias("n")).first()["n"])
+    cluster_map = (
+        F.broadcast(hash_cluster)
+        if n_hashes <= BROADCAST_FP_LIMIT
+        else hash_cluster
+    )
+    members = fp.join(cluster_map, "phash").select(
         F.col("doc_id"), "cluster_id"
     )
     sized = fp.select(F.col("doc_id").alias(id_col), "n_bytes")

@@ -410,12 +410,55 @@ def test_max_pairs_valve_raises_with_cluster_pointer(spark):
     # generous cap: plan builds and runs; every within-group pair emits
     ok = M.image_phash_pairs(png, "payload", "doc_id", max_pairs=10_000)
     assert ok.count() == 570
-    # default (None): no eager estimate job, valve off — plan builds
+    # default: valve ON at 50M — this corpus (570 pairs) passes through
     assert M.image_phash_pairs(png, "payload", "doc_id").count() == 570
+    # None is the explicit escape hatch: no eager estimate, plan builds
+    assert (
+        M.image_phash_pairs(png, "payload", "doc_id", max_pairs=None).count()
+        == 570
+    )
     # audio twin shares the valve
     wav = M.synth_wav_corpus(ids, "doc_id", n_bases=3)
     with pytest.raises(ValueError, match="media_dup_clusters"):
         M.audio_phash_pairs(wav, "payload", "doc_id", max_pairs=100)
+
+
+def test_max_pairs_valve_is_on_by_default(spark):
+    """Round-10 verdict order 1: the quadratic member-pair plan must be
+    unreachable with DEFAULT arguments. A planted exact-dup clique whose
+    pair estimate exceeds DEFAULT_MAX_PAIRS trips the valve without any
+    caller opt-in, for both modalities; the scale-safe sibling
+    media_dup_clusters still handles the same corpus."""
+    import pytest
+
+    assert M.DEFAULT_MAX_PAIRS == 50_000_000
+    # One clique of 12,000 identical payloads -> C(12000,2) ~ 72M pairs
+    # estimated from the fingerprint counts alone (the valve raises
+    # BEFORE any pair is materialized, so the test stays cheap).
+    ids = spark.range(12_000).withColumnRenamed("id", "doc_id")
+    png = M.synth_png_corpus(ids, "doc_id", n_bases=1, noise_px=0)
+    with pytest.raises(ValueError, match="media_dup_clusters"):
+        M.image_phash_pairs(png, "payload", "doc_id")
+    # audio: synth_wav varies per-id gain (fingerprints can split under
+    # quantization), so plant byte-identical payloads — the exact-dup
+    # clique shape the valve exists for.
+    one = (
+        M.synth_wav_corpus(
+            spark.range(1).withColumnRenamed("id", "doc_id"),
+            "doc_id",
+            n_bases=1,
+        )
+        .first()
+        .payload
+    )
+    wav = spark.range(12_000).select(
+        F.col("id").alias("doc_id"), F.lit(bytes(one)).alias("payload")
+    )
+    with pytest.raises(ValueError, match="media_dup_clusters"):
+        M.audio_phash_pairs(wav, "payload", "doc_id")
+    # the steered-to path digests the same clique: one cluster, all members
+    out = M.media_dup_clusters(png, "payload", "doc_id").collect()
+    assert len(out) == 1 and out[0].n_members == 12_000
 
 
 def test_scale_docstrings_point_pair_users_at_clusters():
