@@ -35,6 +35,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # grows or the oracle-backed list shrinks; keep it in rough
 # flagship-first order against that day.
 _ROWS_ONLY_PRIORITY = [
+    # demoted in the round-11 EIGHTH rotation (driver-green in
+    # CORRECTNESS_r08/r09/r10; shadow oracles keep their hash proof
+    # in-repo). Their driver slots went to the never-driver-proven
+    # shadows record_linkage_scaled/remove_repeated_spans/dsir_weights/
+    # search_bm25/tfidf_per_doc/chunk_documents/sample_per_group/
+    # robust_scale/dedup_levenshtein/scd2_intervals:
+    "span_dedup_exact",
+    "order_priority_check",
+    "waiting_suppliers",
+    "min_cost_supplier",
+    "group_ols",
+    "mann_whitney",
+    "record_linkage",
+    "wasserstein_drift",
+    "cusum_changepoints",
+    "target_encoding",
     # demoted in the round-10 SEVENTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo). Their driver slots
     # went to readability/length_buckets/t_closeness/label_noise/
@@ -53,10 +69,9 @@ _ROWS_ONLY_PRIORITY = [
     # round-10 registrations (shadow-oracle hash-checked in-repo): the
     # data-scaled band-width linkage fix and the Lee-style repeated-span
     # removal transform:
-    "record_linkage_scaled",
-    "remove_repeated_spans",
     "remove_repeated_spans_iterated",
-    "dsir_weights",
+    # round-11 registrations (shadow-oracle hash-checked in-repo):
+    "remove_repeated_spans_within",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",
@@ -80,13 +95,6 @@ _ROWS_ONLY_PRIORITY = [
     # round-9 registrations of the six round-8 snapshot operators — all
     # shadow-oracle hash-checked in-repo (tests/oracle_check.py) plus
     # pytest pins (tests/test_round9_ops.py):
-    "search_bm25",
-    "tfidf_per_doc",
-    "chunk_documents",
-    "sample_per_group",
-    "robust_scale",
-    "dedup_levenshtein",
-    "scd2_intervals",
     "mutual_information",
     "cube_metrics",
     "seasonal_profile",

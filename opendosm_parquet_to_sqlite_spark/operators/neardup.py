@@ -1137,6 +1137,101 @@ def exact_span_pairs(
     )
 
 
+def repeated_spans_within(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    k: int = 5,
+    max_token_freq: int | None = 64,
+) -> DataFrame:
+    """WITHIN-document exact repeated token spans — the internal half of
+    Lee et al. 2022's substring dedup (cross-doc half: exact_span_pairs).
+    A doc that repeats its own boilerplate internally gets every maximal
+    internal repeat ≥ min_len surfaced as (doc_id, start_a, start_b,
+    span_len) with start_a < start_b and tokens[start_a, start_a+len) ==
+    tokens[start_b, start_b+len) exactly.
+
+    Two layers, both engine-restatable:
+
+    1. CANDIDATE DOCS: a doc qualifies iff some k-gram hash occurs ≥ 2
+       times inside it — one doc-keyed partial-combined count over the
+       gram table. Any internal exact repeat of length ≥ max(min_len, k)
+       contains a repeated k-gram, so the gate is COMPLETE for every
+       repeat shape, overlapping tandem runs included. (The round-10
+       verdict sketched a winnow self-pair gate instead; winnowing's
+       sparsification makes that gate lossy for tandem repeats with
+       period < window — e.g. a 2-token phrase echoed five times — so
+       the gram-frequency gate is used: strictly more complete, one
+       cheap agg, and restated verbatim in DuckDB.)
+    2. EXACT SPANS: the doc's token positions self-join on token
+       equality with pb > pa — the pair-join of exact_span_pairs with
+       both sides the same document — grouped by diagonal (pb − pa),
+       gaps-and-islands longest-run per diagonal. A run of length L on
+       diagonal d means the text at start_b repeats the text d tokens
+       earlier; EVERY maximal run ≥ min_len is emitted (not just the
+       per-doc best: each is an independent internal duplication).
+       Overlapping occurrences compose correctly: a tandem repeat of
+       period p < L surfaces as one run on diagonal p whose cut
+       [start_b, start_b+L) leaves exactly the first period — the
+       keep-first contract, with no special casing.
+
+    Scale shape: the self-join fans out only inside candidate docs (the
+    gate semi-join), and max_token_freq bounds per-token fanout at cap²
+    exactly as in exact_span_pairs — hyper-repeated single tokens are
+    exact-dedup territory. Only (doc_id, pos, token) rows shuffle,
+    never text; everything is doc-keyed, so the exchange count does not
+    grow with corpus size. Zero Python.
+    """
+    from pyspark.sql import Window as W
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    grams = toked.select(
+        "doc_id",
+        F.explode(text_ngram_list(F.col("__toks"), k)).alias("__gram"),
+    ).select("doc_id", F.md5("__gram").alias("__h"))
+    cand = (
+        grams.groupBy("doc_id", "__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("doc_id")
+        .distinct()
+    )
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("p", "tok"),
+    )
+    if max_token_freq is not None:
+        pos = drop_oversized_buckets(pos, ["doc_id", "tok"], max_token_freq)
+    pos = pos.join(cand, "doc_id", "left_semi")
+    a = pos.select("doc_id", F.col("p").alias("pa"), "tok")
+    b = pos.select("doc_id", F.col("p").alias("pb"), "tok")
+    matches = (
+        a.join(b, ["doc_id", "tok"])
+        .filter(F.col("pb") > F.col("pa"))
+        .select(
+            "doc_id", "pa", "pb", (F.col("pb") - F.col("pa")).alias("diag")
+        )
+    )
+    run_w = W.partitionBy("doc_id", "diag").orderBy("pa")
+    islands = matches.withColumn(
+        "isl", F.col("pa") - F.row_number().over(run_w)
+    )
+    return (
+        islands.groupBy("doc_id", "diag", "isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count(F.lit(1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= int(min_len))
+        .select("doc_id", "start_a", "start_b", "span_len")
+    )
+
+
 def remove_repeated_spans(
     df: DataFrame,
     text_col: str,
@@ -1147,6 +1242,7 @@ def remove_repeated_spans(
     min_shared: int = 2,
     max_doc_freq: int | None = 20,
     max_token_freq: int | None = 64,
+    within_doc: bool = False,
 ) -> DataFrame:
     """Corpus-level repeated-span REMOVAL — the actual dedup TRANSFORM of
     Lee et al. 2022's substring method (the step span_dedup/
@@ -1170,6 +1266,16 @@ def remove_repeated_spans(
     long duplicated spans per pair converge by re-running the transform
     on its own output — each pass is one more winnow+span round, the
     distributed analog of suffix-array multi-hit extraction.
+
+    `within_doc=True` (opt-in) additionally excises INTERNAL repeats:
+    every maximal within-document repeated span ≥ min_len found by
+    repeated_spans_within loses its later occurrence — the same
+    keep-first policy applied inside one document, completing Lee et
+    al.'s substring dedup (their suffix-array treats both cases; the
+    default here stays cross-doc-only so the hash-pinned single-pass
+    plan shape is unchanged). The two cut lists simply union: the
+    per-token interval test already handles overlap between a cross-doc
+    cut and an internal one.
 
     Output: (doc_id, <text_col>, n_removed) — every input doc re-emitted.
     Uncut docs keep their text VERBATIM (n_removed = 0); cut docs are
@@ -1202,6 +1308,22 @@ def remove_repeated_spans(
         F.col("start_b").alias("lo"),
         (F.col("start_b") + F.col("span_len") - 1).alias("hi"),
     )
+    if within_doc:
+        internal = repeated_spans_within(
+            df,
+            text_col,
+            id_col,
+            min_len=min_len,
+            k=k,
+            max_token_freq=max_token_freq,
+        )
+        cuts = cuts.unionByName(
+            internal.select(
+                "doc_id",
+                F.col("start_b").alias("lo"),
+                (F.col("start_b") + F.col("span_len") - 1).alias("hi"),
+            )
+        )
     cut_lists = cuts.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("lo", "hi"))).alias("__cuts")
     )
@@ -1241,14 +1363,18 @@ def remove_repeated_spans_iterated(
     disjoint long spans needs one pass per span rank (the single-pass
     contract documents this; here it is made executable).
 
-    Driver-side loop of fully lazy passes: after each pass the cleaned
-    corpus is persisted (it feeds both the next pass's span search and
-    the convergence check), one scalar agg reads Σ n_removed, and the
-    loop stops at zero or at `max_passes` (a cap, not a target —
-    real corpora converge in 1-2 passes because winnow candidates
-    need ≥ window+k−1 token overlap). `n_removed` accumulates ACROSS
-    passes, so mass conservation holds for the composition exactly as
-    for one pass.
+    Driver-side loop of fully lazy passes: after each pass the
+    accumulated corpus is persisted, ONE scalar agg over that persisted
+    frame reads the cumulative Σ n_removed (materializing the cache in
+    the same job), and the pass's own contribution is the delta against
+    the previous cumulative total — so each pass's winnow+span search
+    (the dominant cost) executes exactly once, feeding both the
+    convergence check and the next pass from the cache. The loop stops
+    at a zero delta or at `max_passes` (a cap, not a target — real
+    corpora converge in 1-2 passes because winnow candidates need
+    ≥ window+k−1 token overlap). `n_removed` accumulates ACROSS passes,
+    so mass conservation holds for the composition exactly as for one
+    pass.
 
     At 100 TB: each pass costs one winnow+span search; the convergence
     check is a 1-row aggregate, not a collect of data. Prefer the
@@ -1261,6 +1387,7 @@ def remove_repeated_spans_iterated(
     cur = df.select(F.col(id_col).alias("doc_id"), text_col).withColumn(
         "n_removed", F.lit(0).cast("long")
     )
+    prev_total = 0
     for _ in range(max(int(max_passes), 1)):
         cleaned = remove_repeated_spans(
             cur, text_col, "doc_id", min_len=min_len, **kwargs
@@ -1275,8 +1402,14 @@ def remove_repeated_spans_iterated(
                 (F.col("n_removed") + F.col("__prev")).alias("n_removed"),
             )
         )
-        pass_removed = cleaned.agg(F.sum("n_removed")).first()[0] or 0
+        # read the cumulative total from the PERSISTED frame — this
+        # materializes the cache and yields the pass delta without a
+        # second execution of the pass's span search (the unpersisted
+        # `cleaned` would replay winnow+span once for the check and
+        # again when the next pass reads nxt)
+        total = int(nxt.agg(F.sum("n_removed")).first()[0] or 0)
         cur = nxt
-        if pass_removed == 0:
+        if total - prev_total == 0:
             break
+        prev_total = total
     return cur

@@ -2135,7 +2135,6 @@ _DUCK_LTOKS = f"list_transform({_DUCK_TOKS}, x -> lower(x))"
     )
     WHERE rank <= 10
     """,
-    shadow=True,
 )
 def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 top-10 per query over the corpus — curation-time keyword
@@ -2174,7 +2173,6 @@ def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
     )
     WHERE rank <= 3
     """,
-    shadow=True,
 )
 def q_tfidf_per_doc(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf-idf —
@@ -2514,7 +2512,6 @@ def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
                AS chunk_text
     FROM idx
     """,
-    shadow=True,
 )
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval/RAG chunking: 32-token windows with 8-token overlap
@@ -2541,7 +2538,6 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents
     ) WHERE sample_rank <= 20
     """,
-    shadow=True,
 )
 def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-group cap: up to 20 docs per language, ranked by
@@ -2570,7 +2566,6 @@ def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
            END AS value_scaled
     FROM events e JOIN stats ON e.event_type IS NOT DISTINCT FROM stats.event_type
     """,
-    shadow=True,
 )
 def q_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
     """Median/IQR robust scaling of event values per event_type, clipped at
@@ -3281,7 +3276,6 @@ def q_group_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id
     WHERE levenshtein(a.k, b.k) <= 8
     """,
-    shadow=True,
 )
 def q_dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked edit-distance near-dup pairs: exact-prefix blocking, then
@@ -3356,7 +3350,6 @@ def q_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
                AS is_current
     FROM chg
     """,
-    shadow=True,
 )
 def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """SCD-type-2 compaction of the per-user event_type stream into
@@ -4917,7 +4910,7 @@ def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
         PARTITION BY id_a, id_b
         ORDER BY span_len DESC, start_a ASC, start_b ASC
     ) = 1 AND span_len >= 8
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_span_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT longest repeated token span per winnow candidate pair
@@ -5034,7 +5027,6 @@ def q_span_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     LEFT JOIN sizes s USING (doc_id)
     LEFT JOIN rebuilt r USING (doc_id)
     """,
-    shadow=True,
 )
 def q_remove_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level repeated-span REMOVAL (neardup.remove_repeated_spans)
@@ -5049,6 +5041,144 @@ def q_remove_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     return neardup.remove_repeated_spans(
         docs, "text", "doc_id", min_len=8, k=5, window=4, min_shared=2,
         max_doc_freq=20, max_token_freq=64,
+    )
+
+
+@query(
+    "remove_repeated_spans_within",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ), grams AS (
+        SELECT doc_id,
+               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                   AS g
+        FROM toks
+    ), hs AS (
+        SELECT doc_id, [md5(x) for x in g] AS h FROM grams
+    ), sel AS (
+        SELECT doc_id, unnest(list_distinct(
+            [list_min(h[i:i+3]) for i in range(1, len(h)-2)]
+        )) AS fp
+        FROM hs
+    ), ok_fp AS (
+        SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 20
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT * FROM sel SEMI JOIN ok_fp USING (fp)) a
+        JOIN (SELECT * FROM sel SEMI JOIN ok_fp USING (fp)) b
+            USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), pos0 AS (
+        SELECT doc_id, i - 1 AS p, w[i] AS tok
+        FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+    ), pos AS (
+        SELECT * FROM pos0
+        QUALIFY count(*) OVER (PARTITION BY doc_id, tok) <= 64
+    ), matches AS (
+        SELECT id_a, id_b, a.p AS pa, b.p AS pb, a.p - b.p AS diag
+        FROM pairs
+        JOIN pos a ON a.doc_id = id_a
+        JOIN pos b ON b.doc_id = id_b AND b.tok = a.tok
+    ), runs AS (
+        SELECT id_a, id_b,
+               CAST(min(pa) AS BIGINT) AS start_a,
+               CAST(min(pb) AS BIGINT) AS start_b,
+               count(*) AS span_len
+        FROM (
+            SELECT *, pa - row_number() OVER (
+                PARTITION BY id_a, id_b, diag ORDER BY pa
+            ) AS isl
+            FROM matches
+        )
+        GROUP BY id_a, id_b, diag, isl
+    ), best AS (
+        SELECT id_a, id_b, start_a, start_b, span_len
+        FROM runs
+        QUALIFY row_number() OVER (
+            PARTITION BY id_a, id_b
+            ORDER BY span_len DESC, start_a ASC, start_b ASC
+        ) = 1 AND span_len >= 8
+    ), gcand AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(g) AS gram FROM grams
+        ) gr
+        GROUP BY doc_id, gram HAVING count(*) >= 2
+    ), wpos AS (
+        SELECT * FROM pos SEMI JOIN gcand USING (doc_id)
+    ), wmatch AS (
+        SELECT a.doc_id, a.p AS pa, b.p AS pb, b.p - a.p AS diag
+        FROM wpos a
+        JOIN wpos b ON b.doc_id = a.doc_id AND b.tok = a.tok
+                   AND b.p > a.p
+    ), wruns AS (
+        SELECT doc_id,
+               CAST(min(pb) AS BIGINT) AS lo,
+               CAST(min(pb) + count(*) - 1 AS BIGINT) AS hi
+        FROM (
+            SELECT *, pa - row_number() OVER (
+                PARTITION BY doc_id, diag ORDER BY pa
+            ) AS isl
+            FROM wmatch
+        )
+        GROUP BY doc_id, diag, isl
+        HAVING count(*) >= 8
+    ), cuts AS (
+        SELECT id_b AS doc_id, start_b AS lo,
+               start_b + span_len - 1 AS hi
+        FROM best
+        UNION ALL
+        SELECT doc_id, lo, hi FROM wruns
+    ), cutdocs AS (
+        SELECT DISTINCT doc_id FROM cuts
+    ), allpos AS (
+        SELECT t2.doc_id, i - 1 AS p, w[i] AS tok
+        FROM (SELECT * FROM toks SEMI JOIN cutdocs USING (doc_id)) t2,
+             UNNEST(range(1, len(w) + 1)) AS u(i)
+    ), kept AS (
+        SELECT a.doc_id, a.p, a.tok
+        FROM allpos a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cuts c
+            WHERE c.doc_id = a.doc_id AND a.p >= c.lo AND a.p <= c.hi
+        )
+    ), rebuilt AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY p) AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), sizes AS (
+        SELECT doc_id, len(w) AS n_toks
+        FROM toks SEMI JOIN cutdocs USING (doc_id)
+    )
+    SELECT d.doc_id,
+           CASE WHEN s.doc_id IS NULL THEN d.text
+                ELSE coalesce(r.text_clean, '') END AS text,
+           CAST(CASE WHEN s.doc_id IS NULL THEN 0
+                     ELSE s.n_toks - coalesce(r.n_kept, 0) END
+                AS BIGINT) AS n_removed
+    FROM documents d
+    LEFT JOIN sizes s USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    shadow=True,
+)
+def q_remove_repeated_spans_within(spark: SparkSession, sf: str) -> DataFrame:
+    """Span removal with the within_doc flag ON (neardup.
+    remove_repeated_spans + repeated_spans_within): cross-doc cuts union
+    INTERNAL-repeat cuts — a doc repeating its own boilerplate loses
+    every occurrence after the first, completing Lee et al. substring
+    dedup (round-10 verdict item 3). The gram-frequency candidate gate,
+    the within-doc diagonal self-join, and the cut union all restate
+    verbatim in DuckDB on top of the cross-doc oracle, so the composed
+    transform is hash-checked end to end. Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    return neardup.remove_repeated_spans(
+        docs, "text", "doc_id", min_len=8, k=5, window=4, min_shared=2,
+        max_doc_freq=20, max_token_freq=64, within_doc=True,
     )
 
 
@@ -5120,7 +5250,6 @@ def q_remove_repeated_spans_iterated(spark: SparkSession, sf: str) -> DataFrame:
            round(coalesce(CAST(lw AS DOUBLE), 0.0), 6) AS log_weight
     FROM documents d LEFT JOIN ds USING (doc_id)
     """,
-    shadow=True,
 )
 def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (sampling.dsir_weights): every doc scored
@@ -5913,7 +6042,7 @@ def q_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
             AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
       )
     GROUP BY 1
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_order_priority_check(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q4 shape (order priority checking): date-windowed orders
@@ -6352,7 +6481,7 @@ def q_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     JOIN part p ON p.p_partkey = b.l_partkey
     JOIN supplier s ON s.s_suppkey = b.l_suppkey
     WHERE b.unit_cost = b.best_cost AND p.p_size < 10
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier) adapted to the fixture's
@@ -6616,7 +6745,7 @@ def q_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
             AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
       )
     GROUP BY 1
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting), lateness
@@ -6742,7 +6871,7 @@ def q_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
                  / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
                AS r2
     FROM s
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag OLS of extendedprice on quantity (stats.group_ols):
@@ -6825,7 +6954,7 @@ def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
                           / NULLIF((na + nb) * (na + nb - 1), 0))), 0), 6)
                AS z
     FROM agg
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type Mann-Whitney U between the even/odd event halves
@@ -7808,7 +7937,7 @@ def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     FROM folded f
     JOIN enc e ON f.event_type IS NOT DISTINCT FROM e.event_type
               AND f.fold = e.fold
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
     """K-fold out-of-fold target encoding of event_type against value
@@ -8661,7 +8790,7 @@ def q_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
            CAST(max(na) AS BIGINT) AS n_a,
            CAST(max(nb) AS BIGINT) AS n_b
     FROM stepped GROUP BY 1
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_wasserstein_drift(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT 1-D earth-mover distance between the even/odd USER halves
@@ -8708,7 +8837,7 @@ def q_wasserstein_drift(spark: SparkSession, sf: str) -> DataFrame:
                AS at_order,
            round(max(abs_s), 6) > 1.358 AS flagged
     FROM ranked GROUP BY 1
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
     """Standardized-CUSUM mean-shift scan over each event type's value
@@ -8836,7 +8965,7 @@ def q_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
            round(s_bal, 6) AS sim_c_acctbal, score,
            score >= 0.62 AS matched
     FROM agg
-    """,
+    """,    shadow=True,  # demoted round 11 (8th rotation): multi-round driver-green
 )
 def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked record linkage over customers (linkage.record_linkage):
@@ -8913,7 +9042,6 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
            score >= 0.62 AS matched
     FROM agg
     """,
-    shadow=True,
 )
 def q_record_linkage_scaled(spark: SparkSession, sf: str) -> DataFrame:
     """record_linkage at the DATA-SCALED band parameterization
