@@ -72,6 +72,7 @@ _ROWS_ONLY_PRIORITY = [
     "remove_repeated_spans_iterated",
     # round-11 registrations (shadow-oracle hash-checked in-repo):
     "remove_repeated_spans_within",
+    "dsir_select",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",

@@ -962,3 +962,89 @@ def dsir_weights(
             F.coalesce(F.col("__lw").cast("double"), F.lit(0.0)), ndigits
         ).alias("log_weight"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int | None = None,
+    min_log_weight: float | None = None,
+    temperature: float | None = None,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    namespace: str = "dsir",
+) -> DataFrame:
+    """DSIR end-to-end data SELECTION: dsir_weights → selection → the
+    selected corpus, composed as one lazy plan (the same wrapping
+    contract prepare_training_data gives its stages). Three selection
+    modes, all deterministic:
+
+    - `min_log_weight`: keep every doc scoring at least the threshold.
+      The 100 TB path — a plain filter, fully distributed, no global
+      ordering anywhere (pick the threshold from a weight histogram or
+      an approx quantile of a prior run).
+    - `budget` with `temperature=None`: the top `budget` docs by
+      (log_weight DESC, doc_id ASC) — Spark plans sort+limit as
+      TakeOrderedAndProject (per-partition partial top-k, budget-sized
+      final), so no full sort materializes.
+    - `budget` with `temperature=T`: Gumbel/Efraimidis–Spirakis
+      resampling on weight exp(log_weight/T) — higher T flattens the
+      selection toward uniform, T→0 recovers the top slice. Computed in
+      the LOG domain: the E-S key −ln(u)/w sorts identically to
+      ln(−ln u) − log_weight/T, which never overflows no matter how
+      extreme the log-weights (exp(log_weight/T) itself would).
+      u is the same seedless 52-bit md5 hash of (namespace, id) as
+      weighted_sample_per_group — reproducible under repartitioning,
+      restatable in any SQL engine.
+
+    Output: (doc_id, <text_col>, n_grams, log_weight) — the selected
+    documents with their scores, ready to feed mixing/packing stages.
+    """
+    if (budget is None) == (min_log_weight is None):
+        raise ValueError(
+            "exactly one of budget / min_log_weight must be given"
+        )
+    w = dsir_weights(
+        df, target, text_col, id_col, n_buckets=n_buckets, alpha=alpha
+    )
+    scored = df.select(F.col(id_col).alias("doc_id"), text_col).join(
+        w, "doc_id"
+    )
+    cols = ["doc_id", text_col, "n_grams", "log_weight"]
+    if min_log_weight is not None:
+        return scored.filter(
+            F.col("log_weight") >= float(min_log_weight)
+        ).select(*cols)
+    if temperature is None:
+        return (
+            scored.orderBy(
+                F.col("log_weight").desc(), F.col("doc_id").asc()
+            )
+            .limit(int(budget))
+            .select(*cols)
+        )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(namespace + ":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 52) + 1))
+    key = F.log(-F.log(u)) - F.col("log_weight") / F.lit(float(temperature))
+    return (
+        scored.orderBy(key.asc(), F.col("doc_id").asc())
+        .limit(int(budget))
+        .select(*cols)
+    )

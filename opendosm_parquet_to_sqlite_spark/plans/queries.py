@@ -5265,6 +5265,78 @@ def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dsir_select",
+    """
+    WITH raw AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ), tgt AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+        WHERE source IN ('src1', 'src2') AND trim(text) <> ''
+    ), rg AS (
+        SELECT doc_id, g
+        FROM raw, UNNEST(list_concat(
+            w, [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+        )) AS t(g)
+    ), tg AS (
+        SELECT g
+        FROM tgt, UNNEST(list_concat(
+            w, [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+        )) AS t(g)
+    ), rb AS (
+        SELECT doc_id,
+               ('0x' || substring(md5('dsir:' || g), 1, 8))::BIGINT
+                   % 4096 AS bucket
+        FROM rg
+    ), tb AS (
+        SELECT ('0x' || substring(md5('dsir:' || g), 1, 8))::BIGINT
+                   % 4096 AS bucket
+        FROM tg
+    ), rc AS (
+        SELECT bucket, count(*) AS c FROM rb GROUP BY 1
+    ), tc AS (
+        SELECT bucket, count(*) AS c FROM tb GROUP BY 1
+    ), nr AS (SELECT sum(c) AS n FROM rc),
+    nt AS (SELECT sum(c) AS n FROM tc),
+    ratio AS (
+        SELECT bucket,
+               round(
+                   ln((coalesce(tc.c, 0) + 1.0) / (nt.n + 1.0 * 4096))
+                   - ln((coalesce(rc.c, 0) + 1.0) / (nr.n + 1.0 * 4096)),
+                   6
+               )::DECIMAL(20,6) AS log_ratio
+        FROM rc FULL OUTER JOIN tc USING (bucket), nr, nt
+    ), ds AS (
+        SELECT doc_id, count(*) AS n_grams, sum(log_ratio) AS lw
+        FROM rb JOIN ratio USING (bucket) GROUP BY 1
+    ), scored AS (
+        SELECT d.doc_id, d.text,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               round(coalesce(CAST(lw AS DOUBLE), 0.0), 6) AS log_weight
+        FROM documents d LEFT JOIN ds USING (doc_id)
+    )
+    SELECT doc_id, text, n_grams, log_weight FROM scored
+    ORDER BY log_weight DESC, doc_id LIMIT 100
+    """,
+    shadow=True,
+)
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR end-to-end selection (sampling.dsir_select): importance
+    weights → deterministic top-100 slice → the selected corpus, one
+    lazy composition (round-10 verdict item 6 — the selection twin of
+    how prepare_training_data wraps its stages). Spark plans the
+    budget slice as TakeOrderedAndProject (partial per-partition top-k,
+    no full sort); the oracle restates weights + ORDER/LIMIT with full
+    tie-breaks, so the whole composition is hash-checked. Hash-checked."""
+    docs = load_table(spark, sf, "documents")
+    tgt = docs.filter(F.col("source").isin("src1", "src2"))
+    return sampling.dsir_select(
+        docs, tgt, "text", "doc_id", budget=100, n_buckets=4096, alpha=1.0
+    )
+
+
 def ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
     """Idempotent build of the persisted IVFADC (IVF×PQ) index over sf's
     embeddings — same sharing contract as ensure_ivf_index: probe

@@ -833,3 +833,102 @@ def test_dsir_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_weights(df, df, "text", "doc_id", n_buckets=1)
+
+
+# --- DSIR end-to-end selection (round 11) -------------------------------------
+
+
+def _dsir_fixture(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),            # target-like
+            (2, "quantum gauge lattice simulation"),   # off-target
+            (3, "the dog sat on the rug"),             # partially like
+            (4, "meson decay spectra analysis"),       # off-target
+            (5, "a cat and a dog sat down"),           # target-like
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat and the cat purred"),
+            (101, "a cat and a dog sat together"),
+        ],
+        "doc_id long, text string",
+    )
+    return raw, tgt
+
+
+def test_dsir_select_top_slice_is_weight_order(spark):
+    """budget mode (temperature=None): the selected set IS the top-k of
+    dsir_weights under (log_weight DESC, doc_id ASC) — composition adds
+    nothing beyond the slice; schema carries the corpus text."""
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    raw, tgt = _dsir_fixture(spark)
+    w = {r.doc_id: r.log_weight
+         for r in dsir_weights(raw, tgt, "text", "doc_id", 256).collect()}
+    expect = [d for d, _ in sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))][:3]
+    out = dsir_select(raw, tgt, "text", "doc_id", budget=3,
+                      n_buckets=256).collect()
+    assert sorted(r.doc_id for r in out) == sorted(expect)
+    assert set(out[0].asDict()) == {"doc_id", "text", "n_grams", "log_weight"}
+    # deterministic: second run identical
+    again = dsir_select(raw, tgt, "text", "doc_id", budget=3,
+                        n_buckets=256).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_dsir_select_threshold_mode_is_plain_filter(spark):
+    """min_log_weight mode — the 100 TB path: exactly the docs scoring
+    >= the threshold, no budget, no global ordering."""
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    raw, tgt = _dsir_fixture(spark)
+    w = {r.doc_id: r.log_weight
+         for r in dsir_weights(raw, tgt, "text", "doc_id", 256).collect()}
+    thr = sorted(w.values())[-2]  # keep the top two scores
+    out = dsir_select(raw, tgt, "text", "doc_id", min_log_weight=thr,
+                      n_buckets=256).collect()
+    assert {r.doc_id for r in out} == {d for d, lw in w.items() if lw >= thr}
+
+
+def test_dsir_select_temperature_mode(spark):
+    """Gumbel/E-S resampling: exactly budget rows, deterministic under
+    rerun, and in the T->0 limit the top-weight doc is always kept
+    (the log-domain key is dominated by -log_weight/T)."""
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    raw, tgt = _dsir_fixture(spark)
+    w = {r.doc_id: r.log_weight
+         for r in dsir_weights(raw, tgt, "text", "doc_id", 256).collect()}
+    top = max(w, key=lambda d: (w[d], -d))
+    out = dsir_select(raw, tgt, "text", "doc_id", budget=2,
+                      temperature=1e-6, n_buckets=256).collect()
+    assert len(out) == 2 and top in {r.doc_id for r in out}
+    again = dsir_select(raw, tgt, "text", "doc_id", budget=2,
+                        temperature=1e-6, n_buckets=256).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_dsir_select_validation(spark):
+    import pytest
+
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="budget"):
+        dsir_select(df, df, "text", "doc_id")
+    with pytest.raises(ValueError, match="budget"):
+        dsir_select(df, df, "text", "doc_id", budget=1, min_log_weight=0.0)
