@@ -367,6 +367,11 @@ HEADLINE = [
     # round-10: DSIR importance weighting (two bucket-table passes +
     # broadcast ratio join + one doc-keyed agg)
     "dsir_weights",
+    # round-11: within-doc span removal composed with cross-doc cuts
+    # (gram-gated diagonal self-join on top of the winnow span search)
+    # and DSIR end-to-end selection (weights + TakeOrdered top-slice)
+    "remove_repeated_spans_within",
+    "dsir_select",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
@@ -384,7 +389,11 @@ CANARY_EVERY = 32
 
 # Queries forced into every --sf1-gate probe regardless of sf0.1 cost:
 # the adjudicated scale fixes whose whole point is their sf1 behavior.
-SF1_GATE_EXTRA = ["record_linkage_scaled", "remove_repeated_spans"]
+SF1_GATE_EXTRA = [
+    "record_linkage_scaled",
+    "remove_repeated_spans",
+    "remove_repeated_spans_within",
+]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -439,6 +448,9 @@ def main() -> None:
     if "--sf1-gate" in sys.argv:
         sf1_gate(spark)
         return
+    if "--sf1-full" in sys.argv:
+        sf1_gate(spark, full=True)
+        return
     load_before = [round(x, 2) for x in os.getloadavg()]
     # absolute box-speed reference: a fixed pure-JVM compute (no I/O, no
     # shuffle, no codegen novelty after its first run) timed at suite
@@ -469,13 +481,24 @@ def main() -> None:
             run_query(spark, name, sf_dir)
             release_cached()
 
-    # canary reference point: one warm run before the timed loop (the
-    # warm-up pass above already primed it)
+    # canary reference point before the timed loop (the warm-up pass
+    # above already primed it)
+    def canary_slot() -> float:
+        # median-of-3 per slot (round-10 verdict item 7): a single run
+        # of a ~0.5 s query jitters 30-70% with GC/neighbor noise —
+        # round 10's single-run slots showed 69.8% jitter and a
+        # spurious -17.1% "drift". The median of 3 back-to-back runs
+        # cancels one-off stalls at ~1 s extra per slot.
+        reps = []
+        for _ in range(3):
+            reps.append(run_query(spark, CANARY, sf_dir))
+            release_cached()
+        return round(_median(reps), 3)
+
     canary_times: list[float] = []
     run_canary = "--only" not in sys.argv and CANARY in QUERIES
     if run_canary:
-        canary_times.append(round(run_query(spark, CANARY, sf_dir), 3))
-        release_cached()
+        canary_times.append(canary_slot())
 
     runs: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(max(n_runs, 1)):
@@ -489,10 +512,7 @@ def main() -> None:
                     # BEFORE the gc hint — the first full-suite run of
                     # round 10 put it after and the canary absorbed a
                     # 10-second gc stall as its own time
-                    canary_times.append(
-                        round(run_query(spark, CANARY, sf_dir), 3)
-                    )
-                    release_cached()
+                    canary_times.append(canary_slot())
                 # untimed GC hint between query groups: lets the
                 # ContextCleaner reap finished broadcasts/codegen refs
                 # incrementally instead of letting old-gen pressure build
@@ -597,13 +617,19 @@ def main() -> None:
     emit(out, timings, sf, n_warmup, n_runs)
 
 
-def sf1_gate(spark) -> None:
+def sf1_gate(spark, full: bool = False) -> None:
     """Standing sf1 scale gate (round-9 verdict item 3): re-run the most
     expensive headline queries at 10x the bench scale and compare each to
     its sf0.1 warm baseline median. The round-9 probe was a one-shot that
     found two real scale bugs; this flag makes it re-runnable per round:
 
         python3 bench.py --sf1-gate [--top N]
+
+    `--sf1-full` (round-10 verdict item 4) probes EVERY headline query
+    instead of the top-N — the ~166 queries that had never executed
+    above sf0.1 get one sf1 data point each — and writes
+    BENCH_SF1_FULL.json so >15x discoveries can be folded into the
+    standing top-N gate with named causes.
 
     Fixture: $SPARK_GRAFT_SF1_DIR (default /tmp/sf1), built on demand via
     tools/make_scale.py (deterministic 10x replication of the driver's
@@ -634,9 +660,16 @@ def sf1_gate(spark) -> None:
     ranked = sorted(
         (n for n in HEADLINE if n in base), key=lambda n: -base[n]
     )
-    probe = ranked[:top_n] + [
-        n for n in SF1_GATE_EXTRA if n in QUERIES and n not in ranked[:top_n]
-    ]
+    if full:
+        # full-suite pass: every headline query, most-expensive first so
+        # a mid-run failure still covers the known-heavy set; queries
+        # with no baseline row (fresh registrations) run last.
+        probe = ranked + [n for n in HEADLINE if n not in base]
+    else:
+        probe = ranked[:top_n] + [
+            n for n in SF1_GATE_EXTRA
+            if n in QUERIES and n not in ranked[:top_n]
+        ]
     load_before = [round(x, 2) for x in os.getloadavg()]
     spark.range(1).count()
     for t in WARM_TABLES:
@@ -663,7 +696,10 @@ def sf1_gate(spark) -> None:
         (n for n, r in ratios.items() if r > 15.0), key=lambda n: -ratios[n]
     )
     out = {
-        "metric": "sf1_scale_gate_total_wall_clock",
+        "metric": (
+            "sf1_full_suite_wall_clock" if full
+            else "sf1_scale_gate_total_wall_clock"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": 1.0,
@@ -675,7 +711,8 @@ def sf1_gate(spark) -> None:
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
-    with open(os.path.join(repo, "BENCH_SF1.json"), "w", encoding="utf-8") as f:
+    artifact = "BENCH_SF1_FULL.json" if full else "BENCH_SF1.json"
+    with open(os.path.join(repo, artifact), "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     summary = {
         "metric": out["metric"],
@@ -686,7 +723,7 @@ def sf1_gate(spark) -> None:
         "n_over_15x": out["n_over_15x"],
         "over_15x": over[:8],
         "worst_ratio": max(ratios.values()) if ratios else None,
-        "full_map": "BENCH_SF1.json",
+        "full_map": artifact,
     }
     print(json.dumps(summary))
 

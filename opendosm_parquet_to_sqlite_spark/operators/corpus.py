@@ -209,6 +209,7 @@ def prepare_training_data(
     block_size: int = 4096,
     remove_spans: bool = False,
     span_min_len: int = 8,
+    span_within_doc: bool = False,
 ) -> DataFrame:
     """The WHOLE corpus→training-sequences flow, one lazy plan:
 
@@ -223,9 +224,13 @@ def prepare_training_data(
                         (neardup.remove_repeated_spans — the Lee et al.
                         substring-dedup transform), so decontamination
                         and packing see span-cleaned text and token
-                        budgets. Off by default: the registered oracle
-                        pins the 7-stage composition; the flag-on path
-                        is pinned by pytest (tests/test_corpus.py).
+                        budgets; `span_within_doc=True` additionally
+                        excises INTERNAL repeats (keep-first inside each
+                        doc — the complete Lee et al. treatment). Off by
+                        default: the registered oracle pins the 7-stage
+                        composition; the flag-on paths are pinned by
+                        pytest (tests/test_corpus.py,
+                        tests/test_span_dedup.py).
     5. decontaminate  — drop docs sharing any contamination_n-gram with
                         the benchmark set (raw benchmark text)
     6. mix & split    — deterministic stratified sampling by `strata_col`
@@ -286,7 +291,8 @@ def prepare_training_data(
         # inside otherwise-distinct docs). One doc-keyed join re-attaches
         # the cleaned text to the survivor row's other columns.
         cut = neardup.remove_repeated_spans(
-            survivors, text_col, id_col, min_len=span_min_len
+            survivors, text_col, id_col, min_len=span_min_len,
+            within_doc=span_within_doc,
         )
         survivors = persist_tracked(
             survivors.drop(text_col).join(

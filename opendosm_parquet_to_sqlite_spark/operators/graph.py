@@ -42,6 +42,10 @@ Fault tolerance / memory hygiene:
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,20 +104,45 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Materialize the symmetric edge list ONCE: it is consumed every round,
     # and the upstream pair pipeline (e.g. the whole inverted-index Jaccard
-    # DAG) must not re-execute per iteration.
+    # DAG) must not re-execute per iteration. Lay it out for the per-round
+    # join BEFORE checkpointing: hash-partitioned AND sorted by the join
+    # key "v". LogicalRDD (what backs a checkpointed DataFrame) preserves
+    # outputPartitioning/outputOrdering, so every round's SortMergeJoin
+    # reads the edge blocks as-is — no Exchange and no Sort on the edge
+    # side, ever again; only the (node,label) side moves. Without this,
+    # each round re-shuffles AND re-sorts the full 2E-row edge list (the
+    # dominant per-round cost on big pair graphs). AQE is toggled off
+    # around the one materializing job only: under AQE the final plan
+    # reports UnknownPartitioning and the layout metadata is lost.
     before = _persistent_rdd_ids(spark)
-    sym = _truncate(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    )
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:  # e.g. "auto" under some AQE configs
+        nparts = 32
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sym = _truncate(
+            e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .repartition(nparts, "v")
+            .sortWithinPartitions("v")
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
     sym_ids = _persistent_rdd_ids(spark) - before
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    debug = os.environ.get("SPARK_GRAFT_CC_DEBUG") == "1"
+    prev_sum = None
     prev_ids: set = set()
     try:
-        for _ in range(max_iter):
+        for rnd in range(max_iter):
+            t0 = time.monotonic() if debug else 0.0
             nbr_min = sym.join(
                 labels.select(F.col("node").alias("v"), "label"), "v"
             ).select(F.col("u").alias("node"), "label")
@@ -122,29 +151,47 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
             )
-            # pointer jump: follow label -> label(label); every label value
-            # is itself a node, so the lookup join always resolves (left +
-            # coalesce is belt-and-braces for the self-label case).
-            lookup = merged.select(
-                F.col("node").alias("__ln"), F.col("label").alias("__ll")
-            )
+            # pointer doubling: composing the label map with itself gives
+            # label -> label(label) (chain depth halves); composing the
+            # RESULT with itself again gives L4 = L2∘L2 — depth ÷4 per
+            # round. Every label value is itself a node, so the lookup
+            # join always resolves (left + coalesce is belt-and-braces
+            # for the self-label case). The second compose is one extra
+            # node-sized self-join per round — negligible next to the
+            # edge join above — and it halves the ROUND count on
+            # high-diameter graphs (the sf10 knn_clusters bottleneck:
+            # mutual-kNN chains put 302 s of 485 s in these rounds).
+            j = merged
+            for _ in range(2):
+                lookup = j.select(
+                    F.col("node").alias("__ln"), F.col("label").alias("__ll")
+                )
+                j = j.join(lookup, j["label"] == lookup["__ln"], "left").select(
+                    "node", F.coalesce("__ll", "label").alias("label")
+                )
             before = _persistent_rdd_ids(spark)
-            jumped = _truncate(
-                merged.join(lookup, merged["label"] == lookup["__ln"], "left")
-                .select("node", F.coalesce("__ll", "label").alias("label"))
-            )
+            jumped = _truncate(j)
             new_ids = _persistent_rdd_ids(spark) - before
-            # isEmpty short-circuits at the FIRST changed row (take(1)
-            # under the hood) — non-final rounds stop scanning immediately,
-            # only the converged final round pays a full pass. It still
-            # reads the PREVIOUS round's labels, so that checkpoint is
-            # released only after this check.
-            converged = (
-                jumped.select("node", F.col("label").alias("__new"))
-                .join(labels, "node")
-                .filter(F.col("__new") != F.col("label"))
-                .isEmpty()
-            )
+            # Convergence = the label-sum stopped moving. Labels are
+            # monotone non-increasing per node and the node set is fixed,
+            # so Σlabel is strictly decreasing until the fixpoint —
+            # equality of consecutive sums is EXACT convergence, not a
+            # heuristic. One aggregate over the just-materialized
+            # checkpoint (exact decimal(38,0) arithmetic — no int64
+            # overflow, no float rounding) replaces the old join+isEmpty
+            # against the PREVIOUS round's labels, halving what the check
+            # reads per round.
+            cur_sum = jumped.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            converged = prev_sum is not None and cur_sum == prev_sum
+            prev_sum = cur_sum
+            if debug:
+                print(
+                    f"[cc] round {rnd}: {time.monotonic() - t0:.2f}s "
+                    f"label_sum={cur_sum} converged={converged}",
+                    file=sys.stderr,
+                )
             _unpersist_rdd_ids(spark, prev_ids)
             prev_ids = new_ids
             labels = jumped

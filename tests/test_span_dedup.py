@@ -315,3 +315,32 @@ def test_within_and_cross_doc_compose_one_global_survivor(spark):
     assert total.count(p) == 1
     assert out[1].text == f"{p} then fresh prose follows"
     assert out[2].text == "" and out[2].n_removed == 24
+
+
+def test_prepare_training_data_within_doc_span_optin(spark):
+    """span_within_doc=True threads through stage 4b: a survivor doc
+    whose own text echoes a span internally loses the echo before
+    packing; default keeps the composition unchanged."""
+    from opendosm_parquet_to_sqlite_spark.operators.corpus import (
+        prepare_training_data,
+    )
+
+    filler = "every single sentence here differs from neighbours " * 2
+    rows = [(1, f"{filler}{SPAN} and then once more {SPAN}", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, strat string")
+    bench = spark.createDataFrame(
+        [(100, "benchmark only words none shared")], "doc_id long, text string"
+    )
+    kw = dict(
+        rates={"s1": 1.0}, min_quality=0.0, jaccard_threshold=0.95,
+        budget=1000,
+    )
+    off = prepare_training_data(
+        df, bench, "text", "doc_id", "strat", remove_spans=True, **kw
+    ).collect()[0]
+    on = prepare_training_data(
+        df, bench, "text", "doc_id", "strat", remove_spans=True,
+        span_within_doc=True, **kw
+    ).collect()[0]
+    # cross-doc-only: no pair exists, text intact; within-doc: 12 tokens go
+    assert on.n_tokens == off.n_tokens - 12

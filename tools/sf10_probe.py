@@ -48,8 +48,14 @@ PROBE = [
 def _sf1_seconds() -> dict[str, float]:
     """Per-query sf1 seconds: BENCH_SF1.json when a --sf1-gate run exists
     (fresh, same box), else BASELINE.md's recorded sf1 probe table."""
-    p = os.path.join(REPO, "BENCH_SF1.json")
-    if os.path.exists(p):
+    # prefer the freshest sf1 artifact: the full-suite run covers every
+    # query; the standing gate covers the top-N — whichever ran last has
+    # the numbers measured against the current code.
+    cands = [os.path.join(REPO, n)
+             for n in ("BENCH_SF1_FULL.json", "BENCH_SF1.json")]
+    cands = [p for p in cands if os.path.exists(p)]
+    if cands:
+        p = max(cands, key=os.path.getmtime)
         return json.load(open(p, encoding="utf-8"))["queries"]
     out: dict[str, float] = {}
     text = open(os.path.join(REPO, "BASELINE.md"), encoding="utf-8").read()
@@ -97,6 +103,13 @@ def main() -> None:
         sf1 = _sf1_seconds()
         ratios = {n: round(v / sf1[n], 1) for n, v in results.items()
                   if sf1.get(n)}
+        # subset rerun (--only): merge into the existing artifact so the
+        # non-probed queries keep their recorded rows
+        artifact = os.path.join(REPO, "BENCH_SF10.json")
+        if args.only and os.path.exists(artifact):
+            prior = json.load(open(artifact, encoding="utf-8"))
+            results = {**prior.get("queries", {}), **results}
+            ratios = {**prior.get("ratios_vs_sf1", {}), **ratios}
         out = {
             "metric": "sf10_iterative_probe_total_wall_clock",
             "value": round(sum(results.values()), 3), "unit": "sec",
@@ -106,8 +119,7 @@ def main() -> None:
         }
         # the merged artifact (each child wrote a 1-query file; the
         # parent's merge is the record)
-        with open(os.path.join(REPO, "BENCH_SF10.json"), "w",
-                  encoding="utf-8") as f:
+        with open(artifact, "w", encoding="utf-8") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         print(json.dumps(out))
         return
@@ -158,19 +170,29 @@ def main() -> None:
         print(f"| {n} | {timings[n]} | {sf1.get(n, '?')} | "
               f"{ratios.get(n, '?')} |")
 
+    # --only reruns a subset: MERGE into the existing artifact instead of
+    # dropping the other queries' rows (round 11's first knn-only re-probe
+    # clobbered the five carried-over rows and they had to be restored by
+    # hand from git).
+    artifact = os.path.join(REPO, "BENCH_SF10.json")
+    if args.only and os.path.exists(artifact):
+        prior = json.load(open(artifact, encoding="utf-8"))
+        merged_t = {**prior.get("queries", {}), **timings}
+        merged_r = {**prior.get("ratios_vs_sf1", {}), **ratios}
+    else:
+        merged_t, merged_r = timings, ratios
     out = {
         "metric": "sf10_iterative_probe_total_wall_clock",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(merged_t.values()), 3),
         "unit": "sec",
         "sf": 10.0,
-        "queries": timings,
-        "ratios_vs_sf1": ratios,
-        "n_over_8x": sum(1 for r in ratios.values() if r > 8.0),
+        "queries": merged_t,
+        "ratios_vs_sf1": merged_r,
+        "n_over_8x": sum(1 for r in merged_r.values() if r > 8.0),
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
-    with open(os.path.join(REPO, "BENCH_SF10.json"), "w",
-              encoding="utf-8") as f:
+    with open(artifact, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({k: out[k] for k in (
         "metric", "value", "unit", "sf", "n_over_8x", "ratios_vs_sf1")}))
