@@ -682,10 +682,20 @@ def sf1_gate(spark, full: bool = False) -> None:
     ensure_ivf_index(spark, sf1_dir, quantize=True)
     timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name in probe:
-        run_query(spark, name, sf1_dir)  # warm-up, untimed
-        release_cached()
-        timings[name] = round(run_query(spark, name, sf1_dir), 3)
+        # Isolate per-query failures: a ~200-query multi-hour full pass
+        # must not lose its artifact to one bad query — record the error
+        # row and keep probing.
+        try:
+            run_query(spark, name, sf1_dir)  # warm-up, untimed
+            release_cached()
+            timings[name] = round(run_query(spark, name, sf1_dir), 3)
+        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+            release_cached()
+            failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(json.dumps({"query": name, "sf1_error": failed[name]}))
+            continue
         release_cached()
         if base.get(name):
             ratios[name] = round(timings[name] / base[name], 1)
@@ -708,6 +718,7 @@ def sf1_gate(spark, full: bool = False) -> None:
         "n_probed": len(probe),
         "n_over_15x": len(over),
         "over_15x": over,
+        "failed": failed,
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }

@@ -67,6 +67,27 @@ def _unpersist_rdd_ids(spark: SparkSession, ids: set) -> None:
             jmap.get(rid).unpersist(False)
 
 
+def _truncate_keyed(df: DataFrame, key: str, spark: SparkSession, truncate):
+    """Checkpoint `df` hash-partitioned AND sorted by `key` so every
+    later join on `key` reads the blocks as-is: LogicalRDD (what backs a
+    checkpointed DataFrame) preserves outputPartitioning/outputOrdering,
+    so the per-round SortMergeJoin needs NO Exchange and NO Sort on this
+    side — the whole point for edge lists consumed once per iteration.
+    AQE is toggled off around the single materializing job only: under
+    AQE the final plan reports UnknownPartitioning and the layout
+    metadata is lost (verified empirically on 4.x)."""
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:  # e.g. "auto" under some AQE configs
+        nparts = 32
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return truncate(df.repartition(nparts, key).sortWithinPartitions(key))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -104,33 +125,16 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Materialize the symmetric edge list ONCE: it is consumed every round,
     # and the upstream pair pipeline (e.g. the whole inverted-index Jaccard
-    # DAG) must not re-execute per iteration. Lay it out for the per-round
-    # join BEFORE checkpointing: hash-partitioned AND sorted by the join
-    # key "v". LogicalRDD (what backs a checkpointed DataFrame) preserves
-    # outputPartitioning/outputOrdering, so every round's SortMergeJoin
-    # reads the edge blocks as-is — no Exchange and no Sort on the edge
-    # side, ever again; only the (node,label) side moves. Without this,
-    # each round re-shuffles AND re-sorts the full 2E-row edge list (the
-    # dominant per-round cost on big pair graphs). AQE is toggled off
-    # around the one materializing job only: under AQE the final plan
-    # reports UnknownPartitioning and the layout metadata is lost.
+    # DAG) must not re-execute per iteration. _truncate_keyed lays it out
+    # by the per-round join key "v", so no round ever exchanges or sorts
+    # the 2E-row side again — only the (node,label) side moves.
     before = _persistent_rdd_ids(spark)
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    except ValueError:  # e.g. "auto" under some AQE configs
-        nparts = 32
-    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        sym = _truncate(
-            e.unionByName(
-                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-            .repartition(nparts, "v")
-            .sortWithinPartitions("v")
-        )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    sym = _truncate_keyed(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        "v",
+        spark,
+        _truncate,
+    )
     sym_ids = _persistent_rdd_ids(spark) - before
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -275,16 +279,35 @@ def pagerank(
         F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
     )
     before = _persistent_rdd_ids(spark)
-    norm = _truncate(
+    # normalized edges laid out by the per-round join key "u"; the node
+    # table by "node" (it anchors the per-round left join) — both sides
+    # of every iteration's joins then read their checkpoints exchange-
+    # and sort-free (_truncate_keyed)
+    norm = _truncate_keyed(
         e.groupBy("u")
         .agg(F.sum("w").alias("__tot"))
         .join(e, "u")
-        .select("u", "v", (F.col("w") / F.col("__tot")).alias("w"))
+        .select("u", "v", (F.col("w") / F.col("__tot")).alias("w")),
+        "u",
+        spark,
+        _truncate,
     )
-    nodes = _truncate(
+    nodes = _truncate_keyed(
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
+        .distinct(),
+        "node",
+        spark,
+        _truncate,
+    )
+    # source-node set for the dangling-mass anti-join: STATIC across
+    # rounds — materialized once here instead of re-running a distinct
+    # over the full edge list inside every iteration
+    sources = _truncate_keyed(
+        norm.select(F.col("u").alias("node")).distinct(),
+        "node",
+        spark,
+        _truncate,
     )
     base_ids = _persistent_rdd_ids(spark) - before
     n_nodes = nodes.count()
@@ -298,11 +321,7 @@ def pagerank(
             # round-trip per iteration (measured: it dominated wall-clock
             # on small graphs; on big graphs it serializes the scheduler).
             dangling = (
-                ranks.join(
-                    norm.select(F.col("u").alias("node")).distinct(),
-                    "node",
-                    "left_anti",
-                )
+                ranks.join(sources, "node", "left_anti")
                 .agg(
                     F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
                 )
@@ -553,12 +572,17 @@ def label_propagation(
         return df.localCheckpoint(eager=True)
 
     before = _persistent_rdd_ids(spark)
-    sym = _truncate(
+    # laid out by the per-round join key "v" (_truncate_keyed): the 2E-row
+    # side of every round's join comes back exchange- and sort-free
+    sym = _truncate_keyed(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-        .distinct()
+        .distinct(),
+        "v",
+        spark,
+        _truncate,
     )
     base_ids = _persistent_rdd_ids(spark) - before
     labels = sym.select(F.col("u").alias("node")).distinct().select(
