@@ -1978,8 +1978,15 @@ def mutual_knn_clusters(
     node-table-sized left join.
     """
     from . import graph as _graph
+    from ..caching import persist_tracked
 
-    edges = knn.select("src", "dst")
+    # The k·n-row edge list is consumed THREE times (both sides of the
+    # reciprocity semi-join + the singleton fill at the end) and sits on
+    # top of the whole LSH+BLAS+window kNN pipeline — without a persist
+    # the final fill re-executes that pipeline after the components
+    # finish (exchange reuse only dedups within one job, and the
+    # component loop's checkpoints are separate jobs).
+    edges = persist_tracked(knn.select("src", "dst"))
     mutual = edges.join(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -1991,7 +1998,7 @@ def mutual_knn_clusters(
     labeled = comps.select(
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("cluster")
     )
-    nodes = knn.select(F.col("src").alias("node")).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     return nodes.join(labeled, "node", "left").select(
         "node", F.coalesce(F.col("cluster"), F.col("node")).alias("cluster")
     )
