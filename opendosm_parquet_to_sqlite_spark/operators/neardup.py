@@ -890,6 +890,18 @@ def levenshtein_pairs(
     per-pair levenshtein + filter.  The text never shuffles beyond the
     `key_len`-char keys; distance runs JVM-side (built-in levenshtein,
     whole-stage codegen), zero Python.
+
+    Round-11 scale fix (sf1 probe: 39.7× for 10× data before, 3.9×
+    after): the block exchange carries an EXPLICIT partition count.
+    The key rows are tiny in BYTES (~60 B each) but the in-block pair
+    scan is heavy in CPU, and AQE's byte-based coalescing was
+    serializing the whole sf1 candidate scan onto the input parquet's
+    3 partitions.  A user-numbered repartition is exempt from AQE
+    coalescing, and the self-join reuses the one exchange for both
+    sides.  (A character-frequency L1 lower-bound prefilter was tried
+    and REJECTED: the zip_with/aggregate higher-order functions fall
+    out of whole-stage codegen and cost 4× more than the codegen'd
+    levenshtein they would prune.)
     """
     key = F.lower(F.trim(F.col(text_col))).substr(1, key_len)
     keyed = df.select(
@@ -905,6 +917,13 @@ def levenshtein_pairs(
             .select("__blk")
         )
         keyed = keyed.join(hot, "__blk", "left_anti")
+    try:
+        _nparts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except ValueError:
+        _nparts = 32
+    keyed = keyed.repartition(_nparts, "__blk")
     a = keyed.select(
         F.col("__blk"),
         F.col("__id").alias("id_a"),
