@@ -142,7 +142,17 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
     )
     debug = os.environ.get("SPARK_GRAFT_CC_DEBUG") == "1"
-    prev_sum = None
+    # The sum-based convergence check needs numeric labels (a decimal sum
+    # over string ids is NULL and would never converge — caught by the
+    # media union-find tests, whose nodes are strings); non-numeric ids
+    # use the join+isEmpty comparison against the previous round instead.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        e.schema[e.columns[0]].dataType, NumericType
+    )
+    _UNSET = object()
+    prev_sum = _UNSET
     prev_ids: set = set()
     try:
         for rnd in range(max_iter):
@@ -176,20 +186,39 @@ def connected_components(
             before = _persistent_rdd_ids(spark)
             jumped = _truncate(j)
             new_ids = _persistent_rdd_ids(spark) - before
-            # Convergence = the label-sum stopped moving. Labels are
-            # monotone non-increasing per node and the node set is fixed,
-            # so Σlabel is strictly decreasing until the fixpoint —
-            # equality of consecutive sums is EXACT convergence, not a
-            # heuristic. One aggregate over the just-materialized
-            # checkpoint (exact decimal(38,0) arithmetic — no int64
-            # overflow, no float rounding) replaces the old join+isEmpty
-            # against the PREVIOUS round's labels, halving what the check
-            # reads per round.
-            cur_sum = jumped.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).first()[0]
-            converged = prev_sum is not None and cur_sum == prev_sum
-            prev_sum = cur_sum
+            # Convergence, numeric ids: the label-sum stopped moving.
+            # Labels are monotone non-increasing per node and the node
+            # set is fixed, so Σlabel is strictly decreasing until the
+            # fixpoint — equality of consecutive sums is EXACT
+            # convergence, not a heuristic. One aggregate over the
+            # just-materialized checkpoint (exact decimal(38,0)
+            # arithmetic — no int64 overflow, no float rounding)
+            # replaces the old join+isEmpty against the PREVIOUS round's
+            # labels, halving what the check reads per round. String
+            # ids (the media union-find) keep the join+isEmpty check —
+            # it short-circuits at the first changed row on non-final
+            # rounds.
+            if numeric_ids:
+                cur_sum = jumped.agg(
+                    F.sum(F.col("label").cast("decimal(38,0)"))
+                ).first()[0]
+                # NULL sum ⟺ empty node set (labels of a non-empty
+                # numeric node set always sum non-NULL) ⟺ trivially
+                # converged — without this an empty pair graph (e.g. a
+                # single distinct fingerprint upstream) loops to
+                # max_iter comparing NULL to the _UNSET sentinel.
+                converged = cur_sum is None or (
+                    prev_sum is not _UNSET and cur_sum == prev_sum
+                )
+                prev_sum = cur_sum
+            else:
+                cur_sum = None
+                converged = (
+                    jumped.select("node", F.col("label").alias("__new"))
+                    .join(labels, "node")
+                    .filter(F.col("__new") != F.col("label"))
+                    .isEmpty()
+                )
             if debug:
                 print(
                     f"[cc] round {rnd}: {time.monotonic() - t0:.2f}s "
