@@ -1198,6 +1198,96 @@ def _block_pair_scorer(
     return score_block
 
 
+def _block_topk_scorer(
+    id_col: str, vec_col: str, threshold: float, kk: int, tile: int = 2048
+):
+    """applyInPandas kernel for the kNN-graph regime: per bucket, emit for
+    every member only its `kk` best co-members by (cosine DESC, id ASC)
+    instead of EVERY thresholded pair.  Provably graph-identical for a
+    downstream per-node top-k window: if v is not among u's kk best in a
+    shared bucket, that bucket already holds kk candidates strictly
+    preferred to v for u (same tie order as the window), so v cannot be
+    in u's global top-k — and the pair still emits if u makes v's list.
+    What it changes is VOLUME: all-pairs emission is L·Σ|b|²/2 rows (the
+    sf10 probe shuffled ~3.9B candidate rows into distinct+window);
+    per-node truncation caps it at L·n·kk (~80M at the same scale).
+
+    Same tiling/normalization/zero-norm discipline as
+    _block_pair_scorer; memory is O(tile² + rows·kk) per panel pass.
+    """
+
+    def _row_topk(S: "np.ndarray", J: "np.ndarray", k2: int):
+        """Per-row top-k2 of (score, id) by (-score, id); S/J are
+        (rows × w) score and candidate-id matrices. Returns (rows × k2')
+        score/id arrays, -inf/-1 padded via the score sentinel."""
+        ti, w = S.shape
+        k2 = min(k2, w)
+        rows = np.repeat(np.arange(ti), w)
+        flat_s = S.ravel()
+        flat_j = J.ravel()
+        order = np.lexsort((flat_j, -flat_s, rows))
+        keep = (np.arange(ti * w) % w) < k2
+        sel = order[keep]
+        return flat_s[sel].reshape(ti, k2), flat_j[sel].reshape(ti, k2)
+
+    def score_block(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = len(ids)
+        if m < 2:
+            return empty
+        V = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        V /= norms
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, m, tile):
+            i1 = min(i0 + tile, m)
+            ti = i1 - i0
+            best_s = np.full((ti, 0), -np.inf)
+            best_j = np.full((ti, 0), -1, dtype=np.int64)
+            for j0 in range(0, m, tile):
+                j1 = min(j0 + tile, m)
+                S = np.round(V[i0:i1] @ V[j0:j1].T, 6)
+                S[S < threshold] = -np.inf
+                # global diagonal (self-pairs): rows i0+r == cols j0+c
+                d = np.arange(max(i0, j0), min(i1, j1))
+                if len(d):
+                    S[d - i0, d - j0] = -np.inf
+                ps, pj = _row_topk(
+                    S, np.broadcast_to(ids[j0:j1], (ti, j1 - j0)), kk
+                )
+                best_s, best_j = _row_topk(
+                    np.concatenate([best_s, ps], axis=1),
+                    np.concatenate([best_j, pj], axis=1),
+                    kk,
+                )
+            src = np.broadcast_to(
+                ids[i0:i1, None], best_j.shape
+            )
+            ok = best_s > -np.inf
+            if ok.any():
+                u, v, s = src[ok], best_j[ok], best_s[ok]
+                out_a.append(np.minimum(u, v))
+                out_b.append(np.maximum(u, v))
+                out_s.append(s)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+
+    return score_block
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -1291,6 +1381,7 @@ def lsh_cosine_pairs(
     n_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    per_node_topk: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with multi-table sign-LSH blocking — the scale path
     replacing cosine_pairs' all-pairs BroadcastNestedLoopJoin.
@@ -1308,9 +1399,23 @@ def lsh_cosine_pairs(
     nanoseconds/pair. This is the one place the built-ins genuinely cannot
     express the efficient shape. At petabyte scale, sub-chunk oversized
     buckets (more planes, or tile the matmul) so a block fits in memory.
+
+    `per_node_topk`: the kNN-graph regime. When the consumer only keeps
+    each node's k best neighbors (knn_graph's window), emitting every
+    thresholded in-bucket pair is pure waste — L·Σ|b|²/2 rows through
+    distinct+window (measured ~3.9B candidate rows at the sf10 probe).
+    Per-bucket per-node truncation to the k best co-members (same
+    (cosine DESC, id ASC) order as the window) provably preserves the
+    downstream top-k graph at L·n·k rows. Leave None for the dedup
+    regime, where every pair ≥ threshold IS the output.
     """
     out_schema = _PAIR_SCHEMA
-    score_bucket = _block_pair_scorer(id_col, vec_col, threshold)
+    if per_node_topk is not None:
+        score_bucket = _block_topk_scorer(
+            id_col, vec_col, threshold, int(per_node_topk)
+        )
+    else:
+        score_bucket = _block_pair_scorer(id_col, vec_col, threshold)
 
     withb = df.select(
         F.col(id_col),
@@ -1936,7 +2041,7 @@ def knn_graph(
     # release via caching.release_cached()
     pairs = persist_tracked(lsh_cosine_pairs(
         df, float(min_cosine), dim, n_planes=n_planes, n_tables=n_tables,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, per_node_topk=int(k),
     ))
     directed = pairs.select(
         F.col("id_a").alias("src"),
