@@ -132,6 +132,72 @@ def multi_lsh_buckets(
     )
 
 
+def multi_lsh_buckets_vec(
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = _LSH_SEED,
+):
+    """Arrow-vectorized twin of `multi_lsh_buckets`: the SAME hyperplanes
+    (same seeds, same table-tagged id ranges) evaluated as ONE BLAS
+    matmul per Arrow batch instead of n_tables·n_planes interpreted
+    `aggregate(zip_with(...))` dot products per row.
+
+    Why it exists: higher-order functions are interpreted, not
+    codegen'd — at 8 tables × 9 planes × dim 64 the expression tree
+    costs ~0.5 ms/row and, worse, runs at the SCAN's parallelism (the
+    embeddings parquet splits into ~2 input partitions at probe scale,
+    so 200k rows × 72 dots ran on 2 cores — the measured sf10
+    knn_clusters build bottleneck). One (batch × dim)·(dim × T·H)
+    matmul amortizes the same math to ~1 µs/row and the narrow
+    projection parallelizes with the batch stream.
+
+    Semantics: bit_i = (v · plane_i ≥ 0) exactly as the Column twin;
+    float64 matmul vs the twin's left-to-right fold can disagree only
+    when a dot product sits within summation-reorder ULPs of 0.0 — a
+    measure-zero event on random Gaussian planes, and both paths are
+    individually deterministic run-to-run. NULL vectors get every bit
+    0 (bucket = table base), matching `F.when(NULL >= 0)`'s otherwise
+    branch. Returns a pandas_udf producing array<long>, one tagged
+    bucket id per table.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.concatenate(
+        [
+            np.asarray(_hyperplanes(dim, n_planes, seed + 7919 * t))
+            for t in range(n_tables)
+        ]
+    ) if n_planes else np.zeros((0, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    base = (np.arange(n_tables, dtype=np.int64)) * (1 << n_planes)
+
+    @pandas_udf("array<long>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        null_mask = vs.isna().to_numpy()
+        if null_mask.all() or n_planes == 0:
+            return pd.Series([base.copy() for _ in range(len(vs))])
+        M = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                if v is not None
+                else np.zeros(dim)
+                for v in vs
+            ]
+        )
+        bits = (M @ planes.T) >= 0  # (batch, T·H)
+        ids = (
+            bits.reshape(len(M), n_tables, n_planes).astype(np.int64)
+            @ weights
+            + base
+        )
+        if null_mask.any():
+            ids[null_mask] = base
+        return pd.Series(list(ids))
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1417,12 +1483,16 @@ def lsh_cosine_pairs(
     else:
         score_bucket = _block_pair_scorer(id_col, vec_col, threshold)
 
+    # bucket ids via the Arrow-vectorized twin: identical geometry to
+    # multi_lsh_buckets (same hyperplanes/tags) at ~1 µs/row instead of
+    # n_tables·n_planes interpreted HOF dots — the measured sf10
+    # knn_clusters build bottleneck (the interpreted form additionally
+    # ran at the 2-partition scan's parallelism).
+    bucketer = multi_lsh_buckets_vec(dim, n_planes, n_tables)
     withb = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(
-            multi_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)
-        ).alias("__bucket"),
+        F.explode(bucketer(F.col(vec_col))).alias("__bucket"),
     )
     return (
         withb.groupBy("__bucket")
