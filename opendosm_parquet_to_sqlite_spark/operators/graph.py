@@ -13,10 +13,15 @@ jumping, expressed as DataFrame joins:
 
 - propagate: label(v) <- min(label(v), min label among v's neighbors)
   — one shuffle join (edges x labels) + one min-aggregate per round.
-- pointer jump: label(v) <- label(label(v)) — a self-join that halves the
-  depth of label chains, turning O(diameter) convergence into
-  O(log diameter) (the alternating small/large-star trick from the
-  MapReduce connected-components literature).
+- root contraction (Boruvka / alternating-star family, Kiveris et al.
+  "Connected Components in MapReduce and Beyond"): group proposals by
+  their PREVIOUS root and point each root at the minimum proposal of
+  its members, then compose the root-sized map with itself once.
+  Plain pointer jumping (label(v) <- label(label(v))) is a no-op on
+  graphs whose labels are self-rooted local minima — the sf10 mutual
+  kNN graph spent 18 rounds propagating hop-by-hop through 17-hop
+  chains; root contraction merges whole root trees per round and the
+  same graph converges in 6.
 
 Scale shape: the edge list is the near-dup PAIR set — orders of magnitude
 smaller than the corpus (docs in no pair never enter the graph; they are
@@ -107,8 +112,9 @@ def connected_components(
     directory (fault-tolerant, zero resident blocks) — see module docstring.
 
     Raises RuntimeError if labels have not converged after max_iter rounds
-    (with pointer jumping, max_iter=20 covers components of diameter
-    ~2^20 — any real similarity graph converges in a handful of rounds).
+    (with per-round root contraction, round count tracks the log of the
+    root-tree depth, not the graph diameter — the 17-hop sf10 mutual
+    graph converges in 6; max_iter=20 is a deep safety margin).
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -136,11 +142,20 @@ def connected_components(
         _truncate,
     )
     sym_ids = _persistent_rdd_ids(spark) - before
-    labels = (
+    # materialize the initial labels too: the per-round plan references
+    # `labels` several times (edge join, root grouping, relabel), and a
+    # round's self-joins multiply whatever DAG sits under each reference
+    # — with a lazy distinct here, the FIRST round re-executed the
+    # node-derivation repeatedly and cost 19 s of the sf10 probe's 38 s
+    # component phase. One eager node-table checkpoint makes round 0
+    # shaped like every other round (multiplying a leaf, not a DAG).
+    before = _persistent_rdd_ids(spark)
+    labels = _truncate(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    prev_ids: set = _persistent_rdd_ids(spark) - before
     debug = os.environ.get("SPARK_GRAFT_CC_DEBUG") == "1"
     # The sum-based convergence check needs numeric labels (a decimal sum
     # over string ids is NULL and would never converge — caught by the
@@ -153,7 +168,6 @@ def connected_components(
     )
     _UNSET = object()
     prev_sum = _UNSET
-    prev_ids: set = set()
     try:
         for rnd in range(max_iter):
             t0 = time.monotonic() if debug else 0.0
@@ -165,24 +179,57 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
             )
-            # pointer doubling: composing the label map with itself gives
-            # label -> label(label) (chain depth halves); composing the
-            # RESULT with itself again gives L4 = L2∘L2 — depth ÷4 per
-            # round. Every label value is itself a node, so the lookup
-            # join always resolves (left + coalesce is belt-and-braces
-            # for the self-label case). The second compose is one extra
-            # node-sized self-join per round — negligible next to the
-            # edge join above — and it halves the ROUND count on
-            # high-diameter graphs (the sf10 knn_clusters bottleneck:
-            # mutual-kNN chains put 302 s of 485 s in these rounds).
-            j = merged
-            for _ in range(2):
-                lookup = j.select(
-                    F.col("node").alias("__ln"), F.col("label").alias("__ll")
-                )
-                j = j.join(lookup, j["label"] == lookup["__ln"], "left").select(
-                    "node", F.coalesce("__ll", "label").alias("label")
-                )
+            # Boruvka-style ROOT contraction (replaces plain pointer
+            # doubling, which the sf10 mutual graph defeated: labels
+            # point at self-rooted LOCAL minima, so label(label(u)) =
+            # label(u) and the jump is a no-op — measured 18 rounds of
+            # pure 1-hop propagation through 17-hop replica chains).
+            # Group every node's PROPOSAL (merged) by its PREVIOUS root:
+            # cand(r) = min proposal among r's members — each root
+            # points at a strictly smaller root of the same component
+            # (invariant: a label is always a member of its node's
+            # component, so the min over co-labeled nodes' proposals
+            # stays in-component), then one self-compose of the
+            # ROOT-sized map collapses root chains. Component count
+            # shrinks superlinearly: the same graph converges in 6
+            # rounds (offline replay, tools-era /tmp/cc_boruvka.py),
+            # and the per-round shape swaps two NODE-sized self-joins
+            # for one node-sized join + two ROOT-sized ones.
+            cand = (
+                merged.select("node", F.col("label").alias("__prop"))
+                .join(labels, "node")
+                .groupBy(F.col("label").alias("__root"))
+                .agg(F.min("__prop").alias("__cand"))
+            )
+            lookup = cand.select(
+                F.col("__root").alias("__r2"), F.col("__cand").alias("__c2")
+            )
+            cand = cand.join(
+                lookup, cand["__cand"] == lookup["__r2"], "left"
+            ).select("__root", F.coalesce("__c2", "__cand").alias("__cand"))
+            j = labels.join(
+                cand, labels["label"] == cand["__root"], "left"
+            ).select(
+                "node", F.coalesce("__cand", "label").alias("label")
+            )
+            # ONE pointer jump ON TOP of the contraction: contraction
+            # alone is slow on chain graphs (the root trees are 1-2
+            # nodes deep, so the root map collapses nothing — a 64-node
+            # path needs 33 rounds, failing max_iter), while jumping
+            # alone is a no-op on self-rooted-minima graphs (the sf10
+            # mutual case above, 18 rounds). One label-map self-compose
+            # is the measured sweet spot: offline replay gives path64 6 /
+            # path4096 12 / sf10 mutual 6 rounds — all inside
+            # max_iter=20 — and every EXTRA compose doubles the round's
+            # core DAG (lazy self-joins re-execute both branches), which
+            # is why the two-compose variant measured SLOWER per round
+            # than it saved in rounds.
+            lookup = j.select(
+                F.col("node").alias("__ln"), F.col("label").alias("__ll")
+            )
+            j = j.join(lookup, j["label"] == lookup["__ln"], "left").select(
+                "node", F.coalesce("__ll", "label").alias("label")
+            )
             before = _persistent_rdd_ids(spark)
             jumped = _truncate(j)
             new_ids = _persistent_rdd_ids(spark) - before
