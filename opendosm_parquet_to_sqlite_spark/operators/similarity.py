@@ -223,17 +223,19 @@ def lsh_topk(
     the regime of the test embeddings); tighten H upward when the neighbor
     regime is closer (near-dup cosine ≥ 0.9 → H=8-16).
     """
+    # same Arrow-vectorized bucketer as lsh_cosine_pairs (identical
+    # geometry on both sides — the corpus-side interpreted HOF dots were
+    # the scan bottleneck at probe scale)
+    bucketer = multi_lsh_buckets_vec(dim, n_planes, n_tables)
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
-        multi_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables).alias("__b"),
+        bucketer(F.col(vec_col)).alias("__b"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            multi_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables).alias(
-                "__qb"
-            ),
+            bucketer(F.col(vec_col)).alias("__qb"),
         )
     )
     scored = (
