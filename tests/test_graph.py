@@ -38,6 +38,25 @@ def test_long_path_converges_via_pointer_jumping(spark):
     assert len(out) == 65
 
 
+def test_chain_of_cliques_converges(spark):
+    """The self-rooted-local-minima regime that defeats plain pointer
+    jumping (label(label(u)) == label(u) when every label is a local-min
+    root): 20 cliques of 5 nodes bridged into one chain — the sf10
+    mutual-kNN replica shape, where min-label propagation alone needed a
+    round per bridge hop. Root contraction must land it inside the
+    default max_iter and label everything with the global min."""
+    edges = []
+    for c in range(20):
+        base = 1000 - c * 50  # DECREASING clique ids → min sits at the far end
+        members = [base + i for i in range(5)]
+        edges += [(members[i], members[j]) for i in range(5) for j in range(i + 1, 5)]
+        if c:
+            edges.append((base + 50, base))  # bridge to the previous clique
+    out = _cc(spark, edges)
+    assert set(out.values()) == {50}
+    assert len(out) == 100
+
+
 def test_cycle_and_star(spark):
     out = _cc(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (10, 12), (10, 13)])
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
