@@ -395,6 +395,28 @@ SF1_GATE_EXTRA = [
     "remove_repeated_spans_within",
 ]
 
+# Named causes for queries whose >15x sf1 growth is a DOCUMENTED output
+# contract, not a plan defect (BASELINE.md's gate rule: anything over
+# 15x needs a named cause — these are the standing adjudications, so the
+# artifact carries its own explanation instead of leaving the list to be
+# re-litigated each round). A query appearing in over_15x WITHOUT a row
+# here is a fresh discovery that needs triage.
+SCALE_CAUSES = {
+    "dedup_image_phash": (
+        "member-pair output is quadratic in exact-dup clique size by "
+        "contract; bounded by the default max_pairs=50M valve; scale "
+        "path is dedup_media_clusters (1.4x at the same gate)"
+    ),
+    "dedup_audio_fp": (
+        "same member-pair contract as dedup_image_phash; valve-bounded; "
+        "scale path is dedup_media_clusters"
+    ),
+    "record_linkage": (
+        "legacy fixed 500-cent band kept as the reference-parity twin; "
+        "scale path is record_linkage_scaled (data-scaled band, ~4.7x)"
+    ),
+}
+
 
 def run_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -723,6 +745,10 @@ def sf1_gate(spark, full: bool = False) -> None:
         "n_probed": len(probe),
         "n_over_15x": len(over),
         "over_15x": over,
+        "over_15x_causes": {
+            n: SCALE_CAUSES.get(n, "UNTRIAGED — fresh discovery")
+            for n in over
+        },
         "failed": failed,
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],

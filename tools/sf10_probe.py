@@ -16,7 +16,13 @@ linear bound; BASELINE.md's documented probe rule applies — anything
 > 8x here (tighter than the suite-wide 15x because these five are the
 queries whose round counts COULD grow) needs a named cause.
 
+Round 11 extends the probe beyond the iterative family: `--heavy` runs
+the top non-iterative compositions (HEAVY below) and merges their rows
+into the same accumulated artifact, so BENCH_SF10.json grows toward the
+full heavy set without re-paying for rows already measured.
+
 Usage: python3 tools/sf10_probe.py [--out /tmp/sf10] [--skip-build]
+       [--heavy] [--isolate] [--only q1,q2]
 Prints per-query JSON lines, markdown rows for BASELINE.md, and one
 summary JSON line; writes BENCH_SF10.json at the repo root.
 """
@@ -42,6 +48,19 @@ PROBE = [
     "dup_communities",
     "dup_clusters",
     "dup_core",
+]
+
+# --heavy: the top NON-iterative queries by sf1 cost (round 11 — after
+# the iterative family held two decades, these compositions are the
+# next-most-expensive plans that had only sf1 evidence). Merged into the
+# same artifact so BENCH_SF10.json accumulates the full heavy set.
+HEAVY = [
+    "prepare_training_data",
+    "corpus_clean_clustered",
+    "link_prediction",
+    "event_pagerank",
+    "dedup_simhash",
+    "dedup_keep_best",
 ]
 
 
@@ -74,6 +93,11 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--only", default=None, help="comma-separated subset")
     ap.add_argument(
+        "--heavy", action="store_true",
+        help="probe the top non-iterative heavy set (merges into the "
+        "artifact like --only)",
+    )
+    ap.add_argument(
         "--isolate", action="store_true",
         help="run each query in its own subprocess/JVM — at 100x scale "
         "one JVM accumulating several heavy plans lost a Python worker "
@@ -82,6 +106,10 @@ def main() -> None:
     )
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.heavy and not args.only:
+        # behaves exactly like --only over the heavy set: subset run,
+        # merged into the accumulated artifact
+        args.only = ",".join(HEAVY)
 
     if args.isolate and "--_child" not in sys.argv:
         results: dict[str, float] = {}
@@ -111,7 +139,7 @@ def main() -> None:
             results = {**prior.get("queries", {}), **results}
             ratios = {**prior.get("ratios_vs_sf1", {}), **ratios}
         out = {
-            "metric": "sf10_iterative_probe_total_wall_clock",
+            "metric": "sf10_scale_probe_total_wall_clock",
             "value": round(sum(results.values()), 3), "unit": "sec",
             "sf": 10.0, "isolated": True, "queries": results,
             "ratios_vs_sf1": ratios,
@@ -182,7 +210,7 @@ def main() -> None:
     else:
         merged_t, merged_r = timings, ratios
     out = {
-        "metric": "sf10_iterative_probe_total_wall_clock",
+        "metric": "sf10_scale_probe_total_wall_clock",
         "value": round(sum(merged_t.values()), 3),
         "unit": "sec",
         "sf": 10.0,
