@@ -506,20 +506,31 @@ def main() -> None:
     # canary reference point before the timed loop (the warm-up pass
     # above already primed it)
     def canary_slot() -> float:
-        # median-of-3 per slot (round-10 verdict item 7): a single run
-        # of a ~0.5 s query jitters 30-70% with GC/neighbor noise —
-        # round 10's single-run slots showed 69.8% jitter and a
-        # spurious -17.1% "drift". The median of 3 back-to-back runs
-        # cancels one-off stalls at ~1 s extra per slot.
+        # min-of-3 per slot. Round 10 used a single run (69.8% jitter);
+        # round 11's first fix took the median of 3, and one slot still
+        # read 1.02 s against a 0.30 s steady state — a GC stall long
+        # enough to span two of its three reps defeats a median. The
+        # canary estimates ATTAINABLE box speed (its noise — GC pauses,
+        # neighbor stages, scheduler delay — is strictly additive), so
+        # the min is the right per-slot estimator: it discards any stall
+        # that leaves one rep clean, while a genuinely busy box slows
+        # all three reps and still moves the slot.
         reps = []
         for _ in range(3):
             reps.append(run_query(spark, CANARY, sf_dir))
             release_cached()
-        return round(_median(reps), 3)
+        return round(min(reps), 3)
 
     canary_times: list[float] = []
     run_canary = "--only" not in sys.argv and CANARY in QUERIES
     if run_canary:
+        # JIT pre-warm: the canary's first slots otherwise read 0.40-0.48
+        # against a 0.30-0.33 steady state (codegen/JIT still compiling
+        # hot paths early in the suite) and a trend formula reports that
+        # warm-in as a spurious -20% "drift". Saturate before slot 0.
+        for _ in range(6):
+            run_query(spark, CANARY, sf_dir)
+            release_cached()
         canary_times.append(canary_slot())
 
     runs: dict[str, list[float]] = {name: [] for name in headline}
