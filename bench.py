@@ -210,6 +210,8 @@ HEADLINE = [
     "count_anomaly",
     # fuzzy decontamination (winnow fingerprints, broadcast eval set)
     "contamination_fuzzy",
+    # semantic decontamination (bench matrix broadcast, batch BLAS rowmax)
+    "contamination_semantic",
     # OOV-mass vocabulary drift (type-table anti-join)
     "vocab_drift",
     # DAU/WAU via HLL sketch unions over the day table (never a rescan)

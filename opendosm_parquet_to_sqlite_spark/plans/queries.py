@@ -5778,6 +5778,42 @@ def q_contamination_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "contamination_semantic",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT v FROM e WHERE vec_id % 11 = 0),
+    c AS (SELECT vec_id, v FROM e WHERE vec_id % 11 <> 0),
+    scored AS (
+        SELECT c.vec_id,
+               max(list_dot_product(c.v, b.v)
+                   / sqrt(list_dot_product(c.v, c.v)
+                          * list_dot_product(b.v, b.v))) AS m
+        FROM c, b GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(m, 6) AS max_cosine,
+           CAST(round(m, 6) >= 0.4 AS INT) AS contaminated
+    FROM scored
+    """,
+    shadow=True,
+)
+def q_contamination_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic decontamination (contamination.semantic_overlap): max
+    embedding cosine of every candidate vector against the vec_id %% 11
+    == 0 pseudo-eval-set — the modality the n-gram/winnow twins miss
+    (paraphrased or translated benchmark items share no surface grams).
+    Bench matrix collected once (eval-suite-sized), corpus scanned once,
+    one BLAS matmul per Arrow batch, row max only — no shuffle, no pair
+    rows. Threshold 0.4 fits this corpus's far-neighbor regime (max
+    observed cosine ≈ 0.46; at sf1+ the fixture's perturbed replicas
+    produce genuine near-1.0 hits). Hash-checked against the DuckDB
+    brute-force restatement."""
+    emb = load_table(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 11 == 0)
+    cand = emb.filter(F.col("vec_id") % 11 != 0)
+    return contamination.semantic_overlap(cand, bench, threshold=0.4)
+
+
+@query(
     "vocab_drift",
     """
     WITH ta AS (

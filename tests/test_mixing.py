@@ -932,3 +932,60 @@ def test_dsir_select_validation(spark):
         dsir_select(df, df, "text", "doc_id")
     with pytest.raises(ValueError, match="budget"):
         dsir_select(df, df, "text", "doc_id", budget=1, min_log_weight=0.0)
+
+
+def test_semantic_overlap_flags_planted_neighbor(spark):
+    # bench vector b; candidate 1 = b slightly perturbed (cosine ~0.9999),
+    # candidate 2 = orthogonal (cosine 0). Only the neighbor is flagged.
+    dim = 8
+    b = [1.0] * dim
+    near = [1.0] * (dim - 1) + [1.01]
+    ortho = [1.0, -1.0] * (dim // 2)
+    bench = spark.createDataFrame([(100, b)], "vec_id long, embedding array<double>")
+    cand = spark.createDataFrame(
+        [(1, near), (2, ortho)], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in contamination.semantic_overlap(
+            cand, bench, threshold=0.95
+        ).collect()
+    }
+    assert rows[1]["contaminated"] == 1 and rows[1]["max_cosine"] > 0.99
+    assert rows[2]["contaminated"] == 0 and abs(rows[2]["max_cosine"]) < 1e-9
+
+
+def test_semantic_overlap_null_vector_and_empty_bench(spark):
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cand = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in contamination.semantic_overlap(cand, bench).collect()
+    }
+    # NULL vector: no score, NOT contaminated (a NaN crossing Arrow as
+    # double-NaN would order above every threshold — pinned here)
+    assert rows[2]["max_cosine"] is None and rows[2]["contaminated"] == 0
+    assert rows[1]["contaminated"] == 1  # self-identical, cosine 1.0
+    empty = contamination.semantic_overlap(
+        cand, bench.filter("vec_id < 0")
+    ).collect()
+    assert all(
+        r["max_cosine"] is None and r["contaminated"] == 0 for r in empty
+    )
+
+
+def test_semantic_overlap_flag_consistent_with_rounded_value(spark):
+    # the flag must be computed from the ROUNDED max_cosine (what the
+    # caller sees), never from the raw pre-rounding value
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 11 == 0)
+    cand = emb.filter(F.col("vec_id") % 11 != 0)
+    out = contamination.semantic_overlap(cand, bench, threshold=0.4)
+    bad = out.filter(
+        (F.col("contaminated") == 1) != (F.col("max_cosine") >= 0.4)
+    ).count()
+    assert bad == 0
