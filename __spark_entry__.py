@@ -73,6 +73,7 @@ _ROWS_ONLY_PRIORITY = [
     # round-11 registrations (shadow-oracle hash-checked in-repo):
     "remove_repeated_spans_within",
     "dsir_select",
+    "contamination_semantic",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",
