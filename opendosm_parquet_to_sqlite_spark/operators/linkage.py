@@ -24,6 +24,47 @@ from pyspark.sql.window import Window
 
 FIELD_KINDS = ("string", "exact", "numeric")
 
+# Within-block pair-volume cap the valve enforces by default — the same
+# 50M figure as mediadedup.DEFAULT_MAX_PAIRS (its exact-dup clique valve
+# closed the identical hazard in round 11). ~10k rows in one hot block is
+# the break-even: C(10k, 2) ≈ 50M.
+DEFAULT_MAX_PAIRS = 50_000_000
+
+
+def _check_block_pair_volume(
+    base: DataFrame, block_cols: list[str], max_pairs: int
+) -> None:
+    """The max_pairs safety valve: compute the EXACT within-block pair
+    volume — Σ_b c_b·(c_b−1)/2 over non-NULL block keys, precisely the
+    row count the self-join below will emit — and refuse to build the
+    pair plan when it exceeds the cap. A degenerate block key (constant,
+    NULL-ish placeholder, or a fixed-width band whose occupancy grows
+    with n) makes the volume quadratic with no error; the valve turns
+    that silent blow-up into a fail-fast. One block-keyed count + scalar
+    agg (partial-combined, no pair row ever built); runs eagerly, which
+    is the point of a valve. NULL block keys are excluded — they never
+    pair (NULL equality is false, the operator's stated contract)."""
+    nonnull = base
+    for c in block_cols:
+        nonnull = nonnull.filter(F.col(c).isNotNull())
+    est = (
+        nonnull.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"))
+        .first()["pairs"]
+    )
+    est = int(est or 0)
+    if est > int(max_pairs):
+        raise ValueError(
+            f"within-block pair volume {est} exceeds max_pairs="
+            f"{int(max_pairs)}: a hot block makes record_linkage's "
+            f"candidate output quadratic in block size. Tighten the "
+            f"block key — for numeric bands use scaled_numeric_band "
+            f"(data-scaled width, the record_linkage_scaled "
+            f"parameterization) — or cap hot blocks with max_block; "
+            f"pass max_pairs=None to explicitly accept the volume."
+        )
+
 
 def _field_sim(kind: str, a: Column, b: Column) -> Column:
     """Similarity in [0, 1], or NULL when either side is NULL (missing =
@@ -123,6 +164,7 @@ def record_linkage(
     threshold: float = 0.9,
     max_block: int | None = None,
     ndigits: int = 6,
+    max_pairs: int | None = DEFAULT_MAX_PAIRS,
 ) -> DataFrame:
     """Score every within-block record pair by weighted field similarity
     and classify matches — self-linkage (dedup-shaped: id_a < id_b, each
@@ -146,6 +188,14 @@ def record_linkage(
     blocks with more rows than the cap BEFORE the join (window count on
     the block key) — the skew guard for degenerate keys; dropped volume
     is the caller's to monitor via block_stats-style preflight.
+
+    `max_pairs` is the default-ON hot-block valve (50M, same figure and
+    idiom as mediadedup's exact-dup clique valve): the exact within-block
+    pair volume Σ c·(c−1)/2 is computed eagerly (after any `max_block`
+    filter) and the operator raises — steering to scaled_numeric_band /
+    max_block — rather than build a quadratic candidate plan. Pass
+    `max_pairs=None` to explicitly accept unbounded pair volume (the
+    legacy fixed-band parameterization's documented escape hatch).
 
     Output: (id_a, id_b, sim_<col> per field, score, matched) — pair
     rows, sims rounded.
@@ -172,6 +222,8 @@ def record_linkage(
             .filter(F.col("__bn") <= int(max_block))
             .drop("__bn")
         )
+    if max_pairs is not None:
+        _check_block_pair_volume(base, block_cols, max_pairs)
     # The build side broadcasts (record tables are dim-sized relative to
     # the pair volume they generate); the PROBE side must carry the
     # parallelism — a freshly scanned single-file table arrives as one

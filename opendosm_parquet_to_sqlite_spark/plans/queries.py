@@ -9081,7 +9081,11 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     scored by name edit-similarity (weight 2) + balance closeness
     (weight 1), classified at 0.62. The balance BAND in the block key is
     the sorted-neighborhood recall/cost dial: without it block sizes —
-    and pair volume, quadratically — grow with the table. One
+    and pair volume, quadratically — grow with the table. Kept as the
+    explicit fixed-dial twin of record_linkage_scaled; it now runs under
+    the operator's default-on max_pairs valve (50M within-block pairs —
+    ~4M at sf1, so the benched query passes; a degenerate scale-up
+    raises with a steer instead of silently going quadratic). One
     block-keyed exchange; all sims are JVM scalars. Hash-checked."""
     c = load_table(spark, sf, "customer").withColumn(
         "bal_band", F.floor(F.col("c_acctbal") / 500)
