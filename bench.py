@@ -415,7 +415,9 @@ SCALE_CAUSES = {
     ),
     "record_linkage": (
         "legacy fixed 500-cent band kept as the reference-parity twin; "
-        "scale path is record_linkage_scaled (data-scaled band, ~4.7x)"
+        "now bounded by the operator's default max_pairs=50M valve "
+        "(~4M within-block pairs at sf1, raises past ~sf10); scale path "
+        "is record_linkage_scaled (data-scaled band, ~4.7x)"
     ),
 }
 

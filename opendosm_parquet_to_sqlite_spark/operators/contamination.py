@@ -267,6 +267,7 @@ def semantic_overlap(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     ndigits: int = 6,
+    max_benchmark: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-space decontamination — the SEMANTIC sibling of
     ngram_overlap/winnow_overlap (the modality n-gram methods miss:
@@ -306,9 +307,30 @@ def semantic_overlap(
 
     Output: (id_col, max_cosine DOUBLE, contaminated INT), one row per
     corpus row.
+
+    `max_benchmark` enforces the eval-suite-size contract on the driver
+    collect: the benchmark side must stay model-sized (default cap 1M
+    vectors ≈ 3 GB of float64 at D=384). A corpus-scale mis-call fails
+    fast with ValueError instead of OOMing the driver and shipping a
+    multi-GB closure to every task.
     """
     from pyspark.sql import types as T
 
+    if id_col not in corpus.columns:
+        raise ValueError(
+            f"id column {id_col!r} not found in corpus columns "
+            f"{corpus.columns}"
+        )
+    n_bench = benchmark.count()
+    if n_bench > int(max_benchmark):
+        raise ValueError(
+            f"benchmark has {n_bench} rows, over max_benchmark="
+            f"{int(max_benchmark)}: semantic_overlap collects the "
+            f"benchmark to a driver-side matrix and broadcasts it to "
+            f"every task, so it must stay eval-suite-sized. Reduce the "
+            f"benchmark, or raise max_benchmark explicitly if the "
+            f"driver can hold it."
+        )
     bvecs = [
         r[0]
         for r in benchmark.select(vec_col).collect()
@@ -322,7 +344,7 @@ def semantic_overlap(
     else:
         Bn = None
 
-    id_field = next(f for f in corpus.schema.fields if f.name == id_col)
+    id_field = corpus.schema[id_col]
     raw_schema = T.StructType(
         [id_field, T.StructField("__raw_max", T.DoubleType())]
     )

@@ -5791,7 +5791,7 @@ def q_contamination_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
         FROM c, b GROUP BY c.vec_id
     )
     SELECT vec_id, round(m, 6) AS max_cosine,
-           CAST(round(m, 6) >= 0.4 AS INT) AS contaminated
+           COALESCE(CAST(round(m, 6) >= 0.4 AS INT), 0) AS contaminated
     FROM scored
     """,
     shadow=True,

@@ -978,6 +978,26 @@ def test_semantic_overlap_null_vector_and_empty_bench(spark):
     )
 
 
+def test_semantic_overlap_validations(spark):
+    """Round-11 ADVICE: the driver-side benchmark collect must enforce
+    the eval-suite-size contract (fail fast, not OOM), and a missing id
+    column must raise ValueError — not a bare StopIteration."""
+    bench = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_benchmark"):
+        contamination.semantic_overlap(cand, bench, max_benchmark=3)
+    with pytest.raises(ValueError, match="nope"):
+        contamination.semantic_overlap(cand, bench, id_col="nope")
+    # at/under the cap: untouched
+    out = contamination.semantic_overlap(cand, bench, max_benchmark=5)
+    assert out.count() == 1
+
+
 def test_semantic_overlap_flag_consistent_with_rounded_value(spark):
     # the flag must be computed from the ROUNDED max_cosine (what the
     # caller sees), never from the raw pre-rounding value

@@ -64,6 +64,77 @@ HEAVY = [
 ]
 
 
+# Named causes for every adjudicated >4x sf10 row — embedded in the
+# artifact (round-11 verdict item 4: adjudications live in the JSON, not
+# BASELINE.md prose). Keyed like bench.py's SCALE_CAUSES; any >4x row
+# without an entry surfaces as UNTRIAGED so fresh discoveries are loud.
+SF10_CAUSES = {
+    "link_prediction": (
+        "sub-linear in WORK: wedge volume sum(deg*(deg-1))/2 is 87.2M at "
+        "sf1 vs 872.2M at sf10 — exactly 10.0x candidate pairs for 10x "
+        "rows; 8.2x wall for 10.0x work on fixed cores"
+    ),
+    "dup_core": (
+        "k-core peel rounds grow with the densified replica graph's "
+        "degeneracy; per-round work is edge-linear (keyed-checkpoint "
+        "layout) — wall tracks rounds x edges, re-probed in isolation"
+    ),
+    "lof_outliers": (
+        "composes knn_graph (5.5x) + two edge-keyed joins for reach-dist "
+        "and lrd ratios; growth is the knn build plus join fan-in, no "
+        "quadratic term — re-probed in isolation"
+    ),
+    "knn_graph": (
+        "LSH-bucketed candidate gen: bucket occupancy grows with density "
+        "at fixed band params; work is sum of per-bucket pair volume, "
+        "bounded by the bucket cap — not all-pairs"
+    ),
+    "prepare_training_data": (
+        "seven partial-combined stages; growth tracks the dedup + "
+        "quality + split cascade's shuffle volume, each stage "
+        "hash-checked linear"
+    ),
+}
+
+
+def _merged_artifact(
+    artifact: str,
+    timings: dict[str, float],
+    ratios: dict[str, float],
+    fresh: bool,
+    isolated: bool,
+    extra: dict | None = None,
+) -> dict:
+    """Merge this run's rows into the accumulated BENCH_SF10.json (the
+    artifact accumulates the full heavy set across subset runs — round-11
+    ADVICE: the default no-flag path used to clobber it) unless --fresh
+    asked for an intentional rebuild. Attaches SF10_CAUSES to every >4x
+    row so adjudications live in the artifact."""
+    if not fresh and os.path.exists(artifact):
+        prior = json.load(open(artifact, encoding="utf-8"))
+        timings = {**prior.get("queries", {}), **timings}
+        ratios = {**prior.get("ratios_vs_sf1", {}), **ratios}
+    out = {
+        "metric": "sf10_scale_probe_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": 10.0,
+        "isolated": isolated,
+        "queries": timings,
+        "ratios_vs_sf1": ratios,
+        "n_over_8x": sum(1 for r in ratios.values() if r > 8.0),
+        "causes": {
+            n: SF10_CAUSES.get(n, "UNTRIAGED — fresh discovery")
+            for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+            if r > 4.0
+        },
+        **(extra or {}),
+    }
+    with open(artifact, "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    return out
+
+
 def _sf1_seconds() -> dict[str, float]:
     """Per-query sf1 seconds: BENCH_SF1.json when a --sf1-gate run exists
     (fresh, same box), else BASELINE.md's recorded sf1 probe table."""
@@ -104,6 +175,11 @@ def main() -> None:
         "in round 10's first session; isolation is part of the method "
         "(queries are independent, so per-session timings compare)",
     )
+    ap.add_argument(
+        "--fresh", action="store_true",
+        help="intentionally rebuild BENCH_SF10.json from only this run's "
+        "rows instead of merging into the accumulated artifact",
+    )
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args.heavy and not args.only:
@@ -131,24 +207,12 @@ def main() -> None:
         sf1 = _sf1_seconds()
         ratios = {n: round(v / sf1[n], 1) for n, v in results.items()
                   if sf1.get(n)}
-        # subset rerun (--only): merge into the existing artifact so the
-        # non-probed queries keep their recorded rows
-        artifact = os.path.join(REPO, "BENCH_SF10.json")
-        if args.only and os.path.exists(artifact):
-            prior = json.load(open(artifact, encoding="utf-8"))
-            results = {**prior.get("queries", {}), **results}
-            ratios = {**prior.get("ratios_vs_sf1", {}), **ratios}
-        out = {
-            "metric": "sf10_scale_probe_total_wall_clock",
-            "value": round(sum(results.values()), 3), "unit": "sec",
-            "sf": 10.0, "isolated": True, "queries": results,
-            "ratios_vs_sf1": ratios,
-            "n_over_8x": sum(1 for r in ratios.values() if r > 8.0),
-        }
-        # the merged artifact (each child wrote a 1-query file; the
-        # parent's merge is the record)
-        with open(artifact, "w", encoding="utf-8") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
+        # ALWAYS merge into the accumulated artifact (each child also
+        # merge-wrote its 1-query row; the parent's merge is the record)
+        out = _merged_artifact(
+            os.path.join(REPO, "BENCH_SF10.json"), results, ratios,
+            fresh=args.fresh, isolated=True,
+        )
         print(json.dumps(out))
         return
 
@@ -198,32 +262,20 @@ def main() -> None:
         print(f"| {n} | {timings[n]} | {sf1.get(n, '?')} | "
               f"{ratios.get(n, '?')} |")
 
-    # --only reruns a subset: MERGE into the existing artifact instead of
-    # dropping the other queries' rows (round 11's first knn-only re-probe
-    # clobbered the five carried-over rows and they had to be restored by
-    # hand from git).
-    artifact = os.path.join(REPO, "BENCH_SF10.json")
-    if args.only and os.path.exists(artifact):
-        prior = json.load(open(artifact, encoding="utf-8"))
-        merged_t = {**prior.get("queries", {}), **timings}
-        merged_r = {**prior.get("ratios_vs_sf1", {}), **ratios}
-    else:
-        merged_t, merged_r = timings, ratios
-    out = {
-        "metric": "sf10_scale_probe_total_wall_clock",
-        "value": round(sum(merged_t.values()), 3),
-        "unit": "sec",
-        "sf": 10.0,
-        "queries": merged_t,
-        "ratios_vs_sf1": merged_r,
-        "n_over_8x": sum(1 for r in merged_r.values() if r > 8.0),
-        "loadavg_before": load_before,
-        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-    }
-    with open(artifact, "w", encoding="utf-8") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    # ALWAYS merge into the accumulated artifact — a default (no --only)
+    # run used to clobber the heavy-set rows (round-11 ADVICE); --fresh
+    # is the explicit rebuild path.
+    out = _merged_artifact(
+        os.path.join(REPO, "BENCH_SF10.json"), timings, ratios,
+        fresh=args.fresh, isolated=False,
+        extra={
+            "loadavg_before": load_before,
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        },
+    )
     print(json.dumps({k: out[k] for k in (
-        "metric", "value", "unit", "sf", "n_over_8x", "ratios_vs_sf1")}))
+        "metric", "value", "unit", "sf", "n_over_8x", "ratios_vs_sf1",
+        "causes")}))
 
 
 if __name__ == "__main__":
