@@ -35,6 +35,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # grows or the oracle-backed list shrinks; keep it in rough
 # flagship-first order against that day.
 _ROWS_ONLY_PRIORITY = [
+    # demoted in the round-12 NINTH rotation (multi-round driver-green —
+    # 5 to 9 consecutive green rounds each; shadow oracles keep their
+    # hash proof in-repo). Their driver slots went to the round-11
+    # registrations (remove_repeated_spans_within, dsir_select,
+    # contamination_semantic) plus the seven longest-shadowed
+    # never-driver-proven round-6 extensions (bigram_logprob,
+    # remove_boilerplate, url_features, url_host_stats, outlier_mad,
+    # value_histogram, dedup_ngram_containment) — each getting its first
+    # driver-visible hash proof:
+    "prepare_training_data",
+    "span_dedup",
+    "cm_frequency",
+    "data_quality_report",
+    "feature_drift",
+    "k_anonymity",
+    "split_leakage_free",
+    "text_canonical",
+    "winnow_pairs",
+    "attribution_last_touch",
     # demoted in the round-11 EIGHTH rotation (driver-green in
     # CORRECTNESS_r08/r09/r10; shadow oracles keep their hash proof
     # in-repo). Their driver slots went to the never-driver-proven
@@ -70,10 +89,6 @@ _ROWS_ONLY_PRIORITY = [
     # data-scaled band-width linkage fix and the Lee-style repeated-span
     # removal transform:
     "remove_repeated_spans_iterated",
-    # round-11 registrations (shadow-oracle hash-checked in-repo):
-    "remove_repeated_spans_within",
-    "dsir_select",
-    "contamination_semantic",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",
@@ -134,14 +149,7 @@ _ROWS_ONLY_PRIORITY = [
     "sort_date_desc",
     "agg_distinct",
     "pivot_metrics",
-    "bigram_logprob",
-    "remove_boilerplate",
     # round-6 extensions (shadow oracles, hash-checked in-repo):
-    "url_features",
-    "url_host_stats",
-    "outlier_mad",
-    "value_histogram",
-    "dedup_ngram_containment",
     "shipping_priority",
     "quality_audit",
     "top_terms_per_group",

@@ -1976,6 +1976,7 @@ _DUCK_QUALITY = """round((least(len(list_filter(string_split_regex(trim(text), '
            n_tokens, cum_tokens
     FROM cums
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_prepare_training_data(spark: SparkSession, sf: str) -> DataFrame:
     """The FLAGSHIP composition: PII scrub → quality + repetition gates →
@@ -2250,6 +2251,7 @@ def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE 0.0 END AS dup_span_ratio
     FROM toks d LEFT JOIN dupc USING (doc_id)
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-doc repeated 8-token-span statistics per document (the
@@ -2611,7 +2613,6 @@ def q_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
            s.avg_neg_logprob
     FROM documents d LEFT JOIN scored s USING (doc_id)
     """,
-    shadow=True,  # shadow (not driver) oracle: avg-of-doubles sits one ULP
     # from the 6-dp hash boundary in rare cases, so the knife-edge belongs
     # in-repo where a flake is visible and diagnosable; the float-tolerance
     # pin (tests/test_mixing.py::test_bigram_logprob_matches_duckdb_oracle)
@@ -2654,7 +2655,6 @@ def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_lines_removed
     FROM marked GROUP BY doc_id
     """,
-    shadow=True,
 )
 def q_remove_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style line-level boilerplate removal over documents. The
@@ -2735,7 +2735,6 @@ def _url_augmented_docs(spark: SparkSession, sf: str) -> DataFrame:
            md5(array_to_string(list_sort(hosts), ',')) AS hosts_fp
     FROM h
     """,
-    shadow=True,
 )
 def q_url_features(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc URL/link-density features (RefinedWeb-style URL hygiene):
@@ -2762,7 +2761,6 @@ def q_url_features(spark: SparkSession, sf: str) -> DataFrame:
     FROM m GROUP BY host
     HAVING count(DISTINCT doc_id) >= 2
     """,
-    shadow=True,
 )
 def q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level host frequency table (blocklist seed): one exchange
@@ -2794,7 +2792,6 @@ def q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
            END AS is_outlier
     FROM r JOIN mad d USING (event_type)
     """,
-    shadow=True,
 )
 def q_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
     """MAD-based per-group outlier flags over event values: robust_z =
@@ -2832,7 +2829,6 @@ def q_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n
     FROM x GROUP BY event_type, bin, lo, w
     """,
-    shadow=True,
 )
 def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width 8-bin histogram of event values per event type — the
@@ -2871,7 +2867,6 @@ def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     JOIN sizes sb ON id_b = sb.doc_id
     WHERE round(c / least(sa.n, sb.n), 6) >= 0.5
     """,
-    shadow=True,
 )
 def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram containment (overlap-coefficient) near-dup pairs —
@@ -3764,6 +3759,7 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS BIGINT)
     FROM lineitem
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_data_quality_report(spark: SparkSession, sf: str) -> DataFrame:
     """Declarative expectations gate: five rules (presence, range,
@@ -4210,6 +4206,7 @@ def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
                 THEN s - touch.ts END AS delay_s
     FROM carried WHERE ev = 'purchase'
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     """Last-touch attribution: each purchase credits the user's latest
@@ -4499,6 +4496,7 @@ def q_dedup_time_window(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE 'test' END AS split
     FROM banded
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_split_leakage_free(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster-aware train/val/test split: near-dup clusters (capped
@@ -4658,6 +4656,7 @@ def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_type, CAST(count(*) AS BIGINT) AS est
     FROM events GROUP BY event_type
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min sketch point-frequency estimates for every event type.
@@ -4683,6 +4682,7 @@ def q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
     FROM customer
     GROUP BY 1, 2, 3 HAVING count(*) < 5
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity audit over (nation, segment, balance band): every
@@ -4754,6 +4754,7 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     FROM pivoted p JOIN totals USING (event_type)
     GROUP BY 1
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
     """PSI drift between the even/odd event halves per event type (a
@@ -4788,6 +4789,7 @@ def q_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
                '\\s+', ' ', 'g'))) AS BIGINT) AS canon_len
     FROM documents
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_text_canonical(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode canonical dedup keys: NFC + lower + zero-width strip +
@@ -4834,6 +4836,7 @@ def q_text_canonical(spark: SparkSession, sf: str) -> DataFrame:
     SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
     FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
     """,
+    shadow=True,  # demoted round 12 (9th rotation): multi-round driver-green
 )
 def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing (MOSS) copied-passage candidates: min-hash-per-window
@@ -5164,7 +5167,6 @@ def q_remove_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     LEFT JOIN sizes s USING (doc_id)
     LEFT JOIN rebuilt r USING (doc_id)
     """,
-    shadow=True,
 )
 def q_remove_repeated_spans_within(spark: SparkSession, sf: str) -> DataFrame:
     """Span removal with the within_doc flag ON (neardup.
@@ -5320,7 +5322,6 @@ def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, text, n_grams, log_weight FROM scored
     ORDER BY log_weight DESC, doc_id LIMIT 100
     """,
-    shadow=True,
 )
 def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR end-to-end selection (sampling.dsir_select): importance
@@ -5794,7 +5795,6 @@ def q_contamination_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
            COALESCE(CAST(round(m, 6) >= 0.4 AS INT), 0) AS contaminated
     FROM scored
     """,
-    shadow=True,
 )
 def q_contamination_semantic(spark: SparkSession, sf: str) -> DataFrame:
     """Semantic decontamination (contamination.semantic_overlap): max
