@@ -593,6 +593,18 @@ def main() -> None:
             name for name in headline
             if base.get(name) and timings[name] / base[name] > 2.0
         ]
+        # round-11 verdict item 3: the suite-worst ratio is ALWAYS
+        # remeasured, even under the 2x gate — collocations_pmi sat at
+        # 1.97x (worst in suite, a whisker under the gate) and the rule
+        # never caught it, so the adjudication had to happen a round
+        # late. Costs 5 isolated runs of one query.
+        ratioed = [
+            n for n in headline if base.get(n) and timings.get(n)
+        ]
+        if ratioed:
+            worst = max(ratioed, key=lambda n: timings[n] / base[n])
+            if worst not in suspects:
+                suspects.append(worst)
         if suspects:
             # one shared state reset before the isolation block
             spark.catalog.clearCache()

@@ -937,11 +937,44 @@ def vocab_drift(
     )
 
 
+def scan_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the file scan feeding `df` — driver-side metadata
+    only (leaf-file listing + FileStatus), NO Spark job. The free input
+    for size-adaptive plan choices: `df.inputFiles()` resolves the plan's
+    file sources and the Hadoop FS answers lengths from its (already
+    populated) listing cache. Returns None when the plan has no file
+    scan (in-memory test frames) or the FS refuses — callers treat
+    None as "small" (a frame someone built in memory fits in memory)."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        total = 0
+        for p in files:
+            path = jvm.org.apache.hadoop.fs.Path(p)
+            total += path.getFileSystem(conf).getFileStatus(path).getLen()
+        return total
+    except Exception:  # noqa: BLE001 — a size probe must never fail a plan
+        return None
+
+
+# Broadcast the PMI marginal tables only when the corpus scan is at most
+# this many bytes. Vocab is sub-linear in corpus size (Heaps' law), so a
+# ≤4 GB corpus has at most a few tens of millions of types — comfortably
+# broadcastable — while a 100 TB corpus's vocab (hundreds of millions of
+# types, GBs serialized) must take the shuffled-join path.
+PMI_BROADCAST_MAX_SCAN_BYTES = 4 * 1024**3
+
+
 def collocations_pmi(
     df: DataFrame,
     text_col: str,
     min_pair_count: int = 5,
     ndigits: int = 6,
+    broadcast_marginals: bool | None = None,
 ) -> DataFrame:
     """Bigram collocation mining by pointwise mutual information:
     PMI(w1,w2) = ln( p(w1,w2) / (p(w1,·)·p(·,w2)) ) with probabilities
@@ -956,6 +989,18 @@ def collocations_pmi(
     rare words maxes PMI); it also caps the output at the
     frequent-bigram table.  Exact integer ratios into one ln() —
     deterministic, SQL-mirrorable.
+
+    `broadcast_marginals` (None = auto): the two marginal tables are
+    unigram-vocab-sized — tiny next to the bigram table but unbounded in
+    the absolute (Heaps' law still reaches hundreds of millions of types
+    at 100 TB). Auto mode broadcasts them when the corpus scan is
+    ≤ PMI_BROADCAST_MAX_SCAN_BYTES (a free driver-side file-metadata
+    check via scan_bytes — no gate job, no barrier; round-12 triage
+    measured the shuffled marginal joins as the whole 1.97x-of-baseline
+    bench regression at sf0.1, and an eager count-based gate gave half
+    the win back as a materialization barrier) and falls back to
+    shuffled joins above it or when the scan size is unknowable-and-
+    large is impossible (in-memory frames count as small).
 
     Output: (w1, w2, pair_count BIGINT, pmi) — pmi rounded to `ndigits`.
     """
@@ -980,6 +1025,13 @@ def collocations_pmi(
     )
     left = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     right = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    if broadcast_marginals is None:
+        size = scan_bytes(df)
+        broadcast_marginals = (
+            size is None or size <= PMI_BROADCAST_MAX_SCAN_BYTES
+        )
+    if broadcast_marginals:
+        left, right = F.broadcast(left), F.broadcast(right)
     total = bg.agg(F.sum("c12").alias("n_pairs"))
     kept = bg.filter(F.col("c12") >= int(min_pair_count))
     return (

@@ -551,6 +551,28 @@ def test_collocations_pmi_marginals_from_bigram_table(spark):
     assert rep["n_scans"] <= 2  # persisted bg may rescan its own cache
 
 
+def test_collocations_pmi_marginal_broadcast_gate(spark):
+    """Round-12 triage of the 1.97x bench regression: under the free
+    scan-size gate, a small corpus joins its vocab-sized marginals by
+    BROADCAST (no marginal shuffle); forcing broadcast_marginals=False
+    takes the 100 TB shuffled-join path. Both agree value-for-value."""
+    from opendosm_parquet_to_sqlite_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    assert 0 < T.scan_bytes(docs) <= T.PMI_BROADCAST_MAX_SCAN_BYTES
+    # in-memory frames have no file scan: treated as small
+    assert T.scan_bytes(spark.range(3)) is None
+    auto = T.collocations_pmi(docs, "text", min_pair_count=5)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # both marginals
+    shuffled = T.collocations_pmi(
+        docs, "text", min_pair_count=5, broadcast_marginals=False
+    )
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, shuffled.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_feature_binning_one_window_exchange(spark):
     df = QUERIES["feature_binning"](spark, SF0001)
     assert_plan(df, n_exchanges=1, n_hash_exchanges=1,
