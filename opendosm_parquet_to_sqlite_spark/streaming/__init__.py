@@ -21,6 +21,7 @@ same way the batch plans do: one hash exchange on the keys, no global state.
 
 from .corpus import corpus_ingest_stream, rowwise_repetition_ok
 from .incremental import (
+    contamination_monitor_stream,
     dedup_within_watermark,
     enrich_stream,
     enrich_stream_live,
@@ -33,6 +34,7 @@ from .incremental import (
 from .pipeline import stream_prices_to_sqlite
 
 __all__ = [
+    "contamination_monitor_stream",
     "corpus_ingest_stream",
     "dedup_within_watermark",
     "enrich_stream",

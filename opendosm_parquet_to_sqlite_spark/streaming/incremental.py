@@ -366,6 +366,60 @@ def drift_monitor_stream(
     run_available_now(stream, checkpoint_dir, _score, output_mode="append")
 
 
+def contamination_monitor_stream(
+    stream: DataFrame,
+    benchmark_path: str,
+    checkpoint_dir: str,
+    report_sink,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    ndigits: int = 6,
+    max_benchmark: int = 1_000_000,
+) -> None:
+    """Live semantic decontamination: every microbatch of corpus vectors
+    is scored against the pinned benchmark embeddings via
+    contamination.semantic_overlap — max cosine per row + contaminated
+    flag — completing the streaming decontamination family (exact n-gram
+    probes stream through the persisted-index pattern; the drift
+    monitors stream their pinned-baseline scorers; this is the newest
+    gate of the flagship composition, the modality those miss).
+
+    Same stateless shape as drift_monitor_stream: no state store, no
+    watermark — the benchmark matrix is the only cross-batch context,
+    and it is re-read from `benchmark_path` per microbatch (a pinned
+    DataFrame would freeze its file listing; re-benchmarking is an
+    atomic parquet overwrite away). Per-batch cost: one eval-suite-sized
+    collect (guarded by semantic_overlap's max_benchmark contract) plus
+    one BLAS matmul per Arrow batch of the microbatch — the batch's
+    vectors never shuffle. Empty microbatches emit nothing; an empty
+    benchmark yields NULL max_cosine / contaminated 0 for every row
+    (nothing to collide with), exactly the batch operator's contract.
+
+    report_sink(report_df, batch_id) receives each microbatch's
+    (id_col, max_cosine, contaminated) rows; route contaminated == 1 to
+    a quarantine table or drop them before the ingest sink.
+    """
+    from ..operators import contamination as _contamination
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bench = batch_df.sparkSession.read.parquet(benchmark_path)
+        report = _contamination.semantic_overlap(
+            batch_df,
+            bench,
+            vec_col=vec_col,
+            id_col=id_col,
+            threshold=threshold,
+            ndigits=ndigits,
+            max_benchmark=max_benchmark,
+        )
+        report_sink(report, batch_id)
+
+    run_available_now(stream, checkpoint_dir, _score, output_mode="append")
+
+
 def media_dedup_stream(
     sdf: DataFrame,
     payload_col: str,

@@ -634,3 +634,69 @@ def test_media_dedup_stream_collapses_reencodes(spark, tmp_path):
         for r in M.image_phash(batch, "payload", "id").collect()
     }
     assert col_form == map_form
+
+
+def test_contamination_monitor_stream_matches_batch(spark, tmp_path):
+    """Round-12 streaming twin of contamination_semantic: each drained
+    microbatch's report equals semantic_overlap run on (that batch,
+    benchmark) directly — the monitor adds delivery, not different math.
+    Empty-benchmark edge: every row scores NULL / contaminated 0."""
+    from opendosm_parquet_to_sqlite_spark.operators import contamination
+    from opendosm_parquet_to_sqlite_spark.streaming.incremental import (
+        contamination_monitor_stream,
+        read_stream_parquet,
+    )
+
+    dim = 4
+    bench_rows = [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])]
+    schema = "vec_id long, embedding array<double>"
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(bench_rows, schema).write.parquet(bench_path)
+
+    batches = [
+        [(1, [1.0, 0.01, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])],
+        [(3, [0.0, 1.0, 0.0, 0.0]), (4, None)],
+    ]
+    src = str(tmp_path / "vecs")
+    for i, part in enumerate(batches):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    sdf = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+
+    got: dict[int, tuple] = {}
+
+    def sink(report, _bid):
+        for r in report.collect():
+            got[r.vec_id] = (r.max_cosine, r.contaminated)
+
+    contamination_monitor_stream(
+        sdf, bench_path, str(tmp_path / "ckpt"), sink, threshold=0.95
+    )
+    batch_all = spark.createDataFrame(
+        [p for part in batches for p in part], schema
+    )
+    expected = {
+        r.vec_id: (r.max_cosine, r.contaminated)
+        for r in contamination.semantic_overlap(
+            batch_all,
+            spark.read.parquet(bench_path),
+            threshold=0.95,
+        ).collect()
+    }
+    assert got == expected
+    assert got[1][1] == 1 and got[2][1] == 0      # neighbor vs orthogonal
+    assert got[4] == (None, 0)                    # NULL vector edge
+
+    # empty-benchmark edge: overwrite with zero rows, re-drain from a
+    # fresh checkpoint -> NULL max_cosine, contaminated 0 for every row
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+        bench_path
+    )
+    got.clear()
+    sdf2 = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+    contamination_monitor_stream(
+        sdf2, bench_path, str(tmp_path / "ckpt2"), sink, threshold=0.95
+    )
+    assert len(got) == 4
+    assert all(v == (None, 0) for v in got.values())
