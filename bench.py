@@ -374,6 +374,9 @@ HEADLINE = [
     # and DSIR end-to-end selection (weights + TakeOrdered top-slice)
     "remove_repeated_spans_within",
     "dsir_select",
+    # round-12: DoReMi iterative Group-DRO domain reweighting (3 rounds x
+    # 2 model-sized agg jobs over the persisted hashed-feature frame)
+    "doremi_weights",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -1048,3 +1048,160 @@ def dsir_select(
         .limit(int(budget))
         .select(*cols)
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    text_col: str,
+    domain_col: str,
+    id_col: str,
+    ref_loss_col: str,
+    target_col: str,
+    n_buckets: int = 256,
+    n_rounds: int = 5,
+    lr_proxy: float = 0.1,
+    lr_domain: float = 0.5,
+    smoothing: float = 1e-2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """DoReMi-style iterative domain reweighting [Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"] — the missing rung between `domain_mix` (FIXED domain
+    weights) and `dsir_weights` (per-DOC importance): learn the K-domain
+    mixture itself by Group DRO, upweighting the domains where a small
+    proxy model's loss most exceeds a reference model's.
+
+    The proxy here is the repo's hashed-feature linear model
+    (classifier.hashed_features — fixed width, no vocabulary pass)
+    regressing `target_col` under squared loss; `ref_loss_col` carries
+    the pretrained-reference per-example loss (any upstream signal).
+    Per round, interleaved exactly as DoReMi Algorithm 1:
+
+        excess_k = mean over domain k of max(0, l_i(w) - ref_i)
+        alpha    = (1-s) * normalize(alpha * exp(lr_domain * excess))
+                   + s/K                       (exponentiated-gradient)
+        w       -= lr_proxy * sum_k (alpha_k / n_k) * grad_k(w)
+                                               (alpha-weighted Group DRO)
+
+    and the RETURNED weight per domain is the time-average of alpha over
+    rounds (DoReMi returns the average iterate, not the last — the EG
+    iterates oscillate on adversarial corners; their average converges).
+
+    Scale shape — the quality_classifier training pattern: the driver
+    holds only the K-vector alpha and the n_buckets-vector w; each round
+    is two Spark jobs over the persisted doc-keyed feature frame —
+    (1) margins via a broadcast join of the model-sized weight table,
+    then ONE groupBy(domain) agg for (n_k, excess_k); (2) ONE
+    groupBy(domain, bucket) partial agg whose K x n_buckets gradient
+    table collects to the driver, where the alpha_k / n_k combination
+    happens. The corpus is hash-partitioned by doc ONCE; no round
+    reshuffles it, nothing corpus-sized ever reaches the driver.
+
+    Contracts: rows with a NULL domain are excluded (a mixture weight
+    for "unknown" is a data bug to fix upstream); NULL ref loss counts
+    as 0 (no reference evidence -> all proxy loss is excess); docs with
+    no tokens ride the loop with margin 0. Deterministic at fixed
+    (n_rounds, lrs) up to float-sum dust, absorbed by the `ndigits`
+    round — NumPy-parity pinned in tests.
+
+    Output: (domain, weight, excess) — time-averaged mixture weight and
+    the final round's mean excess loss per domain, both rounded.
+    """
+    import numpy as np
+
+    from ..caching import persist_tracked
+    from .classifier import hashed_features
+
+    for c, nm in ((domain_col, "domain"), (id_col, "id"),
+                  (ref_loss_col, "ref loss"), (target_col, "target")):
+        if c not in df.columns:
+            raise ValueError(f"{nm} column {c!r} not found in {df.columns}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    B, K_spark = int(n_buckets), df.sparkSession
+    par = K_spark.sparkContext.defaultParallelism
+
+    base = persist_tracked(
+        df.filter(F.col(domain_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).cast("string").alias("__dom"),
+            F.coalesce(F.col(ref_loss_col).cast("double"), F.lit(0.0))
+            .alias("__ref"),
+            F.col(target_col).cast("double").alias("__y"),
+        )
+        .repartition(par, "doc_id")
+    )
+    feats = persist_tracked(
+        hashed_features(df, text_col, id_col, B).repartition(par, "doc_id")
+    )
+    domains = sorted(r[0] for r in base.select("__dom").distinct().collect())
+    if not domains:
+        raise ValueError("no rows with a non-null domain")
+    K = len(domains)
+    d_idx = {d: i for i, d in enumerate(domains)}
+    alpha = np.full(K, 1.0 / K)
+    alpha_sum = np.zeros(K)
+    w = np.zeros(B)
+    excess = np.zeros(K)
+
+    for _ in range(int(n_rounds)):
+        wdf = F.broadcast(
+            K_spark.createDataFrame(
+                [(int(b), float(x)) for b, x in enumerate(w)],
+                schema="bucket long, w double",
+            )
+        )
+        margins = (
+            feats.join(wdf, "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("margin"))
+        )
+        scored = base.join(margins, "doc_id", "left").select(
+            "doc_id",
+            "__dom",
+            (F.coalesce("margin", F.lit(0.0)) - F.col("__y")).alias("__r"),
+            "__ref",
+        )
+        # job 1: per-domain counts + mean excess loss under the current w
+        stats = {
+            r["__dom"]: (r["n"], r["ex"])
+            for r in scored.groupBy("__dom")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(
+                    F.greatest(
+                        F.col("__r") * F.col("__r") - F.col("__ref"),
+                        F.lit(0.0),
+                    )
+                ).alias("ex"),
+            )
+            .collect()
+        }
+        n_k = np.array([stats[d][0] for d in domains], dtype=np.float64)
+        excess = np.array([stats[d][1] for d in domains])
+        # exponentiated-gradient ascent on the mixture + smoothing
+        alpha = alpha * np.exp(float(lr_domain) * excess)
+        alpha = (1.0 - float(smoothing)) * (alpha / alpha.sum()) + float(
+            smoothing
+        ) / K
+        alpha_sum += alpha
+        # job 2: per-(domain, bucket) gradient of the squared loss
+        grad = np.zeros((K, B))
+        for r in (
+            feats.join(scored, "doc_id")
+            .groupBy("__dom", "bucket")
+            .agg(F.sum(2.0 * F.col("__r") * F.col("x")).alias("g"))
+            .collect()
+        ):
+            grad[d_idx[r["__dom"]], r["bucket"]] = r["g"]
+        w -= float(lr_proxy) * (alpha / n_k) @ grad
+
+    avg = alpha_sum / float(n_rounds)
+    return K_spark.createDataFrame(
+        [
+            (d, round(float(avg[i]), ndigits), round(float(excess[i]), ndigits))
+            for i, d in enumerate(domains)
+        ],
+        schema=f"{domain_col} string, weight double, excess double",
+    )

@@ -5338,6 +5338,27 @@ def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("doremi_weights")  # rows-only: iterative Group-DRO loop (per-round
+# alpha/proxy state on the driver; NumPy-parity pinned in test_mixing.py)
+def q_doremi_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi-style iterative domain reweighting (sampling.doremi_weights):
+    learn the per-source mixture over the documents corpus by Group DRO —
+    the missing rung between domain_mix (fixed weights) and dsir_weights
+    (per-doc importance). Proxy = the hashed-feature linear model
+    regressing quality_score; reference loss = a flat 0.02 floor (any
+    upstream reference-model signal slots in). 3 rounds x 2 model-sized
+    agg jobs; the driver holds only the K-domain alpha and the 256-bucket
+    proxy vector. Deterministic at fixed rounds; weights table pinned vs
+    the NumPy restatement of the identical loop."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.withColumn("__y", text.quality_score(F.col("text")))
+    return sampling.doremi_weights(
+        scored.withColumn("__ref", F.lit(0.02)),
+        "text", "source", "doc_id", "__ref", "__y",
+        n_buckets=256, n_rounds=3, lr_proxy=0.01, lr_domain=0.5,
+    )
+
+
 def ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
     """Idempotent build of the persisted IVFADC (IVF×PQ) index over sf's
     embeddings — same sharing contract as ensure_ivf_index: probe

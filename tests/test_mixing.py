@@ -1009,3 +1009,115 @@ def test_semantic_overlap_flag_consistent_with_rounded_value(spark):
         (F.col("contaminated") == 1) != (F.col("max_cosine") >= 0.4)
     ).count()
     assert bad == 0
+
+
+# --- doremi_weights: iterative Group-DRO domain reweighting ------------------
+
+
+def _doremi_numpy(feat_rows, base_rows, domains, B, n_rounds, lr_proxy,
+                  lr_domain, smoothing):
+    """NumPy restatement of the doremi_weights loop from the SAME collected
+    feature/base tables — pins the iterative math (EG update, alpha-weighted
+    Group-DRO proxy step, time-averaged iterate), not the hash featurizer
+    (hashed_features has its own pins in test_classifier)."""
+    import numpy as np
+
+    d_idx = {d: i for i, d in enumerate(domains)}
+    K = len(domains)
+    docs = {}
+    for doc_id, dom, ref, y in base_rows:
+        docs[doc_id] = (dom, ref, y, {})
+    for doc_id, b, x in feat_rows:
+        if doc_id in docs:
+            docs[doc_id][3][b] = x
+    alpha = np.full(K, 1.0 / K)
+    alpha_sum = np.zeros(K)
+    w = np.zeros(B)
+    excess = np.zeros(K)
+    for _ in range(n_rounds):
+        n_k = np.zeros(K)
+        ex_sum = np.zeros(K)
+        grad = np.zeros((K, B))
+        for dom, ref, y, xs in docs.values():
+            k = d_idx[dom]
+            margin = sum(w[b] * x for b, x in xs.items())
+            r = margin - y
+            n_k[k] += 1
+            ex_sum[k] += max(0.0, r * r - ref)
+            for b, x in xs.items():
+                grad[k, b] += 2.0 * r * x
+        excess = ex_sum / n_k
+        alpha = alpha * np.exp(lr_domain * excess)
+        alpha = (1 - smoothing) * (alpha / alpha.sum()) + smoothing / K
+        alpha_sum += alpha
+        w = w - lr_proxy * (alpha / n_k) @ grad
+    return alpha_sum / n_rounds, excess
+
+
+def test_doremi_weights_numpy_parity_and_ordering(spark):
+    """Planted two-domain corpus: domain b's targets are far from the
+    zero-init proxy and its reference loss is tiny -> its excess loss
+    dominates -> DoReMi upweights it. Weights/excess match the NumPy
+    restatement of the identical loop to rounding."""
+    from opendosm_parquet_to_sqlite_spark.operators.classifier import (
+        hashed_features,
+    )
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        doremi_weights,
+    )
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "a", f"alpha text common {i}", 0.2, 0.05))
+    for i in range(8, 14):
+        rows.append((i, "b", f"beta rare tokens {i}", 3.0, 0.01))
+    rows.append((99, None, "dropped null domain", 100.0, 0.0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, dom string, text string, y double, ref double"
+    )
+    B, R = 64, 4
+    out = {
+        r["dom"]: (r["weight"], r["excess"])
+        for r in doremi_weights(
+            df, "text", "dom", "doc_id", "ref", "y",
+            n_buckets=B, n_rounds=R, lr_proxy=0.05, lr_domain=0.5,
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}          # NULL domain excluded
+    assert out["b"][0] > out["a"][0]       # high-excess domain upweighted
+    assert abs(out["a"][0] + out["b"][0] - 1.0) < 1e-6
+
+    feat_rows = [
+        (r["doc_id"], r["bucket"], r["x"])
+        for r in hashed_features(df, "text", "doc_id", B).collect()
+    ]
+    base_rows = [
+        (r["doc_id"], r["dom"], r["ref"], r["y"])
+        for r in df.filter("dom is not null").collect()
+    ]
+    avg, excess = _doremi_numpy(
+        feat_rows, base_rows, ["a", "b"], B, R, 0.05, 0.5, 1e-2
+    )
+    assert abs(out["a"][0] - avg[0]) < 1e-6
+    assert abs(out["b"][0] - avg[1]) < 1e-6
+    assert abs(out["a"][1] - excess[0]) < 1e-6
+    assert abs(out["b"][1] - excess[1]) < 1e-6
+
+
+def test_doremi_weights_validations(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        doremi_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x", 1.0, 0.0)],
+        "doc_id long, dom string, text string, y double, ref double",
+    )
+    with pytest.raises(ValueError, match="domain"):
+        doremi_weights(df, "text", "nope", "doc_id", "ref", "y")
+    with pytest.raises(ValueError, match="n_rounds"):
+        doremi_weights(df, "text", "dom", "doc_id", "ref", "y", n_rounds=0)
+    with pytest.raises(ValueError, match="non-null"):
+        doremi_weights(
+            df.filter("doc_id < 0"), "text", "dom", "doc_id", "ref", "y"
+        )
