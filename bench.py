@@ -528,6 +528,24 @@ def main() -> None:
             release_cached()
         return round(min(reps), 3)
 
+    # Primary environment signal (round-11 verdict item 8): the pure-JVM
+    # box-speed probe, re-timed at the same cadence as the canary. The
+    # canary is a real sub-second QUERY — its slots absorb GC pauses,
+    # cleaner bursts and scheduler delay, and even min-of-3 carried 43%
+    # jitter in round 11. The ref probe is a fixed whole-stage-codegen
+    # sum with no I/O, no shuffle, no cache interplay — the quietest
+    # signal the JVM can produce, so its drift measures the BOX, not the
+    # engine's neighborhood. The canary stays as the secondary,
+    # query-shaped witness.
+    def ref_slot() -> float:
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(400_000_000).selectExpr("sum(id * 2 + 1)").collect()
+            reps.append(time.perf_counter() - t0)
+        return round(min(reps), 3)
+
+    ref_times: list[float] = []
     canary_times: list[float] = []
     run_canary = "--only" not in sys.argv and CANARY in QUERIES
     if run_canary:
@@ -539,6 +557,7 @@ def main() -> None:
             run_query(spark, CANARY, sf_dir)
             release_cached()
         canary_times.append(canary_slot())
+        ref_times.append(ref_slot())
 
     runs: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(max(n_runs, 1)):
@@ -553,6 +572,7 @@ def main() -> None:
                     # round 10 put it after and the canary absorbed a
                     # 10-second gc stall as its own time
                     canary_times.append(canary_slot())
+                    ref_times.append(ref_slot())
                 # untimed GC hint between query groups: lets the
                 # ContextCleaner reap finished broadcasts/codegen refs
                 # incrementally instead of letting old-gen pressure build
@@ -655,16 +675,28 @@ def main() -> None:
         # a sustained shift — the box getting busy, the JVM degrading —
         # moves a half-median. Jitter is reported too so the artifact
         # shows both.
-        mid = max(1, len(canary_times) // 2)
-        head = _median(canary_times[:mid])
-        tail = _median(canary_times[mid:]) if len(canary_times) > 1 else head
-        cmin, cmax = min(canary_times), max(canary_times)
-        out["canary"] = {
-            "query": CANARY,
-            "runs_sec": canary_times,
-            "drift_pct": round((tail - head) / head * 100, 1) if head else 0.0,
-            "jitter_pct": round((cmax - cmin) / cmin * 100, 1) if cmin else 0.0,
-        }
+        def _trend(times: list[float]) -> dict:
+            mid = max(1, len(times) // 2)
+            head = _median(times[:mid])
+            tail = _median(times[mid:]) if len(times) > 1 else head
+            tmin, tmax = min(times), max(times)
+            return {
+                "runs_sec": times,
+                "drift_pct": (
+                    round((tail - head) / head * 100, 1) if head else 0.0
+                ),
+                "jitter_pct": (
+                    round((tmax - tmin) / tmin * 100, 1) if tmin else 0.0
+                ),
+            }
+
+        # PRIMARY environment signal: the pure-JVM ref probe's slots —
+        # quiet by construction (no I/O/shuffle/cache), so its drift and
+        # jitter describe the box. The canary (a real query) is the
+        # SECONDARY, engine-shaped witness; its extra jitter over the
+        # ref probe's is GC/cleaner neighborhood, not box load.
+        out["env"] = {"probe": "ref_probe_min_of_3", **_trend(ref_times)}
+        out["canary"] = {"query": CANARY, **_trend(canary_times)}
     if remeasured:
         out["remeasured"] = remeasured
         out["total_in_session_sec"] = in_session_total
