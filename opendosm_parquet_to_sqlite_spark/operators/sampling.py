@@ -1157,11 +1157,17 @@ def doremi_weights(
             .groupBy("doc_id")
             .agg(F.sum(F.col("x") * F.col("w")).alias("margin"))
         )
-        scored = base.join(margins, "doc_id", "left").select(
-            "doc_id",
-            "__dom",
-            (F.coalesce("margin", F.lit(0.0)) - F.col("__y")).alias("__r"),
-            "__ref",
+        # persisted per round: both the excess agg and the gradient agg
+        # consume the residuals, and without the pin the margins join
+        # (the round's one doc-keyed exchange) would run twice
+        scored = persist_tracked(
+            base.join(margins, "doc_id", "left").select(
+                "doc_id",
+                "__dom",
+                (F.coalesce("margin", F.lit(0.0)) - F.col("__y"))
+                .alias("__r"),
+                "__ref",
+            )
         )
         # job 1: per-domain counts + mean excess loss under the current w
         stats = {
@@ -1196,6 +1202,10 @@ def doremi_weights(
         ):
             grad[d_idx[r["__dom"]], r["bucket"]] = r["g"]
         w -= float(lr_proxy) * (alpha / n_k) @ grad
+        # this round's residuals are fully consumed — release the pin
+        # now rather than letting R corpus-sized cache entries stack up
+        # until the caller's release_cached()
+        scored.unpersist()
 
     avg = alpha_sum / float(n_rounds)
     return K_spark.createDataFrame(
