@@ -89,9 +89,11 @@ _ROWS_ONLY_PRIORITY = [
     # data-scaled band-width linkage fix and the Lee-style repeated-span
     # removal transform:
     "remove_repeated_spans_iterated",
-    # round-12 registration (rows-only: iterative Group-DRO loop;
-    # NumPy-parity pinned in tests/test_mixing.py):
+    # round-12 registrations (rows-only: iterative Group-DRO loop;
+    # NumPy-parity + two-step composition equality pinned in
+    # tests/test_mixing.py):
     "doremi_weights",
+    "doremi_mix",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",

@@ -376,7 +376,9 @@ HEADLINE = [
     "dsir_select",
     # round-12: DoReMi iterative Group-DRO domain reweighting (3 rounds x
     # 2 model-sized agg jobs over the persisted hashed-feature frame)
+    # and its end-to-end learned-rebalance composition
     "doremi_weights",
+    "doremi_mix",
 ]
 
 WARM_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]

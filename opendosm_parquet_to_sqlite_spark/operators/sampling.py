@@ -1215,3 +1215,52 @@ def doremi_weights(
         ],
         schema=f"{domain_col} string, weight double, excess double",
     )
+
+
+def doremi_mix(
+    df: DataFrame,
+    text_col: str,
+    domain_col: str,
+    id_col: str,
+    ref_loss_col: str,
+    target_col: str,
+    target_rows: float,
+    n_buckets: int = 256,
+    n_rounds: int = 5,
+    lr_proxy: float = 0.1,
+    lr_domain: float = 0.5,
+    smoothing: float = 1e-2,
+    namespace: str = "doremi",
+) -> DataFrame:
+    """DoReMi end-to-end REBALANCE: doremi_weights → domain_mix, composed
+    the way dsir_select wraps dsir_weights — learn the Group-DRO mixture,
+    then materialize a ~`target_rows` sample at exactly that mixture via
+    the deterministic md5 expand-and-keep (down-sample over-represented
+    domains, replicate under-represented ones).
+
+    The learned K-vector is the only thing that crosses between the
+    stages (model-sized by construction — it rides the driver, never a
+    join), so the composition adds nothing to either stage's scale
+    story: the reweighting is 2 model-sized agg jobs per round, the mix
+    is one count agg + a narrow explode-and-filter. Weights are
+    renormalized over the EMITTED domains before the mix (domain_mix
+    validates shares sum to 1; doremi's smoothing guarantees every
+    domain keeps positive mass, so no domain drops out).
+
+    Output: domain_mix's (id_col, domain_col, copy_idx) — feed to a join
+    back against the corpus for the actual replicated sample.
+    """
+    weights = doremi_weights(
+        df, text_col, domain_col, id_col, ref_loss_col, target_col,
+        n_buckets=n_buckets, n_rounds=n_rounds, lr_proxy=lr_proxy,
+        lr_domain=lr_domain, smoothing=smoothing, ndigits=12,
+    ).collect()
+    total = sum(r["weight"] for r in weights)
+    shares = {r[domain_col]: r["weight"] / total for r in weights}
+    # float dust: pin the largest share so the dict sums to exactly 1.0
+    top = max(shares, key=lambda d: shares[d])
+    shares[top] += 1.0 - sum(shares.values())
+    return domain_mix(
+        df.filter(F.col(domain_col).isNotNull()),
+        domain_col, id_col, shares, target_rows, namespace=namespace,
+    )

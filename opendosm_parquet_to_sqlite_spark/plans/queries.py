@@ -5359,6 +5359,27 @@ def q_doremi_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("doremi_mix")  # rows-only: composes the iterative doremi_weights
+# loop (deterministic at fixed rounds; two-step equality pinned in pytest)
+def q_doremi_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi end-to-end rebalance (sampling.doremi_mix): learn the
+    Group-DRO source mixture (same proxy/reference setup as
+    doremi_weights, 3 rounds), then materialize a 20%-of-corpus sample at
+    exactly that mixture via domain_mix's deterministic md5
+    expand-and-keep — the learned-weights twin of the fixed-weight
+    domain_mix query, completing mix the way dsir_select completes
+    dsir_weights. Only the K-vector crosses between stages."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.withColumn(
+        "__y", text.quality_score(F.col("text"))
+    ).withColumn("__ref", F.lit(0.02))
+    return sampling.doremi_mix(
+        scored, "text", "source", "doc_id", "__ref", "__y",
+        target_rows=0.2 * docs.count(),
+        n_buckets=256, n_rounds=3, lr_proxy=0.01, lr_domain=0.5,
+    )
+
+
 def ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
     """Idempotent build of the persisted IVFADC (IVF×PQ) index over sf's
     embeddings — same sharing contract as ensure_ivf_index: probe

@@ -1121,3 +1121,52 @@ def test_doremi_weights_validations(spark):
         doremi_weights(
             df.filter("doc_id < 0"), "text", "dom", "doc_id", "ref", "y"
         )
+
+
+def test_doremi_mix_equals_two_step_composition(spark):
+    """doremi_mix == doremi_weights -> renormalize -> domain_mix run by
+    hand with the identical parameters (the composition adds plumbing,
+    not different math), and the emitted sample's domain shares track
+    the learned weights."""
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        domain_mix,
+        doremi_mix,
+        doremi_weights,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "a", f"alpha text common {i}", 0.2, 0.05))
+    for i in range(40, 70):
+        rows.append((i, "b", f"beta rare tokens {i}", 3.0, 0.01))
+    df = spark.createDataFrame(
+        rows, "doc_id long, dom string, text string, y double, ref double"
+    )
+    kw = dict(n_buckets=64, n_rounds=3, lr_proxy=0.01, lr_domain=0.5)
+    got = sorted(
+        (r["doc_id"], r["dom"], r["copy_idx"])
+        for r in doremi_mix(
+            df, "text", "dom", "doc_id", "ref", "y", target_rows=50.0, **kw
+        ).collect()
+    )
+    w = doremi_weights(
+        df, "text", "dom", "doc_id", "ref", "y", ndigits=12, **kw
+    ).collect()
+    total = sum(r["weight"] for r in w)
+    shares = {r["dom"]: r["weight"] / total for r in w}
+    top = max(shares, key=lambda d: shares[d])
+    shares[top] += 1.0 - sum(shares.values())
+    expected = sorted(
+        (r["doc_id"], r["dom"], r["copy_idx"])
+        for r in domain_mix(
+            df, "dom", "doc_id", shares, 50.0, namespace="doremi"
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
+    # the upweighted domain (b: high excess) takes the larger share of
+    # the emitted sample despite having fewer source rows
+    from collections import Counter
+
+    c = Counter(d for _, d, _ in got)
+    assert shares["b"] > shares["a"]
+    assert c["b"] > c["a"] * 0.8  # 30 source rows vs 40, replicated up
