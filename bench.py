@@ -539,11 +539,18 @@ def main() -> None:
     # signal the JVM can produce, so its drift measures the BOX, not the
     # engine's neighborhood. The canary stays as the secondary,
     # query-shaped witness.
+    # SINGLE-partition probe: the 32-way parallel form spends its ~0.15 s
+    # mostly on task dispatch, and scheduler noise read as 70-88% jitter;
+    # one long task of pure codegen arithmetic (~0.5 s) measured 12%
+    # jitter on the same box. Pre-warmed below so JIT warm-in doesn't
+    # masquerade as early-suite drift.
     def ref_slot() -> float:
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
-            spark.range(400_000_000).selectExpr("sum(id * 2 + 1)").collect()
+            spark.range(0, 300_000_000, 1, 1).selectExpr(
+                "sum(id * 2 + 1)"
+            ).collect()
             reps.append(time.perf_counter() - t0)
         return round(min(reps), 3)
 
@@ -558,6 +565,7 @@ def main() -> None:
         for _ in range(6):
             run_query(spark, CANARY, sf_dir)
             release_cached()
+        ref_slot()  # same JIT saturation for the env probe's codegen
         canary_times.append(canary_slot())
         ref_times.append(ref_slot())
 
