@@ -544,9 +544,13 @@ def main() -> None:
     # one long task of pure codegen arithmetic (~0.5 s) measured 12%
     # jitter on the same box. Pre-warmed below so JIT warm-in doesn't
     # masquerade as early-suite drift.
+    # min-of-5: with 3 reps of a single ~0.36 s task, one GC landing in
+    # 2 of 3 reps still moves the slot (measured 21.2% jitter across a
+    # full suite); 5 reps drop the min's variance below the target while
+    # costing ~1.8 s per untimed slot.
     def ref_slot() -> float:
         reps = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             spark.range(0, 300_000_000, 1, 1).selectExpr(
                 "sum(id * 2 + 1)"
