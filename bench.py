@@ -694,12 +694,31 @@ def main() -> None:
             head = _median(times[:mid])
             tail = _median(times[mid:]) if len(times) > 1 else head
             tmin, tmax = min(times), max(times)
+            # jitter = ROBUST decile spread (p90−p10)/p10, same rationale
+            # as the half-median drift estimator: a single GC-storm slot
+            # out of ~19 is a one-off event, not environment instability,
+            # but it owns a max/min spread entirely (round 12: one 0.47 s
+            # slot vs a 0.34-0.41 band read as "37% jitter" under max/min
+            # while the decile spread of the same series is ~18%). The
+            # raw max/min is still reported as spread_pct so the one-off
+            # stays visible.
+            s = sorted(times)
+
+            def _q(p: float) -> float:
+                i = p * (len(s) - 1)
+                lo, hi = int(i), min(int(i) + 1, len(s) - 1)
+                return s[lo] + (s[hi] - s[lo]) * (i - lo)
+
+            p10, p90 = _q(0.1), _q(0.9)
             return {
                 "runs_sec": times,
                 "drift_pct": (
                     round((tail - head) / head * 100, 1) if head else 0.0
                 ),
                 "jitter_pct": (
+                    round((p90 - p10) / p10 * 100, 1) if p10 else 0.0
+                ),
+                "spread_pct": (
                     round((tmax - tmin) / tmin * 100, 1) if tmin else 0.0
                 ),
             }
@@ -709,7 +728,7 @@ def main() -> None:
         # jitter describe the box. The canary (a real query) is the
         # SECONDARY, engine-shaped witness; its extra jitter over the
         # ref probe's is GC/cleaner neighborhood, not box load.
-        out["env"] = {"probe": "ref_probe_min_of_3", **_trend(ref_times)}
+        out["env"] = {"probe": "ref_probe_min_of_5", **_trend(ref_times)}
         out["canary"] = {"query": CANARY, **_trend(canary_times)}
     if remeasured:
         out["remeasured"] = remeasured
