@@ -1063,6 +1063,7 @@ def doremi_weights(
     lr_domain: float = 0.5,
     smoothing: float = 1e-2,
     ndigits: int = 6,
+    max_domains: int = 10_000,
 ) -> DataFrame:
     """DoReMi-style iterative domain reweighting [Xie et al. 2023,
     "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
@@ -1102,7 +1103,11 @@ def doremi_weights(
     as 0 (no reference evidence -> all proxy loss is excess); docs with
     no tokens ride the loop with margin 0. Deterministic at fixed
     (n_rounds, lrs) up to float-sum dust, absorbed by the `ndigits`
-    round — NumPy-parity pinned in tests.
+    round — NumPy-parity pinned in tests. `max_domains` enforces the
+    K-is-model-sized contract on the driver-side domain collect: a
+    mis-call with a per-document column as the domain fails fast with
+    ValueError instead of collecting the corpus (the semantic_overlap
+    max_benchmark idiom).
 
     Output: (domain, weight, excess) — time-averaged mixture weight and
     the final round's mean excess loss per domain, both rounded.
@@ -1135,7 +1140,21 @@ def doremi_weights(
     feats = persist_tracked(
         hashed_features(df, text_col, id_col, B).repartition(par, "doc_id")
     )
-    domains = sorted(r[0] for r in base.select("__dom").distinct().collect())
+    # limit(K+1) bounds BOTH the job and the driver memory of the guard
+    # itself — one pass answers "too many?" and yields the domain list
+    dom_rows = (
+        base.select("__dom").distinct().limit(int(max_domains) + 1).collect()
+    )
+    if len(dom_rows) > int(max_domains):
+        raise ValueError(
+            f"more than max_domains={int(max_domains)} distinct domains: "
+            f"doremi_weights holds the K-domain weight vector (and a "
+            f"K x n_buckets gradient table) on the driver, so the domain "
+            f"column must be a MIXTURE dimension (source/language/"
+            f"bucket), not a per-document key. Raise max_domains "
+            f"explicitly if the driver can hold it."
+        )
+    domains = sorted(r[0] for r in dom_rows)
     if not domains:
         raise ValueError("no rows with a non-null domain")
     K = len(domains)

@@ -1121,6 +1121,16 @@ def test_doremi_weights_validations(spark):
         doremi_weights(
             df.filter("doc_id < 0"), "text", "dom", "doc_id", "ref", "y"
         )
+    # K-is-model-sized contract: a per-document domain column fails fast
+    # instead of collecting the corpus to the driver
+    many = spark.range(50).selectExpr(
+        "id AS doc_id", "cast(id AS string) AS dom", "'x' AS text",
+        "cast(1.0 as double) AS y", "cast(0.0 as double) AS ref",
+    )
+    with pytest.raises(ValueError, match="max_domains"):
+        doremi_weights(
+            many, "text", "dom", "doc_id", "ref", "y", max_domains=10
+        )
 
 
 def test_doremi_mix_equals_two_step_composition(spark):
