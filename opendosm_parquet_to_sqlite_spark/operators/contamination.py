@@ -321,21 +321,22 @@ def semantic_overlap(
             f"id column {id_col!r} not found in corpus columns "
             f"{corpus.columns}"
         )
-    n_bench = benchmark.count()
-    if n_bench > int(max_benchmark):
+    # ONE job over ONE snapshot: limit(cap+1) bounds both the job and the
+    # driver memory of the guard, and the guard and the matrix it guards
+    # see the same benchmark version — a separate count() job left a
+    # window where an atomic parquet overwrite landing between the two
+    # jobs made them describe different benchmarks (ADVICE r12; the
+    # max_domains guard in sampling.doremi_weights uses the same idiom).
+    rows = benchmark.select(vec_col).limit(int(max_benchmark) + 1).collect()
+    if len(rows) > int(max_benchmark):
         raise ValueError(
-            f"benchmark has {n_bench} rows, over max_benchmark="
-            f"{int(max_benchmark)}: semantic_overlap collects the "
-            f"benchmark to a driver-side matrix and broadcasts it to "
-            f"every task, so it must stay eval-suite-sized. Reduce the "
-            f"benchmark, or raise max_benchmark explicitly if the "
-            f"driver can hold it."
+            f"benchmark has more than max_benchmark={int(max_benchmark)} "
+            f"rows: semantic_overlap collects the benchmark to a "
+            f"driver-side matrix and broadcasts it to every task, so it "
+            f"must stay eval-suite-sized. Reduce the benchmark, or raise "
+            f"max_benchmark explicitly if the driver can hold it."
         )
-    bvecs = [
-        r[0]
-        for r in benchmark.select(vec_col).collect()
-        if r[0] is not None
-    ]
+    bvecs = [r[0] for r in rows if r[0] is not None]
     if bvecs:
         B = np.asarray(bvecs, dtype=np.float64)
         Bn = (B / np.maximum(

@@ -1264,7 +1264,12 @@ def doremi_mix(
     is one count agg + a narrow explode-and-filter. Weights are
     renormalized over the EMITTED domains before the mix (domain_mix
     validates shares sum to 1; doremi's smoothing guarantees every
-    domain keeps positive mass, so no domain drops out).
+    domain keeps positive mass, so no domain drops out). The domain
+    column is cast to STRING for the mix stage — doremi_weights keys its
+    learned K-vector by the string-cast domain, so the mix must group by
+    the same representation or a non-string domain (e.g. int source ids)
+    would match no share at all; the emitted strata column is therefore
+    string, matching doremi_weights' own output type.
 
     Output: domain_mix's (id_col, domain_col, copy_idx) — feed to a join
     back against the corpus for the actual replicated sample.
@@ -1280,6 +1285,8 @@ def doremi_mix(
     top = max(shares, key=lambda d: shares[d])
     shares[top] += 1.0 - sum(shares.values())
     return domain_mix(
-        df.filter(F.col(domain_col).isNotNull()),
+        df.filter(F.col(domain_col).isNotNull()).withColumn(
+            domain_col, F.col(domain_col).cast("string")
+        ),
         domain_col, id_col, shares, target_rows, namespace=namespace,
     )

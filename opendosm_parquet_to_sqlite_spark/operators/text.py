@@ -943,8 +943,9 @@ def scan_bytes(df: DataFrame) -> int | None:
     for size-adaptive plan choices: `df.inputFiles()` resolves the plan's
     file sources and the Hadoop FS answers lengths from its (already
     populated) listing cache. Returns None when the plan has no file
-    scan (in-memory test frames) or the FS refuses — callers treat
-    None as "small" (a frame someone built in memory fits in memory)."""
+    scan (in-memory / RDD / JDBC frames) or the FS refuses — callers
+    must treat None as "size UNKNOWN" and take the safe (non-broadcast)
+    path or defer to autoBroadcastJoinThreshold, never as "small"."""
     try:
         files = df.inputFiles()
         if not files:
@@ -1027,8 +1028,13 @@ def collocations_pmi(
     right = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
     if broadcast_marginals is None:
         size = scan_bytes(df)
+        # Unknown size (None: no file scan behind the plan — in-memory,
+        # RDD-backed, or JDBC frames) must NOT force a vocab-sized
+        # broadcast: such a frame can still be huge. Leave the hint off
+        # and let Spark's autoBroadcastJoinThreshold / AQE decide from
+        # actual runtime sizes (ADVICE r12).
         broadcast_marginals = (
-            size is None or size <= PMI_BROADCAST_MAX_SCAN_BYTES
+            size is not None and size <= PMI_BROADCAST_MAX_SCAN_BYTES
         )
     if broadcast_marginals:
         left, right = F.broadcast(left), F.broadcast(right)

@@ -389,8 +389,12 @@ def contamination_monitor_stream(
     watermark — the benchmark matrix is the only cross-batch context,
     and it is re-read from `benchmark_path` per microbatch (a pinned
     DataFrame would freeze its file listing; re-benchmarking is an
-    atomic parquet overwrite away). Per-batch cost: one eval-suite-sized
-    collect (guarded by semantic_overlap's max_benchmark contract) plus
+    atomic parquet overwrite away). Within one microbatch the guard and
+    the matrix see the SAME benchmark version: semantic_overlap's
+    max_benchmark guard and its matrix collect are one limit(cap+1) job
+    over one snapshot (ADVICE r12 — a separate count() job let an
+    overwrite land between guard and collect). Per-batch cost: one
+    eval-suite-sized collect (bounded by that same contract) plus
     one BLAS matmul per Arrow batch of the microbatch — the batch's
     vectors never shuffle. Empty microbatches emit nothing; an empty
     benchmark yields NULL max_cosine / contaminated 0 for every row

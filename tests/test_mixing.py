@@ -1180,3 +1180,30 @@ def test_doremi_mix_equals_two_step_composition(spark):
     c = Counter(d for _, d, _ in got)
     assert shares["b"] > shares["a"]
     assert c["b"] > c["a"] * 0.8  # 30 source rows vs 40, replicated up
+
+
+def test_doremi_mix_non_string_domain(spark):
+    """Regression (ADVICE r12): doremi_weights keys its learned shares by
+    the STRING-cast domain; doremi_mix must group the mix stage by the
+    same representation, or an int domain column (e.g. source ids)
+    matches no share and the composition silently returns empty."""
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import doremi_mix
+
+    rows = []
+    for i in range(30):
+        rows.append((i, 7, f"alpha text common {i}", 0.2, 0.05))
+    for i in range(30, 50):
+        rows.append((i, 13, f"beta rare tokens {i}", 3.0, 0.01))
+    df = spark.createDataFrame(
+        rows, "doc_id long, dom int, text string, y double, ref double"
+    )
+    out = doremi_mix(
+        df, "text", "dom", "doc_id", "ref", "y", target_rows=40.0,
+        n_buckets=64, n_rounds=2, lr_proxy=0.01, lr_domain=0.5,
+    ).collect()
+    assert len(out) > 0
+    doms = {r["dom"] for r in out}
+    # string-cast domains, matching doremi_weights' key representation;
+    # the upweighted domain (13: high excess) always emits, the
+    # downweighted one may round to zero rows at this small target
+    assert "13" in doms and doms <= {"7", "13"}

@@ -560,7 +560,9 @@ def test_collocations_pmi_marginal_broadcast_gate(spark):
 
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
     assert 0 < T.scan_bytes(docs) <= T.PMI_BROADCAST_MAX_SCAN_BYTES
-    # in-memory frames have no file scan: treated as small
+    # in-memory/RDD frames have no file scan: size UNKNOWN (None) — the
+    # gate must NOT force-broadcast for these (ADVICE r12: a non-file
+    # frame can be huge); Spark's autoBroadcastJoinThreshold decides
     assert T.scan_bytes(spark.range(3)) is None
     auto = T.collocations_pmi(docs, "text", min_pair_count=5)
     plan = auto._jdf.queryExecution().executedPlan().toString()
@@ -1010,3 +1012,37 @@ def test_record_linkage_scaled_stats_broadcast_no_bnlj_on_pairs(spark):
     # is not)
     assert "BatchEvalPython" not in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_collocations_pmi_unknown_scan_size_not_forced_broadcast(spark):
+    """ADVICE r12: when scan_bytes returns None (no file scan behind the
+    plan), the gate must NOT force vocab-sized broadcasts — a non-file
+    frame can be arbitrarily large. With autoBroadcastJoinThreshold
+    disabled, an in-memory corpus therefore plans shuffled marginal
+    joins, while the same-size FILE-backed corpus (known small) still
+    gets the explicit broadcast hint."""
+    from opendosm_parquet_to_sqlite_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    mem = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text")
+         .limit(50).collect()],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        mem_plan = (
+            T.collocations_pmi(mem, "text", min_pair_count=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        file_plan = (
+            T.collocations_pmi(docs, "text", min_pair_count=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # marginal joins: unknown size -> no forced broadcast (SMJ under
+    # threshold -1); known-small file scan -> hint still forces BHJ
+    assert mem_plan.count("BroadcastHashJoin") == 0
+    assert file_plan.count("BroadcastHashJoin") >= 2

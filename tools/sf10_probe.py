@@ -102,33 +102,47 @@ def _merged_artifact(
     timings: dict[str, float],
     ratios: dict[str, float],
     fresh: bool,
-    isolated: bool,
-    extra: dict | None = None,
+    provenance: dict[str, dict],
 ) -> dict:
     """Merge this run's rows into the accumulated BENCH_SF10.json (the
     artifact accumulates the full heavy set across subset runs — round-11
     ADVICE: the default no-flag path used to clobber it) unless --fresh
     asked for an intentional rebuild. Attaches SF10_CAUSES to every >4x
-    row so adjudications live in the artifact."""
+    row so adjudications live in the artifact.
+
+    Provenance is PER QUERY ROW (round-12 ADVICE: a single artifact-level
+    `isolated` flag from the CURRENT run mislabeled carried-over rows
+    measured under the other mode, and dropped their loadavg fields) —
+    each row's {isolated, loadavg_*} merges exactly like queries/ratios.
+    A prior artifact written before this change carries a top-level flag;
+    its rows inherit that flag so carried rows stay truthfully labeled."""
     if not fresh and os.path.exists(artifact):
         prior = json.load(open(artifact, encoding="utf-8"))
+        prior_prov = prior.get("provenance")
+        if prior_prov is None:
+            # legacy artifact: one top-level flag covered every row
+            legacy = {"isolated": prior.get("isolated", False)}
+            for k in ("loadavg_before", "loadavg_after"):
+                if k in prior:
+                    legacy[k] = prior[k]
+            prior_prov = {n: dict(legacy) for n in prior.get("queries", {})}
         timings = {**prior.get("queries", {}), **timings}
         ratios = {**prior.get("ratios_vs_sf1", {}), **ratios}
+        provenance = {**prior_prov, **provenance}
     out = {
         "metric": "sf10_scale_probe_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": 10.0,
-        "isolated": isolated,
         "queries": timings,
         "ratios_vs_sf1": ratios,
+        "provenance": provenance,
         "n_over_8x": sum(1 for r in ratios.values() if r > 8.0),
         "causes": {
             n: SF10_CAUSES.get(n, "UNTRIAGED — fresh discovery")
             for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])
             if r > 4.0
         },
-        **(extra or {}),
     }
     with open(artifact, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1, sort_keys=True)
@@ -211,7 +225,8 @@ def main() -> None:
         # merge-wrote its 1-query row; the parent's merge is the record)
         out = _merged_artifact(
             os.path.join(REPO, "BENCH_SF10.json"), results, ratios,
-            fresh=args.fresh, isolated=True,
+            fresh=args.fresh,
+            provenance={n: {"isolated": True} for n in results},
         )
         print(json.dumps(out))
         return
@@ -265,12 +280,14 @@ def main() -> None:
     # ALWAYS merge into the accumulated artifact — a default (no --only)
     # run used to clobber the heavy-set rows (round-11 ADVICE); --fresh
     # is the explicit rebuild path.
+    load_after = [round(x, 2) for x in os.getloadavg()]
     out = _merged_artifact(
         os.path.join(REPO, "BENCH_SF10.json"), timings, ratios,
-        fresh=args.fresh, isolated=False,
-        extra={
-            "loadavg_before": load_before,
-            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        fresh=args.fresh,
+        provenance={
+            n: {"isolated": False, "loadavg_before": load_before,
+                "loadavg_after": load_after}
+            for n in timings
         },
     )
     print(json.dumps({k: out[k] for k in (
