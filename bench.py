@@ -426,6 +426,34 @@ SCALE_CAUSES = {
     ),
 }
 
+# Standing adjudications of persistent ratio drift (round-12 verdict
+# item 1: "record the adjudication in the bench artifact the way sf1/
+# sf10 causes are recorded"). Keyed by query; embedded under
+# `drift_adjudications` in any artifact whose run includes the query,
+# so the verdict reads the cause next to the number instead of
+# re-litigating it from prose. Entries carry the ISOLATED measurement
+# that settled the question and its date.
+DRIFT_ADJUDICATIONS = {
+    "dedup_image_phash": (
+        "round-12 1.62x adjudicated ENVIRONMENTAL (in-suite JVM/GC "
+        "neighborhood): round-13 isolated probe (warmup-2, runs-3 "
+        "median) measured 4.508 s = 1.16x of warm baseline 3.880; no "
+        "media-family code changed in r12. Python-worker drift is now "
+        "watched by env_py (py_probe_min_of_5)."
+    ),
+    "dedup_audio_fp": (
+        "round-12 1.42x adjudicated ENVIRONMENTAL: round-13 isolated "
+        "probe measured 4.332 s = 1.07x of warm baseline 4.049; same "
+        "evidence as dedup_image_phash."
+    ),
+    "dedup_media_clusters": (
+        "round-12 1.67x (shipped suite-worst) adjudicated "
+        "ENVIRONMENTAL: round-13 isolated probe measured 6.937 s = "
+        "1.14x of warm baseline 6.097; the remeasure rule now loops "
+        "until the reported worst has its own isolated confirmation."
+    ),
+}
+
 
 def run_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -558,7 +586,38 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         return round(min(reps), 3)
 
+    # PYTHON-WORKER environment probe (round-12 verdict item 2): the JVM
+    # ref probe is blind to the Arrow/Python-worker path — round 12's
+    # media-decode trio drifted +40-60% while the JVM probe said the box
+    # got FASTER, and no signal could separate "box" from "regression"
+    # for the ~10 Python-heavy queries. This probe is the Python twin of
+    # ref_slot: a fixed NumPy workload over Arrow mapInPandas — no I/O,
+    # no shuffle, a constant FLOP count — so its drift measures the
+    # Python-worker side of the box (fork/exec, Arrow IPC, NumPy/BLAS,
+    # page cache for the interpreter) and nothing engine-shaped.
+    # Same estimator rationale as ref_slot: min-of-5 discards GC/fork
+    # stalls; a genuinely slow Python path slows all five reps.
+    def _py_probe_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            a = pdf["id"].to_numpy(dtype="float64")
+            s = float(np.sqrt(a * 2.0 + 1.0).sum() + np.log1p(a).sum())
+            yield pd.DataFrame({"s": [s]})
+
+    def py_slot() -> float:
+        reps = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.range(0, 4_000_000, 1, 4).mapInPandas(
+                _py_probe_fn, "s double"
+            ).collect()
+            reps.append(time.perf_counter() - t0)
+        return round(min(reps), 3)
+
     ref_times: list[float] = []
+    py_times: list[float] = []
     canary_times: list[float] = []
     run_canary = "--only" not in sys.argv and CANARY in QUERIES
     if run_canary:
@@ -570,8 +629,10 @@ def main() -> None:
             run_query(spark, CANARY, sf_dir)
             release_cached()
         ref_slot()  # same JIT saturation for the env probe's codegen
+        py_slot()   # spawn + warm the reusable Python workers untimed
         canary_times.append(canary_slot())
         ref_times.append(ref_slot())
+        py_times.append(py_slot())
 
     runs: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(max(n_runs, 1)):
@@ -587,6 +648,7 @@ def main() -> None:
                     # 10-second gc stall as its own time
                     canary_times.append(canary_slot())
                     ref_times.append(ref_slot())
+                    py_times.append(py_slot())
                 # untimed GC hint between query groups: lets the
                 # ContextCleaner reap finished broadcasts/codegen refs
                 # incrementally instead of letting old-gen pressure build
@@ -626,46 +688,58 @@ def main() -> None:
     # isolation remeasure now runs for every suspect; the substitution
     # stays gated on the isolated number CONFIRMING an outlier.
     if base:
-        suspects = [
-            name for name in headline
-            if base.get(name) and timings[name] / base[name] > 2.0
-        ]
         # round-11 verdict item 3: the suite-worst ratio is ALWAYS
         # remeasured, even under the 2x gate — collocations_pmi sat at
         # 1.97x (worst in suite, a whisker under the gate) and the rule
-        # never caught it, so the adjudication had to happen a round
-        # late. Costs 5 isolated runs of one query.
-        ratioed = [
-            n for n in headline if base.get(n) and timings.get(n)
-        ]
-        if ratioed:
-            worst = max(ratioed, key=lambda n: timings[n] / base[n])
-            if worst not in suspects:
-                suspects.append(worst)
-        if suspects:
-            # one shared state reset before the isolation block
-            spark.catalog.clearCache()
-            release_cached()
-            for _ in range(3):
-                spark._jvm.System.gc()
-                time.sleep(0.5)
-        for name in suspects:
-            for _ in range(2):  # discarded warm runs
-                run_query(spark, name, sf_dir)
+        # never caught it. Round-12 verdict item 3 closes the remaining
+        # gap: after a substitution the suite-worst can CHANGE (round 12
+        # shipped dedup_media_clusters as worst_ratio 1.665 unremeasured
+        # because the pre-substitution worst was neyman_allocation), so
+        # the whole block LOOPS until the reported worst has its own
+        # isolated confirmation — i.e. BENCH's worst_query always
+        # appears in `remeasured`. Terminates because `remeasured` only
+        # grows and each name is isolated at most once.
+        reset_done = False
+        while True:
+            suspects = [
+                name for name in headline
+                if base.get(name) and timings[name] / base[name] > 2.0
+                and name not in remeasured
+            ]
+            ratioed = [
+                n for n in headline if base.get(n) and timings.get(n)
+            ]
+            if ratioed:
+                worst = max(ratioed, key=lambda n: timings[n] / base[n])
+                if worst not in suspects and worst not in remeasured:
+                    suspects.append(worst)
+            if not suspects:
+                break
+            if not reset_done:
+                # one shared state reset before the isolation block
+                spark.catalog.clearCache()
                 release_cached()
-            iso = []
-            for _ in range(3):
-                iso.append(run_query(spark, name, sf_dir))
-                release_cached()
-            med = round(_median(iso), 3)
-            confirmed = med < 0.8 * timings[name]
-            remeasured[name] = {
-                "in_session_sec": timings[name],
-                "isolated_median_sec": med,
-                "outlier_confirmed": confirmed,
-            }
-            if confirmed:
-                timings[name] = med
+                for _ in range(3):
+                    spark._jvm.System.gc()
+                    time.sleep(0.5)
+                reset_done = True
+            for name in suspects:
+                for _ in range(2):  # discarded warm runs
+                    run_query(spark, name, sf_dir)
+                    release_cached()
+                iso = []
+                for _ in range(3):
+                    iso.append(run_query(spark, name, sf_dir))
+                    release_cached()
+                med = round(_median(iso), 3)
+                confirmed = med < 0.8 * timings[name]
+                remeasured[name] = {
+                    "in_session_sec": timings[name],
+                    "isolated_median_sec": med,
+                    "outlier_confirmed": confirmed,
+                }
+                if confirmed:
+                    timings[name] = med
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -729,7 +803,21 @@ def main() -> None:
         # SECONDARY, engine-shaped witness; its extra jitter over the
         # ref probe's is GC/cleaner neighborhood, not box load.
         out["env"] = {"probe": "ref_probe_min_of_5", **_trend(ref_times)}
+        # the Python-worker twin (round-12 verdict item 2): read its
+        # drift AGAINST the JVM probe's — JVM flat + py elevated means
+        # the Python side of the box (fork, Arrow, NumPy) moved, which
+        # is exactly the signature the media-decode family shows when
+        # the drift is environmental rather than a code regression.
+        if py_times:
+            out["env_py"] = {
+                "probe": "py_probe_min_of_5", **_trend(py_times)
+            }
         out["canary"] = {"query": CANARY, **_trend(canary_times)}
+    adjudicated = {
+        n: DRIFT_ADJUDICATIONS[n] for n in timings if n in DRIFT_ADJUDICATIONS
+    }
+    if adjudicated:
+        out["drift_adjudications"] = adjudicated
     if remeasured:
         out["remeasured"] = remeasured
         out["total_in_session_sec"] = in_session_total
@@ -930,7 +1018,15 @@ def emit(out: dict, timings: dict[str, float], sf: float, n_warmup: int, n_runs:
          per-query timings as fit a hard 1800-char budget.
     """
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH_LOCAL.json"), "w", encoding="utf-8") as f:
+    # --only subsets write a SIDE file: a 3-query probe run used to
+    # clobber the committed full-suite BENCH_LOCAL.json map with a
+    # fragment (round 13) — the judge and the ratio tooling read the
+    # full map, so only full-suite runs may replace it.
+    artifact_name = (
+        "BENCH_LOCAL_SUBSET.json" if "--only" in sys.argv
+        else "BENCH_LOCAL.json"
+    )
+    with open(os.path.join(repo, artifact_name), "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     # Also stamp a per-round copy (BENCH_LOCAL_r{N}.json, N = current
     # round inferred from the driver's BENCH_r{N}.json artifacts): the
@@ -966,7 +1062,7 @@ def emit(out: dict, timings: dict[str, float], sf: float, n_warmup: int, n_runs:
         "n_queries": len(timings),
         "n_warmup": n_warmup,
         "n_runs": n_runs,
-        "full_map": "BENCH_LOCAL.json",
+        "full_map": artifact_name,
     }
     if ratios:
         worst = max(ratios, key=ratios.get)
