@@ -35,6 +35,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # grows or the oracle-backed list shrinks; keep it in rough
 # flagship-first order against that day.
 _ROWS_ONLY_PRIORITY = [
+    # demoted in the round-13 TENTH rotation (multi-round driver-green —
+    # 3 to 6 consecutive green rounds each; shadow oracles keep their
+    # hash proof in-repo). Their driver slots went to the ten
+    # longest-shadowed never-driver-proven names: the four remaining
+    # round-6 shadows (period_over_period, user_event_profile,
+    # attribution_first_touch, dedup_time_window) and six round-6
+    # extensions (shipping_priority, quality_audit, top_terms_per_group,
+    # tokenize_to_ids, funnel_steps, cohort_retention) — each getting
+    # its first driver-visible hash proof:
+    "heavy_hitters",
+    "golden_record",
+    "dedup_urls",
+    "hybrid_search",
+    "skew_report",
+    "large_volume_customers",
+    "dedup_keep_best",
+    "bootstrap_ci",
+    "weighted_median",
+    "temporal_split",
     # demoted in the round-12 NINTH rotation (multi-round driver-green —
     # 5 to 9 consecutive green rounds each; shadow oracles keep their
     # hash proof in-repo). Their driver slots went to the round-11
@@ -155,12 +174,6 @@ _ROWS_ONLY_PRIORITY = [
     "agg_distinct",
     "pivot_metrics",
     # round-6 extensions (shadow oracles, hash-checked in-repo):
-    "shipping_priority",
-    "quality_audit",
-    "top_terms_per_group",
-    "tokenize_to_ids",
-    "funnel_steps",
-    "cohort_retention",
     "transition_matrix",
     "group_percentiles",
     # demoted in the round-7 FOURTH rotation (multi-round driver-green;
@@ -181,10 +194,6 @@ _ROWS_ONLY_PRIORITY = [
     "running_profile",
     # remaining round-6 shadows (hash-checked in-repo; candidates for the
     # next window rotation):
-    "period_over_period",
-    "user_event_profile",
-    "attribution_first_touch",
-    "dedup_time_window",
     # demoted in the round-6 THIRD rotation (multi-round-green singles;
     # shadow oracles keep their hash proof in-repo) — the eight
     # continuation queries (split_leakage_free, merge_upsert,

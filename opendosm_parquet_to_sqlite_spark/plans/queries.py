@@ -2898,7 +2898,6 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderdate, l.l_orderkey
     LIMIT 10
     """,
-    shadow=True,
 )
 def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): selective dim filter →
@@ -3031,7 +3030,6 @@ def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
            ) AS reject_reasons
     FROM sig
     """,
-    shadow=True,
 )
 def q_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc gate audit: every curation signal (quality heuristic,
@@ -3067,7 +3065,6 @@ def q_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
     SELECT source, term, n, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 5
     """,
-    shadow=True,
 )
 def q_top_terms_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Top-5 terms per source domain (mixture-audit vocabulary view).
@@ -3112,7 +3109,6 @@ def q_top_terms_per_group(spark: SparkSession, sf: str) -> DataFrame:
            coalesce(a.n_oov, 0) AS n_oov
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
-    shadow=True,
 )
 def q_tokenize_to_ids(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary-indexed tokenization (top-500 corpus vocab, OOV → 0):
@@ -3148,7 +3144,6 @@ def q_tokenize_to_ids(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE strftime(t2, '%Y-%m-%d %H:%M:%S') END AS t_last
     FROM f
     """,
-    shadow=True,
 )
 def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered signup → view → purchase funnel over events: per-user
@@ -3183,7 +3178,6 @@ def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
            round(n_active / n_cohort, 6) AS retention
     FROM cells JOIN sizes USING (cohort)
     """,
-    shadow=True,
 )
 def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort retention triangle over events: users cohorted by
@@ -3874,6 +3868,7 @@ def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY est_count DESC, item
     LIMIT 30
     """,
+    shadow=True,  # demoted round 13 (10th rotation): multi-round driver-green
 )
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Top-30 corpus terms via per-partition Misra-Gries summaries —
@@ -3915,6 +3910,7 @@ def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
                AS price
     FROM obs GROUP BY custkey
     """,
+    shadow=True,  # demoted round 13 (10th rotation): multi-round driver-green
 )
 def q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
     """Survivorship merge: per customer, each field independently from
@@ -4003,6 +3999,7 @@ def q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_variants
     FROM canon GROUP BY canonical_url
     """,
+    shadow=True,  # demoted round 13 (10th rotation): multi-round driver-green
 )
 def q_dedup_urls(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-frontier URL dedup: scheme/case/www/trailing-slash/tracking-
@@ -4128,6 +4125,7 @@ def q_dedup_urls(spark: SparkSession, sf: str) -> DataFrame:
         FROM fused
     ) WHERE rank <= 10
     """,
+    shadow=True,  # demoted round 13 (10th rotation): multi-round driver-green
 )
 def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-20 (lexical) and exact-cosine top-20
@@ -4172,6 +4170,7 @@ def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
                  - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
     FROM ranked
     """,
+    shadow=True,  # demoted round 13 (10th rotation): multi-round driver-green
 )
 def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """Key-distribution pre-flight for the events stream keyed by user:
@@ -4238,6 +4237,7 @@ def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     ) AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
     """,
+    shadow=True,  # demoted round 13 (10th rotation): multi-round driver-green
 )
 def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
@@ -4294,7 +4294,6 @@ def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
                  END, 6) AS n_growth
     FROM m
     """,
-    shadow=True,
 )
 def q_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
     """Month-over-month report per event type: one partial-combined
@@ -4334,7 +4333,6 @@ def q_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
     """,
-    shadow=True,
 )
 def q_user_event_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user behavioral profile with a COLLECTION-valued result done
@@ -4377,6 +4375,7 @@ def q_user_event_profile(spark: SparkSession, sf: str) -> DataFrame:
         FROM members
     ) WHERE rn = 1
     """,
+    shadow=True,  # demoted round 13 (10th rotation): multi-round driver-green
 )
 def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-aware near-dup survivorship: per connected component keep
@@ -4415,7 +4414,6 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
            s - touch.ts AS delay_s
     FROM framed WHERE ev = 'purchase'
     """,
-    shadow=True,
 )
 def q_attribution_first_touch(spark: SparkSession, sf: str) -> DataFrame:
     """First-touch attribution within 24 h: the discovery-channel
@@ -4452,7 +4450,6 @@ def q_attribution_first_touch(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_id, user_id, event_type, s
     FROM lagged WHERE prev_s IS NULL OR s - prev_s > 3600
     """,
-    shadow=True,
 )
 def q_dedup_time_window(spark: SparkSession, sf: str) -> DataFrame:
     """Time-windowed exact dedup (repeats of (user, event_type) within
@@ -5928,6 +5925,7 @@ def q_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag, min(v) AS wq
     FROM cum WHERE c >= 0.5 * t GROUP BY 1
     """,
+    shadow=True,  # demoted round 13 (10th rotation): multi-round driver-green
 )
 def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag: exact
@@ -6057,6 +6055,7 @@ def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     SELECT s.event_type, s.mean_value, c.ci_lo, c.ci_hi, s.n_rows
     FROM stats s JOIN ci c USING (event_type)
     """,
+    shadow=True,  # demoted round 13 (10th rotation): multi-round driver-green
 )
 def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     """95% bootstrap CI for the mean event value per type, via the
@@ -8149,7 +8148,7 @@ def q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE 'test' END AS split
     FROM events, cut
     """,
-    shadow=False,  # promoted round 10 (7th rotation)
+    shadow=True,  # demoted round 13 (10th rotation) after r10 promotion
 )
 def q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
     """Time-ordered 70/30 split with a 12-hour embargo gap over events
