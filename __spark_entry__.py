@@ -113,6 +113,12 @@ _ROWS_ONLY_PRIORITY = [
     # tests/test_mixing.py):
     "doremi_weights",
     "doremi_mix",
+    # round-13 registrations (rows-only: iterative EM tokenizer trainer
+    # + its Viterbi segmenter; exact parity vs a pure-Python reference
+    # of the identical algorithm + determinism/rebuild pins in
+    # tests/test_unigram.py):
+    "unigram_lm_vocab",
+    "unigram_segment",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",

@@ -131,6 +131,11 @@ HEADLINE = [
     # vocab-table agg (the per-round plan is the regression surface,
     # like classifier_2iter / event_pagerank)
     "bpe_merges",
+    # unigram-LM tokenizer: EM/prune mapInPandas jobs over the word
+    # table (the Python-worker-path regression surface for the
+    # tokenizer family) + its Viterbi segmenter
+    "unigram_lm_vocab",
+    "unigram_segment",
     # correlation screen + seasonality grid: single partial-combined aggs
     "feature_corr",
     "seasonal_profile",

@@ -3548,6 +3548,55 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return bpe.bpe_train(docs, "text", n_merges=8, min_freq=2)
 
 
+@query("unigram_lm_vocab")
+def q_unigram_lm_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training — the EM
+    rung of the tokenizer family beside bpe_merges: ONE corpus pass
+    builds the Zipf-bounded word table; the seed is a capped native
+    substring agg; each EM iteration / prune round is one mapInPandas
+    lattice-DP job with per-batch partial combine and a K-row collect
+    (driver holds only the piece table). Rows-only driver check
+    (iterative EM; no SQL oracle) — tests/test_unigram.py pins the
+    final piece table against a pure-Python reference of the identical
+    algorithm."""
+    from ..operators import unigram
+
+    docs = load_table(spark, sf, "documents")
+    return unigram.unigram_train(
+        docs, "text", vocab_size=300, seed_size=800, max_piece_len=5,
+        n_em_iters=2,
+    )
+
+
+@query("unigram_segment")
+def q_unigram_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Viterbi segmentation under a trained unigram-LM piece table —
+    the unigram twin of bpe_segment: train a small vocabulary (same
+    discipline as unigram_lm_vocab), broadcast the piece dict in an
+    Arrow pandas_udf closure, and segment every document with a
+    per-batch word memo; tokenization and the output shaping stay
+    native. Rows-only (training is iterative; no SQL oracle) —
+    determinism + rebuild-property pins in tests/test_unigram.py."""
+    from ..operators import unigram
+
+    docs = load_table(spark, sf, "documents")
+    pieces = [
+        (r["piece"], r["logprob"])
+        for r in unigram.unigram_train(
+            docs, "text", vocab_size=150, seed_size=400, max_piece_len=4,
+            n_em_iters=1,
+        ).collect()
+    ]
+    seg = unigram.unigram_segment(docs, "text", pieces)
+    return seg.select(
+        "doc_id",
+        F.size("unigram_units").cast("long").alias("n_units"),
+        F.concat_ws(" ", F.slice("unigram_units", 1, 8)).alias(
+            "units_head"
+        ),
+    )
+
+
 @query(
     "feature_corr",
     """
