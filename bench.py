@@ -405,6 +405,11 @@ SF1_GATE_EXTRA = [
     "record_linkage_scaled",
     "remove_repeated_spans",
     "remove_repeated_spans_within",
+    # round-13 registrations: first standing 10x evidence for the
+    # unigram tokenizer family (EM jobs over the Zipf-bounded word
+    # table — growth should track distinct words, sublinear in corpus)
+    "unigram_lm_vocab",
+    "unigram_segment",
 ]
 
 # Named causes for queries whose >15x sf1 growth is a DOCUMENTED output
@@ -425,9 +430,11 @@ SCALE_CAUSES = {
     ),
     "record_linkage": (
         "legacy fixed 500-cent band kept as the reference-parity twin; "
-        "now bounded by the operator's default max_pairs=50M valve "
-        "(~4M within-block pairs at sf1, raises past ~sf10); scale path "
-        "is record_linkage_scaled (data-scaled band, ~4.7x)"
+        "bounded by the operator's default max_pairs valve (50M pairs "
+        "in any single block — fixed-band occupancy grows with n, so "
+        "the hottest band goes quadratic and trips at scale); scale "
+        "path is record_linkage_scaled (data-scaled band, occupancy-"
+        "bounded: passes the per-block valve at any corpus size)"
     ),
 }
 

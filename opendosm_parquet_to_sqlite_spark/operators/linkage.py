@@ -34,35 +34,49 @@ DEFAULT_MAX_PAIRS = 50_000_000
 def _check_block_pair_volume(
     base: DataFrame, block_cols: list[str], max_pairs: int
 ) -> None:
-    """The max_pairs safety valve: compute the EXACT within-block pair
-    volume — Σ_b c_b·(c_b−1)/2 over non-NULL block keys, precisely the
-    row count the self-join below will emit — and refuse to build the
-    pair plan when it exceeds the cap. A degenerate block key (constant,
-    NULL-ish placeholder, or a fixed-width band whose occupancy grows
-    with n) makes the volume quadratic with no error; the valve turns
-    that silent blow-up into a fail-fast. One block-keyed count + scalar
-    agg (partial-combined, no pair row ever built); runs eagerly, which
-    is the point of a valve. NULL block keys are excluded — they never
-    pair (NULL equality is false, the operator's stated contract)."""
+    """The max_pairs safety valve: compute the EXACT pair volume of the
+    HOTTEST block — max_b c_b·(c_b−1)/2 over non-NULL block keys — and
+    refuse to build the pair plan when any single block exceeds the cap.
+    A degenerate block key (constant, NULL-ish placeholder, or a
+    fixed-width band whose occupancy grows with n) concentrates the
+    volume in single blocks quadratically with no error; the valve turns
+    that silent blow-up into a fail-fast.
+
+    Scoped PER BLOCK, not to the total (round-13 sf10 lesson): a healthy
+    occupancy-bounded layout (scaled_numeric_band) has pair volume
+    LINEAR in n — diffuse volume grows with data by design and crossing
+    a fixed total is not a hazard, it is the workload. The hazard the
+    valve exists for is the quadratic single block, and that property is
+    scale-invariant: occupancy-bounded layouts pass at any corpus size,
+    while a planted hot block trips regardless of what the rest of the
+    table looks like. One block-keyed count + scalar agg
+    (partial-combined, no pair row ever built); runs eagerly, which is
+    the point of a valve. NULL block keys are excluded — they never pair
+    (NULL equality is false, the operator's stated contract)."""
     nonnull = base
     for c in block_cols:
         nonnull = nonnull.filter(F.col(c).isNotNull())
-    est = (
+    row = (
         nonnull.groupBy(*block_cols)
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"))
-        .first()["pairs"]
+        .agg(
+            F.max(F.col("c") * (F.col("c") - 1) / 2).alias("hot"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("total"),
+        )
+        .first()
     )
-    est = int(est or 0)
-    if est > int(max_pairs):
+    hot = int(row["hot"] or 0)
+    if hot > int(max_pairs):
         raise ValueError(
-            f"within-block pair volume {est} exceeds max_pairs="
-            f"{int(max_pairs)}: a hot block makes record_linkage's "
-            f"candidate output quadratic in block size. Tighten the "
-            f"block key — for numeric bands use scaled_numeric_band "
-            f"(data-scaled width, the record_linkage_scaled "
-            f"parameterization) — or cap hot blocks with max_block; "
-            f"pass max_pairs=None to explicitly accept the volume."
+            f"hottest block's pair volume {hot} exceeds max_pairs="
+            f"{int(max_pairs)} (total within-block volume "
+            f"{int(row['total'] or 0)}): a hot block makes "
+            f"record_linkage's candidate output quadratic in block "
+            f"size. Tighten the block key — for numeric bands use "
+            f"scaled_numeric_band (data-scaled width, the "
+            f"record_linkage_scaled parameterization) — or cap hot "
+            f"blocks with max_block; pass max_pairs=None to explicitly "
+            f"accept the volume."
         )
 
 
@@ -190,12 +204,17 @@ def record_linkage(
     is the caller's to monitor via block_stats-style preflight.
 
     `max_pairs` is the default-ON hot-block valve (50M, same figure and
-    idiom as mediadedup's exact-dup clique valve): the exact within-block
-    pair volume Σ c·(c−1)/2 is computed eagerly (after any `max_block`
-    filter) and the operator raises — steering to scaled_numeric_band /
-    max_block — rather than build a quadratic candidate plan. Pass
-    `max_pairs=None` to explicitly accept unbounded pair volume (the
-    legacy fixed-band parameterization's documented escape hatch).
+    idiom as mediadedup's exact-dup clique valve): the exact pair volume
+    of the HOTTEST block — max over blocks of c·(c−1)/2 — is computed
+    eagerly (after any `max_block` filter) and the operator raises —
+    steering to scaled_numeric_band / max_block — rather than build a
+    quadratic candidate plan. Per-block rather than total (round-13):
+    an occupancy-bounded blocking's TOTAL volume is linear in n and
+    grows with data by design — that is the workload, not the hazard;
+    the scale-invariant hazard is the single quadratic block, and only
+    that trips the valve. Pass `max_pairs=None` to explicitly accept
+    unbounded per-block volume (the legacy fixed-band
+    parameterization's documented escape hatch).
 
     Output: (id_a, id_b, sim_<col> per field, score, matched) — pair
     rows, sims rounded.

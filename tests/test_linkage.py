@@ -220,3 +220,25 @@ def test_scaled_band_keeps_near_values_pairable(spark):
     got = {r["id"]: r["band"] for r in
            scaled_numeric_band(df, "bal").collect()}
     assert got[5000] == got[5001]
+
+
+def test_max_pairs_valve_is_per_block_not_total(spark):
+    """Round-13 sf10 lesson: an occupancy-bounded blocking's TOTAL pair
+    volume is linear in n and legitimately grows past any fixed figure —
+    record_linkage_scaled tripped the old total-volume valve at sf10
+    with 74.7M diffuse pairs while every block held ~64 rows. The valve
+    must measure the HOT-BLOCK property: many small blocks whose summed
+    volume exceeds the cap pass; one block over the cap trips."""
+    # 40 blocks x 5 rows: total = 40 * C(5,2) = 400 pairs, max block 10
+    rows = [
+        (b * 10 + i, f"blk{b}", f"n{b}_{i}", 1.0)
+        for b in range(40)
+        for i in range(5)
+    ]
+    df = _df(spark, rows)
+    out = record_linkage(df, "id", ["blk"], FIELDS, 0.5, max_pairs=100)
+    assert out.count() == 400  # diffuse 400 > 100 cap: passes per-block
+    # same cap, one 20-row block: C(20,2)=190 > 100 in a SINGLE block
+    hot = _df(spark, [(i, "hot", f"n{i}", 1.0) for i in range(20)])
+    with pytest.raises(ValueError, match="hottest block"):
+        record_linkage(hot, "id", ["blk"], FIELDS, 0.5, max_pairs=100)
