@@ -19,7 +19,8 @@ ARTIFACT_PATTERNS = [
     "BENCH_r*.json",
     "CORRECTNESS_r*.json",
     "BENCH_LOCAL_r*.json",
-    "BENCH_LOCAL.json",
+    # BENCH_LOCAL.json is gitignored (scratch output of every bench run);
+    # only the per-round BENCH_LOCAL_r*.json snapshots are committed.
     "BENCH_SF1.json",
     "BENCH_SF10.json",
     "BENCH_SF1_FULL.json",
