@@ -119,6 +119,16 @@ _ROWS_ONLY_PRIORITY = [
     # tests/test_unigram.py):
     "unigram_lm_vocab",
     "unigram_segment",
+    # round-13 wave 2 (rows-only): D4-style cluster-balanced selection
+    # (k-means cells are centroid-dependent; size/water-fill/flattening
+    # pinned in tests/test_similarity_curation.py) and binned-PAV
+    # isotonic calibration (PAV not SQL-expressible; exact pure-Python
+    # parity + monotonicity pinned in tests/test_ml_eval.py):
+    "cluster_balanced_sample",
+    "calibrate_isotonic",
+    # round-13 wave 2 (shadow oracle, hash-checked in-repo): per-source
+    # percentile quality gate (order-statistic threshold, ties survive):
+    "quality_percentile_gate",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",

@@ -136,6 +136,13 @@ HEADLINE = [
     # tokenizer family) + its Viterbi segmenter
     "unigram_lm_vocab",
     "unigram_segment",
+    # round-13 wave 2: per-source percentile quality gate (score-table
+    # windows + broadcast thresholds), D4 cluster-balanced selection
+    # (k-means cells + water-filled md5-rank picks), binned-PAV
+    # isotonic calibration (bin agg + driver PAV)
+    "quality_percentile_gate",
+    "cluster_balanced_sample",
+    "calibrate_isotonic",
     # correlation screen + seasonality grid: single partial-combined aggs
     "feature_corr",
     "seasonal_profile",

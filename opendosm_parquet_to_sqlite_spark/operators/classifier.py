@@ -311,3 +311,94 @@ def label_noise_candidates(
             F.round(margin, ndigits).alias("margin"),
         )
     )
+
+
+def _pav(rates: list[float], weights: list[float]) -> list[float]:
+    """Pool-adjacent-violators: the isotonic (non-decreasing) weighted
+    least-squares fit to `rates`. Classic stack formulation: each block
+    carries (weighted mean, weight); a new block merges backward while
+    it violates monotonicity. O(n); deterministic."""
+    blocks: list[list[float]] = []  # [mean, weight, count]
+    for r, w in zip(rates, weights):
+        blocks.append([r, w, 1])
+        while len(blocks) > 1 and blocks[-2][0] > blocks[-1][0]:
+            m2, w2, c2 = blocks.pop()
+            m1, w1, c1 = blocks.pop()
+            wt = w1 + w2
+            blocks.append([(m1 * w1 + m2 * w2) / wt, wt, c1 + c2])
+    out: list[float] = []
+    for m, _, c in blocks:
+        out.extend([m] * c)
+    return out
+
+
+def calibrate_isotonic(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 100,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Isotonic score calibration (binned PAV) — the monotone
+    recalibration step a scorer gets AFTER calibration_report says its
+    probabilities drift: fit the best non-decreasing map from score to
+    empirical positive rate and return the per-bin calibration table
+    (bin, n, confidence, rate, calibrated) a serving layer joins
+    against.
+
+    Exact per-row PAV needs a global sort of every (score, label) pair;
+    binning first makes the sufficient statistics a ≤ n_bins-row table
+    — per-bin (count, positive rate, mean score) — and PAV over the
+    bins is the isotonic fit to the data weighted by bin mass (the
+    standard large-scale recipe; resolution is the bin width, which is
+    the knob). Scores outside [0, 1] raise (the calibration_report
+    guard idiom); NULL scores/labels are excluded pairwise.
+
+    Shape: narrow bin projection → ONE partial-combined (bin) agg →
+    ≤ n_bins-row driver collect (model-sized by construction) → PAV in
+    plain Python → the result ships back as a ≤ n_bins-row DataFrame.
+    The corpus never shuffles; the only exchange carries bin partials.
+    Rows-only driver check (PAV is not SQL-expressible); pytest pins
+    exact parity vs the pure-Python fit, monotonicity, and weighted-
+    mass preservation.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    guard = F.assert_true(
+        (s >= 0.0) & (s <= 1.0),
+        F.lit("calibrate_isotonic: score outside [0, 1]"),
+    )
+    b_raw = F.least(
+        F.floor(s * int(n_bins)), F.lit(int(n_bins) - 1)
+    ).cast("long")
+    b = F.when(guard.isNull(), b_raw)
+    rows = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(b.alias("bin"), s.alias("__s"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__s").alias("__conf"),
+            F.avg("__y").alias("__rate"),
+        )
+        .orderBy("bin")
+        .collect()  # ≤ n_bins rows — bounded by construction
+    )
+    fitted = _pav([r["__rate"] for r in rows], [float(r["n"]) for r in rows])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(r["bin"]),
+                int(r["n"]),
+                round(r["__conf"], ndigits),
+                round(r["__rate"], ndigits),
+                round(c, ndigits),
+            )
+            for r, c in zip(rows, fitted)
+        ],
+        "bin long, n long, confidence double, rate double, "
+        "calibrated double",
+    )

@@ -553,3 +553,81 @@ def release_gate(
     return agg.select(F.explode(checks).alias("c")).select(
         "c.check", "c.value", "c.threshold", "c.pass"
     )
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Per-group percentile quality gate (the FineWeb/CCNet per-dump
+    recipe): keep the top `keep_frac` share of documents WITHIN each
+    group (source, dump, domain) by composite quality score — an
+    absolute threshold (corpus_clean's gate) systematically starves
+    groups whose score distribution sits lower, while a per-group
+    percentile keeps the mixture's group proportions while still
+    dropping each group's worst tail.
+
+    Threshold semantics are ORDER-STATISTIC, not interpolated: the
+    per-group threshold is the largest score t such that at least
+    ceil(keep_frac · n_group) documents score >= t, and every document
+    with score >= t is kept (ties at the threshold all survive, so the
+    kept share can exceed keep_frac by the tie mass — deterministic and
+    engine-portable, where an interpolated quantile would hang the gate
+    on cross-engine float rounding). NULL scores (NULL text) are
+    excluded from n_group and never survive; NULL group keys form their
+    own group (null-safe join).
+
+    Shape: one narrow score projection → ONE partial-combined
+    (group, score) count agg — bounded: scores are quantized to 6
+    decimals, so the table is at most groups × 1e6 rows and in practice
+    tiny — → cumulative window + threshold agg over that SCORE TABLE
+    (never the corpus) → broadcast threshold join back → filter. The
+    corpus text never shuffles; the only corpus-wide pass is the scan.
+    """
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(
+            f"keep_frac must be in (0, 1], got {keep_frac}"
+        )
+    from pyspark.sql.window import Window as W
+
+    scored = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        text.quality_score(F.col(text_col)).alias("quality"),
+    )
+    tab = scored.groupBy("grp", "quality").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = (
+        W.partitionBy("grp")
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("grp")
+    cum = tab.select(
+        "grp",
+        "quality",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    thr = (
+        cum.filter(
+            F.col("__cum")
+            >= F.ceil(F.lit(float(keep_frac)) * F.col("__n"))
+        )
+        .groupBy("grp")
+        .agg(F.max("quality").alias("threshold"))
+        # break the self-join lineage (thr derives from scored)
+        .withColumnRenamed("grp", "__thr_grp")
+    )
+    return (
+        scored.join(
+            F.broadcast(thr),
+            F.col("grp").eqNullSafe(F.col("__thr_grp")),
+        )
+        .filter(F.col("quality") >= F.col("threshold"))
+        .select("doc_id", "grp", "quality", "threshold")
+    )

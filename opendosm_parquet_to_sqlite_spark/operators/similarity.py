@@ -2600,3 +2600,104 @@ def matryoshka_report(
         )
         .orderBy("dim")
     )
+
+
+def _water_fill_quotas(counts: dict[int, int], total: int) -> dict[int, int]:
+    """Deterministic water-filling: split `total` across cells as evenly
+    as cell capacities allow. Cells smaller than the even share keep
+    everything; their surplus flows to larger cells. Remainder (from
+    integer division) goes +1 at a time to the largest-capacity cells
+    (ties broken by cell id) so the result is exactly min(total, Σcap)
+    and independent of dict ordering."""
+    total = min(int(total), sum(counts.values()))
+    quotas = {c: 0 for c in counts}
+    remaining = total
+    # ascending capacity: small cells saturate first, freeing share
+    order = sorted(counts, key=lambda c: (counts[c], c))
+    for i, c in enumerate(order):
+        share = remaining // (len(order) - i)
+        quotas[c] = min(counts[c], share)
+        remaining -= quotas[c]
+    # distribute the floor remainder to cells with spare capacity,
+    # largest capacity first (they flatten least by getting one more)
+    spare = sorted(
+        (c for c in order if quotas[c] < counts[c]),
+        key=lambda c: (-counts[c], c),
+    )
+    for c in spare:
+        if remaining <= 0:
+            break
+        quotas[c] += 1
+        remaining -= 1
+    return quotas
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    total: int,
+    n_centroids: int = 16,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced corpus selection (the D4 recipe: SemDeDup-style
+    k-means cells, then sample ACROSS cells instead of proportionally):
+    uniform sampling over-represents whatever dominates the crawl
+    (boilerplate-heavy clusters); sampling an equal quota per embedding
+    cell flattens the topic distribution, which is the diversity lever
+    the curation papers pull after dedup. Quotas are water-filled
+    (_water_fill_quotas), so cells smaller than the even share keep
+    every member and the output is exactly min(total, n_valid) rows.
+
+    Within-cell selection is md5-rank deterministic (the repo's sampling
+    discipline): reproducible under repartitioning, retries, and
+    engine-portable — not an RNG.
+
+    Shape: centroids train on a bounded sample (train_ivf_centroids —
+    the standard IVF recipe, distributed trainer above the threshold);
+    assignment is one vectorized Arrow matmul scan; per-cell counts are
+    ONE K-row agg (the only driver collect — model-sized by
+    construction); selection is row_number over (cell, md5) — the only
+    corpus-wide exchange, and it carries (id, cell, md5) longs, never
+    the vectors. NULL ids/vectors are excluded.
+
+    Returns (id_col, cell) for the selected rows — join back on id for
+    payloads (keeps the exchange narrow at 100 TB).
+    """
+    if total < 1:
+        raise ValueError(f"total must be >= 1, got {total}")
+    from pyspark.sql.window import Window as W
+
+    valid = corpus.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+    cent = train_ivf_centroids(
+        valid, n_centroids, train_sample, id_col=id_col, vec_col=vec_col
+    )
+    assigned = valid.select(
+        F.col(id_col),
+        _assign_cell_udf(cent)(F.col(vec_col)).alias("cell"),
+    )
+    counts = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()  # K rows — bounded by n_centroids
+    }
+    if not counts:
+        return assigned.select(id_col, "cell")
+    quotas = _water_fill_quotas(counts, total)
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(c), int(q)) for c, q in sorted(quotas.items())],
+        "cell int, __quota int",
+    )
+    w = W.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(qdf), "cell")
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .select(id_col, "cell")
+    )

@@ -1561,6 +1561,19 @@ def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 # DuckDB mirror of text.tokens(): '' split guard included
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
 
+# DuckDB restatement of text.quality_score (defined up here because the
+# f-string oracles that embed it evaluate at module load, in textual order)
+_QUALITY_DUCK = """round((least(len(list_filter(string_split_regex(trim(text),
+    '\\s+'), x -> x != '')) / 64.0, 1.0)
+  + (1.0 - least(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / greatest(length(text), 1), 6) * 4, 1.0))
+  + (1.0 - least(abs(round(len(list_filter(
+        list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''),
+        x -> list_contains(['the','a','of','and','to','in','is'], lower(x))))
+        / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x != '')), 1), 6) - 0.4), 1.0)))
+  / 3.0, 6)"""
+
 
 @query(
     "text_repetition",
@@ -3044,6 +3057,46 @@ def q_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
         docs, "text", "doc_id",
         min_quality=0.5, min_tokens=5, max_tokens=100_000,
         allowed_langs=["en", "und"],
+    )
+
+
+@query(
+    "quality_percentile_gate",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source AS grp, {_QUALITY_DUCK} AS quality
+        FROM documents
+        WHERE text IS NOT NULL
+    ), tab AS (
+        SELECT grp, quality, count(*) AS c
+        FROM scored GROUP BY grp, quality
+    ), cum AS (
+        SELECT grp, quality,
+               sum(c) OVER (PARTITION BY grp ORDER BY quality DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY grp) AS n
+        FROM tab
+    ), thr AS (
+        SELECT grp, max(quality) AS threshold
+        FROM cum WHERE cum >= ceil(0.6 * n) GROUP BY grp
+    )
+    SELECT s.doc_id, s.grp, s.quality, t.threshold
+    FROM scored s
+    JOIN thr t ON s.grp IS NOT DISTINCT FROM t.grp
+    WHERE s.quality >= t.threshold
+    """,
+    shadow=True,
+)
+def q_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group (per-source) percentile quality gate — keep each
+    source's top 60% by composite quality score, order-statistic
+    threshold with ties surviving (corpus.quality_percentile_gate).
+    One partial-combined (group, score) agg feeds windows over the
+    SCORE TABLE, thresholds broadcast back; the corpus never sorts.
+    Hash-checked (shadow)."""
+    docs = load_table(spark, sf, "documents")
+    return corpus.quality_percentile_gate(
+        docs, "text", "doc_id", "source", keep_frac=0.6
     )
 
 
@@ -5426,6 +5479,41 @@ def q_doremi_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("cluster_balanced_sample")  # rows-only: k-means cell assignment is
+# hash-dependent on the trained centroids (deterministic, pinned in pytest:
+# exact size, water-fill parity, flattening, repartition-invariance)
+def q_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced selection over embeddings (the D4 recipe —
+    similarity.cluster_balanced_sample): 8 k-means cells, water-filled
+    quotas to 40% of the corpus, md5-rank deterministic within-cell
+    picks. Centroids train on a bounded sample; per-cell counts are the
+    only collect (K rows); the one corpus exchange carries (id, cell,
+    md5) longs, never vectors."""
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    return similarity.cluster_balanced_sample(
+        emb, total=max(1, int(0.4 * n)), n_centroids=8,
+    ).orderBy("vec_id")
+
+
+@query("calibrate_isotonic")  # rows-only: PAV is not SQL-expressible;
+# pytest pins exact parity vs a pure-Python fit, monotonicity, and
+# weighted-mass preservation
+def q_calibrate_isotonic(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (binned-PAV) calibration table for the same synthetic
+    scorer calibration_report audits: 20 bins over score = frac(value),
+    label = event_id parity (classifier.calibrate_isotonic). One
+    partial-combined bin agg + a ≤20-row driver PAV — the monotone
+    recalibration map a serving layer joins against."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        (F.col("value") - F.floor(F.col("value"))).alias("score"),
+        (F.col("event_id") % 2).alias("label"),
+    )
+    return classifier.calibrate_isotonic(ev, "score", "label", n_bins=20)
+
+
 def ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
     """Idempotent build of the persisted IVFADC (IVF×PQ) index over sf's
     embeddings — same sharing contract as ensure_ivf_index: probe
@@ -5622,17 +5710,6 @@ def q_fold_assign(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return sampling.fold_assign(docs.select("doc_id"), "doc_id", k=5)
 
-
-_QUALITY_DUCK = """round((least(len(list_filter(string_split_regex(trim(text),
-    '\\s+'), x -> x != '')) / 64.0, 1.0)
-  + (1.0 - least(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                 / greatest(length(text), 1), 6) * 4, 1.0))
-  + (1.0 - least(abs(round(len(list_filter(
-        list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''),
-        x -> list_contains(['the','a','of','and','to','in','is'], lower(x))))
-        / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                       x -> x != '')), 1), 6) - 0.4), 1.0)))
-  / 3.0, 6)"""
 
 _PII_TOTAL_DUCK = """(len(regexp_extract_all(text,
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))

@@ -110,3 +110,79 @@ def test_release_gate_cli(spark, tmp_path):
         "doc_id long, text string",
     ).write.parquet(bad_path)
     assert main(["--release-gate", bad_path]) == 1
+
+
+# --- quality_percentile_gate ---------------------------------------------------
+
+
+def _gate(spark, rows, frac):
+    from opendosm_parquet_to_sqlite_spark.operators.corpus import (
+        quality_percentile_gate,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    return quality_percentile_gate(
+        df, "text", "doc_id", "source", keep_frac=frac
+    ).collect()
+
+
+def _graded_texts(n):
+    """n texts with strictly increasing quality: longer, cleaner docs
+    score higher under the composite heuristic."""
+    base = "the quick brown fox jumps over a lazy dog and runs to the river"
+    return [" ".join([base] * (i + 1))[: 40 + 12 * i] for i in range(n)]
+
+
+def test_percentile_gate_keeps_per_group_share(spark):
+    """Each group keeps ~keep_frac of ITS OWN docs by its own threshold —
+    a uniformly weaker group is not starved (the absolute-threshold
+    failure mode this operator exists to avoid)."""
+    strong = _graded_texts(10)
+    weak = ["!!! ??? %%%" + t[: 20 + 3 * i] for i, t in enumerate(_graded_texts(10))]
+    rows = [(i, t, "strong") for i, t in enumerate(strong)]
+    rows += [(100 + i, t, "weak") for i, t in enumerate(weak)]
+    out = _gate(spark, rows, 0.5)
+    per = {}
+    for r in out:
+        per[r.grp] = per.get(r.grp, 0) + 1
+    assert per.get("strong", 0) >= 5
+    assert per.get("weak", 0) >= 5, "weak group must keep its own top half"
+    # and the gate actually dropped the weak tails
+    assert len(out) < 20
+
+
+def test_percentile_gate_ties_survive(spark):
+    """Every doc tied at the threshold score is kept (order-statistic
+    semantics) — the kept share may exceed keep_frac by the tie mass."""
+    rows = [(i, "identical text content here", "g") for i in range(10)]
+    out = _gate(spark, rows, 0.3)
+    assert len(out) == 10  # all tied at one score → all survive
+
+
+def test_percentile_gate_frac_one_keeps_all_nonnull(spark):
+    rows = [(i, t, "g") for i, t in enumerate(_graded_texts(6))]
+    rows.append((99, None, "g"))
+    out = _gate(spark, rows, 1.0)
+    assert {r.doc_id for r in out} == set(range(6))  # NULL text dropped
+
+
+def test_percentile_gate_null_group_is_its_own_group(spark):
+    rows = [(i, t, None) for i, t in enumerate(_graded_texts(8))]
+    rows += [(100 + i, t, "g") for i, t in enumerate(_graded_texts(4))]
+    out = _gate(spark, rows, 0.5)
+    null_kept = [r for r in out if r.grp is None]
+    g_kept = [r for r in out if r.grp == "g"]
+    assert len(null_kept) >= 4 and len(g_kept) >= 2
+    # thresholds computed independently per group
+    assert {r.threshold for r in null_kept} != set() and (
+        {r.threshold for r in g_kept} != set()
+    )
+
+
+def test_percentile_gate_validates_frac(spark):
+    import pytest as _pytest
+
+    rows = [(1, "some text", "g")]
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="keep_frac"):
+            _gate(spark, rows, bad)

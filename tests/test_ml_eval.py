@@ -683,3 +683,93 @@ def test_dp_noisy_counts_determinism_and_scale(spark):
     assert 0.2 < mean_abs < 3.0
     with pytest.raises(ValueError):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+# --- calibrate_isotonic -------------------------------------------------------
+
+
+def _pure_pav(rates, weights):
+    """Reference PAV, written independently of the operator's stack form:
+    repeatedly scan for the first violating adjacent pair and merge, until
+    monotone — O(n^2) but obviously correct."""
+    blocks = [[r, w, 1] for r, w in zip(rates, weights)]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                m1, w1, c1 = blocks[i]
+                m2, w2, c2 = blocks[i + 1]
+                wt = w1 + w2
+                blocks[i : i + 2] = [[(m1 * w1 + m2 * w2) / wt, wt, c1 + c2]]
+                changed = True
+                break
+    out = []
+    for m, _, c in blocks:
+        out.extend([m] * c)
+    return out
+
+
+def _iso_table(spark, pairs, n_bins=10):
+    from opendosm_parquet_to_sqlite_spark.operators.classifier import (
+        calibrate_isotonic,
+    )
+
+    df = spark.createDataFrame(pairs, "score double, label int")
+    return calibrate_isotonic(df, "score", "label", n_bins=n_bins).collect()
+
+
+def test_isotonic_matches_pure_pav(spark):
+    """The distributed fit equals the scan-and-merge reference on the
+    same bin table, bin by bin (exact up to the output rounding)."""
+    # deterministic miscalibrated scorer: rate DROPS in the middle bins
+    pairs = []
+    for i in range(400):
+        s = (i % 100) / 100.0 + 0.005
+        rate = [0.1, 0.6, 0.3, 0.8][int(s * 4) if s < 1 else 3]
+        pairs.append((s, 1 if (i * 7919) % 100 < rate * 100 else 0))
+    rows = _iso_table(spark, pairs, n_bins=8)
+    rates = [r.rate for r in rows]
+    weights = [float(r.n) for r in rows]
+    expect = _pure_pav(rates, weights)
+    got = [r.calibrated for r in rows]
+    assert got == pytest.approx(expect, abs=1e-6)
+
+
+def test_isotonic_monotone_and_mass_preserving(spark):
+    pairs = [
+        ((i % 50) / 50.0 + 0.001, (i * 31) % 3 == 0) for i in range(300)
+    ]
+    pairs = [(s, int(b)) for s, b in pairs]
+    rows = _iso_table(spark, pairs, n_bins=10)
+    cal = [r.calibrated for r in rows]
+    assert cal == sorted(cal), "calibrated rates must be non-decreasing"
+    raw_mass = sum(r.n * r.rate for r in rows)
+    cal_mass = sum(r.n * r.calibrated for r in rows)
+    assert cal_mass == pytest.approx(raw_mass, rel=1e-4)
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    """A perfectly calibrated (monotone) scorer passes through: PAV only
+    pools violators."""
+    pairs = []
+    for b in range(5):
+        for i in range(40):
+            s = b / 5.0 + 0.05
+            pairs.append((s, 1 if i < b * 10 else 0))  # rate = b/4 rising
+    rows = _iso_table(spark, pairs, n_bins=5)
+    for r in rows:
+        assert r.calibrated == pytest.approx(r.rate, abs=1e-6)
+
+
+def test_isotonic_score_out_of_range_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1.5, 1)], "score double, label int")
+    from opendosm_parquet_to_sqlite_spark.operators.classifier import (
+        calibrate_isotonic,
+    )
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        calibrate_isotonic(df, "score", "label", n_bins=4).collect()

@@ -94,6 +94,15 @@ SF10_CAUSES = {
         "quality + split cascade's shuffle volume, each stage "
         "hash-checked linear"
     ),
+    "doremi_mix": (
+        "work-linear by construction: composes doremi_weights' R "
+        "Group-DRO rounds — each round is two model-sized aggs that "
+        "SCAN the once-partitioned persisted feature frame (corpus-"
+        "linear per round by design; driver state stays K-vector-"
+        "sized) — plus domain_mix's narrow expand-and-keep; 8.8x "
+        "wall for exactly 10.0x rows on fixed cores is the zero-"
+        "headroom linear bound, not a quadratic term"
+    ),
 }
 
 
