@@ -126,6 +126,10 @@ _ROWS_ONLY_PRIORITY = [
     # parity + monotonicity pinned in tests/test_ml_eval.py):
     "cluster_balanced_sample",
     "calibrate_isotonic",
+    # round-13 wave 2 (rows-only): PELT multiple-changepoint
+    # segmentation over bounded hourly series (exactness vs the
+    # unpruned O(n^2) DP pinned in tests/test_pelt.py):
+    "changepoints_pelt",
     # round-13 wave 2 (shadow oracle, hash-checked in-repo): per-source
     # percentile quality gate (order-statistic threshold, ties survive):
     "quality_percentile_gate",

@@ -143,6 +143,9 @@ HEADLINE = [
     "quality_percentile_gate",
     "cluster_balanced_sample",
     "calibrate_isotonic",
+    # PELT over the bounded hourly rollup (partial-combined hourly agg
+    # + one keyed applyInPandas exchange; DP runs on ~720-point series)
+    "changepoints_pelt",
     # correlation screen + seasonality grid: single partial-combined aggs
     "feature_corr",
     "seasonal_profile",

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 
@@ -1306,3 +1311,168 @@ def interpolate_linear(
         F.col("__ts").alias("grid_ts"),
         F.round(value, ndigits).alias("value"),
     )
+
+
+def _pelt_segments(
+    xs: "list[float]", penalty: float, min_size: int
+) -> list[int]:
+    """PELT (Killick et al. 2012, public algorithm) over a single series
+    with the Gaussian mean-shift cost C(a,b) = within-segment SSE from
+    prefix sums. Returns the sorted list of changepoint END indices
+    (1-based, exclusive starts), i.e. each t in the result is the last
+    index of a segment. Exact: PELT's pruning provably never removes an
+    optimal candidate, so the result equals the O(n^2) optimal-partition
+    DP (pinned in pytest)."""
+    n = len(xs)
+    s1 = [0.0] * (n + 1)
+    s2 = [0.0] * (n + 1)
+    for i, v in enumerate(xs):
+        s1[i + 1] = s1[i] + v
+        s2[i + 1] = s2[i] + v * v
+
+    def cost(a: int, b: int) -> float:
+        # SSE of xs[a:b] (0-based, exclusive b)
+        m = b - a
+        sm = s1[b] - s1[a]
+        return (s2[b] - s2[a]) - sm * sm / m
+
+    f = [0.0] * (n + 1)
+    f[0] = -penalty
+    prev = [0] * (n + 1)
+    cands = [0]
+    for t in range(min_size, n + 1):
+        best, barg = None, 0
+        for s in cands:
+            if t - s < min_size:
+                continue
+            v = f[s] + cost(s, t) + penalty
+            # strict < keeps the EARLIEST best split deterministically
+            if best is None or v < best - 1e-12:
+                best, barg = v, s
+        if best is None:
+            continue
+        f[t], prev[t] = best, barg
+        cands = [
+            s for s in cands if f[s] + cost(s, t) <= f[t] + 1e-12
+        ] + [t]
+    cuts = []
+    t = n
+    while t > 0:
+        cuts.append(t)
+        t = prev[t]
+    return sorted(cuts)
+
+
+def changepoints_pelt(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    penalty: float | None = None,
+    min_size: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key MULTIPLE-changepoint segmentation via PELT — the
+    completion of the changepoint family rung: cusum_changepoints
+    estimates ONE level shift and tests it; this finds the optimal
+    number AND locations of mean shifts by exact penalized
+    minimization, min Σ_segments SSE + β·(#segments), with PELT's
+    pruning keeping the scan linear-expected (and provably exact — the
+    pytest pin compares against the unpruned O(n²) DP).
+
+    β defaults to the per-key BIC plug-in 2·σ̂²·ln(n) (σ̂² the key's
+    overall variance) — the standard default; pass `penalty` to
+    override globally. `min_size` floors segment length (degenerate
+    1-point segments chase noise).
+
+    Ordering is (order_col, tiebreak_col) — a pinned total order, so
+    segment boundaries are engine-deterministic. NULL values/orders are
+    dropped; keys with fewer than 2·min_size points return one whole-key
+    segment.
+
+    INPUT CONTRACT (documented like bh_correction's): one key's series
+    must fit a task — series are per-entity monitoring streams, not the
+    corpus; the per-key state PELT keeps is O(candidates), which its
+    pruning bounds. Shape: ONE hash exchange on the key
+    (applyInPandas), Arrow-batched; inside, prefix-sum costs in plain
+    Python — no second exchange, nothing driver-sized.
+
+    Output: one row per (key, segment): seg (1-based), start_order,
+    end_order (order_col values bounding the segment inclusively),
+    n BIGINT, mean (segment mean, ndigits). Rows-only at the driver
+    (the DP is not SQL-expressible); pytest pins exactness vs the
+    unpruned DP, planted-shift recovery, penalty monotonicity, and
+    repartition-determinism.
+    """
+    import pandas as pd
+
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1, got {min_size}")
+    if penalty is not None and penalty <= 0:
+        raise ValueError(f"penalty must be > 0, got {penalty}")
+
+    order_field = df.schema[order_col]
+    key_fields = [df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("seg", LongType()),
+            StructField("start_order", order_field.dataType),
+            StructField("end_order", order_field.dataType),
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+        ]
+    )
+
+    # dedupe (tiebreak may equal order for already-unique series)
+    cols = list(dict.fromkeys([*key_cols, order_col, tiebreak_col,
+                               value_col]))
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(*cols)
+
+    pen = penalty
+    msz = int(min_size)
+    nd = int(ndigits)
+    ocol, tcol, vcol = order_col, tiebreak_col, value_col
+
+    def segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ocol, tcol], kind="mergesort")
+        xs = pdf[vcol].astype(float).tolist()
+        orders = pdf[ocol].tolist()
+        n = len(xs)
+        keys = {k: pdf[k].iloc[0] for k in key_cols}
+        if n == 0:
+            return pd.DataFrame(
+                columns=[*key_cols, "seg", "start_order", "end_order",
+                         "n", "mean"]
+            )
+        beta = pen
+        if beta is None:
+            mu = sum(xs) / n
+            var = sum((v - mu) ** 2 for v in xs) / n
+            import math
+
+            beta = max(2.0 * var * math.log(max(n, 2)), 1e-12)
+        if n < 2 * msz:
+            cuts = [n]
+        else:
+            cuts = _pelt_segments(xs, float(beta), msz)
+        rows, start = [], 0
+        for i, end in enumerate(cuts):
+            seg = xs[start:end]
+            rows.append(
+                {
+                    **keys,
+                    "seg": i + 1,
+                    "start_order": orders[start],
+                    "end_order": orders[end - 1],
+                    "n": len(seg),
+                    "mean": round(sum(seg) / len(seg), nd),
+                }
+            )
+            start = end
+        return pd.DataFrame(rows)
+
+    return base.groupBy(*key_cols).applyInPandas(segment, out_schema)

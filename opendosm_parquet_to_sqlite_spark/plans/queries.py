@@ -9129,6 +9129,32 @@ def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("changepoints_pelt")  # rows-only: penalized optimal-partition DP
+# is not SQL-expressible; exactness vs the unpruned O(n^2) DP, planted-
+# shift recovery, and determinism pinned in tests/test_pelt.py
+def q_changepoints_pelt(spark: SparkSession, sf: str) -> DataFrame:
+    """PELT multiple-changepoint segmentation over each event type's
+    HOURLY mean-value series (temporal.changepoints_pelt, BIC default
+    penalty) — cusum's single-shift estimate generalized to the optimal
+    number and locations of mean shifts. Composing over the hourly
+    rollup bounds every key's series at the time span (~720 points/
+    month) regardless of corpus scale: the corpus-linear work is the
+    partial-combined hourly agg; the DP runs on the bounded series."""
+    ev = load_table(spark, sf, "events")
+    hourly = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+             / 3600000000).cast("long").alias("hour"),
+        )
+        .agg(F.avg("value").alias("hourly_value"))
+    )
+    return temporal.changepoints_pelt(
+        hourly, ["event_type"], "hour", "hourly_value", "hour"
+    ).orderBy("event_type", "seg")
+
+
 @query(
     "interpolate_linear",
     """
