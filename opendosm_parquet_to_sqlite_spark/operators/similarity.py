@@ -2687,17 +2687,33 @@ def cluster_balanced_sample(
     if not counts:
         return assigned.select(id_col, "cell")
     quotas = _water_fill_quotas(counts, total)
+    # Hot-cell prefilter (sample_per_group's guard, free here because the
+    # per-cell counts are already on the driver): the window partitions
+    # by CELL — only K partitions — so without a cut each cell's full
+    # membership would sort in one task at 100 TB. Keep only rows whose
+    # md5 prefix falls below cap ≈ (4·quota+256)/count BEFORE the
+    # exchange: the prefix order is a prefix of the full rank order, so
+    # the kept set is downward-closed and the top-quota is IDENTICAL to
+    # the unfiltered result as long as ≥ quota rows survive — expected
+    # survivors are 4·quota+256 regardless of cell size (undershoot
+    # Chernoff-bounded < 1e-100).
+    from .sampling import rate_to_hex
+
+    qdf_rows = []
+    for c in sorted(quotas):
+        q, n = int(quotas[c]), int(counts[c])
+        keep = 1.0 if n <= 4 * q + 256 else min(1.0, (4.0 * q + 256.0) / n)
+        qdf_rows.append((int(c), q, rate_to_hex(keep)))
     spark = corpus.sparkSession
     qdf = spark.createDataFrame(
-        [(int(c), int(q)) for c, q in sorted(quotas.items())],
-        "cell int, __quota int",
+        qdf_rows, "cell int, __quota int, __cap string"
     )
-    w = W.partitionBy("cell").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy("cell").orderBy(rank_key, F.col(id_col))
     return (
-        assigned.withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(qdf), "cell")
+        assigned.join(F.broadcast(qdf), "cell")
+        .filter(F.substring(rank_key, 1, 8) < F.col("__cap"))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__quota"))
         .select(id_col, "cell")
     )

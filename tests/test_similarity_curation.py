@@ -139,3 +139,57 @@ def test_balanced_sample_null_hygiene_and_validation(spark):
     assert len(out) == 16
     with pytest.raises(ValueError, match="total"):
         cluster_balanced_sample(df, total=0, n_centroids=2)
+
+
+def test_balanced_sample_hot_cell_prefilter_exact(spark):
+    """A cell big enough to trip the md5-prefix prefilter (n > 4q+256)
+    must still return EXACTLY the lowest-md5 quota members — the prefix
+    cut is downward-closed under the rank order. Expected membership is
+    recomputed from the operator's own deterministic cell assignment, so
+    the pin tests the SELECTION layer regardless of how k-means happens
+    to carve this fixture."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from opendosm_parquet_to_sqlite_spark.operators.similarity import (
+        _assign_cell_udf,
+        _water_fill_quotas,
+        train_ivf_centroids,
+    )
+
+    df = _clustered_corpus(spark, [2000, 50])
+    total = 100
+    out = cluster_balanced_sample(
+        df, total=total, n_centroids=2, train_sample=5000
+    ).collect()
+    assert len(out) == total
+    got = {}
+    for r in out:
+        got.setdefault(r.cell, set()).add(r.vec_id)
+    # recompute the operator's deterministic assignment (same seed)
+    cent = train_ivf_centroids(df, 2, 5000)
+    assign = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", _assign_cell_udf(cent)(F.col("embedding")).alias("cell")
+        ).collect()
+    }
+    members = {}
+    for vid, cell in assign.items():
+        members.setdefault(cell, []).append(vid)
+    quotas = _water_fill_quotas(
+        {c: len(v) for c, v in members.items()}, total
+    )
+    assert any(
+        len(members[c]) > 4 * quotas[c] + 256 for c in members
+    ), "fixture must actually trip the prefilter"
+    for c, ids in members.items():
+        expect = set(
+            sorted(
+                ids,
+                key=lambda i: (
+                    hashlib.md5(str(i).encode()).hexdigest(), i
+                ),
+            )[: quotas[c]]
+        )
+        assert got.get(c, set()) == expect

@@ -94,6 +94,19 @@ SF10_CAUSES = {
         "quality + split cascade's shuffle volume, each stage "
         "hash-checked linear"
     ),
+    "record_linkage_scaled": (
+        "SUB-linear in WORK — the fixture, not the plan: make_scale "
+        "replicas clone (c_nationkey, c_mktsegment, c_acctbal) verbatim, "
+        "and identical fixed-point values cannot be split by narrower "
+        "bands, so every base customer is a clone clique of size R "
+        "inside its block; measured within-block pair volume (the exact "
+        "Sum c(c-1)/2 the valve computes) is 713.5k at sf1 vs 74.67M at "
+        "sf10 — 104.7x WORK for 16.6x wall. On non-cloned data the "
+        "data-scaled width holds occupancy at the 64 target and pair "
+        "volume stays linear (scaled_numeric_band's contract; max block "
+        "200 = 2x target even under cloning, so the hot-block valve "
+        "stays quiet)"
+    ),
     "doremi_mix": (
         "work-linear by construction: composes doremi_weights' R "
         "Group-DRO rounds — each round is two model-sized aggs that "
