@@ -130,9 +130,12 @@ _ROWS_ONLY_PRIORITY = [
     # segmentation over bounded hourly series (exactness vs the
     # unpruned O(n^2) DP pinned in tests/test_pelt.py):
     "changepoints_pelt",
-    # round-13 wave 2 (shadow oracle, hash-checked in-repo): per-source
-    # percentile quality gate (order-statistic threshold, ties survive):
+    # round-13 wave 2 (shadow oracles, hash-checked in-repo): per-source
+    # percentile quality gate (order-statistic threshold, ties survive)
+    # and the deterministic md5 training shuffle (arithmetic shards +
+    # per-shard position windows):
     "quality_percentile_gate",
+    "shuffle_for_training",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",

@@ -146,6 +146,9 @@ HEADLINE = [
     # PELT over the bounded hourly rollup (partial-combined hourly agg
     # + one keyed applyInPandas exchange; DP runs on ~720-point series)
     "changepoints_pelt",
+    # deterministic md5 training shuffle (arithmetic shards + one
+    # per-shard position window)
+    "shuffle_for_training",
     # correlation screen + seasonality grid: single partial-combined aggs
     "feature_corr",
     "seasonal_profile",
@@ -474,6 +477,22 @@ DRIFT_ADJUDICATIONS = {
         "1.14x of warm baseline 6.097; the remeasure rule now loops "
         "until the reported worst has its own isolated confirmation."
     ),
+    "text_canonical": (
+        "round-13 2.6x adjudicated BOX-STATE (r13's VM landed on a "
+        "slower/noisier host: cross-round JVM ref_probe 1.31 s vs "
+        "r12's 1.033, intra-suite jitter 48-68% vs 16.5% at the r12 "
+        "republish; steal time nonzero at idle): no code in the query "
+        "changed since its round-6 baseline, fold_assign/dedup_exact/"
+        "latest_per_group read AT-or-UNDER their r12 values in the "
+        "same run, and a hand-timed warm loop outside bench read the "
+        "same ~1.8x. See ref_probe_prior in this artifact."
+    ),
+    "k_anonymity": (
+        "round-13 2.1x adjudicated BOX-STATE: same evidence as "
+        "text_canonical (selective inflation of multi-stage sub-second "
+        "queries on the r13 host while single-exchange peers sit at "
+        "1.0x; no code change since the round-6 baseline)."
+    ),
 }
 
 
@@ -775,6 +794,36 @@ def main() -> None:
     out["loadavg_before"] = load_before
     out["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     out["ref_probe_sec"] = ref_probe
+    # cross-ROUND box comparability (round-13 lesson: the per-round VM
+    # can land on a slower/noisier host — r13's probe read 1.31 s vs
+    # r12's 1.033 while per-query ratios shifted selectively; without
+    # this field the shift reads as a code regression): compare this
+    # run's probe against the newest committed BENCH_LOCAL_r*.json.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    cur_rnd = [
+        int(m.group(1)) for f in os.listdir(repo_dir)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    cur_rnd = (max(cur_rnd) + 1) if cur_rnd else 0
+    prior = sorted(
+        f for f in os.listdir(repo_dir)
+        if (m := re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", f))
+        and int(m.group(1)) != cur_rnd  # exclude this round's own stamp
+    )
+    if prior:
+        try:
+            pd_ = json.load(open(
+                os.path.join(repo_dir, prior[-1]), encoding="utf-8"
+            ))
+            psec = pd_.get("ref_probe_sec")
+            if psec:
+                out["ref_probe_prior"] = {
+                    "artifact": prior[-1],
+                    "sec": psec,
+                    "delta_pct": round((ref_probe - psec) / psec * 100, 1),
+                }
+        except (OSError, ValueError):
+            pass
     if canary_times:
         # drift = TREND (median of the second half of canary slots vs the
         # first half), not max/min spread and not first-3-vs-last-3: a

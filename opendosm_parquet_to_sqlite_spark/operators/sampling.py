@@ -1290,3 +1290,56 @@ def doremi_mix(
         ),
         domain_col, id_col, shares, target_rows, namespace=namespace,
     )
+
+
+def shuffle_for_training(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    namespace: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle — the LAST step of every training-
+    data pipeline (curated docs must reach the trainer in pseudo-random
+    order; any residual source/time clustering shows up as loss spikes).
+    Assigns every row a shard in [0, n_shards) and a position within the
+    shard such that reading shards 0..n-1, each in position order,
+    visits the corpus in md5(namespace:id) order — a fixed, seedless
+    permutation with every sampler's determinism contract: reruns,
+    repartitions, and engines agree, and appending rows never moves
+    existing ones to a different shard.
+
+    Shard assignment is PURE ARITHMETIC on the digest prefix
+    (shard = prefix·n_shards div 16^8) — not repartitionByRange, whose
+    sampled boundaries are nondeterministic, and not a global sort. The
+    digest is uniform, so shards balance to ±O(√(n/shards)) without
+    measuring anything. Position is one row_number window per shard —
+    the only exchange, carrying (id, digest) rows; with n_shards sized
+    to the cluster (≥ tasks), per-shard sorts are parallel and bounded.
+
+    Output: (id_col, shard BIGINT, pos BIGINT) — join back on id to
+    write payloads, or feed a partitioned writer with
+    partitionBy(shard) + sortWithinPartitions(pos).
+    Fully SQL-expressible → hash-checked vs DuckDB (shadow oracle).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    digest = F.md5(
+        F.concat(F.lit(namespace + ":"), F.col(id_col).cast("string"))
+    )
+    prefix = F.conv(F.substring(digest, 1, HEX_WIDTH), 16, 10).cast("long")
+    # floor((prefix·n) / 2^32) is EXACT: prefix·n < 2^53 so the product
+    # is an exact double, and dividing by a power of two only shifts the
+    # exponent — DuckDB's bigint // restates it identically
+    shard = F.floor(
+        prefix * int(n_shards) / F.lit(float(16**HEX_WIDTH))
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("__digest", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            digest.alias("__digest"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

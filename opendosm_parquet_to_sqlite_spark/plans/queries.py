@@ -5514,6 +5514,37 @@ def q_calibrate_isotonic(spark: SparkSession, sf: str) -> DataFrame:
     return classifier.calibrate_isotonic(ev, "score", "label", n_bins=20)
 
 
+@query(
+    "shuffle_for_training",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               md5(concat('shuffle:', CAST(doc_id AS VARCHAR))) AS dg
+        FROM documents
+    ), s AS (
+        SELECT doc_id, dg,
+               (CAST(concat('0x', substr(dg, 1, 8)) AS BIGINT) * 8)
+                   // 4294967296 AS shard
+        FROM d
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+    shadow=True,
+)
+def q_shuffle_for_training(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training shuffle (sampling.shuffle_for_
+    training, 8 shards): seedless md5 permutation — shard by pure
+    integer arithmetic on the digest prefix (no repartitionByRange
+    sampling, no global sort), position via one per-shard window.
+    Reading shards in order visits the corpus in digest order; appends
+    never move existing rows. Hash-checked (shadow)."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.shuffle_for_training(docs, "doc_id", n_shards=8)
+
+
 def ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
     """Idempotent build of the persisted IVFADC (IVF×PQ) index over sf's
     embeddings — same sharing contract as ensure_ivf_index: probe

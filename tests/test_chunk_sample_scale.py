@@ -352,3 +352,48 @@ def test_neyman_allocation_favors_large_and_variable_strata(spark):
     assert sorted(map(tuple, samp.collect())) == sorted(
         map(tuple, neyman_sample(df, "s", "id", "v", 1000).collect())
     )
+
+
+# --- shuffle_for_training -------------------------------------------------------
+
+
+def test_shuffle_for_training_is_a_permutation_and_deterministic(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        shuffle_for_training,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = shuffle_for_training(df, "id", n_shards=8).collect()
+    assert len(out) == 500
+    assert {r.id for r in out} == set(range(500))
+    # positions are 1..n_shard contiguous within each shard
+    per = {}
+    for r in out:
+        per.setdefault(r.shard, []).append(r.pos)
+    assert set(per) <= set(range(8))
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # digest uniformity: no shard hogs the corpus (expected 62.5 each)
+    sizes = sorted(len(v) for v in per.values())
+    assert sizes[0] > 30 and sizes[-1] < 100
+    # determinism under repartitioning
+    again = shuffle_for_training(df.repartition(13), "id", 8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_shuffle_for_training_appends_never_move_existing(spark):
+    from opendosm_parquet_to_sqlite_spark.operators.sampling import (
+        shuffle_for_training,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    grown = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    a = {r.id: r.shard for r in shuffle_for_training(base, "id", 4).collect()}
+    b = {r.id: r.shard for r in shuffle_for_training(grown, "id", 4).collect()}
+    for i in range(200):
+        assert a[i] == b[i], "appending rows must not reshard existing ones"
+    # and global visit order of surviving rows is preserved (md5 order)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        shuffle_for_training(base, "id", 0)
