@@ -423,6 +423,17 @@ SF1_GATE_EXTRA = [
     # table — growth should track distinct words, sublinear in corpus)
     "unigram_lm_vocab",
     "unigram_segment",
+    # round-13 wave 2: first standing 10x evidence for the percentile
+    # gate (score-table windows — growth tracks the quantized score
+    # table), cluster-balanced selection (assign scan + prefiltered
+    # window), isotonic calibration (bin agg), PELT (bounded hourly
+    # series — the agg is the only corpus-linear stage), and the
+    # training shuffle (one windowed exchange of (id, digest) longs)
+    "quality_percentile_gate",
+    "cluster_balanced_sample",
+    "calibrate_isotonic",
+    "changepoints_pelt",
+    "shuffle_for_training",
 ]
 
 # Named causes for queries whose >15x sf1 growth is a DOCUMENTED output
