@@ -997,6 +997,54 @@ def sf1_gate(spark, full: bool = False) -> None:
     over = sorted(
         (n for n, r in ratios.items() if r > 15.0), key=lambda n: -ratios[n]
     )
+    # FRESH over-15x discoveries (no standing SCALE_CAUSES adjudication)
+    # are remeasured in an ISOLATED subprocess/JVM before the artifact
+    # ships — round 13: corpus_clean_clustered read 278 s (45.9x) inside
+    # the 34-query single-JVM gate while an isolated probe read 34.3 s
+    # (1.24x of the r12 gate, exactly the round's box factor). A fresh
+    # JVM is the same discipline the sf10 probe adopted (--isolate) and
+    # the main bench's remeasure loop applies at sf0.1.
+    sf1_remeasured: dict[str, dict] = {}
+    for name in [n for n in over if n not in SCALE_CAUSES]:
+        child = (
+            "import sys, time; sys.path.insert(0, %r)\n"
+            "from opendosm_parquet_to_sqlite_spark.session import get_spark\n"
+            "from opendosm_parquet_to_sqlite_spark.plans.queries import QUERIES\n"
+            "from opendosm_parquet_to_sqlite_spark.caching import release_cached\n"
+            "import json\n"
+            "spark = get_spark(app_name='sf1_remeasure')\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            "def run():\n"
+            "    t0 = time.perf_counter()\n"
+            "    QUERIES[%r](spark, %r).write.format('noop')"
+            ".mode('overwrite').save()\n"
+            "    return time.perf_counter() - t0\n"
+            "run(); release_cached()\n"
+            "print(json.dumps({'sec': round(run(), 3)}))\n"
+        ) % (repo, name, sf1_dir)
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, "-c", child], capture_output=True, text=True
+        )
+        iso = None
+        for ln in r.stdout.splitlines():
+            if ln.startswith('{"sec"'):
+                iso = json.loads(ln)["sec"]
+        if iso is None:
+            continue
+        sf1_remeasured[name] = {
+            "in_session_sec": timings[name],
+            "isolated_sec": iso,
+            "outlier_confirmed": iso < 0.7 * timings[name],
+        }
+        if iso < 0.7 * timings[name]:
+            timings[name] = iso
+            if base.get(name):
+                ratios[name] = round(iso / base[name], 1)
+    over = sorted(
+        (n for n, r in ratios.items() if r > 15.0), key=lambda n: -ratios[n]
+    )
     out = {
         "metric": (
             "sf1_full_suite_wall_clock" if full
@@ -1018,6 +1066,8 @@ def sf1_gate(spark, full: bool = False) -> None:
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
+    if sf1_remeasured:
+        out["remeasured"] = sf1_remeasured
     artifact = "BENCH_SF1_FULL.json" if full else "BENCH_SF1.json"
     with open(os.path.join(repo, artifact), "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1, sort_keys=True)
