@@ -631,3 +631,108 @@ def quality_percentile_gate(
         .filter(F.col("quality") >= F.col("threshold"))
         .select("doc_id", "grp", "quality", "threshold")
     )
+
+
+def commonness_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing (Wenzek et al.
+    2020 split CommonCrawl into perplexity terciles and kept
+    head+middle). The ranking statistic here is the integer-exact
+    MEAN TOKEN FREQUENCY — each document's average corpus-wide term
+    count, a monotone-inverse proxy for unigram perplexity (documents
+    of common words rank "head", rare-token documents rank "tail") —
+    chosen over the ln-based unigram_logprob score because it is a pure
+    ratio of exact integers: bit-identical on every engine, so the
+    whole op is hash-checkable cross-engine (ln differs in the last
+    ulps between libms, and a bucket BOUNDARY must not hang on float
+    rounding). The true-LM scorer remains text.unigram_logprob_score;
+    this is the bucketing rung.
+
+    Output: one row per bucket (1 = head .. n_buckets = tail):
+    (bucket, n_docs, min_mean_tf, max_mean_tf, avg_tokens). Documents
+    with no tokens (NULL/empty text) carry no terms and are excluded —
+    CCNet drops empty documents before scoring too.
+
+    Bucket assignment is ORDER-STATISTIC over the QUANTIZED score
+    table, not a global ntile: scores round to 6 decimals, the
+    (score, count) table is aggregated (bounded: at most 1e6 x score
+    range rows, in practice tiny), a cumulative window over that table
+    computes each score's first rank (exclusive cumulative), and
+    bucket = (first_rank * K) DIV n + 1 in INTEGER arithmetic — ties
+    share a score, hence a rank, hence a bucket (deterministic, no
+    doc-id tiebreak needed, engine-portable; a tie group takes its
+    BEST member's bucket, the head-biased convention).
+
+    Scale shape: one corpus term explode -> vocabulary-sized tf agg
+    (broadcast back, the unigram_logprob_score gate: at web scale
+    prune to top-k vocab first) -> ONE partial-combined per-doc agg ->
+    per-SCORE rollup (doc-count -> distinct-score-sized) -> window +
+    bucket math over the score table only -> K-row final agg. The
+    corpus never globally sorts; no doc-level window anywhere.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql.window import Window as W
+
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(text.tokens(F.col(text_col)), F.lower)).alias(
+            "term"
+        ),
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    docs = (
+        terms.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("sum_tf"),
+        )
+        .select(
+            "n_tokens",
+            F.round(
+                F.col("sum_tf").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("q"),
+        )
+    )
+    # distinct-score rollup: everything after this is score-table-sized
+    tab = docs.groupBy("q").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    w_cum = (
+        W.orderBy(F.col("q").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = tab.select(
+        "q",
+        "c",
+        "tok",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    k = F.lit(int(n_buckets)).cast("long")
+    # first rank of this score group (0-based) = inclusive cum - count
+    first = (F.col("cum") - F.col("c")) * k
+    bucket = ((first - first % F.col("n")) / F.col("n")).cast("int") + 1
+    return (
+        ranked.select(bucket.alias("bucket"), "q", "c", "tok")
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_mean_tf"),
+            F.round(F.max("q"), 6).alias("max_mean_tf"),
+            F.round(
+                F.sum("tok").cast("double")
+                / F.sum("c").cast("double"),
+                4,
+            ).alias("avg_tokens"),
+        )
+        .orderBy("bucket")
+    )

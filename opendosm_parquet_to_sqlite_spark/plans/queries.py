@@ -9675,3 +9675,103 @@ def q_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.matryoshka_report(
         emb, "embedding", [8, 16, 32], id_col="vec_id"
     )
+
+
+@query("wordpiece_vocab")
+def q_wordpiece_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece tokenizer training — the likelihood-gain rung of the
+    tokenizer trio beside bpe_merges (raw pair frequency) and
+    unigram_lm_vocab (EM): merge score = n_pair / (n_left * n_right),
+    `##` continuation convention. ONE corpus pass builds the
+    Zipf-bounded word table; each round is two model-sized
+    partial-combined aggs (symbol counts broadcast into the pair-score
+    join) + a native fold, with localCheckpoint lineage truncation.
+    Rows-only driver check (iterative; no SQL oracle) —
+    tests/test_wordpiece.py pins the exact rule sequence against a
+    pure-Python reference of the identical algorithm."""
+    from ..operators import wordpiece
+
+    docs = load_table(spark, sf, "documents")
+    return wordpiece.wordpiece_train(docs, "text", n_merges=12)
+
+
+@query("wordpiece_segment")
+def q_wordpiece_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy longest-match segmentation under a trained WordPiece
+    vocabulary — the WordPiece twin of bpe_segment/unigram_segment:
+    train a small ruleset, induce the final vocabulary (seed alphabet +
+    merged symbols), broadcast it in an Arrow pandas_udf closure with a
+    per-batch word memo, segment every document ([UNK] fallback);
+    tokenization and output shaping stay native. Rows-only (training is
+    iterative; no SQL oracle) — determinism + round-trip pins in
+    tests/test_wordpiece.py."""
+    from ..operators import wordpiece
+
+    docs = load_table(spark, sf, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in wordpiece.wordpiece_train(docs, "text", n_merges=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    chars = [
+        r["sym"]
+        for r in wordpiece.build_word_syms(docs, "text")
+        .select(F.explode("syms").alias("sym"))
+        .distinct()
+        .collect()
+    ]
+    vocab = wordpiece.vocab_from_rules(chars, rules)
+    seg = wordpiece.wordpiece_segment(docs, "text", vocab)
+    return seg.select(
+        "doc_id",
+        F.size("wordpiece_units").cast("long").alias("n_units"),
+        F.concat_ws(" ", F.slice("wordpiece_units", 1, 8)).alias(
+            "units_head"
+        ),
+    )
+
+
+@query(
+    "commonness_buckets",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, lower(tok) AS term
+        FROM documents, LATERAL unnest({_DUCK_TOKS}) AS u(tok)
+    ), vocab AS (
+        SELECT term, count(*) AS tf FROM terms GROUP BY term
+    ), docs AS (
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               round(CAST(sum(v.tf) AS DOUBLE) / count(*), 6) AS q
+        FROM terms t JOIN vocab v USING (term)
+        GROUP BY t.doc_id
+    ), tab AS (
+        SELECT q, count(*) AS c, sum(n_tokens) AS tok
+        FROM docs GROUP BY q
+    ), ranked AS (
+        SELECT q, c, tok,
+               sum(c) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+               sum(c) OVER () AS n
+        FROM tab
+    )
+    SELECT CAST(((cum - c) * 3) // n + 1 AS INT) AS bucket,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           round(min(q), 6) AS min_mean_tf,
+           round(max(q), 6) AS max_mean_tf,
+           round(CAST(sum(tok) AS DOUBLE) / sum(c), 4) AS avg_tokens
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    shadow=True,
+)
+def q_commonness_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing by integer-exact
+    mean token frequency (corpus.commonness_buckets): vocabulary tf agg
+    broadcast back, ONE partial-combined per-doc agg, order-statistic
+    bucket math over the QUANTIZED score table only (no global ntile,
+    no doc-level window), K-row output. Hash-checked (shadow) — the
+    statistic is a pure ratio of exact integers, so bucket boundaries
+    cannot hang on cross-engine float rounding."""
+    docs = load_table(spark, sf, "documents")
+    return corpus.commonness_buckets(docs, "text", "doc_id", n_buckets=3)

@@ -3,6 +3,7 @@ the driver gate; these pin the invariants)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from opendosm_parquet_to_sqlite_spark.operators import corpus, neardup, text
@@ -186,3 +187,56 @@ def test_percentile_gate_validates_frac(spark):
     for bad in (0.0, -0.1, 1.5):
         with _pytest.raises(ValueError, match="keep_frac"):
             _gate(spark, rows, bad)
+
+
+# --- CCNet-style commonness buckets ------------------------------------------
+
+
+def _buckets(spark, rows, k=3):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return corpus.commonness_buckets(df, "text", "doc_id", n_buckets=k)
+
+
+def test_commonness_buckets_head_is_common_tail_is_rare(spark):
+    """Docs made of corpus-common words land in bucket 1 (head); docs
+    of hapax junk land in the last bucket (tail) — the CCNet keep-side
+    is the low-bucket side."""
+    common = [(i, "the cat sat on the mat") for i in range(6)]
+    rare = [(100 + i, f"zxq{i} wvut{i} qqj{i}") for i in range(3)]
+    out = {
+        r["bucket"]: r for r in _buckets(spark, common + rare).collect()
+    }
+    assert min(out) == 1 and max(out) == 3
+    # head bucket holds the common docs (highest mean tf)
+    assert out[1]["min_mean_tf"] > out[3]["max_mean_tf"]
+    assert out[3]["n_docs"] == 3  # the three junk docs are the tail
+    assert sum(r["n_docs"] for r in out.values()) == 9
+
+
+def test_commonness_buckets_ties_share_a_bucket(spark):
+    """Identical docs share a quantized score, hence a cum, hence a
+    bucket — no doc-id tiebreak splits a tie across a boundary."""
+    rows = [(i, "same words here") for i in range(7)]
+    out = _buckets(spark, rows).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 7
+
+
+def test_commonness_buckets_excludes_empty_docs(spark):
+    rows = [(0, "a a a"), (1, ""), (2, None), (3, "b b b")]
+    out = _buckets(spark, rows, k=1).collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2
+
+
+def test_commonness_buckets_avg_tokens_exact(spark):
+    rows = [(0, "x x x x"), (1, "x x")]  # 4 and 2 tokens, same term
+    out = _buckets(spark, rows, k=1).collect()[0]
+    assert out["n_docs"] == 2
+    assert out["avg_tokens"] == 3.0
+    # mean tf: doc0 = 6 (every x occurs 6x), doc1 = 6
+    assert out["min_mean_tf"] == out["max_mean_tf"] == 6.0
+
+
+def test_commonness_buckets_validates_k(spark):
+    with pytest.raises(ValueError, match="n_buckets"):
+        _buckets(spark, [(0, "a")], k=0)
