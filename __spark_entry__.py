@@ -136,6 +136,16 @@ _ROWS_ONLY_PRIORITY = [
     # per-shard position windows):
     "quality_percentile_gate",
     "shuffle_for_training",
+    # round-13 wave 3 (rows-only): WordPiece likelihood-gain trainer +
+    # greedy longest-match segmenter completing the tokenizer trio
+    # (exact rule-sequence parity vs a pure-Python reference +
+    # BPE-divergence/UNK/round-trip pins in tests/test_wordpiece.py):
+    "wordpiece_vocab",
+    "wordpiece_segment",
+    # round-13 wave 3 (shadow oracle, hash-checked in-repo): CCNet-style
+    # head/middle/tail bucketing by integer-exact mean token frequency
+    # (order-statistic bucket math over the quantized score table):
+    "commonness_buckets",
     # demoted in the round-9 SIXTH rotation (multi-round driver-green;
     # shadow oracles keep their hash proof in-repo):
     "ewma_smooth",

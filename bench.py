@@ -136,6 +136,14 @@ HEADLINE = [
     # tokenizer family) + its Viterbi segmenter
     "unigram_lm_vocab",
     "unigram_segment",
+    # round-13 wave 3: WordPiece trainer (per-round pair-score aggs with
+    # broadcast symbol counts + native fold) + greedy longest-match
+    # segmenter — completes the tokenizer trio's bench coverage
+    "wordpiece_vocab",
+    "wordpiece_segment",
+    # round-13 wave 3: CCNet-style head/middle/tail bucketing (vocab
+    # broadcast + per-doc agg + quantized-score-table order statistics)
+    "commonness_buckets",
     # round-13 wave 2: per-source percentile quality gate (score-table
     # windows + broadcast thresholds), D4 cluster-balanced selection
     # (k-means cells + water-filled md5-rank picks), binned-PAV
