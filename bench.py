@@ -442,6 +442,15 @@ SF1_GATE_EXTRA = [
     "calibrate_isotonic",
     "changepoints_pelt",
     "shuffle_for_training",
+    # round-13 wave 3: first standing 10x evidence for the WordPiece
+    # trainer (per-round pair-score aggs over the Zipf-bounded word
+    # table — growth tracks distinct words, sublinear in corpus), its
+    # greedy segmenter (Arrow longest-match scan, linear), and the
+    # CCNet-style buckets (two partial-combined aggs + score-table
+    # order statistics — corpus-linear scan bound)
+    "wordpiece_vocab",
+    "wordpiece_segment",
+    "commonness_buckets",
 ]
 
 # Named causes for queries whose >15x sf1 growth is a DOCUMENTED output
