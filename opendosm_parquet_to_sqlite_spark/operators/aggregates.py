@@ -769,10 +769,20 @@ def bootstrap_ci(
     95% interval — push B up for tighter quantile resolution; cost is
     linear in B but stays one scan.
     """
+    from ..parallelism import fan_out
+
     groups = list(group_cols or [])
     v = F.col(value_col).cast("double")
-    base = df.filter(v.isNotNull()).select(
-        *groups, v.alias("__v"), F.col(id_col).alias("__id")
+    # The ×B explode and its per-(row, replicate) md5 run MAP-SIDE on the
+    # scan's partitioning; a small/unsplittable source would serialize
+    # the whole weight derivation on one core (measured: 8.1 s of an
+    # 8.5 s wall in ONE task at sf0.1). fan_out spreads the narrow base
+    # rows once, BEFORE the ×B multiplication; no-op when the scan is
+    # already at cluster parallelism (guide §2.5).
+    base = fan_out(
+        df.filter(v.isNotNull()).select(
+            *groups, v.alias("__v"), F.col(id_col).alias("__id")
+        )
     )
     rep = base.select(
         *groups,

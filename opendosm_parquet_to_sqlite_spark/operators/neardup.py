@@ -661,7 +661,14 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
     bit b of the hash = sign of Σ_tokens (bit b set ? +1 : -1). Expressed as
     64 conditional-sum aggregates over the exploded token hashes — all
     JVM-side, one shuffle of (doc_id, token_hash).
+
+    The 63-accumulator partial aggregation runs map-side on the scan's
+    partitioning — fan_out spreads a provably-small scan first so the
+    fold parallelizes (no-op at real scale; guide §2.5).
     """
+    from ..parallelism import fan_out
+
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)))
     toks = with_shingles(df, text_col, id_col, n).select(
         "doc_id", F.explode("sh").alias("tok")
     ).withColumn("h", F.xxhash64(F.col("tok")))
