@@ -72,7 +72,13 @@ def _unpersist_rdd_ids(spark: SparkSession, ids: set) -> None:
             jmap.get(rid).unpersist(False)
 
 
-def _truncate_keyed(df: DataFrame, key: str, spark: SparkSession, truncate):
+def _truncate_keyed(
+    df: DataFrame,
+    key: str,
+    spark: SparkSession,
+    truncate,
+    nparts: int | None = None,
+):
     """Checkpoint `df` hash-partitioned AND sorted by `key` so every
     later join on `key` reads the blocks as-is: LogicalRDD (what backs a
     checkpointed DataFrame) preserves outputPartitioning/outputOrdering,
@@ -80,11 +86,18 @@ def _truncate_keyed(df: DataFrame, key: str, spark: SparkSession, truncate):
     side — the whole point for edge lists consumed once per iteration.
     AQE is toggled off around the single materializing job only: under
     AQE the final plan reports UnknownPartitioning and the layout
-    metadata is lost (verified empirically on 4.x)."""
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    except ValueError:  # e.g. "auto" under some AQE configs
-        nparts = 32
+    metadata is lost (verified empirically on 4.x).
+
+    `nparts` pins the loop's exchange width; when None it falls back to
+    spark.sql.shuffle.partitions. Loops derive it from the MEASURED edge
+    count (parallelism.loop_partitions) so a 3 000-edge graph runs
+    1-wide rounds instead of paying conf-width task dispatch every round
+    — the conf ceiling keeps cluster behavior identical at scale."""
+    if nparts is None:
+        try:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:  # e.g. "auto" under some AQE configs
+            nparts = 32
     aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -131,17 +144,28 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Materialize the symmetric edge list ONCE: it is consumed every round,
     # and the upstream pair pipeline (e.g. the whole inverted-index Jaccard
-    # DAG) must not re-execute per iteration. _truncate_keyed lays it out
-    # by the per-round join key "v", so no round ever exchanges or sorts
-    # the 2E-row side again — only the (node,label) side moves.
+    # DAG) must not re-execute per iteration. Two-step (round-13 opt):
+    # first a plain checkpoint materializes the upstream, then the edge
+    # COUNT (a cached-block aggregate, not an extra pass) sizes the loop
+    # width — loop_partitions clamps ceil(E / rows-per-partition) to
+    # [1, conf] so a few-thousand-edge graph runs 1-wide rounds instead
+    # of conf-width task dispatch every round, while at scale the width
+    # is the configured one, exactly as before. _truncate_keyed then lays
+    # the edges out by the per-round join key "v", so no round ever
+    # exchanges or sorts the 2E-row side again — only the (node,label)
+    # side moves.
+    from ..parallelism import loop_partitions
+
     before = _persistent_rdd_ids(spark)
-    sym = _truncate_keyed(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
-        "v",
-        spark,
-        _truncate,
+    raw = _truncate(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
+    raw_ids = _persistent_rdd_ids(spark) - before
+    nparts = loop_partitions(spark, raw.count())
+    before = _persistent_rdd_ids(spark)
+    sym = _truncate_keyed(raw, "v", spark, _truncate, nparts=nparts)
     sym_ids = _persistent_rdd_ids(spark) - before
+    _unpersist_rdd_ids(spark, raw_ids)
     # materialize the initial labels too: the per-round plan references
     # `labels` several times (edge join, root grouping, relabel), and a
     # round's self-joins multiply whatever DAG sits under each reference
@@ -231,8 +255,6 @@ def connected_components(
                 "node", F.coalesce("__ll", "label").alias("label")
             )
             before = _persistent_rdd_ids(spark)
-            jumped = _truncate(j)
-            new_ids = _persistent_rdd_ids(spark) - before
             # Convergence, numeric ids: the label-sum stopped moving.
             # Labels are monotone non-increasing per node and the node
             # set is fixed, so Σlabel is strictly decreasing until the
@@ -245,10 +267,23 @@ def connected_components(
             # ids (the media union-find) keep the join+isEmpty check —
             # it short-circuits at the first changed row on non-final
             # rounds.
+            # Round-13 opt, localCheckpoint path: the checkpoint is LAZY
+            # and the convergence aggregate is its materializing action,
+            # so each round runs ONE job instead of two (materialize,
+            # then re-read for the sum). The plan is pinned at
+            # localCheckpoint() call time, so the agg cannot prune
+            # columns out of the checkpointed blocks; the reliable-
+            # checkpoint path keeps eager semantics (a lost executor
+            # mid-agg must not silently recompute upstream).
             if numeric_ids:
+                if checkpoint_dir is not None:
+                    jumped = _truncate(j)
+                else:
+                    jumped = j.localCheckpoint(eager=False)
                 cur_sum = jumped.agg(
                     F.sum(F.col("label").cast("decimal(38,0)"))
                 ).first()[0]
+                new_ids = _persistent_rdd_ids(spark) - before
                 # NULL sum ⟺ empty node set (labels of a non-empty
                 # numeric node set always sum non-NULL) ⟺ trivially
                 # converged — without this an empty pair graph (e.g. a
@@ -259,6 +294,8 @@ def connected_components(
                 )
                 prev_sum = cur_sum
             else:
+                jumped = _truncate(j)
+                new_ids = _persistent_rdd_ids(spark) - before
                 cur_sum = None
                 converged = (
                     jumped.select("node", F.col("label").alias("__new"))
@@ -348,12 +385,25 @@ def pagerank(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    from ..parallelism import loop_partitions
+
     w_col = (
         F.col(weight).cast("double") if weight is not None else F.lit(1.0)
     )
-    e = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
+    # Materialize the projected edge list FIRST (round-13 opt): it is
+    # consumed twice by the normalization (per-source totals + the join
+    # back) and twice by the node table, so one plain checkpoint both
+    # stops the upstream DAG re-executing per consumer AND yields the
+    # edge count that sizes the loop width (cached-block agg, no extra
+    # pass) — same clamp discipline as connected_components.
+    before = _persistent_rdd_ids(spark)
+    e = _truncate(
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
+        )
     )
+    e_ids = _persistent_rdd_ids(spark) - before
+    nparts = loop_partitions(spark, e.count())
     before = _persistent_rdd_ids(spark)
     # normalized edges laid out by the per-round join key "u"; the node
     # table by "node" (it anchors the per-round left join) — both sides
@@ -367,6 +417,7 @@ def pagerank(
         "u",
         spark,
         _truncate,
+        nparts=nparts,
     )
     nodes = _truncate_keyed(
         e.select(F.col("u").alias("node"))
@@ -375,6 +426,7 @@ def pagerank(
         "node",
         spark,
         _truncate,
+        nparts=nparts,
     )
     # source-node set for the dangling-mass anti-join: STATIC across
     # rounds — materialized once here instead of re-running a distinct
@@ -384,8 +436,10 @@ def pagerank(
         "node",
         spark,
         _truncate,
+        nparts=nparts,
     )
     base_ids = _persistent_rdd_ids(spark) - before
+    _unpersist_rdd_ids(spark, e_ids)
     n_nodes = nodes.count()
     d = float(damping)
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
@@ -569,11 +623,29 @@ def k_core(
     # localCheckpoint is released once the next round materializes, so a
     # long peel keeps ONE resident block set (the survivor edges backing
     # the returned DataFrame)
+    from ..parallelism import loop_partitions
+
     before = _persistent_rdd_ids(spark)
     cur = e.localCheckpoint(eager=True)
     prev_ids = _persistent_rdd_ids(spark) - before
     n_cur = cur.count()
+    # size the peel width from the measured edge count: the upstream
+    # pair DAG's AQE-coalesced output width is a byte decision, and a
+    # narrow-but-compute-dense peel (degree agg + two semi-joins per
+    # round) inherits it for EVERY round — measured 6 sequential
+    # ~600 ms single-task rounds at sf0.1. Clamped to [1, conf] so
+    # cluster-scale behavior is unchanged.
+    nparts = loop_partitions(spark, n_cur)
+    if cur.rdd.getNumPartitions() < nparts:
+        before = _persistent_rdd_ids(spark)
+        wide = cur.repartition(nparts).localCheckpoint(eager=True)
+        _unpersist_rdd_ids(spark, prev_ids)
+        cur = wide
+        prev_ids = _persistent_rdd_ids(spark) - before
     for _ in range(max_iter):
+        # one job per round: the LAZY localCheckpoint is materialized by
+        # its own count() (the round's convergence signal) instead of an
+        # eager checkpoint followed by a separate counting job.
         deg = (
             cur.select(F.col("u").alias("n"))
             .unionAll(cur.select(F.col("v").alias("n")))
@@ -585,10 +657,10 @@ def k_core(
         nxt = (
             cur.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_ids = _persistent_rdd_ids(spark) - before
         n_nxt = nxt.count()
+        new_ids = _persistent_rdd_ids(spark) - before
         _unpersist_rdd_ids(spark, prev_ids)
         prev_ids = new_ids
         if n_nxt == n_cur:
@@ -647,20 +719,26 @@ def label_propagation(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    from ..parallelism import loop_partitions
+
     before = _persistent_rdd_ids(spark)
-    # laid out by the per-round join key "v" (_truncate_keyed): the 2E-row
-    # side of every round's join comes back exchange- and sort-free
-    sym = _truncate_keyed(
+    # two-step materialize-then-size, then laid out by the per-round join
+    # key "v" (_truncate_keyed): the 2E-row side of every round's join
+    # comes back exchange- and sort-free, at a loop width derived from
+    # the measured edge count (same discipline as connected_components)
+    raw = _truncate(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-        .distinct(),
-        "v",
-        spark,
-        _truncate,
+        .distinct()
     )
+    raw_ids = _persistent_rdd_ids(spark) - before
+    nparts = loop_partitions(spark, raw.count())
+    before = _persistent_rdd_ids(spark)
+    sym = _truncate_keyed(raw, "v", spark, _truncate, nparts=nparts)
     base_ids = _persistent_rdd_ids(spark) - before
+    _unpersist_rdd_ids(spark, raw_ids)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

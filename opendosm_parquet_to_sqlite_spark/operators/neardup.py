@@ -166,6 +166,11 @@ def ngram_jaccard_pairs(
     # in-bucket sorts long-compares (measured 2x end-to-end at sf0.1). A
     # hash collision merging two shingles is p ≈ k²/2⁶⁵ — irrelevant next
     # to the threshold granularity.
+    # NOTE (round-13 opt): fan_out before the tokenize/shingle chain was
+    # MEASURED SLOWER here (dedup_ngram_jaccard 1.44 -> 1.96 s median):
+    # the extra round-robin exchange + 32-way consumer stages cost more
+    # than the serial explode they replace, exactly as the with_shingles
+    # docstring records for the composed dedup plans. Left un-spread.
     docs_sh = with_hashed_shingles(df, text_col, id_col, n).select(
         "doc_id", "sh", F.size("sh").alias("n_sh")
     )
