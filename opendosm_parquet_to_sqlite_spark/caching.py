@@ -29,12 +29,32 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_unpersist(handle) -> None:
+    """Register ANY object exposing .unpersist() for release_cached().
+
+    Round-13 opt: the iterative operators (connected components,
+    PageRank, LPA, k-core, the tokenizer trainers) return DataFrames
+    backed by loop-final localCheckpoint blocks that df.unpersist()
+    cannot reach — every call leaked one block set into the session
+    (~hundreds over a bench suite, feeding exactly the in-session GC
+    pressure earlier rounds diagnosed). The loops now register a small
+    releaser here so release_cached() frees those blocks too. NOTE:
+    unlike a persist, a released localCheckpoint CANNOT recompute —
+    callers must have fully consumed the result before release_cached(),
+    which is already release_cached()'s documented contract."""
+    _TRACKED.append(handle)
+
+
 def release_cached() -> int:
     """Unpersist every tracked handle; returns how many were released.
 
-    Safe to call at any time: results already computed stay valid (the
-    cache is a performance hint, not a correctness dependency — Spark
-    recomputes lineage if a released block is referenced again).
+    Results already computed stay valid. Plain persists are performance
+    hints (Spark recomputes lineage if a released block is referenced
+    again); the loop-final localCheckpoint releasers (track_unpersist)
+    are NOT recomputable — re-executing a DataFrame returned by an
+    iterative operator after release_cached() fails rather than
+    recomputes, so call this only between workloads, once results are
+    consumed (the call pattern every in-repo consumer already follows).
     """
     released = 0
     for df in _TRACKED:

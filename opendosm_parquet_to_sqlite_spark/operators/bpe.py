@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .graph import _persistent_rdd_ids, _unpersist_rdd_ids
+from .graph import _ckpt_ids, _unpersist_rdd_ids
 from .text import tokens
 
 END_MARK = "▁"  # U+2581 LOWER HALF BLOCK — the word-end sentinel
@@ -113,9 +113,8 @@ def bpe_train(
     pure-Python reference implementation in tests/test_bpe.py.
     """
     spark = df.sparkSession
-    before = _persistent_rdd_ids(spark)
     vocab = build_word_vocab(df, text_col).localCheckpoint(eager=True)
-    prev_ids = _persistent_rdd_ids(spark) - before
+    prev_ids = _ckpt_ids(vocab)
     rules: list[tuple] = []
     try:
         for rank in range(1, int(n_merges) + 1):
@@ -129,9 +128,8 @@ def bpe_train(
                 break
             l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
             rules.append((rank, l, r, l + r, n))
-            before = _persistent_rdd_ids(spark)
             vocab = _apply_merge(vocab, l, r).localCheckpoint(eager=True)
-            new_ids = _persistent_rdd_ids(spark) - before
+            new_ids = _ckpt_ids(vocab)
             _unpersist_rdd_ids(spark, prev_ids)
             prev_ids = new_ids
     finally:

@@ -60,6 +60,27 @@ def _persistent_rdd_ids(spark: SparkSession) -> set:
     return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
 
+def _ckpt_ids(df: DataFrame) -> set:
+    """The id of the RDD backing a (local)checkpointed DataFrame, read
+    straight off its LogicalRDD plan node.
+
+    Round-13 opt — replaces the before/after registry DIFF around each
+    loop materialization, which had a long-standing friendly-fire bug:
+    a caller's persist_tracked() frame registers in getPersistentRDDs
+    only when it MATERIALIZES, and when that first happens inside a
+    loop's checkpoint job (the common case: the loop's edge list is the
+    persist's first consumer) the diff claimed the caller's cache as the
+    loop's own and the loop's cleanup UNPERSISTED it — measured as
+    media_dup_clusters re-running its payload decode ~6× (exec 230 s
+    for a plan whose decode is one 30 s pass). Works for eager and lazy
+    checkpoints (both register their RDD at call time)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return {plan.rdd().id()}
+    except Exception:  # noqa: BLE001 — cleanup must never fail a plan
+        return set()
+
+
 def _unpersist_rdd_ids(spark: SparkSession, ids: set) -> None:
     """Release the given persisted-RDD ids (non-blocking). Used to free
     intermediate localCheckpoint blocks the DataFrame API gives no handle
@@ -70,6 +91,29 @@ def _unpersist_rdd_ids(spark: SparkSession, ids: set) -> None:
     for rid in list(jmap.keySet().toArray()):
         if rid in ids:
             jmap.get(rid).unpersist(False)
+
+
+
+class _BlockReleaser:
+    """release_cached()-compatible handle for loop-final checkpoint
+    blocks (see caching.track_unpersist)."""
+
+    def __init__(self, spark: SparkSession, ids: set):
+        self._spark, self._ids = spark, ids
+
+    def unpersist(self) -> None:
+        _unpersist_rdd_ids(self._spark, self._ids)
+
+
+def _track_final_blocks(spark: SparkSession, df: DataFrame) -> None:
+    """Register a loop's RESULT checkpoint blocks for release_cached():
+    they must stay resident while the caller consumes the result, but
+    untracked they leaked one block set per call into a long session
+    (round-13 opt: a bench suite ran hundreds of loop queries per JVM —
+    the in-session old-gen pressure earlier rounds kept diagnosing)."""
+    from ..caching import track_unpersist
+
+    track_unpersist(_BlockReleaser(spark, _ckpt_ids(df)))
 
 
 def _truncate_keyed(
@@ -156,15 +200,13 @@ def connected_components(
     # side moves.
     from ..parallelism import loop_partitions
 
-    before = _persistent_rdd_ids(spark)
     raw = _truncate(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
-    raw_ids = _persistent_rdd_ids(spark) - before
+    raw_ids = _ckpt_ids(raw)
     nparts = loop_partitions(spark, raw.count())
-    before = _persistent_rdd_ids(spark)
     sym = _truncate_keyed(raw, "v", spark, _truncate, nparts=nparts)
-    sym_ids = _persistent_rdd_ids(spark) - before
+    sym_ids = _ckpt_ids(sym)
     _unpersist_rdd_ids(spark, raw_ids)
     # materialize the initial labels too: the per-round plan references
     # `labels` several times (edge join, root grouping, relabel), and a
@@ -173,13 +215,12 @@ def connected_components(
     # node-derivation repeatedly and cost 19 s of the sf10 probe's 38 s
     # component phase. One eager node-table checkpoint makes round 0
     # shaped like every other round (multiplying a leaf, not a DAG).
-    before = _persistent_rdd_ids(spark)
     labels = _truncate(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    prev_ids: set = _persistent_rdd_ids(spark) - before
+    prev_ids: set = _ckpt_ids(labels)
     debug = os.environ.get("SPARK_GRAFT_CC_DEBUG") == "1"
     # The sum-based convergence check needs numeric labels (a decimal sum
     # over string ids is NULL and would never converge — caught by the
@@ -254,7 +295,6 @@ def connected_components(
             j = j.join(lookup, j["label"] == lookup["__ln"], "left").select(
                 "node", F.coalesce("__ll", "label").alias("label")
             )
-            before = _persistent_rdd_ids(spark)
             # Convergence, numeric ids: the label-sum stopped moving.
             # Labels are monotone non-increasing per node and the node
             # set is fixed, so Σlabel is strictly decreasing until the
@@ -283,7 +323,7 @@ def connected_components(
                 cur_sum = jumped.agg(
                     F.sum(F.col("label").cast("decimal(38,0)"))
                 ).first()[0]
-                new_ids = _persistent_rdd_ids(spark) - before
+                new_ids = _ckpt_ids(jumped)
                 # NULL sum ⟺ empty node set (labels of a non-empty
                 # numeric node set always sum non-NULL) ⟺ trivially
                 # converged — without this an empty pair graph (e.g. a
@@ -295,7 +335,7 @@ def connected_components(
                 prev_sum = cur_sum
             else:
                 jumped = _truncate(j)
-                new_ids = _persistent_rdd_ids(spark) - before
+                new_ids = _ckpt_ids(jumped)
                 cur_sum = None
                 converged = (
                     jumped.select("node", F.col("label").alias("__new"))
@@ -317,6 +357,7 @@ def connected_components(
                 # what backs the returned DataFrame — on the local path it
                 # MUST stay resident (see module docstring).
                 _unpersist_rdd_ids(spark, sym_ids)
+                _track_final_blocks(spark, labels)
                 return labels.select(
                     F.col("node").alias("doc_id"),
                     F.col("label").alias("cluster_id"),
@@ -396,15 +437,13 @@ def pagerank(
     # stops the upstream DAG re-executing per consumer AND yields the
     # edge count that sizes the loop width (cached-block agg, no extra
     # pass) — same clamp discipline as connected_components.
-    before = _persistent_rdd_ids(spark)
     e = _truncate(
         edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
         )
     )
-    e_ids = _persistent_rdd_ids(spark) - before
+    e_ids = _ckpt_ids(e)
     nparts = loop_partitions(spark, e.count())
-    before = _persistent_rdd_ids(spark)
     # normalized edges laid out by the per-round join key "u"; the node
     # table by "node" (it anchors the per-round left join) — both sides
     # of every iteration's joins then read their checkpoints exchange-
@@ -438,7 +477,7 @@ def pagerank(
         _truncate,
         nparts=nparts,
     )
-    base_ids = _persistent_rdd_ids(spark) - before
+    base_ids = _ckpt_ids(norm) | _ckpt_ids(nodes) | _ckpt_ids(sources)
     _unpersist_rdd_ids(spark, e_ids)
     n_nodes = nodes.count()
     d = float(damping)
@@ -463,7 +502,6 @@ def pagerank(
                 .groupBy(F.col("v").alias("node"))
                 .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
             )
-            before = _persistent_rdd_ids(spark)
             new_ranks = _truncate(
                 nodes.join(contrib, "node", "left")
                 .crossJoin(F.broadcast(dangling))
@@ -479,7 +517,7 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            new_ids = _persistent_rdd_ids(spark) - before
+            new_ids = _ckpt_ids(new_ranks)
             _unpersist_rdd_ids(spark, prev_ids)
             prev_ids = new_ids
             ranks = new_ranks
@@ -487,6 +525,7 @@ def pagerank(
         _unpersist_rdd_ids(spark, base_ids | prev_ids)
         raise
     _unpersist_rdd_ids(spark, base_ids)
+    _track_final_blocks(spark, ranks)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -625,9 +664,8 @@ def k_core(
     # the returned DataFrame)
     from ..parallelism import loop_partitions
 
-    before = _persistent_rdd_ids(spark)
     cur = e.localCheckpoint(eager=True)
-    prev_ids = _persistent_rdd_ids(spark) - before
+    prev_ids = _ckpt_ids(cur)
     n_cur = cur.count()
     # size the peel width from the measured edge count: the upstream
     # pair DAG's AQE-coalesced output width is a byte decision, and a
@@ -637,11 +675,10 @@ def k_core(
     # cluster-scale behavior is unchanged.
     nparts = loop_partitions(spark, n_cur)
     if cur.rdd.getNumPartitions() < nparts:
-        before = _persistent_rdd_ids(spark)
         wide = cur.repartition(nparts).localCheckpoint(eager=True)
         _unpersist_rdd_ids(spark, prev_ids)
         cur = wide
-        prev_ids = _persistent_rdd_ids(spark) - before
+        prev_ids = _ckpt_ids(wide)
     for _ in range(max_iter):
         # one job per round: the LAZY localCheckpoint is materialized by
         # its own count() (the round's convergence signal) instead of an
@@ -653,14 +690,13 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("n")
-        before = _persistent_rdd_ids(spark)
         nxt = (
             cur.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
         n_nxt = nxt.count()
-        new_ids = _persistent_rdd_ids(spark) - before
+        new_ids = _ckpt_ids(nxt)
         _unpersist_rdd_ids(spark, prev_ids)
         prev_ids = new_ids
         if n_nxt == n_cur:
@@ -669,6 +705,7 @@ def k_core(
         cur, n_cur = nxt, n_nxt
     else:
         raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    _track_final_blocks(spark, cur)
     return (
         cur.select(F.col("u").alias("node"))
         .unionAll(cur.select(F.col("v").alias("node")))
@@ -721,7 +758,6 @@ def label_propagation(
 
     from ..parallelism import loop_partitions
 
-    before = _persistent_rdd_ids(spark)
     # two-step materialize-then-size, then laid out by the per-round join
     # key "v" (_truncate_keyed): the 2E-row side of every round's join
     # comes back exchange- and sort-free, at a loop width derived from
@@ -733,11 +769,10 @@ def label_propagation(
         )
         .distinct()
     )
-    raw_ids = _persistent_rdd_ids(spark) - before
+    raw_ids = _ckpt_ids(raw)
     nparts = loop_partitions(spark, raw.count())
-    before = _persistent_rdd_ids(spark)
     sym = _truncate_keyed(raw, "v", spark, _truncate, nparts=nparts)
-    base_ids = _persistent_rdd_ids(spark) - before
+    base_ids = _ckpt_ids(sym)
     _unpersist_rdd_ids(spark, raw_ids)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -768,9 +803,8 @@ def label_propagation(
                     ).alias("label")
                 )
             )
-            before = _persistent_rdd_ids(spark)
             new_labels = _truncate(new)
-            new_ids = _persistent_rdd_ids(spark) - before
+            new_ids = _ckpt_ids(new_labels)
             changed = (
                 new_labels.select("node", F.col("label").alias("__new"))
                 .join(labels, "node")
@@ -786,6 +820,7 @@ def label_propagation(
         _unpersist_rdd_ids(spark, base_ids | prev_ids)
         raise
     _unpersist_rdd_ids(spark, base_ids)
+    _track_final_blocks(spark, labels)
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -819,6 +854,11 @@ def link_prediction(
     common ≥ `min_common`.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # NOTE (round-13 opt): persisting sym for its three consumers
+    # (degree table, wedge centers, existing-edge anti-join) was MEASURED
+    # SLOWER (2.54 -> 3.67 s median on the registered query): the cache
+    # materialization serializes what AQE otherwise runs as three
+    # concurrent duplicate stages. Left lazy.
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()

@@ -330,14 +330,13 @@ def unigram_train(
         raise ValueError(
             f"max_piece_len must be >= 2, got {max_piece_len}"
         )
-    from .graph import _persistent_rdd_ids, _unpersist_rdd_ids
+    from .graph import _ckpt_ids, _unpersist_rdd_ids
 
     spark = df.sparkSession
-    before = _persistent_rdd_ids(spark)
     words = _word_freqs(df, text_col, max_word_len).localCheckpoint(
         eager=True
     )
-    ckpt_ids = _persistent_rdd_ids(spark) - before
+    ckpt_ids = _ckpt_ids(words)
     try:
         chars, multi = seed_pieces(
             words, max_piece_len, seed_size, min_freq=min_freq

@@ -65,7 +65,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .graph import _persistent_rdd_ids, _unpersist_rdd_ids
+from .graph import _ckpt_ids, _unpersist_rdd_ids
 from .text import tokens
 
 CONT = "##"  # the continuation prefix (BERT convention)
@@ -191,9 +191,13 @@ def wordpiece_train(
     Pinned against a pure-Python reference in tests/test_wordpiece.py.
     """
     spark = df.sparkSession
-    before = _persistent_rdd_ids(spark)
     vocab = build_word_syms(df, text_col).localCheckpoint(eager=True)
-    prev_ids = _persistent_rdd_ids(spark) - before
+    prev_ids = _ckpt_ids(vocab)
+    # generation scheduled for release once the NEXT materialization
+    # lands: with lazy per-round checkpoints (below), round r's blocks
+    # must outlive round r+1's collect — releasing them eagerly hits
+    # checkpointRDDBlockIdNotFound when the lazy table computes.
+    release_after_next: set = set()
     rules: list[tuple] = []
     try:
         for rank in range(1, int(n_merges) + 1):
@@ -209,6 +213,10 @@ def wordpiece_train(
                 .limit(1)
                 .collect()
             )
+            # the collect materialized `vocab` — the generation BEHIND
+            # it is now safe to drop
+            _unpersist_rdd_ids(spark, release_after_next)
+            release_after_next = set()
             if not top:
                 break
             l, r = top[0]["l"], top[0]["r"]
@@ -222,13 +230,18 @@ def wordpiece_train(
                     round(float(top[0]["score"]), 12),
                 )
             )
-            before = _persistent_rdd_ids(spark)
-            vocab = _apply_merge(vocab, l, r).localCheckpoint(eager=True)
-            new_ids = _persistent_rdd_ids(spark) - before
-            _unpersist_rdd_ids(spark, prev_ids)
+            # LAZY checkpoint: the next round's top-pair collect is the
+            # materializing action, so each merge round runs one driver
+            # job fewer (round-13 opt; same fusion as the graph loops).
+            # Concurrent stage jobs computing an unmaterialized cached
+            # partition serialize on Spark's block locks, so the table
+            # still computes once.
+            vocab = _apply_merge(vocab, l, r).localCheckpoint(eager=False)
+            new_ids = _ckpt_ids(vocab)
+            release_after_next = prev_ids
             prev_ids = new_ids
     finally:
-        _unpersist_rdd_ids(spark, prev_ids)
+        _unpersist_rdd_ids(spark, prev_ids | release_after_next)
     return spark.createDataFrame(
         rules,
         "rank long, left string, right string, merged string,"
