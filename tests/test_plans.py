@@ -415,7 +415,13 @@ def test_bootstrap_ci_one_explode_then_summary_aggs(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("partial_") >= 2  # map-side combine on both aggs
-    assert _n_exchanges(plan) <= 4, plan
+    # round-13 opt: +1 conditional round-robin exchange (parallelism.
+    # fan_out) spreading the base rows BEFORE the xB explode — on an
+    # unsplittable small scan the explode + per-(row, replicate) md5
+    # otherwise runs in ONE task (measured 8.1 s of an 8.5 s wall);
+    # no-op (4 exchanges) when the scan has >= parallelism splits.
+    assert _n_exchanges(plan) <= 5, plan
+    assert "RoundRobinPartitioning" in plan  # the fan_out fired here
 
 
 def test_weighted_median_distinct_collapse_then_window(spark):
