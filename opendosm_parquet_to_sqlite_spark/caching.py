@@ -13,6 +13,16 @@ release_cached() once the results of a batch of operator calls have been
 fully consumed (bench.py does this between queries; a service would do it
 per request). StorageLevel stays MEMORY_AND_DISK (the persist default) so
 tracked blocks spill rather than OOM in the meantime.
+
+CONTRACT (since round 13): release_cached() is a pure performance hint for
+plain persists (Spark recomputes lineage), but the ITERATIVE operators
+(connected components, PageRank, LPA, k-core, the tokenizer trainers)
+register loop-final localCheckpoint blocks here too, and those cannot
+recompute — re-executing a DataFrame returned by an iterative operator
+AFTER release_cached() fails with a checkpoint-block lookup error instead
+of silently recomputing. Consume results fully, then release
+(tests/test_caching.py::test_released_loop_result_fails_fast_not_wrong
+pins the failure mode).
 """
 
 from __future__ import annotations

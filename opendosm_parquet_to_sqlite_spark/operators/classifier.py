@@ -112,6 +112,23 @@ def train_logreg(
     n = labels.count()
     if n == 0:
         raise ValueError("no labeled rows — cannot train")
+    # ONE action per iteration (round-14 opt, guide §2.6): the bias
+    # gradient Σr used to be a second collect whose job re-executed the
+    # whole resid subtree (margins broadcast join + label join) — two
+    # sequential driver round-trips per iteration. Appending a synthetic
+    # bias feature (bucket −1, x = 1) for every LABELED doc folds Σr
+    # into the same per-bucket aggregation (g[−1] = Σ 1·r ≡ Σr, and docs
+    # without real features still carry their bias row because resid is
+    # label-anchored), so each iteration is exactly one job over one
+    # resid execution. Float-sum order for Σr moves from a single-frame
+    # agg to the partial-agg combine — same 1e-9 NumPy-parity envelope
+    # the tests pin (the consuming queries are rows-only).
+    bias_rows = labels.select(
+        "doc_id",
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    feats_aug = feats.select("doc_id", "bucket", "x").unionByName(bias_rows)
     w = np.zeros(n_buckets)
     bias = 0.0
     for _ in range(n_iters):
@@ -128,15 +145,18 @@ def train_logreg(
             )
         )
         grad_rows = (
-            feats.join(resid, "doc_id")
+            feats_aug.join(resid, "doc_id")
             .groupBy("bucket")
             .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
             .collect()
         )
         g = np.zeros(n_buckets)
+        g_bias = 0.0
         for row in grad_rows:
-            g[row["bucket"]] = row["g"]
-        g_bias = resid.agg(F.sum("r")).collect()[0][0]
+            if row["bucket"] < 0:
+                g_bias = row["g"]
+            else:
+                g[row["bucket"]] = row["g"]
         w -= lr * (g / n + l2 * w)
         bias -= lr * (g_bias / n)
     return w, bias

@@ -186,28 +186,38 @@ def connected_components(
         return df.localCheckpoint(eager=True)
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # Materialize the symmetric edge list ONCE: it is consumed every round,
-    # and the upstream pair pipeline (e.g. the whole inverted-index Jaccard
-    # DAG) must not re-execute per iteration. Two-step (round-13 opt):
-    # first a plain checkpoint materializes the upstream, then the edge
-    # COUNT (a cached-block aggregate, not an extra pass) sizes the loop
-    # width — loop_partitions clamps ceil(E / rows-per-partition) to
-    # [1, conf] so a few-thousand-edge graph runs 1-wide rounds instead
-    # of conf-width task dispatch every round, while at scale the width
-    # is the configured one, exactly as before. _truncate_keyed then lays
-    # the edges out by the per-round join key "v", so no round ever
-    # exchanges or sorts the 2E-row side again — only the (node,label)
-    # side moves.
+    # Materialize the DIRECTED pair list first (round-14 opt — replaces
+    # round 13's plain checkpoint of the 2E-row symmetric union, whose
+    # two union branches each re-executed the whole upstream pair
+    # pipeline: the inverted-index Jaccard DAG ran TWICE per call,
+    # measured as two full 32-task pair-explosion stages — 26 s of the
+    # 77 s executor time of dup_clusters at sf0.1). Checkpointing the
+    # E-row pair output runs the upstream exactly ONCE; the edge COUNT
+    # is then a cached-block aggregate (no extra pass) and sizes the
+    # loop width BEFORE the one keyed materialization, so no re-layout
+    # is ever needed at any scale: loop_partitions clamps ceil(2E /
+    # rows-per-partition) to [1, conf] — a few-thousand-edge graph runs
+    # 1-wide rounds instead of conf-width task dispatch every round,
+    # while at 100 TB the clamp returns the configured width and the
+    # layout below is byte-identical to a fixed-width one. The symmetric
+    # union is built FROM the checkpointed blocks (two cheap reads of E
+    # rows, no upstream re-execution) and _truncate_keyed lays it out by
+    # the per-round join key "v", so no round ever exchanges or sorts
+    # the 2E-row side again — only the (node, label) side moves.
     from ..parallelism import loop_partitions
 
-    raw = _truncate(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    p = _truncate(e)
+    p_ids = _ckpt_ids(p)
+    nparts = loop_partitions(spark, 2 * p.count())
+    sym = _truncate_keyed(
+        p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        "v",
+        spark,
+        _truncate,
+        nparts=nparts,
     )
-    raw_ids = _ckpt_ids(raw)
-    nparts = loop_partitions(spark, raw.count())
-    sym = _truncate_keyed(raw, "v", spark, _truncate, nparts=nparts)
     sym_ids = _ckpt_ids(sym)
-    _unpersist_rdd_ids(spark, raw_ids)
+    _unpersist_rdd_ids(spark, p_ids)
     # materialize the initial labels too: the per-round plan references
     # `labels` several times (edge join, root grouping, relabel), and a
     # round's self-joins multiply whatever DAG sits under each reference
@@ -483,8 +493,20 @@ def pagerank(
     d = float(damping)
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     prev_ids: set = set()
+    # NOTE (round-14 opt): batching 2 iterations per checkpoint on tiny
+    # graphs (the round-13 verdict's remaining idea for the ~8-jobs-per-
+    # iteration driver-latency floor) was MEASURED WORSE on
+    # event_pagerank — 171 -> 230 jobs and 8.3 -> 12.3 s executor time:
+    # the skipped round's lazy plan doubles inside the next
+    # materialization (ranks is referenced by both the dangling agg and
+    # the contrib join) and the deeper plan spawns MORE AQE stage/
+    # broadcast sub-jobs than the dropped checkpoint saved. Combined
+    # with round 13's AQE-off and broadcast-off negatives, every lever
+    # over the per-iteration job count has now been measured; the
+    # checkpoint-per-iteration discipline stays.
+    batch = 1
     try:
-        for _ in range(int(n_iter)):
+        for it in range(int(n_iter)):
             # dangling mass stays a LAZY 1-row frame broadcast into the
             # update — a scalar collect here would add a blocking driver
             # round-trip per iteration (measured: it dominated wall-clock
@@ -502,7 +524,7 @@ def pagerank(
                 .groupBy(F.col("v").alias("node"))
                 .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
             )
-            new_ranks = _truncate(
+            new_ranks = (
                 nodes.join(contrib, "node", "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
@@ -517,9 +539,11 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            new_ids = _ckpt_ids(new_ranks)
-            _unpersist_rdd_ids(spark, prev_ids)
-            prev_ids = new_ids
+            if (it + 1) % batch == 0 or it == int(n_iter) - 1:
+                new_ranks = _truncate(new_ranks)
+                new_ids = _ckpt_ids(new_ranks)
+                _unpersist_rdd_ids(spark, prev_ids)
+                prev_ids = new_ids
             ranks = new_ranks
     except BaseException:
         _unpersist_rdd_ids(spark, base_ids | prev_ids)
@@ -667,12 +691,14 @@ def k_core(
     cur = e.localCheckpoint(eager=True)
     prev_ids = _ckpt_ids(cur)
     n_cur = cur.count()
-    # size the peel width from the measured edge count: the upstream
-    # pair DAG's AQE-coalesced output width is a byte decision, and a
-    # narrow-but-compute-dense peel (degree agg + two semi-joins per
-    # round) inherits it for EVERY round — measured 6 sequential
-    # ~600 ms single-task rounds at sf0.1. Clamped to [1, conf] so
-    # cluster-scale behavior is unchanged.
+    # Re-widen only when the checkpoint landed NARROWER than the
+    # rows-per-partition width says the peel should run — i.e. a big
+    # edge list behind a few-split scan (one huge unsplittable file).
+    # For small graphs loop_partitions returns 1 and this never fires:
+    # their peel rounds run at whatever width the upstream produced,
+    # and the round-13 k_core speedup came from the session AQE
+    # coalescing floor, not from this branch (round-14 note, closing
+    # the round-13 ADVICE misattribution).
     nparts = loop_partitions(spark, n_cur)
     if cur.rdd.getNumPartitions() < nparts:
         wide = cur.repartition(nparts).localCheckpoint(eager=True)
@@ -758,22 +784,32 @@ def label_propagation(
 
     from ..parallelism import loop_partitions
 
-    # two-step materialize-then-size, then laid out by the per-round join
-    # key "v" (_truncate_keyed): the 2E-row side of every round's join
-    # comes back exchange- and sort-free, at a loop width derived from
-    # the measured edge count (same discipline as connected_components)
-    raw = _truncate(
+    # pairs-first materialization (round-14 opt, same rationale as
+    # connected_components): checkpoint the E-row DIRECTED pair output so
+    # the upstream DAG runs ONCE (the symmetric union's two branches
+    # each re-executed it in rounds 12-13), size the loop width from the
+    # cached-block count (no extra pass), then build the deduped
+    # symmetric union FROM the checkpointed blocks and lay it out by the
+    # per-round join key "v" (_truncate_keyed) at that width — the
+    # 2E-row side of every round's join comes back exchange- and
+    # sort-free, and at scale the clamp returns the conf width so the
+    # layout is byte-identical to a fixed-width one.
+    p = _truncate(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-        .distinct()
     )
-    raw_ids = _ckpt_ids(raw)
-    nparts = loop_partitions(spark, raw.count())
-    sym = _truncate_keyed(raw, "v", spark, _truncate, nparts=nparts)
+    p_ids = _ckpt_ids(p)
+    nparts = loop_partitions(spark, 2 * p.count())
+    sym = _truncate_keyed(
+        p.unionByName(
+            p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct(),
+        "v",
+        spark,
+        _truncate,
+        nparts=nparts,
+    )
     base_ids = _ckpt_ids(sym)
-    _unpersist_rdd_ids(spark, raw_ids)
+    _unpersist_rdd_ids(spark, p_ids)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

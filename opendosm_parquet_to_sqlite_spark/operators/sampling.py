@@ -1188,21 +1188,49 @@ def doremi_weights(
                 "__ref",
             )
         )
-        # job 1: per-domain counts + mean excess loss under the current w
-        stats = {
-            r["__dom"]: (r["n"], r["ex"])
-            for r in scored.groupBy("__dom")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.avg(
-                    F.greatest(
-                        F.col("__r") * F.col("__r") - F.col("__ref"),
-                        F.lit(0.0),
-                    )
-                ).alias("ex"),
+        # ONE action per round (round-14 opt, guide §2.6): the per-domain
+        # stats agg and the per-(domain, bucket) gradient agg are
+        # independent given `scored` (alpha's EG update feeds only the
+        # driver-side w update below), so instead of two sequential
+        # collects — two driver round-trips, two plan/schedule cycles —
+        # the two agg legs are UNIONED into one frame and fetched by a
+        # single collect; AQE runs the legs as parallel stages over the
+        # shared persisted residuals. Row tag: stats rows carry a NULL
+        # bucket, gradient rows a real one. Each leg's aggregation is
+        # unchanged, so the collected values are the ones the two jobs
+        # produced before.
+        stats_leg = scored.groupBy("__dom").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(
+                F.greatest(
+                    F.col("__r") * F.col("__r") - F.col("__ref"),
+                    F.lit(0.0),
+                )
+            ).alias("ex"),
+        ).select(
+            "__dom",
+            F.lit(None).cast("long").alias("bucket"),
+            F.col("n").cast("double").alias("a"),
+            F.col("ex").alias("b"),
+        )
+        grad_leg = (
+            feats.join(scored, "doc_id")
+            .groupBy("__dom", "bucket")
+            .agg(F.sum(2.0 * F.col("__r") * F.col("x")).alias("g"))
+            .select(
+                "__dom",
+                "bucket",
+                F.col("g").alias("a"),
+                F.lit(None).cast("double").alias("b"),
             )
-            .collect()
-        }
+        )
+        stats: dict[str, tuple[float, float]] = {}
+        grad = np.zeros((K, B))
+        for r in stats_leg.unionByName(grad_leg).collect():
+            if r["bucket"] is None:
+                stats[r["__dom"]] = (r["a"], r["b"])
+            else:
+                grad[d_idx[r["__dom"]], r["bucket"]] = r["a"]
         n_k = np.array([stats[d][0] for d in domains], dtype=np.float64)
         excess = np.array([stats[d][1] for d in domains])
         # exponentiated-gradient ascent on the mixture + smoothing
@@ -1211,15 +1239,6 @@ def doremi_weights(
             smoothing
         ) / K
         alpha_sum += alpha
-        # job 2: per-(domain, bucket) gradient of the squared loss
-        grad = np.zeros((K, B))
-        for r in (
-            feats.join(scored, "doc_id")
-            .groupBy("__dom", "bucket")
-            .agg(F.sum(2.0 * F.col("__r") * F.col("x")).alias("g"))
-            .collect()
-        ):
-            grad[d_idx[r["__dom"]], r["bucket"]] = r["g"]
         w -= float(lr_proxy) * (alpha / n_k) @ grad
         # this round's residuals are fully consumed — release the pin
         # now rather than letting R corpus-sized cache entries stack up

@@ -57,3 +57,30 @@ def test_released_result_recomputes_correctly(spark):
     # the cache is a hint, not a correctness dependency: the same lazy
     # plan re-executes from lineage after release
     assert pairs.count() == before
+
+
+def test_released_loop_result_fails_fast_not_wrong(spark):
+    """Round-14 contract pin (round-13 verdict item 8 / ADVICE item 1):
+    a DataFrame returned by an iterative operator is backed by loop-final
+    localCheckpoint blocks that release_cached() frees via a
+    _BlockReleaser. Unlike a plain persist, those blocks CANNOT be
+    recomputed — the documented behavior is consume-then-release, and a
+    re-execution after release must FAIL (checkpoint block lookup error),
+    never silently return wrong/partial data."""
+    import pytest
+
+    from opendosm_parquet_to_sqlite_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    rows = {(r.doc_id, r.cluster_id) for r in comp.collect()}  # consume
+    assert rows == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert release_cached() >= 1
+    with pytest.raises(Exception) as exc:
+        comp.collect()  # re-execution after release: documented failure
+    msg = str(exc.value).lower()
+    assert "block" in msg or "checkpoint" in msg, msg
