@@ -188,6 +188,7 @@ def test_schema_diff_nullability_relaxation(spark):
     assert d["compatible"]  # relaxation is lossless for union
 
 
+@pytest.mark.slow
 def test_cli_explain_reports_plan_facts():
     import json
     import subprocess

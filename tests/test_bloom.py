@@ -39,6 +39,7 @@ def test_bloom_is_superset_of_exact(spark, split):
     assert total_bloom - total_exact <= max(1, total_exact // 100)
 
 
+@pytest.mark.slow
 def test_generous_sizing_matches_exact(spark, split):
     """With m >> k*n_grams the FP probability is ~(kn/m)^k ~ 1e-17 —
     deterministic hashes, so this equality is stable, not flaky."""

@@ -136,6 +136,7 @@ _fuzz_doc = st.lists(
     window=st.integers(min_value=2, max_value=8),
     overlap_frac=st.integers(min_value=0, max_value=100),
 )
+@pytest.mark.slow
 def test_chunk_documents_fuzz_mass_conservation(spark, docs, window,
                                                 overlap_frac):
     """For arbitrary hostile docs and (window, overlap): the chunk count is

@@ -64,6 +64,7 @@ def test_features_are_log1p_counts(spark, frame):
     assert not [r for r in feats if r.doc_id == 99]  # empty doc: no rows
 
 
+@pytest.mark.slow
 def test_training_matches_numpy_oracle(spark, frame):
     feats_df = classifier.hashed_features(frame, "text", "doc_id", NB)
     labels_df = frame.select("doc_id", "y")
@@ -75,6 +76,7 @@ def test_training_matches_numpy_oracle(spark, frame):
     assert bias == pytest.approx(obias, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_distillation_separates_the_classes(spark, frame):
     out = {
         r.doc_id: r

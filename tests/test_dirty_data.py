@@ -8,6 +8,8 @@ exist because real web corpora are NOT well formed.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -70,6 +72,7 @@ def _run(spark, rows, bench_rows, repartition=None, budget=8):
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(docs=st.lists(_doc_strategy, min_size=1, max_size=10))
+@pytest.mark.slow
 def test_prepare_training_data_hostile_unicode_invariants(spark, docs):
     rows = [(i, t, "s") for i, t in enumerate(docs)]
     bench_rows = [(1000, "the and data of to in the and data")]
@@ -109,6 +112,7 @@ def test_prepare_training_data_hostile_unicode_invariants(spark, docs):
             assert r[6] == running, r  # cum_tokens
 
 
+@pytest.mark.slow
 def test_nul_and_zero_width_docs_survive_deterministically(spark):
     """NUL bytes and zero-width chars are DATA, not delimiters: they pass
     the pipeline unmangled, count as token characters, and never crash a
@@ -142,6 +146,7 @@ def test_one_token_docs_are_gated_not_crashed(spark):
     assert {r[0] for r in out} == {1}
 
 
+@pytest.mark.slow
 def test_exact_budget_doc_packs_one_full_sequence(spark):
     """Docs of exactly `budget` tokens: packing stays exact — the full-
     budget doc closes its sequence, and running totals never

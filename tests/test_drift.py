@@ -93,6 +93,7 @@ def test_k_anonymity_validates_k(spark):
         privacy.k_anonymity_report(df, ["a"], k=1)
 
 
+@pytest.mark.slow
 def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
     """Each microbatch's streamed PSI report equals psi_drift run on
     (baseline, that batch) directly — the monitor adds delivery, not
@@ -153,6 +154,7 @@ from hypothesis import given, settings, strategies as st
     b=st.lists(st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 2)),
                min_size=2, max_size=60),
 )
+@pytest.mark.slow
 def test_psi_fuzz_vs_numpy_reference(spark, a, b):
     """Random slices vs a NumPy restatement of the same binning/floor
     math — catches drift between the distributed expression DAG and the

@@ -65,6 +65,7 @@ def test_three_way_split_equals_one_shot(spark, events):
     ),
     cut=st.integers(0, 7),
 )
+@pytest.mark.slow
 def test_monoid_property_fuzz(spark, data, cut):
     """Any split point, any key mix, NULLs included: merged partials
     finalize identically to the one-shot aggregation."""
@@ -288,6 +289,7 @@ def test_hll_state_maintenance_estimates_match_whole(spark, tmp_path):
         assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k])
 
 
+@pytest.mark.slow
 def test_mg_state_exact_under_any_split_when_capacity_covers(spark, tmp_path):
     """With capacity >= universe no decrement ever fires, so the drained
     streaming state is EXACT counts regardless of microbatch boundaries."""

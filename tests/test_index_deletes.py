@@ -31,6 +31,7 @@ def _media_index(spark, tmp_path, n=12):
     return path, probe
 
 
+@pytest.mark.slow
 def test_media_delete_never_surfaces_and_is_o_ids(spark, tmp_path):
     path, probe = _media_index(spark, tmp_path)
     hit = {
@@ -89,6 +90,7 @@ def test_media_compaction_gc_and_threshold(spark, tmp_path):
         M.compact_media_fp_tombstones(spark, path, max_tombstone_fraction=0)
 
 
+@pytest.mark.slow
 def test_media_append_resurrects_single_copy(spark, tmp_path):
     path, probe = _media_index(spark, tmp_path)
     M.delete_from_media_fp_index(
@@ -174,6 +176,7 @@ def _probe(spark, path, probe):
     )
 
 
+@pytest.mark.slow
 def test_neardup_delete_never_surfaces(spark, tmp_path):
     path, probe = _nd_index(spark, tmp_path)
     hits = {r.index_id for r in _probe(spark, path, probe).collect()}
@@ -193,6 +196,7 @@ def test_neardup_delete_never_surfaces(spark, tmp_path):
     assert spark.read.parquet(f"{path}/sets").count() == docs_before
 
 
+@pytest.mark.slow
 def test_neardup_compaction_and_resurrect(spark, tmp_path):
     path, probe = _nd_index(spark, tmp_path)
     neardup.delete_from_neardup_index(

@@ -246,6 +246,7 @@ def test_image_phash_plug_in_decoder(spark):
     assert rows[0].phash == M._to_signed64((1 << 64) - 1)  # all-descending ramp
 
 
+@pytest.mark.slow
 def test_media_dup_clusters_structure_and_survivor(spark):
     """One cluster per base image, every sibling a member, survivor =
     largest payload (ties -> smallest id) — verified against the
@@ -268,6 +269,7 @@ def test_media_dup_clusters_structure_and_survivor(spark):
         assert (keep_id, keep_score) == (best, sizes[best])
 
 
+@pytest.mark.slow
 def test_media_dup_clusters_audio_modality_and_bad_modality(spark):
     ids = spark.range(12).withColumnRenamed("id", "doc_id")
     wav = M.synth_wav_corpus(ids, "doc_id", n_bases=3)
@@ -280,6 +282,7 @@ def test_media_dup_clusters_audio_modality_and_bad_modality(spark):
         M.media_dup_clusters(wav, "payload", "doc_id", modality="video")
 
 
+@pytest.mark.slow
 def test_media_fp_index_roundtrip_append_probe(spark, tmp_path):
     """Persisted fingerprint index: build over a corpus, probe a new
     batch (re-encodes collide against the index, novel content doesn't),
@@ -326,6 +329,7 @@ def test_media_fp_index_roundtrip_append_probe(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_media_fp_index_self_probe_excludes_self_pairs(spark, tmp_path):
     path = str(tmp_path / "fpidx2")
     ids = spark.range(10).withColumnRenamed("id", "doc_id")
@@ -382,6 +386,7 @@ def test_media_dup_clusters_pair_volume_is_fingerprint_bounded(spark):
     assert all(r.n_members == 20 for r in out)
 
 
+@pytest.mark.slow
 def test_media_dup_clusters_merges_across_fingerprints(spark):
     """Cross-check of the collapse: groups whose fingerprints differ by
     <= max_hamming still merge into one cluster through the rep edge —
@@ -395,6 +400,7 @@ def test_media_dup_clusters_merges_across_fingerprints(spark):
     assert all(r.n_members == 5 for r in out)
 
 
+@pytest.mark.slow
 def test_max_pairs_valve_raises_with_cluster_pointer(spark):
     """The round-10 safety valve: a corpus whose exact-dup member-pair
     estimate exceeds max_pairs must refuse to build the quadratic pair
@@ -423,6 +429,7 @@ def test_max_pairs_valve_raises_with_cluster_pointer(spark):
         M.audio_phash_pairs(wav, "payload", "doc_id", max_pairs=100)
 
 
+@pytest.mark.slow
 def test_max_pairs_valve_is_on_by_default(spark):
     """Round-10 verdict order 1: the quadratic member-pair plan must be
     unreachable with DEFAULT arguments. A planted exact-dup clique whose

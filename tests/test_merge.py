@@ -143,6 +143,7 @@ _val = st.one_of(
     updates=st.dictionaries(_key, _val, max_size=8),
     delete_above=st.one_of(st.none(), st.floats(-50, 50, allow_nan=False)),
 )
+@pytest.mark.slow
 def test_merge_plan_fuzz_vs_reference(spark, target, updates, delete_above):
     """Random target/update key sets (overlapping, disjoint, empty) with
     an optional delete clause vs a dict-based reference MERGE."""

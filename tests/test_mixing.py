@@ -200,6 +200,7 @@ def test_pii_redaction_and_counts(spark):
 # --- repetition gate ---------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_prepare_training_data_semantics(spark, docs):
     from opendosm_parquet_to_sqlite_spark.operators import corpus
 
@@ -256,6 +257,7 @@ def test_repetition_profile_flags_degenerate_docs(spark):
 # --- CLI: --prepare-corpus ---------------------------------------------------
 
 
+@pytest.mark.slow
 def test_cli_prepare_corpus_writes_split_dataset(spark, tmp_path):
     """python -m … --prepare-corpus runs the end-to-end pipeline and writes
     a split-partitioned dataset (exercised in-process via main())."""
@@ -284,6 +286,7 @@ def test_cli_prepare_corpus_writes_split_dataset(spark, tmp_path):
 # --- incremental ingest ------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ingest_increment_equals_batch_dedup(spark, docs):
     """Two incremental batches against a seeded index must keep EXACTLY the
     docs a single batch sweep over the whole corpus keeps (greedy min-id,
@@ -1133,6 +1136,7 @@ def test_doremi_weights_validations(spark):
         )
 
 
+@pytest.mark.slow
 def test_doremi_mix_equals_two_step_composition(spark):
     """doremi_mix == doremi_weights -> renormalize -> domain_mix run by
     hand with the identical parameters (the composition adds plumbing,

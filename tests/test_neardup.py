@@ -120,6 +120,7 @@ def test_neardup_index_probe_roundtrip(spark, docs, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_simhash_banding_pigeonhole_complete(spark, docs):
     """Pigeonhole guarantee: EVERY pair within max_hamming shares at least
     one identical chunk, so the banded join must find exactly the pairs a

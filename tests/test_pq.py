@@ -139,6 +139,7 @@ def test_ivfpq_more_probes_higher_recall(emb, queries):
     assert r[16] >= 0.95  # probing every cell ~= flat PQ + rerank
 
 
+@pytest.mark.slow
 def test_persisted_ivfpq_matches_inmemory(spark, emb, queries, tmp_path):
     """build_ivfpq_index -> probe_ivfpq_index (with rerank corpus) equals
     the in-memory ivfpq_topk exactly — same seeds, same centroids, same
@@ -171,6 +172,7 @@ def test_persisted_ivfpq_codes_only_probe(spark, emb, queries, tmp_path):
     assert set(out.groupby("query_id").size()) == {5}
 
 
+@pytest.mark.slow
 def test_persisted_ivfpq_validates_dim(spark, emb, tmp_path):
     import pytest as _pytest
 
@@ -185,6 +187,7 @@ def test_persisted_ivfpq_validates_dim(spark, emb, tmp_path):
         similarity.probe_ivfpq_index(spark, path, bad)
 
 
+@pytest.mark.slow
 def test_persisted_ivfpq_validates_artifact_consistency(spark, emb, tmp_path):
     """A hand-mixed index directory (meta from one build, artifacts from
     another) must fail loudly on probe, not rank wrongly."""
@@ -207,6 +210,7 @@ def test_persisted_ivfpq_validates_artifact_consistency(spark, emb, tmp_path):
         similarity.probe_ivfpq_index(spark, path, q)
 
 
+@pytest.mark.slow
 def test_persisted_ivfpq_validates_rerank_corpus_dim(spark, emb, tmp_path):
     import pytest as _pytest
     from pyspark.sql import functions as _F
@@ -242,6 +246,7 @@ def test_persisted_ivfpq_probe_prunes_partitions(spark, emb, queries, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+@pytest.mark.slow
 def test_filtered_ivfadc_probe_respects_allowed_set(spark, emb, tmp_path):
     """allowed-set filtered compressed probe: every result id is allowed,
     at full probe the id set equals the plain probe's results restricted
@@ -271,6 +276,7 @@ def test_filtered_ivfadc_probe_respects_allowed_set(spark, emb, tmp_path):
     assert overlap >= 0.9, overlap
 
 
+@pytest.mark.slow
 def test_persisted_ivfpq_delete_and_compact(spark, emb, queries, tmp_path):
     """Tombstone delete works identically on the compressed (IVFADC)
     index: deleted ids never surface — from the ADC probe OR the exact

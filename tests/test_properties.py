@@ -5,6 +5,8 @@ pure-Python oracle. max_examples kept small — each example is a Spark job.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -38,6 +40,7 @@ def _py_oracle(rows):
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=rows_strategy)
+@pytest.mark.slow
 def test_latest_per_group_matches_python_oracle(spark, rows):
     # hypothesis may generate duplicate (key, ts, event_id) rows with
     # different values — drop to keep the champion well-defined
@@ -69,6 +72,7 @@ def test_latest_per_group_matches_python_oracle(spark, rows):
         min_size=1, max_size=15,
     ),
 )
+@pytest.mark.slow
 def test_asof_join_matches_python_oracle(spark, events, probes):
     """asof_join == brute-force 'latest event with ts <= probe ts per key'
     for arbitrary inputs, including unseen keys and empty event sets.
@@ -203,6 +207,7 @@ def test_pack_sequences_matches_python_reference(spark, counts, budget, block):
         max_size=20,
     )
 )
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     from opendosm_parquet_to_sqlite_spark.operators.graph import (
         connected_components,

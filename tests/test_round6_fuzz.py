@@ -5,6 +5,8 @@ max_examples kept small — each example is a Spark job.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -59,6 +61,7 @@ def _ewma_py(rows, alpha):
 
 @settings(max_examples=10, deadline=None, suppress_health_check=HC)
 @given(rows=ewma_rows, n_slices=st.integers(min_value=1, max_value=5))
+@pytest.mark.slow
 def test_fuzz_ewma_plain_and_sliced_match_python(spark, rows, n_slices):
     df = spark.createDataFrame(
         [(k, t, tb, float(v)) for k, t, tb, v in rows],
@@ -101,6 +104,7 @@ interval_rows = st.lists(
     b_rows=interval_rows,
     bin_width=st.sampled_from([7, 50, 1000]),
 )
+@pytest.mark.slow
 def test_fuzz_interval_overlap_matches_theta(spark, a_rows, b_rows, bin_width):
     a = spark.createDataFrame(
         [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(a_rows)],
@@ -141,6 +145,7 @@ diff_rows = st.lists(
 
 @settings(max_examples=10, deadline=None, suppress_health_check=HC)
 @given(old=diff_rows, new=diff_rows)
+@pytest.mark.slow
 def test_fuzz_snapshot_diff_matches_dict_reference(spark, old, new):
     schema = "id long, a string, v long"
     o = spark.createDataFrame(old, schema)
@@ -181,6 +186,7 @@ dirty_text = st.text(
 
 @settings(max_examples=8, deadline=None, suppress_health_check=HC)
 @given(texts=st.lists(dirty_text, min_size=0, max_size=12))
+@pytest.mark.slow
 def test_fuzz_levenshtein_pairs_hostile_unicode(spark, texts):
     from opendosm_parquet_to_sqlite_spark.operators.neardup import (
         levenshtein_pairs,
@@ -242,6 +248,7 @@ attr_rows = st.lists(
 
 @settings(max_examples=10, deadline=None, suppress_health_check=HC)
 @given(rows=attr_rows, lookback=st.sampled_from([10, 100, 1000]))
+@pytest.mark.slow
 def test_fuzz_attribution_both_modes_match_python(spark, rows, lookback):
     from opendosm_parquet_to_sqlite_spark.operators.temporal import (
         attribute_first_touch,

@@ -221,6 +221,7 @@ def test_quality_audit_no_allowed_langs_passes_lang_gate(spark):
 # --- url fuzz / approx / grouped top-k --------------------------------------
 
 
+@pytest.mark.slow
 def test_url_extraction_fuzz_matches_python_re(spark):
     import re
     from hypothesis import given, settings, strategies as st
@@ -439,6 +440,7 @@ def test_transition_matrix_counts_and_probs(spark):
     assert ("C", "A") not in out
 
 
+@pytest.mark.slow
 def test_funnel_fuzz_matches_python_reference(spark):
     from datetime import datetime, timedelta
     from hypothesis import given, settings, strategies as st

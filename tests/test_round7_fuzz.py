@@ -49,6 +49,7 @@ def _ols_ref(pairs):
     st.lists(st.tuples(_vals, _vals), min_size=3, max_size=40),
 )
 @_settings
+@pytest.mark.slow
 def test_fuzz_group_ols_matches_closed_form(spark, pairs):
     df = spark.createDataFrame(
         [("g", float(x), float(y)) for x, y in pairs],
@@ -101,6 +102,7 @@ def _mwu_ref(a_vals, b_vals):
     ),
 )
 @_settings
+@pytest.mark.slow
 def test_fuzz_mann_whitney_with_heavy_ties(spark, rows):
     """Integer values 0-9 force heavy tie runs — the midrank and the
     tie-corrected sigma are exactly what the fuzz exercises."""
@@ -125,6 +127,7 @@ def test_fuzz_mann_whitney_with_heavy_ties(spark, rows):
     st.lists(st.sampled_from("cdefg"), min_size=1, max_size=40),
 )
 @_settings
+@pytest.mark.slow
 def test_fuzz_js_divergence_bounds_and_parity(spark, a_vals, b_vals):
     import collections
 
@@ -155,6 +158,7 @@ def test_fuzz_js_divergence_bounds_and_parity(spark, a_vals, b_vals):
 
 @given(st.permutations(list(range(12))), st.integers(1, 8))
 @_settings
+@pytest.mark.slow
 def test_fuzz_preference_pairs_invariant_to_row_order(spark, perm, parts):
     """The (chosen, rejected) champions must not depend on row order or
     partitioning — max_by/min_by with struct tie-breaks guarantee it."""

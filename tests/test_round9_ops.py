@@ -174,6 +174,7 @@ def test_label_noise_single_class_no_crash(spark):
 # --- temperature_mix ----------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_temperature_mix_alpha_shapes(spark):
     rows = [(i, "big") for i in range(400)] + [
         (1000 + i, "small") for i in range(100)

@@ -84,12 +84,14 @@ def test_normalize_and_int8_quantization_roundtrip(spark, emb):
     assert q.schema["q_codes"].dataType.simpleString() == "array<tinyint>"
 
 
+@pytest.mark.slow
 def test_cosine_pairs_threshold_and_order(spark, emb):
     out = similarity.cosine_pairs(emb, threshold=0.4)
     assert out.filter(F.col("id_a") >= F.col("id_b")).count() == 0
     assert out.filter(F.col("cosine") < 0.4).count() == 0
 
 
+@pytest.mark.slow
 def test_lsh_cosine_pairs_subset_of_exact(spark, emb):
     exact = {
         (r["id_a"], r["id_b"]) for r in
@@ -102,6 +104,7 @@ def test_lsh_cosine_pairs_subset_of_exact(spark, emb):
     assert blocked <= exact
 
 
+@pytest.mark.slow
 def test_lsh_cosine_pairs_recall_vs_exact(spark, emb):
     """The registered dedup_embedding_cosine_lsh config (H=2, L=6) must hold
     ≥0.9 recall against the exact all-pairs oracle (measured 0.955 on this
@@ -144,6 +147,7 @@ def test_ivf_topk_recall_curve_and_exactness(spark, emb):
     assert recalls[1] >= 0.9
 
 
+@pytest.mark.slow
 def test_ivf_index_roundtrip_and_probe_recall(spark, emb, tmp_path):
     """build_ivf_index → probe_ivf_index: probing the SAVED index (no
     retrain, no corpus rescan) matches the ad-hoc ivf_topk recall contract
@@ -172,6 +176,7 @@ def test_ivf_index_roundtrip_and_probe_recall(spark, emb, tmp_path):
     assert [r["centroid"] for r in c1] == [r["centroid"] for r in c2]
 
 
+@pytest.mark.slow
 def test_ivf_index_append_without_retrain(spark, emb, tmp_path):
     """Incremental ingest: append assigns new vectors with the SAVED
     centroids; a probe that should hit the new vector finds it, and the
@@ -295,6 +300,7 @@ def test_semantic_dedup_survivors_and_determinism(spark, clustered):
     assert ids == ids2
 
 
+@pytest.mark.slow
 def test_quantized_ivf_index_roundtrip_recall_and_append(spark, emb, tmp_path):
     """IVF+SQ: the persisted index stores int8 codes (no float vectors),
     probes score via ADC, and recall vs the FLOAT index at the same
@@ -377,6 +383,7 @@ def _mean_max_cosine(spark, emb, cent):
     return float(np.max(X @ cent.T, axis=1).mean())
 
 
+@pytest.mark.slow
 def test_distributed_kmeans_quality_matches_driver_path(spark, emb):
     """The distributed trainer must cluster at least as well (within a
     small epsilon) as the driver-sample trainer on the same data."""
@@ -391,6 +398,7 @@ def test_distributed_kmeans_quality_matches_driver_path(spark, emb):
     assert q_d >= q_s - 0.02, (q_d, q_s)
 
 
+@pytest.mark.slow
 def test_distributed_kmeans_partitioning_stable(spark, emb):
     """Same data under different partitionings: identical init (md5-ordered
     seeds) and near-identical centroids (float sums may differ in the last
@@ -404,6 +412,7 @@ def test_distributed_kmeans_partitioning_stable(spark, emb):
     assert np.allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_sample_above_threshold_routes_to_distributed(spark, emb):
     import numpy as np
 
@@ -419,6 +428,7 @@ def test_distributed_kmeans_rejects_empty(spark, emb):
         similarity.train_ivf_centroids_distributed(emb.filter(F.lit(False)))
 
 
+@pytest.mark.slow
 def test_ivf_rebalance_splits_drifted_append(spark, emb, tmp_path):
     """Drifted ingest: append a batch that all lands in ONE cell, with a
     max_cell_fraction cap — the oversized cell splits (local 2-means),
@@ -464,6 +474,7 @@ def test_ivf_rebalance_splits_drifted_append(spark, emb, tmp_path):
             for r in bf.collect()}
 
 
+@pytest.mark.slow
 def test_ivf_rebalance_noop_when_balanced(spark, emb, tmp_path):
     path = str(tmp_path / "ivf")
     similarity.build_ivf_index(emb, path, n_centroids=16)
@@ -479,6 +490,7 @@ def test_ivf_rebalance_rejects_bad_fraction(spark, emb, tmp_path):
         similarity.rebalance_ivf_index(spark, path, 0.0)
 
 
+@pytest.mark.slow
 def test_filtered_probe_exact_over_filtered_corpus_at_full_probe(
     spark, emb, tmp_path
 ):
@@ -675,6 +687,7 @@ def test_lof_duplicate_cluster_scores_near_one(spark):
 # --- delete / tombstone path -------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ivf_delete_tombstones_never_surface(spark, emb, tmp_path):
     """delete_from_ivf_index: deleted ids never appear in probe results
     (even at exhaustive n_probe), cells stay untouched on disk until
@@ -714,6 +727,7 @@ def test_ivf_delete_tombstones_never_surface(spark, emb, tmp_path):
     assert spark.read.parquet(f"{path}/cells").count() == emb.count()
 
 
+@pytest.mark.slow
 def test_ivf_delete_append_resurrects(spark, emb, tmp_path):
     """append after delete: re-appending a tombstoned id physically
     rewrites the old row out of its cell, appends the fresh row, and
@@ -756,6 +770,7 @@ def test_ivf_delete_append_resurrects(spark, emb, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ivf_tombstone_clear_swap_crash_recovers(spark, emb, tmp_path):
     """A crash in _clear_tombstones_for's swap window (live dir renamed
     away, staging not yet renamed in) must NOT silently un-delete: the
@@ -785,6 +800,7 @@ def test_ivf_tombstone_clear_swap_crash_recovers(spark, emb, tmp_path):
     assert not os.path.exists(tpath + "__new")
 
 
+@pytest.mark.slow
 def test_ivf_tombstone_compaction_rewrites_and_restores(spark, emb, tmp_path):
     """compact_ivf_tombstones: below threshold -> counted no-op; above ->
     only affected cells rewritten, dead rows gone from disk, tombstone
@@ -833,6 +849,7 @@ def test_ivf_tombstone_compaction_rewrites_and_restores(spark, emb, tmp_path):
         similarity.compact_ivf_tombstones(spark, path, max_tombstone_fraction=0)
 
 
+@pytest.mark.slow
 def test_ivf_compaction_drops_fully_dead_cell(spark, tmp_path):
     """A cell whose EVERY row is tombstoned must disappear from disk at
     compaction (dynamic overwrite can't stage an empty partition)."""

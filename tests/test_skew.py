@@ -122,6 +122,7 @@ def test_sliced_rejects_short_slice(spark, skewed):
 # --- time-sliced seeded EWMA -------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ewma_sliced_row_identical_to_plain(spark):
     import numpy as np
 
@@ -150,6 +151,7 @@ def test_ewma_sliced_row_identical_to_plain(spark):
     assert sliced == plain
 
 
+@pytest.mark.slow
 def test_ewma_sliced_keys_absent_from_middle_slices(spark):
     from opendosm_parquet_to_sqlite_spark.operators.skew import ewma_sliced
     from opendosm_parquet_to_sqlite_spark.operators.temporal import ewma

@@ -164,6 +164,7 @@ def test_overlapping_cuts_union_not_double_count(spark):
     assert out[3].n_removed == 12 and out[3].text == ""
 
 
+@pytest.mark.slow
 def test_prepare_training_data_span_stage_optin(spark):
     """Flag-off output is byte-stable vs flag-on: the span stage shrinks
     cut docs' token budgets (packing sees cleaned text) and defaults to
@@ -197,6 +198,7 @@ def test_prepare_training_data_span_stage_optin(spark):
     assert on[2].n_tokens == off[2].n_tokens - 12
 
 
+@pytest.mark.slow
 def test_iterated_removal_converges_on_multi_span_pairs(spark):
     """Two disjoint 12-token spans shared by the same pair: pass 1 cuts
     the longest, pass 2 the second; the wrapper accumulates n_removed
@@ -229,6 +231,7 @@ def test_iterated_removal_converges_on_multi_span_pairs(spark):
         assert w in out[2].text
 
 
+@pytest.mark.slow
 def test_within_doc_internal_repeat_excised_once(spark):
     """Round-10 verdict item 3: a doc repeating its own boilerplate
     internally loses every occurrence after the first; prose stays
@@ -317,6 +320,7 @@ def test_within_and_cross_doc_compose_one_global_survivor(spark):
     assert out[2].text == "" and out[2].n_removed == 24
 
 
+@pytest.mark.slow
 def test_prepare_training_data_within_doc_span_optin(spark):
     """span_within_doc=True threads through stage 4b: a survivor doc
     whose own text echoes a span internally loses the echo before

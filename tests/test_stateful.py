@@ -259,6 +259,7 @@ def test_update_fn_fuzz_any_batching_and_ttl(data):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
+@pytest.mark.slow
 def test_streaming_profile_fuzz_split_matches_batch(spark, tmp_path, data):
     """Random multi-key event set, random arrival permutation, random
     microbatch split: the drained profiles must equal the batch twin

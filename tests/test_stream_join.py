@@ -91,6 +91,7 @@ def test_negative_lookback_rejected(spark):
 
 
 @pytest.mark.parametrize("how", ["left_outer", "right_outer", "full_outer"])
+@pytest.mark.slow
 def test_outer_stream_drain_matches_batch(spark, tmp_path, how):
     """Outer rows only emit once the watermark proves no match can still
     arrive — far-future sentinels on BOTH sides advance both watermarks
@@ -185,6 +186,7 @@ _TS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
+@pytest.mark.slow
 def test_interval_join_fuzz_lateness(spark, tmp_path, data):
     """Random event times on both sides, arrival either ts-ordered
     (everything on time) or randomly permuted (rows may arrive later than

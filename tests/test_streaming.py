@@ -7,6 +7,8 @@ must upsert correctly across microbatches.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from opendosm_parquet_to_sqlite_spark.operators import aggregates, dedup
@@ -581,6 +583,7 @@ def test_frontier_dedup_stream_collapses_url_variants(spark, tmp_path):
     assert len(got) == 3
 
 
+@pytest.mark.slow
 def test_media_dedup_stream_collapses_reencodes(spark, tmp_path):
     """Streaming media dedup: re-encoded copies of the same pixels
     (different zlib levels -> different bytes, same content) collapse to

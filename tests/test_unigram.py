@@ -120,6 +120,7 @@ CORPUS = [
 ] * 3
 
 
+@pytest.mark.slow
 def test_unigram_train_matches_reference(spark):
     df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
     got = {
@@ -135,6 +136,7 @@ def test_unigram_train_matches_reference(spark):
         assert got[p] == pytest.approx(ref[p], abs=1e-8), p
 
 
+@pytest.mark.slow
 def test_unigram_train_keeps_all_single_chars(spark):
     df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
     out = U.unigram_train(
@@ -212,6 +214,7 @@ def test_unigram_segment_requires_pieces(spark):
         U.unigram_segment(df, "text", [])
 
 
+@pytest.mark.slow
 def test_unigram_train_releases_checkpoint_blocks(spark):
     from opendosm_parquet_to_sqlite_spark.operators.graph import (
         _persistent_rdd_ids,
