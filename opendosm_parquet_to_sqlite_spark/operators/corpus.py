@@ -272,6 +272,15 @@ def prepare_training_data(
     # 6 s at sf0.1). MEMORY_AND_DISK, released via caching.release_cached()
     # — at cluster scale substitute a parquet checkpoint if the corpus
     # outgrows the cache tier.
+    # NOTE (round-14 opt, both measured SLOWER and reverted): (a) also
+    # persisting the scrubbed `red` frame — 6.9 -> 9.4 s median
+    # (columnar cache build of full text rows costs more than the 2-3
+    # concurrent duplicate scrub stages it removes); (b) eager-
+    # materializing exact_kept/survivors with count() to stop the
+    # concurrent duplicate computation of racing cache legs — 6.9 ->
+    # 7.4 s (the duplicates overlap on idle cores; serializing them is
+    # a net loss at this scale). The profile's duplicate stages are the
+    # cheaper side of both trades; leave the persists lazy.
     exact_kept = persist_tracked(
         dedup.exact_dedup_keep_first(gated, text_col, id_col)
     )

@@ -990,7 +990,9 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window as W
 
-    toked = df.select(
+    from .text import spread_small_input
+
+    toked = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
     )

@@ -194,19 +194,32 @@ def tfidf_top_terms_per_doc(
 
     tfidf = tf * ln((N + 1) / (df + 1)); ties by term ASC. Returns
     (doc_id, term, tfidf, rank). Unlike bm25_topk there is no query-side
-    pruning — this is a whole-corpus pass (tokenize -> (doc,term) agg ->
-    (term) agg -> join back), i.e. exactly the shape of the repo's
-    term_stats plus a rank window partitioned by doc_id; partitions are
-    per-document so the window never concentrates.
+    pruning — this is a whole-corpus pass: tokenize -> (doc,term) agg ->
+    term-keyed COUNT WINDOW attaching df -> rank window by doc_id.
+
+    Round-14 opt: df used to be a separate (term) aggregation joined
+    back onto tf — but tf is a lazy plan, so the dfreq leg and the join
+    leg each re-executed the whole tokenize+explode+agg chain (two full
+    corpus tokenizations, measured as two 32-task scan stages and
+    12.9 + 5.8 s executor time at sf0.1), plus one extra exchange for
+    the join. An unordered count() window over the term-keyed layout
+    computes the same df with the postings tokenized and shuffled ONCE:
+    1.65 -> 1.21 s median isolated, hash-identical output. Scale note:
+    a hyper-hot term concentrates its postings in one window group
+    exactly as it concentrated in one join reducer before; the window
+    buffer spills (ExternalAppendOnlyUnsafeRowArray), and a df-cap
+    pre-filter (the max_doc_freq idiom from operators.neardup) is the
+    knob if stopword groups ever dominate a corpus-scale run. The rank
+    window stays per-document and never concentrates.
     """
     tf = doc_term_freqs(spread_small_input(docs), text_col, id_col)
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wdf = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(wdf))
     if min_df > 1:
-        dfreq = dfreq.filter(F.col("df") >= min_df)
+        scored = scored.filter(F.col("df") >= min_df)
     scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(stats))
+        scored.crossJoin(F.broadcast(stats))
         .withColumn(
             "tfidf",
             F.col("tf")
