@@ -903,13 +903,48 @@ def link_prediction(
         F.col("v").alias("w"), F.col("u").alias("leaf")
     )
     if max_degree is not None:
+        # Capped path (round-14 opt): enumerate wedges with the
+        # inverted-index bucket explode of ngram_jaccard_pairs instead
+        # of a center-keyed SELF-JOIN. One collect_list per center
+        # (buffer bounded by the cap via the same semi-join as before)
+        # and an ordered-combination explode emit each wedge exactly
+        # once — the join shipped the centers table through the
+        # w-exchange TWICE (both legs) and its post-match pa<pb filter
+        # discarded half the matches after producing them. Measured at
+        # sf0.1: wall-NEUTRAL (4.06 -> 4.04 s median — the (pa, pb)
+        # count exchange dominates both shapes identically); kept for
+        # the scale story: one centers-sized exchange pass instead of
+        # two, hash-identical output. The uncapped path keeps the join:
+        # an unbounded hub would build an unbounded array in ONE
+        # aggregation buffer, whereas the join only fans out rows.
         ok = deg.filter(F.col("deg") <= int(max_degree)).select(
             F.col("u").alias("w")
         )
         centers = centers.join(F.broadcast(ok), "w", "left_semi")
-    a = centers.select("w", F.col("leaf").alias("pa"))
-    b = centers.select("w", F.col("leaf").alias("pb"))
-    wedges = a.join(b, "w").filter(F.col("pa") < F.col("pb"))
+        buckets = centers.groupBy("w").agg(
+            F.sort_array(F.collect_list("leaf")).alias("ids")
+        )
+        wedges = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda pa, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + 2, F.size(F.col("ids"))
+                            ),
+                            lambda pb: F.struct(
+                                pa.alias("pa"), pb.alias("pb")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.pa", "p.pb")
+    else:
+        a = centers.select("w", F.col("leaf").alias("pa"))
+        b = centers.select("w", F.col("leaf").alias("pb"))
+        wedges = a.join(b, "w").filter(F.col("pa") < F.col("pb"))
     common = wedges.groupBy("pa", "pb").agg(
         F.count(F.lit(1)).alias("common")
     ).filter(F.col("common") >= int(min_common))

@@ -180,8 +180,16 @@ def fd_violations(
     not_null, not by the FD check); NULL LHS keys group as their own key
     like any GROUP BY.
     """
+    from ..parallelism import fan_out
+
     lcols = [lhs] if isinstance(lhs, str) else list(lhs)
-    base = df.filter(F.col(rhs).isNotNull())
+    # narrow projection first, then the small-scan rescue (no-op at any
+    # real scale): the count_distinct/collect_set partials are the
+    # expensive side of this one-agg plan, and on a few-split source
+    # they ran in the 3 scan tasks (1.6 s of a 2.3 s profile at sf0.1)
+    base = fan_out(
+        df.filter(F.col(rhs).isNotNull()).select(*lcols, rhs)
+    )
     return (
         base.groupBy(*lcols)
         .agg(
