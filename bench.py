@@ -451,6 +451,29 @@ SF1_GATE_EXTRA = [
     "wordpiece_vocab",
     "wordpiece_segment",
     "commonness_buckets",
+    # round-14 (verdict item 9): standing 10x rows for the round-13
+    # optimization winners (the AQE floor / fan_out / loop-width work
+    # must be measured where cores matter, not only at sf0.1)...
+    "bootstrap_ci",
+    "dedup_ngram_jaccard",
+    "interpolate_linear",
+    "triangle_count",
+    "dup_core",
+    "dedup_simhash",
+    # ...and for the queries this round's structural changes touched
+    # (pairs-first CC/LPA materialization, tfidf window-df, winnow
+    # spread, fd_violations fan_out, bucket-explode wedges, fused
+    # trainer collects)
+    "dup_clusters",
+    "split_leakage_free",
+    "dup_communities",
+    "link_prediction",
+    "tfidf_per_doc",
+    "winnow_pairs",
+    "span_dedup_exact",
+    "fd_violations",
+    "quality_classifier_2iter",
+    "doremi_weights",
 ]
 
 # Named causes for queries whose >15x sf1 growth is a DOCUMENTED output

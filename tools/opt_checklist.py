@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""Generate the OPTIMIZATION_r13.md checklist table: every headline
+"""Generate the OPTIMIZATION_r14.md checklist table: every headline
 query with before/after suite seconds, baseline ratio, and the action
 taken this round.
 
-Usage: python3 tools/opt_checklist.py /tmp/bench_before_map.json BENCH_LOCAL_r13.json
+Usage: python3 tools/opt_checklist.py /tmp/bench_before_map.json BENCH_LOCAL_r14.json
 """
 
 from __future__ import annotations
@@ -14,42 +14,50 @@ import sys
 
 REPO = "/root/repo"
 
-# action tags per query (round-13 optimization); queries not listed get
+# action tags per query (round-14 optimization); queries not listed get
 # the default "floor" examination note (the session-wide AQE floor
 # change affected every multi-exchange plan).
 ACTIONS: dict[str, str] = {}
 
-LOOP_CC = (
-    "loop width (measured-E, clamp [1,conf]) + fused convergence + "
-    "cache-lifetime fixes"
+PAIRS_FIRST = (
+    "pairs-first CC/LPA materialization (upstream runs once; one keyed "
+    "layout at final width)"
 )
 for q in [
     "dup_clusters", "corpus_clean_clustered", "dedup_keep_best",
     "split_leakage_free", "knn_clusters", "dedup_media_clusters",
-    "dedup_urls",
+    "dedup_urls", "dup_communities",
 ]:
-    ACTIONS[q] = LOOP_CC
+    ACTIONS[q] = PAIRS_FIRST
 ACTIONS["event_pagerank"] = (
-    "loop width + edge-DAG checkpointed once + cache-lifetime fixes"
+    "2-iter checkpoint batching tried+REVERTED (171->230 jobs); floor is "
+    "driver planning"
 )
-ACTIONS["dup_communities"] = "loop width (LPA) + cache-lifetime fixes"
-ACTIONS["dup_core"] = (
-    "loop width (k-core widen) + lazy-count fusion + cache-lifetime fixes"
+for q in ["quality_classifier", "quality_classifier_2iter", "release_gate"]:
+    ACTIONS[q] = "train_logreg: bias gradient folded into the bucket agg (1 action/iter)"
+for q in ["doremi_weights", "doremi_mix"]:
+    ACTIONS[q] = "stats+gradient legs unioned: 1 collect/round instead of 2"
+ACTIONS["tfidf_per_doc"] = (
+    "df via count window over the term layout (tokenize once; "
+    "1.65->1.21 isolated)"
 )
-ACTIONS["bootstrap_ci"] = "fan_out before the xB explode (was ONE task)"
-ACTIONS["dedup_simhash"] = "fan_out before the 63-accumulator fold"
-for q in ["wordpiece_vocab", "wordpiece_segment"]:
-    ACTIONS[q] = "lazy merge-round checkpoints (1 job fewer/round) + _ckpt_ids"
-for q in ["bpe_merges", "unigram_lm_vocab", "unigram_segment"]:
-    ACTIONS[q] = "_ckpt_ids cleanup scoping (no friendly-fire unpersist)"
-for q in ["dedup_image_phash", "dedup_audio_fp"]:
-    ACTIONS[q] = "indirect: cache-lifetime fix stops decode re-runs"
+for q in ["winnow_pairs", "span_dedup_exact", "remove_repeated_spans",
+          "remove_repeated_spans_within"]:
+    ACTIONS[q] = "spread_small_input before the winnow gram stage"
+ACTIONS["fd_violations"] = "narrow projection + fan_out before the partial agg"
 ACTIONS["link_prediction"] = (
-    "floor; sym persist tried+REVERTED (2.54->3.67)"
+    "bucket-explode wedges (one centers exchange, wall-neutral, kept "
+    "for scale)"
+)
+ACTIONS["prepare_training_data"] = (
+    "2 sharing arms tried+REVERTED (persist red 6.9->9.4; eager "
+    "materialize 6.9->7.4)"
 )
 ACTIONS["dedup_ngram_jaccard"] = (
-    "floor; fan_out tried+REVERTED (1.44->1.96)"
+    "eager shingle materialization tried: NEUTRAL, left lazy"
 )
+for q in ["bootstrap_ci", "dedup_simhash"]:
+    ACTIONS[q] = "fan_out estimate refined (maxSplitBytes + row-group cap)"
 
 
 def load(path):
@@ -78,12 +86,12 @@ def main():
     for q in sorted(after, key=lambda q: -after[q]):
         b, a = before.get(q), after[q]
         rows.append((q, b, a, base.get(q), ACTIONS.get(q, "")))
-    print("| query | before s | after s | vs warm baseline | action (r13 opt) |")
+    print("| query | before s | after s | vs warm baseline | action (r14 opt) |")
     print("|---|---|---|---|---|")
     for q, b, a, bl, act in rows:
         ratio = f"{a / bl:.2f}x" if bl else "-"
         bs = f"{b:.2f}" if b else "-"
-        act = act or "examined; session AQE floor applies; left alone"
+        act = act or "examined; profiled family clean or floor-bound; left alone"
         print(f"| {q} | {bs} | {a:.2f} | {ratio} | {act} |")
 
 
